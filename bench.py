@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the bench-tagged catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed as the driver would consume it — full materialization
+via a count over the result (collect of aggregates is driver-side anyway) —
+after a warm-up pass of the session on a trivial action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from billing_data_pipeline_spark.registry import load_catalog
+from billing_data_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    catalog = load_catalog()
+    bench_specs = {n: s for n, s in sorted(catalog.items()) if s.bench}
+
+    spark = get_spark(app_name="bdp-spark-bench")
+    # JVM/codegen warm-up outside the timed region.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, spec in bench_specs.items():
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        rows = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({rows} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""Parameterized aggregate builders (SURVEY.md §2.4 A1-A9, §2.6 T1-T4).
+
+The reference materializes four GROUP BY aggregate tables — daily, user,
+service, region (reference: pipeline/assets/aggregates.py:34-48, 99-115,
+166-181, 229-242) — all with the same shape: COUNT(*), SUM/AVG of a measure,
+a handful of exact COUNT(DISTINCT), conditional CASE-WHEN sums, MIN/MAX
+timestamps. ``grouped_profile`` generalizes that shape as one declarative
+builder; each concrete table is an instantiation.
+
+Scale notes:
+- Everything here is a single hash-aggregate: partial (map-side) aggregation
+  happens automatically, so the shuffle carries one row per group per
+  partition, not the raw data.
+- Multiple exact COUNT(DISTINCT) columns plan as a Catalyst ``Expand`` (one
+  pass, k-fold row expansion). At arity <= 4 (the reference's max) this is
+  the right plan. For 100 TB incremental rollups use ``approx=True`` —
+  HLL sketches are mergeable where exact distinct counts are not.
+- Top-k (ORDER BY .. LIMIT k) plans as ``TakeOrderedAndProject``: per
+  partition heaps + a driver merge. No global sort at any scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Exact-decimal accumulator for money-like measures. Double summation is
+# order-dependent (Spark's partial aggregation vs any single-node engine can
+# differ in the last ulp); summing an exact DECIMAL is associative, so the
+# result is bit-identical on any engine at any parallelism. Cast back to
+# double only at the output edge.
+#
+# Determinism rule for every emitted double: NEVER round it. Spark's
+# round(double) rounds the shortest decimal string repr (BigDecimal.valueOf)
+# while other engines round the binary value, so midpoint values (common in
+# money data: exact-decimal sums / small counts) diverge. Instead derive the
+# double through an identical deterministic op sequence on engine and oracle
+# (exact decimal -> double cast -> IEEE division), which is bit-exact.
+MEASURE_DECIMAL = "decimal(30,6)"
+
+
+def exact_sum(measure: Column | str) -> Column:
+    m = F.col(measure) if isinstance(measure, str) else measure
+    return F.sum(m.cast(MEASURE_DECIMAL))
+
+
+def measure_aggs(measure: Column | str) -> list[Column]:
+    """COUNT(*)/SUM/AVG of one measure — the common core of A1-A4.
+
+    AVG = exact-decimal SUM cast to double / non-null COUNT: one IEEE
+    division of identical operands on engine and oracle — bit-exact.
+    """
+    m = F.col(measure) if isinstance(measure, str) else measure
+    total = exact_sum(m).cast("double")
+    mean = total / F.count(m)
+    return [
+        F.count(F.lit(1)).alias("transaction_count"),
+        total.alias("total_usage"),
+        mean.alias("avg_usage"),
+    ]
+
+
+def conditional_count(predicate: Column, name: str) -> Column:
+    """SUM(CASE WHEN p THEN 1 ELSE 0 END) (reference: aggregates.py:43-44)."""
+    return F.sum(F.when(predicate, 1).otherwise(0)).alias(name)
+
+
+def grouped_profile(
+    df: DataFrame,
+    group_cols: Sequence[Column | str],
+    measure: Column | str,
+    distinct_cols: dict[str, str] | None = None,
+    conditions: dict[str, Column] | None = None,
+    time_col: str | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """The generalized aggregate-table shape of the reference.
+
+    distinct_cols: {output_alias: input_col} -> COUNT(DISTINCT input_col)
+    conditions:    {output_alias: predicate} -> SUM(CASE WHEN ...)
+    time_col:      adds MIN/MAX as first_activity/last_activity
+                   (reference: aggregates.py:110-111)
+    approx:        HLL approx_count_distinct for mergeable 100 TB rollups
+    """
+    aggs = measure_aggs(measure)
+    for alias, col in (distinct_cols or {}).items():
+        cd = F.approx_count_distinct(col) if approx else F.countDistinct(col)
+        aggs.append(cd.alias(alias))
+    for alias, pred in (conditions or {}).items():
+        aggs.append(conditional_count(pred, alias))
+    if time_col:
+        aggs.append(F.min(time_col).alias("first_activity"))
+        aggs.append(F.max(time_col).alias("last_activity"))
+    return df.groupBy(*group_cols).agg(*aggs)
+
+
+def success_rate(
+    df: DataFrame,
+    group_col: str,
+    success_pred: Column,
+) -> DataFrame:
+    """Derived-rate aggregate (reference: pipeline/assets/reports.py:57-66).
+
+    CAST(SUM(CASE..) AS FLOAT)/COUNT(*) — the reference casts to FLOAT to
+    avoid integer division; here the rate is one IEEE double division of
+    identical integer operands — deterministic, no rounding.
+    """
+    return (
+        df.groupBy(group_col)
+        .agg(
+            conditional_count(success_pred, "success_count"),
+            F.count(F.lit(1)).alias("total_count"),
+        )
+        .withColumn(
+            "success_rate",
+            F.col("success_count").cast("double") / F.col("total_count"),
+        )
+    )
+
+
+def top_k(
+    df: DataFrame,
+    order_col: str,
+    k: int,
+    tiebreak: Sequence[str] = (),
+    ascending: bool = False,
+) -> DataFrame:
+    """ORDER BY .. LIMIT k (reference: reports.py:30-44, top-5 users/regions).
+
+    Plans as TakeOrderedAndProject (no global sort). ``tiebreak`` makes the
+    k-th row deterministic when order_col ties — required for oracle parity.
+    """
+    key = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    order = [key, *[F.col(c).asc() for c in tiebreak]]
+    return df.orderBy(*order).limit(k)
+
+
+def frequency_count(df: DataFrame, col: str) -> DataFrame:
+    """GROUP BY col ORDER BY count DESC (reference: reports.py:48-53)."""
+    return df.groupBy(col).agg(F.count(F.lit(1)).alias("count")).orderBy(
+        F.col("count").desc(), F.col(col).asc()
+    )
+
+
+def global_sum(df: DataFrame, measure: Column | str, alias: str) -> DataFrame:
+    """Ungrouped SUM with NULL->0.0 (reference: reports.py:21-26)."""
+    return df.agg(
+        F.coalesce(exact_sum(measure).cast("double"), F.lit(0.0)).alias(alias)
+    )

@@ -1,0 +1,106 @@
+"""Idempotent incremental ingest (SURVEY.md §2.3 J1, §2.9 ST5, §4 OPT2-3).
+
+The reference enforces idempotency with three mechanisms:
+1. a 4-key LEFT JOIN .. IS NULL anti-join insert so re-delivered rows are
+   dropped (reference: pipeline/assets/ingest.py:248-257),
+2. a UNIQUE constraint as the backstop (reference: ingest.py:190),
+3. a ``processed_files`` md5 ledger so unchanged files are never rescanned
+   (reference: ingest.py:164-172, 217-231).
+
+Spark has no constraints, so uniqueness becomes an operator guarantee:
+``dedup_within_batch`` + ``dedup_append``. NULL-key rows never match the
+anti-join (SQL join semantics) and therefore always append — preserved
+exactly by ``left_anti``.
+
+Scale notes:
+- The anti-join prunes the *existing* side to key columns only before the
+  join (column pruning reaches the parquet scan), so the shuffle carries
+  4 narrow key columns, not 14-column rows.
+- With a date-partitioned table, pass ``existing_filter`` (e.g. only the
+  partitions the batch can overlap) so partition pruning bounds the
+  existing-side scan — at 100 TB you never anti-join against the full
+  history, only the re-deliverable window.
+- For true upserts at scale, a Delta/Iceberg MERGE subsumes this pattern;
+  plain parquet + anti-join append keeps the engine storage-agnostic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_within_batch(batch: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Drop intra-batch natural-key duplicates.
+
+    The reference lets intra-batch dupes trip the UNIQUE constraint and fail
+    the load (ingest.py:190); idempotency being the stated intent, this
+    engine dedups within the batch instead (first-wins is arbitrary —
+    dropDuplicates keeps an arbitrary row per key, which matches the
+    reference's "any one row per key" end state).
+    """
+    return batch.dropDuplicates(list(keys))
+
+
+def dedup_append(
+    batch: DataFrame,
+    existing: DataFrame,
+    keys: Sequence[str],
+    existing_filter: Column | None = None,
+) -> DataFrame:
+    """Rows of ``batch`` whose natural key is absent from ``existing``.
+
+    Equivalent to the reference's LEFT JOIN .. WHERE r.key IS NULL insert
+    (ingest.py:248-257). NULL keys never match => always kept, matching SQL
+    semantics on both engines.
+    """
+    keys = list(keys)
+    existing_keys = existing.select(*keys)
+    if existing_filter is not None:
+        existing_keys = existing_keys.filter(existing_filter)
+    return dedup_within_batch(batch, keys).join(
+        existing_keys, on=keys, how="left_anti"
+    )
+
+
+def append_new_rows(
+    batch: DataFrame,
+    table_path: str,
+    keys: Sequence[str],
+    existing_filter: Column | None = None,
+) -> int:
+    """Idempotent append of a batch into a parquet table; returns rows added."""
+    spark = batch.sparkSession
+    try:
+        existing = spark.read.parquet(table_path)
+    except Exception:
+        existing = None
+    if existing is None:
+        new_rows = dedup_within_batch(batch, keys)
+    else:
+        new_rows = dedup_append(batch, existing, keys, existing_filter)
+    # Two passes over `batch` (count + write); cache only the deduped rows.
+    new_rows = new_rows.persist()
+    try:
+        n = new_rows.count()
+        if n:
+            new_rows.write.mode("append").parquet(table_path)
+    finally:
+        new_rows.unpersist()
+    return n
+
+
+def assert_unique(df: DataFrame, keys: Sequence[str]) -> None:
+    """Uniqueness assertion replacing the reference's UNIQUE constraint.
+
+    Cheap relative to the load (one aggregate over key columns); use in
+    tests / data-quality gates, not per-query.
+    """
+    dupes = (
+        df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+    )
+    sample = dupes.take(5)
+    if sample:
+        raise AssertionError(f"duplicate natural keys (showing <=5): {sample}")

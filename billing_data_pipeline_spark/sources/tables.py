@@ -1,0 +1,50 @@
+"""Parquet table catalog over a scale-factor directory.
+
+The driver's testdata layout is ``{sf_dir}/{table}.parquet`` (TESTDATA.md).
+Reads are plain ``spark.read.parquet`` so Catalyst gets full predicate
+pushdown / column pruning; at cluster scale the same entry points accept
+directory trees of many files, where ``maxPartitionBytes`` splits drive
+parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores INT64 TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects. Read nanos as long, floor-divide to microseconds
+        # (integer DIV — double division would lose precision past 2^53).
+        # DuckDB's TIMESTAMP_NS -> TIMESTAMP cast also truncates, so oracles
+        # using CAST(ts AS TIMESTAMP) see identical values.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL entry points."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

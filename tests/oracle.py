@@ -1,0 +1,59 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+Runs a catalog query on Spark and its oracle SQL on DuckDB over the same
+parquet, then compares row count, column names, and order-insensitive
+values (columns sorted by name, rows sorted by all columns).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from billing_data_pipeline_spark.sources.tables import TABLES
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    return con
+
+
+def _canonical(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df.columns = [c.lower() for c in df.columns]
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            col = df[c]
+            if getattr(col.dt, "tz", None) is not None:
+                col = col.dt.tz_convert("UTC").dt.tz_localize(None)
+            df[c] = col.astype("datetime64[us]")
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str) -> None:
+    con = duckdb_connect(sf_dir)
+    try:
+        expected = con.execute(oracle_sql).fetchdf()
+    finally:
+        con.close()
+    actual = spark_df.toPandas()
+
+    assert len(actual) == len(expected), (
+        f"row count mismatch: spark={len(actual)} oracle={len(expected)}"
+    )
+    a_cols = sorted(c.lower() for c in actual.columns)
+    e_cols = sorted(c.lower() for c in expected.columns)
+    assert a_cols == e_cols, f"column mismatch: spark={a_cols} oracle={e_cols}"
+
+    a = _canonical(actual)
+    e = _canonical(expected)
+    pd.testing.assert_frame_equal(
+        a, e, check_dtype=False, check_exact=False, rtol=1e-9, atol=1e-9
+    )
