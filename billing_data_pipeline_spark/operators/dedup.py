@@ -1,0 +1,314 @@
+"""[EXT] Deduplication operators for LLM-data pipelines (SURVEY.md §2.12).
+
+Four tiers, cheapest first — at 100 TB you run them in this order and each
+tier prunes the candidate set for the next:
+
+1. exact       — content-hash groupBy (one shuffle on a 16-byte key)
+2. ngram-jaccard — exact Jaccard on word shingles via explode + self-join
+                   (quadratic only within shingle buckets)
+3. MinHash LSH — pyspark.ml MinHashLSH approx join (near-dup at scale:
+                 candidate pairs come from banded hash buckets, never a
+                 full cross join)
+4. SimHash     — 64-bit signature via Arrow-vectorized Pandas UDF; banded
+                 self-join on 16-bit sub-keys bounds the Hamming search
+
+All thresholds/seeds are explicit so results are deterministic run-to-run.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def content_hash(text_col: str = "text") -> F.Column:
+    """MD5 content fingerprint (reference used file-level md5 for change
+    detection, pipeline/assets/ingest.py:218-220; this is its row-level
+    analogue, SURVEY.md F1)."""
+    return F.md5(F.col(text_col))
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct content hash: canonical (min) id + copy count."""
+    return (
+        df.withColumn("content_hash", content_hash(text_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("copies"),
+        )
+    )
+
+
+def word_shingles(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of a text column (built-in higher-order
+    functions; no UDF).
+
+    Built by zip_with over n shifted slices of the token array —
+    element_at(i) inside a transform is O(tokens) per access (O(tokens^2)
+    per doc, measured 10x slower); shifted slices stay linear.
+    """
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    grams = F.slice(toks, 1, length)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, length),
+            lambda acc, nxt: F.concat_ws(" ", acc, nxt),
+        )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    explode shingles -> self-join on shingle -> |A∩B| per pair -> Jaccard
+    with per-doc shingle counts. The self-join key is the shingle, so work
+    is sum over shingles of (docs-per-shingle)^2 — bounded by vocabulary
+    locality, not corpus size; a frequency cap on pathological shingles is
+    the standard guard at larger scale.
+    """
+    docs = df.filter(F.size(F.split(F.trim(F.col(text_col)), "\\s+")) >= n)
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "size_a", "size_b", "jaccard")
+    )
+
+
+def minhash_signature(shingles: F.Column, k: int) -> F.Column:
+    """k-component MinHash signature: component i = min over shingles of
+    xxhash64(shingle, i). Pure built-ins — JVM-side, codegen, no fit step."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(k)
+        ]
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    band_size: int = 2,
+    min_jaccard: float = 0.4,
+) -> DataFrame:
+    """Approximate near-duplicate pairs via MinHash + banded LSH:
+    shingle -> k-component signature -> k/band_size band keys -> self-join
+    on (band, key) -> estimated Jaccard = fraction of agreeing components.
+
+    The classic shingle->minhash->band->bucket-join pipeline expressed
+    entirely in DataFrame built-ins. Candidate generation is linear in
+    corpus size + bucket collisions — no cross join at any scale; at 100 TB
+    add a bucket-frequency cap to guard degenerate keys (boilerplate text).
+    Seeded xxhash64 => deterministic; approximate => rows-only check.
+    """
+    n_bands = k // band_size
+    docs = df.select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, 3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sigs = docs.select("doc", minhash_signature(F.col("shingles"), k).alias("sig"))
+
+    bands = sigs.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), b * band_size + 1, band_size)
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "sig", "bk.band", "bk.key")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(float(k))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def ml_minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hash_tables: int = 8,
+    max_jaccard_distance: float = 0.6,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """pyspark.ml variant (HashingTF -> MinHashLSH.approxSimilarityJoin) —
+    same semantics through the MLlib API; measurably slower than the
+    built-in pipeline above, kept for API parity."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = df.select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, 3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True
+    )
+    feats = tf.transform(docs)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, max_jaccard_distance, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.doc") < F.col("datasetB.doc"))
+        .select(
+            F.col("datasetA.doc").alias("doc_a"),
+            F.col("datasetB.doc").alias("doc_b"),
+            F.col("dist").alias("jaccard_distance"),
+        )
+    )
+
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 16-bit bands; Hamming<=3 pairs share >=1 band
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document.
+
+    Token hashes are computed JVM-side (xxhash64); the bit-vote fold runs as
+    an Arrow-vectorized Pandas UDF over the per-doc hash arrays (numpy bit
+    ops) — the documented slow-path pattern (SURVEY.md §2.10): vectorized,
+    batch-at-a-time, never row-at-a-time Python.
+    """
+    @F.pandas_udf(T.LongType())
+    def simhash_from_hashes(hashes: pd.Series) -> pd.Series:
+        out = np.empty(len(hashes), dtype=np.int64)
+        for i, hs in enumerate(hashes):
+            arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            if arr.size == 0:
+                out[i] = 0
+                continue
+            bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                np.int64
+            )
+            votes = bits.sum(axis=0) * 2 - arr.size  # +1/-1 majority vote
+            sig = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig)
+        return pd.Series(out)
+
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), "\\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return df.select(
+        F.col(id_col).alias("doc"), simhash_from_hashes(hashes).alias("simhash")
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= max_hamming.
+
+    Banding: two signatures within Hamming 3 of 64 bits agree exactly on at
+    least one of 4 16-bit bands (pigeonhole), so the self-join runs on band
+    keys — linear candidate generation, no cross join.
+    """
+    sigs = simhash_signatures(df, id_col, text_col)
+    bands = sigs.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

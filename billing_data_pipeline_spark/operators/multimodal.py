@@ -1,0 +1,118 @@
+"""[EXT] Multimodal binary columns (SURVEY.md §2.12).
+
+Images/audio/video ride through the engine as opaque ``binary`` columns
+with typed metadata structs; decode / feature-extract / resize / frame-
+sample run as Arrow-batched ``mapInPandas`` stages so bytes never leave the
+executors and Python sees whole record batches, not rows.
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
+decode kernel is gated: ``decode_media(..., fake=True)`` substitutes a
+deterministic metadata parser over our synthetic header layout, keeping the
+Spark-side plumbing — schema, batch iteration, partitioning — fully real
+and testable. Real codecs drop into ``_decode_real`` untouched.
+
+Synthetic media header (16 bytes, big-endian): magic ``MM01`` + u32 width +
+u32 height + u32 n_frames, then payload bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), False),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("valid", T.BooleanType(), False),
+    ]
+)
+
+MAGIC = b"MM01"
+HEADER_LEN = 16
+
+
+def encode_fake_media(media_id: int, kind: str, width: int, height: int, n_frames: int, payload: bytes = b"") -> tuple[int, str, bytes]:
+    """Build a synthetic media record (test fixture helper)."""
+    header = MAGIC + struct.pack(">III", width, height, n_frames)
+    return (media_id, kind, header + payload)
+
+
+def _decode_fake(batch: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic stand-in decode: parse the synthetic header."""
+    rows = []
+    for _, r in batch.iterrows():
+        content = bytes(r["content"])
+        ok = len(content) >= HEADER_LEN and content[:4] == MAGIC
+        if ok:
+            w, h, nf = struct.unpack(">III", content[4:HEADER_LEN])
+        else:
+            w = h = nf = None
+        rows.append(
+            {
+                "media_id": r["media_id"],
+                "kind": r["kind"],
+                "n_bytes": len(content),
+                "width": w,
+                "height": h,
+                "n_frames": nf,
+                "valid": ok,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _decode_real(batch: pd.DataFrame) -> pd.DataFrame:
+    raise NotImplementedError(
+        "real media codecs (PIL/ffmpeg) are not available in this environment; "
+        "wire them here — same (pdf in) -> (pdf out) contract as _decode_fake"
+    )
+
+
+def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode/inspect a binary media column via Arrow-batched mapInPandas."""
+    kernel = _decode_fake if fake else _decode_real
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if len(batch):
+                yield kernel(batch)
+
+    return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int, fake: bool = True) -> DataFrame:
+    """Frame sampling for video records: emits one row per sampled frame
+    index (schema-level plumbing; frame bytes extraction is codec work that
+    slots into the same kernel)."""
+    decoded = decode_media(df, fake=fake)
+    return (
+        decoded.filter(F.col("valid") & (F.col("kind") == "video"))
+        .withColumn(
+            "frame_idx",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n)
+                )
+            ),
+        )
+        .select("media_id", "frame_idx", "width", "height")
+    )

@@ -1,0 +1,178 @@
+"""[EXT] Similarity search over embedding columns (SURVEY.md §2.12).
+
+Two paths over ``embeddings(vec_id, embedding array<float>, label)``:
+
+- **Exact brute-force cosine top-k** — the correctness baseline. Query side
+  broadcast; dot products via built-in higher-order functions (zip_with +
+  aggregate fold: JVM-side, codegen, no UDF); per-query top-k via window
+  row_number. Cost O(|queries| * |corpus|) — right whenever the query set is
+  small or as the final rerank stage.
+
+- **Random-hyperplane LSH bucketed top-k** — the scale path. Each vector
+  gets a b-bit signature from seeded random hyperplanes; candidates must
+  share the signature bucket, so the join is linear in corpus + collisions.
+  Approximate by construction (rows-only correctness check): recall rises
+  with fewer bits / multiple tables.
+
+All arithmetic in double with a fixed fold order, matching the DuckDB
+oracle bit-for-bit on the exact path.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold of elementwise products — same association as the
+    oracle's list_reduce, so bit-identical."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: for each query vector, the k nearest corpus
+    vectors (excluding itself), deterministic tiebreak on candidate id."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("candidate_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "candidate_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("candidate_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "rank", "cosine_sim")
+    )
+
+
+def cosine_topk_oracle_sql(
+    table: str, id_col: str, vec_col: str, k: int, query_pred: str
+) -> str:
+    """DuckDB oracle for cosine_topk: identical double fold via
+    list_reduce(list_transform(list_zip(...)))."""
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+    # list_reduce has no init: first product becomes the accumulator —
+    # identical to a 0.0-init left fold under IEEE (+0.0 + x == x).
+    d_qc = dot.format(a="q.v", b="c.v")
+    d_qq = dot.format(a="q.v", b="q.v")
+    d_cc = dot.format(a="c.v", b="c.v")
+    return f"""
+WITH q AS (SELECT {id_col} AS query_id, {vec_col} AS v FROM {table} WHERE {query_pred}),
+c AS (SELECT {id_col} AS candidate_id, {vec_col} AS v FROM {table}),
+scored AS (
+    SELECT q.query_id, c.candidate_id,
+           {d_qc} / (sqrt({d_qq}) * sqrt({d_cc})) AS cosine_sim
+    FROM q, c
+    WHERE q.query_id <> c.candidate_id
+),
+ranked AS (
+    SELECT query_id, candidate_id, cosine_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_sim DESC, candidate_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, candidate_id, CAST(rank AS BIGINT) AS rank, cosine_sim
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signatures bucket the corpus;
+    cosine is evaluated only within the query's bucket.
+
+    The hyperplanes are a seeded driver-side constant broadcast into the
+    plan as literals — no fit step, fully deterministic.
+    """
+    from pyspark.sql import Window
+
+    rng = random.Random(seed)
+    planes = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)
+    ]
+
+    def signature(vec: Column) -> Column:
+        bits = [
+            F.when(
+                dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            for i, plane in enumerate(planes)
+        ]
+        total = bits[0]
+        for b in bits[1:]:
+            total = total + b
+        return total
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("bucket", signature(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("candidate_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("bucket", signature(F.col("cv")))
+
+    pairs = c.join(F.broadcast(q), "bucket").filter(
+        F.col("candidate_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id", "candidate_id", cosine(F.col("qv"), F.col("cv")).alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("candidate_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "rank", "cosine_sim")
+    )

@@ -1,4 +1,249 @@
-"""[EXT] LLM-data-pipeline operators (SURVEY.md §2.12): dedup, similarity
-search, text analysis, multimodal columns over documents/embeddings."""
+"""[EXT] LLM-data-pipeline operator catalog (SURVEY.md §2.12): dedup tiers,
+similarity search, text analysis, multimodal columns — over the driver's
+documents/embeddings tables.
+
+Oracle policy: exact operators (hash dedup, n-gram Jaccard, brute-force
+cosine, text stats, fingerprints) carry full DuckDB oracles; approximate
+operators (MinHash LSH, SimHash, LSH-bucketed ANN) are seeded-deterministic
+but approximate by construction, so the driver records rows-only checks.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as X
+from ..registry import register
+from ._util import davg_sql, dsum_sql, t
+
+# ---------------------------------------------------------------------------
+# Dedup tiers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exact_dedup_docs",
+    tags=("ext", "dedup"),
+    bench=True,
+    oracle="""
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS copies
+FROM documents
+GROUP BY 1
+""",
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: md5 groupBy, canonical min-id per group (the
+    row-level analogue of the reference's file md5 ledger, ingest.py:218-220)."""
+    return D.exact_dedup_groups(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+NGRAM_JACCARD_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    FROM documents
+    WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM toks
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.n_common,
+       sa.n_shingles AS size_a, sb.n_shingles AS size_b,
+       CAST(i.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_common) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_common) >= 0.5
+"""
+
+
+@register("ngram_jaccard_pairs", tags=("ext", "dedup"), oracle=NGRAM_JACCARD_ORACLE)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (>= 0.5): shingle explode +
+    bucketed self-join — quadratic only within a shingle's posting list."""
+    return D.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+
+
+@register("minhash_neardup_pairs", tags=("ext", "dedup", "approx"), bench=True)
+def minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH near-dup candidates (seeded; approximate => rows-only).
+    The 100 TB path: banded hash buckets generate candidates linearly."""
+    return D.minhash_neardup_pairs(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register("simhash_neardup_pairs", tags=("ext", "dedup", "approx"))
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (64-bit, Arrow-vectorized) near-dup pairs at Hamming<=3 via
+    16-bit band self-join (pigeonhole guarantees recall; rows-only)."""
+    return D.simhash_neardup_pairs(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_cosine_topk",
+    tags=("ext", "similarity"),
+    bench=True,
+    oracle=S.cosine_topk_oracle_sql(
+        "embeddings", "vec_id", "embedding", k=5, query_pred="vec_id % 40 = 0"
+    ),
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for a deterministic query subset
+    (vec_id % 40 = 0) — the ANN correctness baseline; double fold matches
+    the oracle bit-for-bit."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    return S.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+
+
+@register("embedding_lsh_topk", tags=("ext", "similarity", "approx"))
+def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketed top-k (the scale path: candidates only
+    within signature buckets; seeded, approximate => rows-only)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    return S.lsh_bucketed_topk(emb, queries, "vec_id", "embedding", k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_WORDS = "len(regexp_extract_all(text, '[A-Za-z0-9]+'))"
+_BPE = r"len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]'))"
+_PUNCT = "len(regexp_extract_all(text, '[.,!?;:]'))"
+_QUALITY = (
+    f"(CAST({_WORDS} AS DOUBLE) / length(text)"
+    f" - CAST({_PUNCT} AS DOUBLE) / length(text))"
+)
+
+
+@register(
+    "text_quality_by_lang",
+    tags=("ext", "text"),
+    bench=True,
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM({_WORDS}) AS BIGINT) AS total_tokens,
+       CAST(SUM({_BPE}) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM({_PUNCT}) AS BIGINT) AS total_punct,
+       {davg_sql(_QUALITY)} AS avg_quality
+FROM documents
+GROUP BY lang
+""",
+)
+def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (word + BPE-ish), punctuation, and quality scoring
+    rolled up per language — all JVM-side regexp expressions."""
+    docs = t(spark, sf_dir, "documents")
+    text = F.col("text")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(X.token_count(text)).alias("total_tokens"),
+        F.sum(X.bpe_ish_token_count(text)).alias("total_bpe_tokens"),
+        F.sum(X.punct_count(text)).alias("total_punct"),
+        (
+            F.sum(X.quality_score(text).cast("decimal(30,6)")).cast("double")
+            / F.count(X.quality_score(text))
+        ).alias("avg_quality"),
+    )
+
+
+def _lang_id_oracle() -> str:
+    scores = {
+        lang: f"len(regexp_extract_all(text, '\\b({'|'.join(words)})\\b'))"
+        for lang, words in X.LANG_MARKERS.items()
+    }
+    langs = sorted(scores)
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        rest = [scores[l2] for l2 in langs[i + 1 :]]
+        rest_max = rest[0] if len(rest) == 1 else f"greatest({', '.join(rest)})"
+        cases.append(f"WHEN {scores[lang]} >= {rest_max} THEN '{lang}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    return f"""
+SELECT lang, {case} AS predicted_lang, COUNT(*) AS n
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+@register("lang_id_eval", tags=("ext", "text"), oracle=_lang_id_oracle())
+def lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID vs the labeled lang column — confusion
+    counts per (actual, predicted)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("predicted_lang", X.predicted_lang(F.col("text")))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "doc_fingerprints",
+    tags=("ext", "text"),
+    oracle=f"""
+SELECT doc_id, {X.fingerprint_sql('text')} AS fingerprint
+FROM documents
+WHERE length(text) > 0
+""",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial document fingerprint (base-31 char fold, no UDF)."""
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return docs.select(
+        "doc_id", X.rolling_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_manifest",
+    tags=("ext", "multimodal"),
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_blobs,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+FROM documents
+GROUP BY source
+""",
+)
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column manifest: documents' text encoded to a binary payload
+    column, rolled up by source (BinaryType surface; the decode /
+    frame-sample mapInPandas kernels live in operators/multimodal.py and
+    are exercised by tests/test_multimodal.py)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("blob", F.encode(F.col("text"), "UTF-8"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum(F.octet_length("blob")).alias("total_bytes"),
+        )
+    )

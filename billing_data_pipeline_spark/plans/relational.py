@@ -1,4 +1,337 @@
-"""[EXT] Relational surface beyond the reference: joins, windows, set ops,
-JSON, dates, pivot/rollup (SURVEY.md §2.5, §2.7, §2.8 EXT notes)."""
+"""[EXT] Relational surface beyond the reference: multi-table joins, outer
+joins, window functions, sessionization, set ops, JSON, date bucketing,
+pivot and rollup (SURVEY.md §2.5, §2.7, §2.8 EXT notes).
+
+The reference's only join is the dedup anti-join (J1); everything here is
+the standard analytical surface a billing engine needs the moment reports
+outgrow single-table scans — expressed so Catalyst gets broadcastable dims,
+partial aggregation, and TakeOrderedAndProject top-k.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import MEASURE_DECIMAL, exact_sum
+from ..operators.windows import running_total, sessionize, with_sequence
+from ..registry import register
+from ._util import REVENUE_SQL, dsum_sql, revenue, t
+
+
+@register(
+    "shipping_priority",
+    tags=("join", "topk", "tpch:q3-shape"),
+    bench=True,
+    oracle=f"""
+SELECT l.l_orderkey,
+       {dsum_sql(REVENUE_SQL)} AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1996-03-15'
+  AND l.l_shipdate > TIMESTAMP '1996-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+""",
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective dim filter -> fact join -> grouped revenue
+    -> top-10. Customer side broadcast (post-filter it is small at any SF);
+    lineitem filter pushes to the parquet scan."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1996-03-15")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-03-15")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(exact_sum(revenue()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "local_supplier_volume",
+    tags=("join", "tpch:q5-shape"),
+    bench=True,
+    oracle=f"""
+SELECT n.n_name AS nation,
+       {dsum_sql(REVENUE_SQL)} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table join: two big facts (orders, lineitem) meet on
+    the shuffle; supplier/nation/region/customer-filter resolve broadcast.
+    The c_nationkey = s_nationkey correlation runs as a post-join filter."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        exact_sum(revenue()).cast("double").alias("revenue")
+    )
+
+
+@register(
+    "orders_without_items",
+    tags=("join", "outer", "reference:P4"),
+    oracle="""
+SELECT o.o_orderkey
+FROM orders o
+LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+  ON o.o_orderkey = l.l_orderkey
+WHERE l.l_orderkey IS NULL
+""",
+)
+def orders_without_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER JOIN + IS NULL — the reference's literal anti-join spelling
+    (reference: pipeline/assets/ingest.py:250-256) kept as an explicit outer
+    join to cover the P4 NULL-predicate surface."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left")
+        .filter(F.col("l_orderkey").isNull())
+        .select("o_orderkey")
+    )
+
+
+@register(
+    "user_event_sequence",
+    tags=("window",),
+    oracle="""
+SELECT event_id, user_id,
+       CAST(ts AS TIMESTAMP) AS ts,
+       row_number() OVER w AS seq,
+       lag(event_type) OVER w AS prev_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+""",
+)
+def user_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event sequence: row_number + lag over
+    (user_id, ts, event_id) — the window layer the reference's 'activity
+    timeline' implies (SURVEY.md §2.5)."""
+    ev = t(spark, sf_dir, "events")
+    return with_sequence(
+        ev, "user_id", "ts", "event_id", lag_cols={"prev_type": "event_type"}
+    ).select("event_id", "user_id", "ts", "seq", "prev_type")
+
+
+@register(
+    "user_running_total",
+    tags=("window",),
+    oracle=f"""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(30,6)))
+            OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_total
+FROM events
+""",
+)
+def user_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-decimal running sum per user (window frame aggregation; decimal
+    because engines differ in float association for running frames)."""
+    ev = t(spark, sf_dir, "events")
+    return running_total(ev, "user_id", "ts", "event_id", "value").select(
+        "event_id", "user_id", "running_total"
+    )
+
+
+@register(
+    "user_sessions",
+    tags=("window", "session"),
+    oracle="""
+WITH seq AS (
+    SELECT user_id,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           lag(epoch_us(CAST(ts AS TIMESTAMP)))
+             OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+    FROM events
+),
+marks AS (
+    SELECT user_id,
+           CASE WHEN prev_us IS NULL OR ts_us - prev_us <= 1800 * 1000000
+                THEN 0 ELSE 1 END AS new_session
+    FROM seq
+)
+SELECT user_id,
+       CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM marks
+GROUP BY user_id
+""",
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) -> per-user session count. The
+    batch equivalent of Structured Streaming session windows; boundary
+    semantics match session_window (gap strictly greater starts a session)."""
+    ev = t(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", "event_id", gap_seconds=1800)
+    return s.groupBy("user_id").agg(
+        F.max("session_seq").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "purchasers_without_errors",
+    tags=("setop",),
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error' AND value > 90
+""",
+)
+def purchasers_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set difference) — set-op surface (SURVEY.md §2.7;
+    the reference only ever unions procedurally)."""
+    ev = t(spark, sf_dir, "events")
+    big = F.col("value") > 90
+    purchasers = ev.filter((F.col("event_type") == "purchase") & big).select("user_id")
+    erring = ev.filter((F.col("event_type") == "error") & big).select("user_id")
+    return purchasers.subtract(erring)
+
+
+@register(
+    "multi_action_users",
+    tags=("setop",),
+    oracle="""
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'signup' AND value > 90
+""",
+)
+def multi_action_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — set-op surface."""
+    ev = t(spark, sf_dir, "events")
+    big = F.col("value") > 90
+    a = ev.filter((F.col("event_type") == "purchase") & big).select("user_id")
+    b = ev.filter((F.col("event_type") == "signup") & big).select("user_id")
+    return a.intersect(b)
+
+
+@register(
+    "json_props_rollup",
+    tags=("json", "reference:F-ext"),
+    oracle=f"""
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       COUNT(*) AS n,
+       {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props string column (SURVEY.md §2.8
+    [EXT]: events.props is a JSON string in the driver testdata)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k_val", F.get_json_object("props", "$.k").cast("int")
+        )
+        .groupBy("k_val")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("value").cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "monthly_revenue",
+    tags=("date", "reference:F2-F4"),
+    oracle=f"""
+SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month_start,
+       COUNT(*) AS n,
+       {dsum_sql(REVENUE_SQL)} AS revenue
+FROM lineitem
+GROUP BY 1
+""",
+)
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc month bucketing (scalar date surface F2-F4; DuckDB's
+    date_trunc returns DATE so the oracle casts back to TIMESTAMP)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.date_trunc("month", "l_shipdate").alias("month_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum(revenue()).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "returnflag_pivot",
+    tags=("pivot",),
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(30,6)) END) AS DOUBLE) AS qty_open,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(30,6)) END) AS DOUBLE) AS qty_finished
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (Spark-native groupBy().pivot() with explicit value list — no
+    extra pass to discover values, which matters at scale)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(MEASURE_DECIMAL)).cast("double"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_finished")
+    )
+
+
+@register(
+    "status_rollup",
+    tags=("rollup",),
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       {dsum_sql('l_quantity')} AS total_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total; NULL-filled grouping
+    columns match ANSI semantics on both engines)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum("l_quantity").cast("double").alias("total_qty"),
+    )

@@ -1,8 +1,132 @@
-"""[EXT] Event-time windowed queries over the events table (SURVEY.md §2.9).
+"""[EXT] Event-time windowed queries over events (SURVEY.md §2.9 EXT).
 
-Registered as batch-mode equivalents (window/session_window work identically
-in batch aggregations); the true streaming execution paths live in
-``billing_data_pipeline_spark.streaming`` and are exercised by tests.
+Registered in batch mode — ``window()`` and ``session_window()`` are the
+same expressions Structured Streaming uses, so these queries ARE the
+streaming aggregations, minus the unbounded source; the true streaming
+execution paths (readStream, watermarks, AvailableNow catch-up,
+dropDuplicatesWithinWatermark) live in ``billing_data_pipeline_spark.
+streaming`` and are exercised by tests/test_streaming.py.
+
+Window starts are emitted as epoch seconds/microseconds (BIGINT): exact
+integer arithmetic on both engines, no timestamp-precision hazards.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import exact_sum
+from ..registry import register
+from ._util import dsum_sql, t
+
+# epoch_us(CAST(ts AS TIMESTAMP)) — DuckDB-side exact event-time in µs.
+TS_US = "epoch_us(CAST(ts AS TIMESTAMP))"
+
+
+@register(
+    "tumbling_event_counts",
+    tags=("streaming", "window"),
+    oracle=f"""
+SELECT ({TS_US} // 600000000) * 600 AS window_start_sec,
+       event_type,
+       COUNT(*) AS n,
+       {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time windows per event type — the canonical
+    streaming aggregate (streaming form adds withWatermark; see
+    streaming/event_windows.py)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("value").cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_sec"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "sliding_window_volume",
+    tags=("streaming", "window"),
+    oracle=f"""
+SELECT (({TS_US} // 300000000) - off.o) * 300 AS window_start_sec,
+       COUNT(*) AS n,
+       {dsum_sql('value')} AS total_value
+FROM events, (VALUES (0), (1)) AS off(o)
+GROUP BY 1
+""",
+)
+def sliding_window_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min length, 5 min slide): every event lands in
+    exactly two windows; the oracle replays that expansion with an explicit
+    offset cross join."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("value").cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_sec"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "session_window_stats",
+    tags=("streaming", "session"),
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, {TS_US} AS ts_us,
+           lag({TS_US}) OVER (PARTITION BY user_id
+                              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+    FROM events
+),
+marks AS (
+    SELECT user_id, ts_us,
+           CASE WHEN prev_us IS NULL OR ts_us - prev_us <= 1800 * 1000000
+                THEN 0 ELSE 1 END AS new_session
+    FROM seq
+),
+sessions AS (
+    SELECT user_id, ts_us,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marks
+)
+SELECT user_id,
+       CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window (30-minute gap) per user — per-session
+    start + event count. The oracle reconstructs identical sessions with
+    lag/cumsum (events exactly at the gap boundary extend the session on
+    both paths)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )

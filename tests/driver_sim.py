@@ -1,0 +1,106 @@
+"""Driver-contract simulation: the exact consumer path.
+
+Fresh python -> import __spark_entry__ -> entry(spark) smoke -> for each
+queries() name run Spark at sf0.01 and its oracle_sql() in DuckDB over the
+same parquet views, then compare row count + order-insensitive stringified
+value hash (lowercase/sorted columns, sorted row tuples, md5). No float
+tolerance — this mirrors the driver's CORRECTNESS gate.
+
+Usage: python tests/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+from datetime import date, datetime
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+
+def _cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i].lower())
+    canon = sorted(tuple(_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.md5()
+    for row in canon:
+        h.update("\x1f".join(row).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import __spark_entry__ as e
+    from billing_data_pipeline_spark.session import get_spark
+    from billing_data_pipeline_spark.sources.tables import TABLES
+
+    spark = get_spark(shuffle_partitions=8)
+
+    smoke = e.entry(spark)
+    n = len(smoke.collect())
+    assert n >= 0 and len(smoke.schema.fields) > 0
+    print(f"entry(): {n} rows OK")
+
+    oracles = e.oracle_sql()
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+
+    failures = []
+    for name, fn in sorted(e.queries().items()):
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        rows = df.collect()
+        cols = [f.name for f in df.schema.fields]
+        if name not in oracles:
+            print(f"  {name}: rows-only ({len(rows)} rows) [{time.time()-t0:.1f}s]")
+            continue
+        res = con.execute(oracles[name])
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        status = []
+        if len(rows) != len(orows):
+            status.append(f"rowcount spark={len(rows)} oracle={len(orows)}")
+        if sorted(c.lower() for c in cols) != sorted(c.lower() for c in ocols):
+            status.append(f"schema spark={sorted(cols)} oracle={sorted(ocols)}")
+        if not status:
+            sh = value_hash(cols, [tuple(r) for r in rows])
+            oh = value_hash(ocols, orows)
+            if sh != oh:
+                status.append("value-hash MISMATCH")
+        if status:
+            failures.append((name, "; ".join(status)))
+            print(f"  {name}: FAIL {'; '.join(status)} [{time.time()-t0:.1f}s]")
+        else:
+            print(f"  {name}: MATCH ({len(rows)} rows) [{time.time()-t0:.1f}s]")
+
+    con.close()
+    print(f"\n{len(e.queries())} queries, {len(failures)} failures")
+    for name, why in failures:
+        print(f"  FAIL {name}: {why}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
