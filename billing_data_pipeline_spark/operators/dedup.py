@@ -107,12 +107,14 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signature(shingles: F.Column, k: int) -> F.Column:
-    """k-component MinHash signature: component i = min over shingles of
-    xxhash64(shingle, i). Pure built-ins — JVM-side, codegen, no fit step."""
+def minhash_signature(shingle_hashes: F.Column, k: int) -> F.Column:
+    """k-component MinHash signature over PRE-HASHED shingles: component i =
+    min over base hashes of xxhash64(h, i). Callers hash each shingle string
+    once (xxhash64) in a separate projection, so the k passes here run over
+    8-byte longs, not strings. Pure built-ins — JVM-side, no fit step."""
     return F.array(
         *[
-            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+            F.array_min(F.transform(shingle_hashes, lambda h: F.xxhash64(h, F.lit(i))))
             for i in range(k)
         ]
     )
@@ -140,11 +142,19 @@ def minhash_neardup_pairs(
     docs = df.select(
         F.col(id_col).alias("doc"), word_shingles(text_col, 3).alias("shingles")
     ).filter(F.size("shingles") > 0)
-    sigs = docs.select("doc", minhash_signature(F.col("shingles"), k).alias("sig"))
+    # Hash each shingle string once; the k signature passes run over longs.
+    hashed = docs.select(
+        "doc", F.transform("shingles", lambda s: F.xxhash64(s)).alias("h")
+    )
+    # The sigs subtree feeds four plan branches (band self-join a/b + the
+    # two agreement rejoins); without an explicit materialization Spark
+    # recomputes shingling+hashing per branch (measured 4 parquet scans,
+    # zero ReusedExchange under AQE). Persist the tiny (doc, k longs)
+    # signature table — at any scale this is the cheapest cut point.
+    sigs = hashed.select("doc", minhash_signature(F.col("h"), k).alias("sig")).persist()
 
     bands = sigs.select(
         "doc",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -158,8 +168,11 @@ def minhash_neardup_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc", "sig", "bk.band", "bk.key")
+    ).select("doc", "bk.band", "bk.key")
 
+    # Candidate ids only through join + distinct (the signatures would
+    # otherwise ride along the shuffle 2 x k longs per row); rejoin sigs once
+    # per distinct pair for the agreement estimate.
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -168,14 +181,11 @@ def minhash_neardup_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
+    sa = sigs.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
@@ -183,7 +193,9 @@ def minhash_neardup_pairs(
         )
     ).cast("double") / F.lit(float(k))
     return (
-        cand.withColumn("est_jaccard", est)
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", "est_jaccard")
     )

@@ -30,9 +30,20 @@ def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Left-to-right fold of elementwise products — same association as the
-    oracle's list_reduce, so bit-identical."""
+    oracle's list_reduce, so bit-identical.
+
+    ``dim`` unrolls the fold into a static ((a1*b1) + a2*b2) + ... tree.
+    Measured 3.5x SLOWER than the HOF fold at dim=64 (192 element_at calls
+    blow past codegen limits -> interpreted eval with per-call bounds
+    checks), so callers should leave it None; kept for small-dim cases and
+    as the measurement record. Identical IEEE addition order either way."""
+    if dim is not None:
+        acc = F.element_at(a, 1) * F.element_at(b, 1)
+        for i in range(2, dim + 1):
+            acc = acc + F.element_at(a, i) * F.element_at(b, i)
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -40,12 +51,12 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def cosine_topk(
@@ -54,24 +65,29 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: for each query vector, the k nearest corpus
     vectors (excluding itself), deterministic tiebreak on candidate id."""
     from pyspark.sql import Window
 
+    # Norms are per-row, so compute them once per side before the join —
+    # the per-pair work drops from three HOF folds to one.
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("qn", norm(F.col("qv"), dim))
     c = corpus.select(
         F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("cn", norm(F.col("cv"), dim))
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("candidate_id") != F.col("query_id")
     )
     scored = pairs.select(
         "query_id",
         "candidate_id",
-        cosine(F.col("qv"), F.col("cv")).alias("cosine_sim"),
+        (dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn"))).alias(
+            "cosine_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("candidate_id").asc()
