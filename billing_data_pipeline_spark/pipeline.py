@@ -1,0 +1,176 @@
+"""The end-to-end billing pipeline job (SURVEY.md §2.11 O1-O2, §3).
+
+The reference's 7-asset Dagster DAG — billing_files -> billing_db ->
+{daily,user,service,region}_aggregates -> billing_insights (reference:
+pipeline/pipeline.py:165-182) — expressed as explicit Spark stages: each
+stage is a function with a write at its boundary, dependencies are function
+composition, lineage is the Spark UI. No orchestration framework: an
+external scheduler calls ``run()`` (the reference's cron entry, ST3).
+
+Stage semantics preserved:
+- ingest: Hive-partitioned CSV lake -> idempotent anti-join append into
+  ``raw_billing`` (J1) with a content-hash file ledger (ST5) and a
+  partition-pruned backfill window (ST6/OPT1).
+- aggregates: four FULL-REFRESH tables (the reference's DELETE + INSERT,
+  S8/OPT5) as atomic parquet overwrites.
+- insights: the five report queries -> markdown at the collect edge (S10).
+
+Every stage returns an O2-style metrics dict.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import date
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.aggregates import grouped_profile
+from .operators.ingest import append_new_rows
+from .operators.ledger import FileLedger, hash_files
+from .operators.reports import billing_insights
+from .sources.csv_source import (
+    RAW_BILLING_KEYS,
+    read_partition_root,
+)
+
+AGG_TABLES = ("daily_aggs", "user_aggs", "service_aggs", "region_aggs")
+
+
+class BillingPipeline:
+    """One warehouse directory holding raw_billing + the four aggregate
+    tables + the processing ledger, all plain parquet."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.warehouse = warehouse_dir
+
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.table_path(name))
+
+    # -- stage 1: ingest ----------------------------------------------------
+
+    def ingest(
+        self,
+        source_root: str,
+        from_date: date | None = None,
+        to_date: date | None = None,
+    ) -> dict:
+        """billing_files + billing_db (reference: pipeline/assets/ingest.py):
+        partition-pruned lake read, file-hash ledger skip, anti-join append."""
+        lake = read_partition_root(
+            self.spark, source_root, from_date=from_date, to_date=to_date
+        )
+        # Ledger: skip files whose (name, md5) is already recorded (ST5).
+        files = [
+            r["path"]
+            for r in lake.select(F.input_file_name().alias("path"))
+            .distinct()
+            .collect()
+        ]
+        ledger = FileLedger(self.spark, self.table_path("processed_files"))
+        metrics = {"files_discovered": len(files), "rows_appended": 0}
+        if not files:
+            return metrics
+        candidates = hash_files(self.spark, files)
+        todo = ledger.filter_unprocessed(candidates).collect()
+        todo_names = {r["filename"] for r in todo}
+        metrics["files_new_or_changed"] = len(todo_names)
+        if not todo_names:
+            return metrics
+
+        batch = lake.withColumn(
+            "_fname", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        ).filter(F.col("_fname").isin(todo_names)).drop("_fname")
+        n = append_new_rows(
+            batch, self.table_path("raw_billing"), list(RAW_BILLING_KEYS)
+        )
+        ledger.record([(r["filename"], r["file_hash"], n) for r in todo])
+        metrics["rows_appended"] = n
+        return metrics
+
+    # -- stage 2: aggregates (full refresh, OPT4/OPT5) ----------------------
+
+    def build_aggregates(self) -> dict:
+        raw = self.read("raw_billing")
+        succ = F.col("success")
+        tables = {
+            # reference: aggregates.py:34-48
+            "daily_aggs": grouped_profile(
+                raw,
+                ["year", "month", "day"],
+                "credit_usage",
+                distinct_cols={
+                    "unique_users": "user_id",
+                    "unique_resources": "resource_id",
+                },
+                conditions={"success_count": succ, "failure_count": ~succ},
+            ),
+            # reference: aggregates.py:99-115
+            "user_aggs": grouped_profile(
+                raw,
+                ["user_id"],
+                "credit_usage",
+                distinct_cols={
+                    "unique_resources": "resource_id",
+                    "resource_types_used": "resource_type",
+                    "operation_types_used": "operation_type",
+                    "regions_used": "region",
+                },
+                time_col="timestamp",
+            ),
+            # reference: aggregates.py:166-181
+            "service_aggs": grouped_profile(
+                raw,
+                ["service_tier", "resource_type", "operation_type"],
+                "credit_usage",
+                distinct_cols={"unique_users": "user_id"},
+                conditions={"success_count": succ, "failure_count": ~succ},
+            ),
+            # reference: aggregates.py:229-242
+            "region_aggs": grouped_profile(
+                raw,
+                ["region"],
+                "credit_usage",
+                distinct_cols={
+                    "unique_users": "user_id",
+                    "resource_types_used": "resource_type",
+                    "operation_types_used": "operation_type",
+                },
+            ),
+        }
+        metrics = {}
+        for name, df in tables.items():
+            df.write.mode("overwrite").parquet(self.table_path(name))
+            metrics[f"{name}_rows"] = self.read(name).count()
+        return metrics
+
+    # -- stage 3: insights --------------------------------------------------
+
+    def insights(self) -> tuple[str, dict]:
+        return billing_insights(
+            self.read("raw_billing"),
+            self.read("user_aggs"),
+            self.read("region_aggs"),
+            ledger=self.read("processed_files"),
+        )
+
+    # -- the DAG ------------------------------------------------------------
+
+    def run(
+        self,
+        source_root: str,
+        from_date: date | None = None,
+        to_date: date | None = None,
+    ) -> dict:
+        """Topological materialization of the whole asset graph."""
+        metrics = {"ingest": self.ingest(source_root, from_date, to_date)}
+        metrics["aggregates"] = self.build_aggregates()
+        report, report_metrics = self.insights()
+        metrics["insights"] = report_metrics
+        metrics["report_markdown"] = report
+        return metrics

@@ -86,6 +86,76 @@ def sliding_window_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_EVENTS_NANOS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source STREAM over the events table (the driver's parquet stores
+    TIMESTAMP(NANOS): read nanos as long, floor to µs — same convention as
+    sources/tables.load_table)."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file-stream source wants a DIRECTORY (it derives basePath from the
+    # input path); the driver's layout is one bare file per table, so expose
+    # it through a symlink directory.
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    raw = spark.readStream.schema(_STREAM_EVENTS_NANOS_SCHEMA).parquet(stream_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+@register(
+    "streaming_tumbling_catchup",
+    tags=("streaming", "window", "true-stream"),
+    oracle=f"""
+SELECT ({TS_US} // 600000000) * 600 AS window_start_sec,
+       event_type,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+""",
+)
+def streaming_tumbling_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming execution: readStream file source ->
+    watermarked tumbling aggregate -> Trigger.AvailableNow drain into a
+    memory sink (complete mode == batch result on finite input). The
+    streaming module's full test surface is tests/test_streaming.py; this
+    entry keeps one real streaming path under the driver's oracle gate."""
+    import uuid
+
+    from ..streaming.event_windows import run_to_memory, tumbling_counts_stream
+
+    sdf = tumbling_counts_stream(_stream_events(spark, sf_dir))
+    return run_to_memory(sdf, f"catchup_{uuid.uuid4().hex[:8]}", "complete")
+
+
+@register("streaming_stateful_totals", tags=("streaming", "stateful", "true-stream"))
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState per-user running totals drained with
+    AvailableNow (update mode; arbitrary-state API). Float totals depend on
+    in-batch row order => rows-only correctness check by design."""
+    import uuid
+
+    from ..streaming.stateful import stateful_user_totals
+
+    sdf = stateful_user_totals(_stream_events(spark, sf_dir))
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(f"stateful_{uuid.uuid4().hex[:8]}")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.table(q.name)
+    return sink.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
 @register(
     "session_window_stats",
     tags=("streaming", "session"),

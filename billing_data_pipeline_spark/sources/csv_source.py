@@ -72,9 +72,16 @@ def read_partition_root(
         spark.read.option("header", True)
         .option("basePath", root)
         .schema(
-            schema.add("year", T.IntegerType())
-            .add("month", T.IntegerType())
-            .add("day", T.IntegerType())
+            # Copy before extending — StructType.add mutates in place, and
+            # the base schema is a shared module constant.
+            T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField("year", T.IntegerType(), True),
+                    T.StructField("month", T.IntegerType(), True),
+                    T.StructField("day", T.IntegerType(), True),
+                ]
+            )
         )
     )
     if permissive:

@@ -1,0 +1,129 @@
+"""Watermarked event-time windows over an events stream (SURVEY.md §2.9 EXT).
+
+The window expressions are byte-identical to the batch catalog queries in
+``plans/streaming_queries.py`` — ``window()`` / ``session_window()`` are the
+same Catalyst operators in both modes; streaming adds ``withWatermark`` for
+state eviction and late-data bounds. Tests drive these with a file source +
+``Trigger.AvailableNow`` into a memory sink and compare against the batch
+results (late rows inside the watermark must land in their event-time
+window, not their arrival time).
+
+Scale notes (100 TB / unbounded):
+- The watermark bounds state: tumbling/sliding state is O(open windows x
+  groups), session state O(open sessions). Without it, streaming aggs grow
+  forever — every function here REQUIRES a watermark argument on purpose.
+- ``dropDuplicatesWithinWatermark`` keeps only in-horizon keys, which is
+  the streaming analogue of the reference's anti-join idempotency (J1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: T.StructType = EVENTS_SCHEMA,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Checkpoint-tracked file-source stream (replaces the reference's
+    polling sensors ST1/ST2: new files are discovered per micro-batch and
+    tracked in the checkpoint's file index — the cursor, subsumed)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    return reader.format(fmt).load(source_dir)
+
+
+def tumbling_counts_stream(
+    events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling event-time windows per event type (batch twin:
+    plans/streaming_queries.py::tumbling_event_counts)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_sec"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def sliding_volume_stream(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding event-time windows (batch twin: sliding_window_volume)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_sec"), "n"
+        )
+    )
+
+
+def session_stats_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Gap-based session windows per user (batch twin: session_window_stats).
+    Session state closes once the watermark passes start+gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame, keys: list[str], watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming exact dedup within the watermark horizon — re-delivered
+    events (at-least-once sources) collapse to one row as long as the dupe
+    arrives inside the watermark; state stays bounded."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_to_memory(
+    sdf: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain a finite stream with Trigger.AvailableNow into a memory sink and
+    return the sink table — batch-catchup semantics (the streaming analogue
+    of the reference's backfill run, ST6)."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)

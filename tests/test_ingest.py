@@ -1,0 +1,109 @@
+"""Idempotent-ingest operator tests (SURVEY.md §5.3-5.4): the invariants the
+reference enforced with DB constraints, now operator guarantees."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from billing_data_pipeline_spark.operators.ingest import (
+    append_new_rows,
+    assert_unique,
+    dedup_append,
+    dedup_within_batch,
+)
+from billing_data_pipeline_spark.operators.ledger import FileLedger, hash_files
+
+KEYS = ["timestamp", "resource_id", "user_id", "invoice_id"]
+SCHEMA = "timestamp timestamp, resource_id string, user_id string, invoice_id string, credit_usage double"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _row(i, usage=1.0):
+    return (datetime(2025, 4, 23, 10, 0, i % 60), f"r-{i}", f"u-{i}", f"inv-{i}", usage)
+
+
+def test_dedup_append_drops_existing_keys(spark):
+    existing = _df(spark, [_row(i) for i in range(5)])
+    batch = _df(spark, [_row(i) for i in range(3, 8)])
+    out = dedup_append(batch, existing, KEYS)
+    assert sorted(r["invoice_id"] for r in out.collect()) == [
+        "inv-5", "inv-6", "inv-7"
+    ]
+
+
+def test_null_keys_always_append(spark):
+    """SQL join semantics: a NULL key column never matches, so NULL-key rows
+    pass the anti-join even when an identical NULL-key row already exists —
+    the reference behaves the same (LEFT JOIN .. IS NULL)."""
+    null_row = (datetime(2025, 4, 23, 10, 0, 0), None, "u-0", "inv-0", 1.0)
+    existing = _df(spark, [null_row])
+    batch = _df(spark, [null_row])
+    assert dedup_append(batch, existing, KEYS).count() == 1
+
+
+def test_intra_batch_duplicates_collapse(spark):
+    """The reference lets intra-batch dupes trip the UNIQUE constraint and
+    fail; this engine dedups them (documented divergence, SURVEY.md §2.3)."""
+    batch = _df(spark, [_row(1), _row(1, usage=2.0), _row(2)])
+    out = dedup_within_batch(batch, KEYS)
+    assert out.count() == 2
+
+
+def test_append_new_rows_idempotent(spark, tmp_path):
+    """Running the same load twice leaves the table unchanged (the
+    reference's core invariant, README.md:363-370)."""
+    table = str(tmp_path / "t")
+    batch = _df(spark, [_row(i) for i in range(10)])
+    assert append_new_rows(batch, table, KEYS) == 10
+    assert append_new_rows(batch, table, KEYS) == 0
+    assert spark.read.parquet(table).count() == 10
+    assert_unique(spark.read.parquet(table), KEYS)
+
+
+def test_assert_unique_raises_on_dupes(spark):
+    df = _df(spark, [_row(1), _row(1)])
+    try:
+        assert_unique(df, KEYS)
+    except AssertionError:
+        pass
+    else:
+        raise AssertionError("expected duplicate-key failure")
+
+
+def test_ledger_skips_unchanged_reprocesses_changed(spark, tmp_path):
+    """ST5: (filename, md5) match => skip; changed hash => reprocess."""
+    f1 = tmp_path / "billing-1.csv"
+    f2 = tmp_path / "billing-2.csv"
+    f1.write_text("a,b\n1,2\n")
+    f2.write_text("a,b\n3,4\n")
+
+    ledger = FileLedger(spark, str(tmp_path / "ledger"))
+    cands = hash_files(spark, [str(f1), str(f2)])
+    todo = ledger.filter_unprocessed(cands)
+    assert todo.count() == 2
+
+    hashes = {r["filename"]: r["file_hash"] for r in cands.collect()}
+    ledger.record([(n, h, 1) for n, h in hashes.items()])
+    assert ledger.filter_unprocessed(hash_files(spark, [str(f1), str(f2)])).count() == 0
+
+    # Modify f2 in place: name matches, hash differs -> reprocess only f2.
+    f2.write_text("a,b\n3,5\n")
+    redo = ledger.filter_unprocessed(hash_files(spark, [str(f1), str(f2)]))
+    assert [r["filename"] for r in redo.collect()] == ["billing-2.csv"]
+
+    # Ledger upsert keeps one row per filename (latest hash wins).
+    new_hash = {
+        r["filename"]: r["file_hash"] for r in hash_files(spark, [str(f2)]).collect()
+    }
+    ledger.record([("billing-2.csv", new_hash["billing-2.csv"], 1)])
+    led = ledger.load()
+    assert led.count() == 2
+    assert (
+        led.filter(F.col("filename") == "billing-2.csv").first()["file_hash"]
+        == new_hash["billing-2.csv"]
+    )

@@ -1,0 +1,54 @@
+"""Multimodal binary-column plumbing tests: the mapInPandas decode kernel
+(deterministic fake codec), invalid-payload containment, frame sampling, and
+the real-codec gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from billing_data_pipeline_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_media,
+    encode_fake_media,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        encode_fake_media(1, "image", 640, 480, 1, b"x" * 100),
+        encode_fake_media(2, "video", 1920, 1080, 90, b"y" * 500),
+        encode_fake_media(3, "audio", 0, 0, 0, b"z" * 50),
+        (4, "image", b"not-a-media-blob"),  # corrupt payload
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_parses_headers(spark, media):
+    out = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert out[1]["width"] == 640 and out[1]["height"] == 480 and out[1]["valid"]
+    assert out[2]["n_frames"] == 90
+    assert out[3]["valid"] and out[3]["n_bytes"] == 16 + 50
+
+
+def test_corrupt_payload_contained_not_fatal(spark, media):
+    """A bad blob yields valid=false with NULL dims — per-record error
+    containment (reference OPT7), never a job failure."""
+    bad = decode_media(media).filter("media_id = 4").first()
+    assert bad["valid"] is False
+    assert bad["width"] is None
+
+
+def test_sample_frames_every_n(spark, media):
+    frames = sample_frames(media, every_n=30).collect()
+    assert [r["frame_idx"] for r in frames] == [0, 30, 60]
+    assert all(r["media_id"] == 2 for r in frames)
+
+
+def test_real_codec_gate_raises(spark, media):
+    with pytest.raises(Exception) as exc_info:
+        decode_media(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )

@@ -1,0 +1,64 @@
+"""End-to-end pipeline test: CSV lake -> idempotent ingest -> full-refresh
+aggregates -> markdown insights, twice (SURVEY.md §5.3 idempotency)."""
+
+from __future__ import annotations
+
+from datetime import date
+
+from billing_data_pipeline_spark.pipeline import BillingPipeline
+
+CSV_HEADER = (
+    "timestamp,resource_id,user_id,credit_usage,region,service_tier,"
+    "operation_type,success,resource_type,invoice_id,currency\n"
+)
+
+
+def _write_lake(tmp_path):
+    root = tmp_path / "lake"
+    days = {22: 6, 23: 8}
+    for day, n in days.items():
+        p = root / "year=2025" / "month=04" / f"day={day:02d}"
+        p.mkdir(parents=True)
+        rows = "".join(
+            f"2025-04-{day:02d} 10:00:{i:02d},res-{i % 3},user-{i % 4},{1.5 * (i + 1)},"
+            f"{'eu' if i % 2 else 'us'},{'pro' if i % 3 else 'free'},inference,"
+            f"{'true' if i % 5 else 'false'},gpu,inv-{day}-{i},USD\n"
+            for i in range(n)
+        )
+        (p / "billing.csv").write_text(CSV_HEADER + rows)
+    return str(root), sum(days.values())
+
+
+def test_pipeline_end_to_end_idempotent(spark, tmp_path):
+    root, n_rows = _write_lake(tmp_path)
+    pipe = BillingPipeline(spark, str(tmp_path / "warehouse"))
+
+    m1 = pipe.run(root)
+    assert m1["ingest"]["rows_appended"] == n_rows
+    assert pipe.read("raw_billing").count() == n_rows
+    assert m1["aggregates"]["daily_aggs_rows"] == 2
+    assert pipe.read("user_aggs").count() == 4
+    assert pipe.read("processed_files").count() == 2
+
+    report = m1["report_markdown"]
+    assert "# Billing Insights Report" in report
+    assert "Top 5 Most Active Users" in report
+    assert "Success Rate by Service Tier" in report
+    assert "Files processed: 2" in report
+
+    # Second run over the unchanged lake: ledger skips both files, nothing
+    # appends, aggregates recompute to identical state.
+    m2 = pipe.run(root)
+    assert m2["ingest"]["files_new_or_changed"] == 0
+    assert m2["ingest"]["rows_appended"] == 0
+    assert pipe.read("raw_billing").count() == n_rows
+    assert m2["report_markdown"] == report
+
+
+def test_pipeline_backfill_window_limits_ingest(spark, tmp_path):
+    root, _ = _write_lake(tmp_path)
+    pipe = BillingPipeline(spark, str(tmp_path / "wh2"))
+    m = pipe.ingest(root, from_date=date(2025, 4, 23), to_date=date(2025, 4, 23))
+    assert m["rows_appended"] == 8  # only day=23
+    days = {r["day"] for r in pipe.read("raw_billing").select("day").collect()}
+    assert days == {23}

@@ -1,0 +1,119 @@
+"""Source-layer tests: the reference's unit-test contract for URL/path
+helpers (reference: tests/pipeline/test_s3_utils.py:18-146, re-specified in
+FIXTURES.md §5) plus Hive-partitioned reads with pruning evidence."""
+
+from __future__ import annotations
+
+from datetime import date, timedelta
+
+from billing_data_pipeline_spark.sources.csv_source import (
+    RAW_BILLING_SCHEMA,
+    generate_partition_paths,
+    latest_partition_date,
+    parse_hive_partition_keys,
+    parse_url,
+    read_partition_paths,
+    read_partition_root,
+)
+
+
+def test_parse_url_variants():
+    assert parse_url("https://example.com/bucket/path") == parse_url(
+        "https://example.com/bucket/path"
+    )
+    u = parse_url("s3://my-bucket/data")
+    assert (u.protocol, u.domain, u.path) == ("s3", "my-bucket", "data")
+    u = parse_url("example.com/x")
+    assert (u.protocol, u.domain, u.path) == ("https", "example.com", "x")
+    u = parse_url("")
+    assert (u.protocol, u.domain, u.path) == ("https", "", "")
+    u = parse_url("example.com")
+    assert (u.protocol, u.domain, u.path) == ("https", "example.com", "")
+
+
+def test_parse_hive_partition_keys():
+    assert parse_hive_partition_keys("year=2025/month=04/day=23") == {
+        "year": "2025", "month": "04", "day": "23"
+    }
+    assert parse_hive_partition_keys("") == {}
+    assert parse_hive_partition_keys("year=2025/raw/day=23") == {
+        "year": "2025", "day": "23"
+    }
+
+
+def test_generate_partition_paths_explicit_range():
+    parts = generate_partition_paths(
+        "s3://b/data", date(2025, 4, 22), date(2025, 4, 24)
+    )
+    assert [p["path"] for p in parts] == [
+        "s3://b/data/year=2025/month=04/day=22",
+        "s3://b/data/year=2025/month=04/day=23",
+        "s3://b/data/year=2025/month=04/day=24",
+    ]
+    assert parts[0]["files"] == ["s3://b/data/year=2025/month=04/day=22/billing.csv"]
+
+
+def test_generate_partition_paths_default_range():
+    parts = generate_partition_paths("s3://b/data")
+    today = date.today()
+    assert len(parts) == 2
+    assert parts[0]["year"] == str((today - timedelta(days=1)).year)
+    assert parts[-1]["day"] == f"{today.day:02d}"
+
+
+CSV_BODY = (
+    "timestamp,resource_id,user_id,credit_usage,region,service_tier,"
+    "operation_type,success,resource_type,invoice_id,currency\n"
+)
+
+
+def _write_lake(tmp_path, days):
+    root = tmp_path / "lake"
+    for d, n_rows in days.items():
+        p = root / f"year={d.year}" / f"month={d.month:02d}" / f"day={d.day:02d}"
+        p.mkdir(parents=True)
+        rows = "".join(
+            f"2025-04-{d.day:02d} 10:00:{i:02d},r-{i},u-{i},1.5,eu,pro,inf,true,gpu,inv-{d.day}-{i},USD\n"
+            for i in range(n_rows)
+        )
+        (p / "billing.csv").write_text(CSV_BODY + rows)
+    return str(root)
+
+
+def test_partition_root_read_types_partition_columns(spark, tmp_path):
+    root = _write_lake(
+        tmp_path, {date(2025, 4, 22): 3, date(2025, 4, 23): 4, date(2025, 4, 24): 5}
+    )
+    df = read_partition_root(spark, root)
+    assert df.count() == 12
+    assert dict(df.dtypes)["year"] == "int"
+    assert {r["day"] for r in df.select("day").distinct().collect()} == {22, 23, 24}
+
+
+def test_partition_window_prunes_scan(spark, tmp_path):
+    """The backfill window must reach the scan as partition filters —
+    pruning by construction (OPT1), visible in the physical plan."""
+    root = _write_lake(
+        tmp_path, {date(2025, 4, 22): 3, date(2025, 4, 23): 4, date(2025, 4, 24): 5}
+    )
+    df = read_partition_root(
+        spark, root, from_date=date(2025, 4, 23), to_date=date(2025, 4, 23)
+    )
+    assert df.count() == 4
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_read_partition_paths_unions_files(spark, tmp_path):
+    root = _write_lake(tmp_path, {date(2025, 4, 22): 3, date(2025, 4, 23): 4})
+    parts = generate_partition_paths(
+        f"file://{root}", date(2025, 4, 22), date(2025, 4, 23)
+    )
+    df = read_partition_paths(spark, parts, RAW_BILLING_SCHEMA)
+    assert df.count() == 7
+    assert {r["day"] for r in df.select("day").distinct().collect()} == {22, 23}
+
+
+def test_latest_partition_date(spark, tmp_path):
+    root = _write_lake(tmp_path, {date(2025, 4, 22): 1, date(2025, 4, 24): 1})
+    assert latest_partition_date(spark, root) == date(2025, 4, 24)

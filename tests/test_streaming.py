@@ -1,0 +1,228 @@
+"""Structured Streaming tests: file-source streams drained with
+Trigger.AvailableNow into memory sinks, compared against the batch twins
+(the expressions are shared, so stream == batch on finite input), plus
+checkpointed incremental ingest and stateful processing."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from billing_data_pipeline_spark.sources.tables import load_table
+from billing_data_pipeline_spark.streaming import (
+    read_event_stream,
+    run_to_memory,
+    session_stats_stream,
+    sliding_volume_stream,
+    stateful_user_totals,
+    streaming_dedup,
+    stream_ingest_csv,
+    tumbling_counts_stream,
+)
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """The sf0.001 events table written as a 3-file parquet directory so the
+    file source discovers multiple files."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, SF_SMOKE, "events").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    got = run_to_memory(tumbling_counts_stream(stream), "t_tumbling", "complete")
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp("window.start").alias("window_start_sec"),
+            "event_type",
+            "n",
+        )
+    )
+    assert _rows(got, "window_start_sec", "event_type", "n") == _rows(
+        batch, "window_start_sec", "event_type", "n"
+    )
+
+
+def test_sliding_stream_matches_batch(spark, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    got = run_to_memory(sliding_volume_stream(stream), "t_sliding", "complete")
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_timestamp("window.start").alias("window_start_sec"), "n")
+    )
+    assert _rows(got, "window_start_sec", "n") == _rows(
+        batch, "window_start_sec", "n"
+    )
+
+
+def test_session_stream_matches_batch(spark, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    got = run_to_memory(session_stats_stream(stream), "t_session", "complete")
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+        )
+    )
+    assert _rows(got, "user_id", "session_start_us", "n_events") == _rows(
+        batch, "user_id", "session_start_us", "n_events"
+    )
+
+
+def test_append_mode_emits_only_watermark_closed_windows(spark, tmp_path):
+    """Append mode + watermark: windows whose end is far below the final
+    watermark are emitted; the window holding the newest events stays open
+    (state not finalized) and is withheld."""
+    from datetime import datetime
+
+    src = tmp_path / "wm_events"
+    rows = [
+        # 9 events inside window 10:00, one in 10:10, one far later at 13:00.
+        *[
+            (i, datetime(2025, 4, 23, 10, 0, 6 * i), 1, "click", 1.0, "{}")
+            for i in range(9)
+        ],
+        (100, datetime(2025, 4, 23, 10, 12, 0), 1, "click", 1.0, "{}"),
+        (200, datetime(2025, 4, 23, 13, 0, 0), 1, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = read_event_stream(spark, str(src))
+    got = run_to_memory(
+        tumbling_counts_stream(stream, window="10 minutes", watermark="30 minutes"),
+        "t_wm_append",
+        "append",
+    )
+    emitted = {r["window_start_sec"]: r["n"] for r in got.collect()}
+    t = lambda h, m: int(datetime(2025, 4, 23, h, m).timestamp())  # noqa: E731
+    # Final watermark = 13:00 - 30 min = 12:30 -> 10:00 and 10:10 windows
+    # closed, 13:00 window withheld.
+    assert emitted == {t(10, 0): 9, t(10, 10): 1}
+
+
+def test_streaming_dedup_collapses_redelivery(spark, tmp_path):
+    """A re-delivered (duplicated) events file collapses to unique event_ids."""
+    src = tmp_path / "dup_events"
+    src.mkdir()
+    ev = load_table(spark, SF_SMOKE, "events").limit(200)
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src / "b"))
+
+    stream = read_event_stream(spark, str(src) + "/*")
+    got = run_to_memory(
+        streaming_dedup(stream, ["event_id"], watermark="2 days"), "t_dedup"
+    )
+    n_unique = ev.select("event_id").distinct().count()
+    assert got.count() == n_unique
+
+
+def test_stream_ingest_idempotent_and_incremental(spark, tmp_path):
+    """Checkpointed CSV ingest: catch-up run loads what exists; re-running
+    with no new files adds nothing; a new file adds only its novel rows
+    (re-delivered rows anti-joined away)."""
+    import csv as csvmod
+
+    src = tmp_path / "lake"
+    src.mkdir()
+    table = str(tmp_path / "raw_billing")
+    ckpt = str(tmp_path / "ckpt")
+
+    header = [
+        "timestamp", "resource_id", "user_id", "credit_usage", "region",
+        "service_tier", "operation_type", "success", "resource_type",
+        "invoice_id", "currency",
+    ]
+
+    def write_csv(name, rows):
+        with open(src / name, "w", newline="") as f:
+            w = csvmod.writer(f)
+            w.writerow(header)
+            w.writerows(rows)
+
+    def row(i):
+        return [
+            f"2025-04-23 10:00:{i % 60:02d}", f"res-{i}", f"u-{i % 7}", 1.5 * i,
+            "eu-west", "pro", "inference", "true", "gpu", f"inv-{i}", "USD",
+        ]
+
+    write_csv("billing-1.csv", [row(i) for i in range(10)])
+    stream_ingest_csv(spark, str(src), table, ckpt).awaitTermination()
+    assert spark.read.parquet(table).count() == 10
+
+    # No new files: checkpoint skips everything.
+    stream_ingest_csv(spark, str(src), table, ckpt).awaitTermination()
+    assert spark.read.parquet(table).count() == 10
+
+    # Two new files, re-delivering rows 5..9 and overlapping each other on
+    # 15..19: novel rows are 15..24 only, each appended exactly once (anti-
+    # join vs table + intra-batch dropDuplicates).
+    write_csv("billing-2.csv", [row(i) for i in [5, 6, 7, 8, 9, 15, 16, 17, 18, 19]])
+    write_csv("billing-3.csv", [row(i) for i in range(15, 25)])
+    stream_ingest_csv(spark, str(src), table, ckpt).awaitTermination()
+    final = spark.read.parquet(table)
+    assert final.count() == 20  # 0..9 + 15..24, each exactly once
+    assert final.select("invoice_id").distinct().count() == 20
+
+
+def test_stateful_user_totals_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state persists across micro-batches — totals
+    after two single-file batches equal the batch aggregate over both."""
+    src = tmp_path / "ev"
+    src.mkdir()
+    ev = load_table(spark, SF_SMOKE, "events").limit(300)
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    half2.coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+
+    stream = read_event_stream(spark, str(src) + "/*", max_files_per_trigger=1)
+    q = (
+        stateful_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Memory sink in update mode appends one row per (batch, user) update;
+    # the final state per user is the max n_events (totals only grow).
+    sink = spark.table("t_stateful")
+    last = (
+        sink.toPandas()
+        .groupby("user_id", as_index=False)["n_events"]
+        .max()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    expected = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert list(last["user_id"]) == list(expected["user_id"])
+    assert list(last["n_events"]) == list(expected["n_events"])
