@@ -1,0 +1,71 @@
+"""Scalar function surface (SURVEY.md §2.8 F1-F8).
+
+The reference computes these host-side in Python between queries (hashing,
+date walks, path parsing, formatting); a Spark-native engine moves them into
+column expressions so they run where the data is. Everything here is a thin,
+documented composition of built-in ``pyspark.sql.functions`` — JVM-side,
+codegen, no UDFs.
+
+| ref | reference location                    | here |
+|-----|---------------------------------------|------|
+| F1  | ingest.py:218-220 (file md5)          | row_content_hash / operators.ledger.hash_files |
+| F2  | ingest.py:44,53 (date parse/format)   | to_date / date_format built-ins (see catalog `scalar_function_matrix`) |
+| F3  | s3_utils.py:130,360,408 (date walks)  | date_spine (sequence + explode) |
+| F4  | s3_utils.py:272-276 (date from parts) | make_date built-in |
+| F5  | s3_utils.py:57 (key=value regex)      | hive_partition_value |
+| F6  | s3_utils.py:17-39 (URL parse)         | parse_url_col |
+| F7  | reports.py:74,94,118 (formatting)     | format_string at the report edge (operators.reports) |
+| F8  | ingest.py:199,216 (basename/glob)     | basename (+ input_file_name upstream) |
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def row_content_hash(*cols: Column | str) -> Column:
+    """Row-level md5 over concatenated columns (F1's row analogue; NULL-safe
+    via coalesce to a sentinel so (NULL, 'x') != ('x', NULL))."""
+    parts = [
+        F.coalesce(F.col(c).cast("string") if isinstance(c, str) else c.cast("string"), F.lit("\x00"))
+        for c in cols
+    ]
+    return F.md5(F.concat_ws("\x01", *parts))
+
+
+def date_spine(
+    spark: SparkSession, start: str, end: str, step_days: int = 1
+) -> DataFrame:
+    """One row per date in [start, end] (F3: the reference's Python day-walk
+    loop as a declarative sequence + explode — generated on executors, so a
+    100-year spine is still trivial)."""
+    return spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit(start)),
+                F.to_date(F.lit(end)),
+                F.expr(f"interval {step_days} days"),
+            )
+        ).alias("d")
+    )
+
+
+def hive_partition_value(path: Column | str, key: str) -> Column:
+    """Extract one ``key=value`` segment from a path (F5; the reference's
+    `([^=]+)=([^=]+)` parse, scoped to a named key)."""
+    p = F.col(path) if isinstance(path, str) else path
+    return F.regexp_extract(p, rf"{key}=([^/]+)", 1)
+
+
+def parse_url_col(url: Column | str, part: str = "HOST") -> Column:
+    """URL component extraction (F6) via the parse_url built-in;
+    part in HOST|PATH|PROTOCOL|QUERY|..."""
+    u = F.col(url) if isinstance(url, str) else url
+    return F.parse_url(u, F.lit(part))
+
+
+def basename(path: Column | str) -> Column:
+    """Filename component of a path (F8)."""
+    p = F.col(path) if isinstance(path, str) else path
+    return F.element_at(F.split(p, "/"), -1)

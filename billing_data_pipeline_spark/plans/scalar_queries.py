@@ -1,0 +1,123 @@
+"""Scalar-function catalog queries (SURVEY.md §2.8): the F1-F8 surface the
+reference ran host-side, exercised as column expressions under the oracle
+gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import (
+    basename,
+    date_spine,
+    hive_partition_value,
+    parse_url_col,
+    row_content_hash,
+)
+from ..registry import register
+from ._util import t
+
+
+@register(
+    "scalar_function_matrix",
+    tags=("scalar", "reference:F1,F2,F4,F7"),
+    oracle=r"""
+SELECT o_orderkey,
+       md5(concat_ws(chr(1), CAST(o_orderkey AS VARCHAR), o_orderstatus)) AS key_hash,
+       strftime(o_orderdate, '%Y-%m') AS order_month,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 1) AS month_start,
+       regexp_extract(o_orderpriority, '([0-9]+)', 1) AS prio_code,
+       printf('%08d', o_orderkey) AS padded_key
+FROM orders
+WHERE o_orderkey % 50 = 0
+""",
+)
+def scalar_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row hashing (F1), date format/arithmetic/construction (F2-F4), regexp
+    extraction (F5-shape), and printf formatting (F7) in one projection —
+    all JVM built-ins, no UDFs (reference ran every one of these in host
+    Python: ingest.py:218-220, 44-63; s3_utils.py:272-276; reports.py:74)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    return o.select(
+        "o_orderkey",
+        row_content_hash("o_orderkey", "o_orderstatus").alias("key_hash"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.make_date(
+            F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1)
+        ).alias("month_start"),
+        F.regexp_extract("o_orderpriority", r"(\d+)", 1).alias("prio_code"),
+        F.format_string("%08d", "o_orderkey").alias("padded_key"),
+    )
+
+
+@register(
+    "date_spine_coverage",
+    tags=("scalar", "reference:F3"),
+    oracle="""
+WITH spine AS (
+    SELECT unnest(generate_series(DATE '1996-01-01', DATE '1996-03-31',
+                                  INTERVAL 1 DAY)) AS d
+)
+SELECT CAST(s.d AS DATE) AS d,
+       COUNT(o.o_orderkey) AS n_orders
+FROM spine s
+LEFT JOIN orders o ON CAST(o.o_orderdate AS DATE) = CAST(s.d AS DATE)
+GROUP BY 1
+""",
+)
+def date_spine_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range generation (F3: the reference's Python day-walk as
+    sequence+explode) left-joined to orders — gap days survive with zero
+    counts (the shape a backfill-completeness check needs)."""
+    spine = date_spine(spark, "1996-01-01", "1996-03-31")
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_orderdate").cast("date").alias("od")
+    )
+    return (
+        spine.join(o, spine.d == o.od, "left")
+        .groupBy("d")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "url_and_path_parsing",
+    tags=("scalar", "reference:F5,F6,F8"),
+    oracle="""
+SELECT doc_id,
+       regexp_extract(url, '^([a-z0-9]+)://', 1) AS protocol,
+       regexp_extract(url, '^[a-z0-9]+://([^/]+)', 1) AS host,
+       regexp_extract(url, '^[a-z0-9]+://[^/]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, 'source=([^/&]+)', 1) AS source_param,
+       split_part(url, '/', -1) AS fname
+FROM (
+    SELECT doc_id,
+           'https://' || source || '.example.com/docs/source=' || source ||
+           '/doc-' || CAST(doc_id AS VARCHAR) || '.txt' AS url
+    FROM documents
+    WHERE doc_id % 25 = 0
+)
+""",
+)
+def url_and_path_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition (F6, parse_url built-in), key=value extraction from
+    a path (F5), and basename (F8) over synthesized per-doc URLs."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    with_url = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/docs/source="),
+            F.col("source"), F.lit("/doc-"), F.col("doc_id").cast("string"),
+            F.lit(".txt"),
+        ).alias("url"),
+    )
+    return with_url.select(
+        "doc_id",
+        parse_url_col("url", "PROTOCOL").alias("protocol"),
+        parse_url_col("url", "HOST").alias("host"),
+        parse_url_col("url", "PATH").alias("path"),
+        hive_partition_value("url", "source").alias("source_param"),
+        basename("url").alias("fname"),
+    )

@@ -63,6 +63,12 @@ def register(
 
 def load_catalog() -> dict[str, QuerySpec]:
     """Import all plan modules (side effect: they register) and return the catalog."""
-    from .plans import billing, extensions, relational, streaming_queries  # noqa: F401
+    from .plans import (  # noqa: F401
+        billing,
+        extensions,
+        relational,
+        scalar_queries,
+        streaming_queries,
+    )
 
     return QUERIES

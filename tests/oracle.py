@@ -23,9 +23,20 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canonical(df: pd.DataFrame) -> pd.DataFrame:
+    import datetime as dt
+
     df = df.copy()
     df.columns = [c.lower() for c in df.columns]
     df = df[sorted(df.columns)]
+    for c in df.columns:
+        # Spark DATE columns arrive as object dtype holding datetime.date;
+        # DuckDB's arrive as datetime64 — normalize both to datetime64.
+        if df[c].dtype == object:
+            nonnull = df[c].dropna()
+            if len(nonnull) and all(
+                isinstance(v, (dt.date, dt.datetime)) for v in nonnull.head(100)
+            ):
+                df[c] = pd.to_datetime(df[c])
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             col = df[c]
