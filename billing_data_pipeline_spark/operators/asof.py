@@ -1,0 +1,128 @@
+"""[EXT] As-of and range joins — operators Spark lacks natively, composed
+from built-in DataFrame ops (SURVEY.md §2.3 note: the reference has only the
+anti-join; these cover the time-series join surface a billing/event engine
+needs at scale).
+
+As-of (backward) join
+---------------------
+For each left row, the single most recent right row with right.ts <= left.ts
+within the same entity. Implemented as the classic union + ordered window
+``last(ignorenulls)`` composition:
+
+    tag rows -> union -> window partitionBy(entity) orderBy(ts, side_tag)
+    -> last(right_value, ignorenulls=True) over rows unbounded preceding
+    -> keep left rows.
+
+One shuffle on the entity key + one in-partition sort — the same cost shape
+as a groupBy, NO join explosion, no per-row probing. Skewed entities behave
+like any skewed window (salt or pre-filter the heavy hitters).
+
+Range join
+----------
+Pairs (l, r) with r.ts in [l.ts - window, l.ts]. A naive theta-join is a
+cross product per entity; instead both sides are bucketed by
+floor(ts / window) and each left bucket joins only its own and the previous
+bucket (every qualifying pair is within one bucket width), turning the join
+into an equi-join with a bounded candidate set — linear in data + true
+matches at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join: left columns + ``value_cols`` from the latest
+    right row with right.ts <= left.ts (< when ``strict``) per entity.
+
+    Right-side ties on (entity, ts) must be resolved by the caller (e.g.
+    keep max id per (entity, ts)) — as-of is only well-defined with unique
+    right timestamps per entity.
+    """
+    # side ordering at equal ts: right first (0) so inclusive <= sees it;
+    # strict mode orders left first so an equal-ts right row is NOT visible.
+    right_tag = 1 if strict else 0
+    left_tag = 1 - right_tag
+
+    l_tagged = left.withColumn("_side", F.lit(left_tag))
+    r_tagged = (
+        right.select(
+            entity_col,
+            ts_col,
+            *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        )
+        .withColumn("_side", F.lit(right_tag))
+    )
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(F.col(ts_col), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in value_cols
+        ],
+    )
+    out = filled.filter(F.col("_side") == left_tag).drop(
+        "_side", *[f"_r_{c}" for c in value_cols]
+    )
+    for c in value_cols:
+        out = out.withColumnRenamed(f"_asof_{c}", f"asof_{c}")
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    window_seconds: int,
+    right_cols: list[str],
+    left_prefix: str = "l_",
+) -> DataFrame:
+    """All (left, right) pairs with the same entity and
+    left.ts - window <= right.ts <= left.ts, via time-bucketed equi-join
+    (each left bucket joins bucket b and b-1 only).
+    """
+    us = window_seconds * 1_000_000
+    # integer DIV, not float division: epoch-µs magnitudes lose ulps in a
+    # double, which would misplace rows exactly on a bucket boundary
+    bucket = lambda c: F.expr(f"unix_micros(`{c}`) DIV {us}")  # noqa: E731
+
+    l = left.select(
+        F.col(entity_col).alias("_ent"),
+        F.col(ts_col).alias(f"{left_prefix}ts"),
+        *[F.col(c).alias(f"{left_prefix}{c}") for c in left.columns if c not in (entity_col, ts_col)],
+    ).withColumn("_lb", bucket(f"{left_prefix}ts"))
+    # each left row probes its own and the previous bucket
+    l = l.withColumn("_b", F.explode(F.array(F.col("_lb"), F.col("_lb") - 1)))
+
+    r = right.select(
+        F.col(entity_col).alias("_ent"),
+        F.col(ts_col).alias("_r_ts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    ).withColumn("_b", bucket("_r_ts"))
+
+    pairs = l.join(r, ["_ent", "_b"]).filter(
+        (F.col("_r_ts") <= F.col(f"{left_prefix}ts"))
+        & (
+            F.unix_micros(F.col(f"{left_prefix}ts")) - F.unix_micros(F.col("_r_ts"))
+            <= us
+        )
+    )
+    # No dedup needed: each right row lives in exactly one bucket, so a
+    # qualifying (l, r) pair joins exactly once.
+    return pairs.drop("_b", "_lb").withColumnRenamed("_ent", entity_col)

@@ -1,0 +1,37 @@
+"""[EXT] Skew mitigation: manual key salting (SURVEY.md §4 scale notes).
+
+AQE's skew-join splitting (on by default in session.py) handles most skew at
+runtime; this is the explicit fallback for cases AQE can't fix — e.g. a
+shuffle join where one key holds >50% of rows and the joined side is too big
+to broadcast. The big side gets a deterministic salt derived from the whole
+row; the small side is replicated once per salt value; the join key becomes
+(key, salt), splitting each hot key's rows across ``n_salts`` tasks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the hot-key shuffle split across ``n_salts`` buckets.
+
+    Deterministic: the salt is a hash of the big side's full row, not a
+    random number — identical inputs give identical physical row routing.
+    Result is exactly ``big.join(small, on, how)``.
+    """
+    big_s = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in big.columns])), F.lit(n_salts)),
+    )
+    small_s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return big_s.join(small_s, [*on, "_salt"], how).drop("_salt")

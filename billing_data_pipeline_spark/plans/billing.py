@@ -65,6 +65,25 @@ def daily_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("daily_aggregates_hll", tags=("aggregate", "approx", "reference:A1-ext"))
+def daily_aggregates_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A1 shape with approx_count_distinct (HLL) instead of exact
+    distincts — the mergeable variant for incremental 100 TB rollups
+    (SURVEY.md §4 OPT5 note). Approximate by construction => rows-only."""
+    li = t(spark, sf_dir, "lineitem")
+    return grouped_profile(
+        li,
+        [
+            F.year("l_shipdate").alias("year"),
+            F.month("l_shipdate").alias("month"),
+            F.dayofmonth("l_shipdate").alias("day"),
+        ],
+        revenue(),
+        distinct_cols={"unique_suppliers": "l_suppkey", "unique_parts": "l_partkey"},
+        approx=True,
+    )
+
+
 @register(
     "user_aggregates",
     tags=("aggregate", "reference:A2"),

@@ -1,0 +1,93 @@
+"""[EXT] Temporal-join catalog: as-of and range joins over events — the two
+canonical operators Spark lacks natively, composed from built-ins
+(operators/asof.py). DuckDB has native ASOF JOIN, so both are fully
+oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join_backward, range_join
+from ..registry import register
+from ._util import t
+
+
+@register(
+    "purchase_last_click_asof",
+    tags=("ext", "join", "asof"),
+    bench=True,
+    oracle="""
+WITH ev AS (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type
+    FROM events
+)
+SELECT l.event_id, l.user_id,
+       r.event_id AS asof_event_id,
+       r.value AS asof_value
+FROM (SELECT * FROM ev WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def purchase_last_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase event picks the latest click by
+    the same user at-or-before its timestamp. Spark composition = union +
+    ordered window last(ignorenulls) — one shuffle, no join explosion;
+    oracle = DuckDB's native ASOF LEFT JOIN."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join_backward(
+        purchases, clicks, "user_id", "ts", ["event_id", "value"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id"),
+        F.col("asof_value"),
+    )
+
+
+@register(
+    "error_burst_range_join",
+    tags=("ext", "join", "range"),
+    oracle="""
+WITH ev AS (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+)
+SELECT l.event_id, COUNT(*) AS n_recent
+FROM (SELECT e.event_id, e.user_id, e.ts FROM ev e
+      JOIN (SELECT event_id FROM events WHERE event_type = 'error') x
+      USING (event_id)) l
+JOIN ev r
+  ON r.user_id = l.user_id
+ AND r.ts <= l.ts
+ AND r.ts >= l.ts - INTERVAL 10 MINUTE
+GROUP BY 1
+""",
+)
+def error_burst_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per error event, how many events the same user produced
+    in the preceding 10 minutes (inclusive; the error itself counts).
+    Spark composition = time-bucketed equi-join probing two buckets —
+    linear candidates, no theta-join cross product."""
+    ev = t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    pairs = range_join(
+        errors,
+        ev.select("event_id", "user_id", "ts"),
+        "user_id",
+        "ts",
+        600,
+        right_cols=["event_id"],
+    )
+    return pairs.groupBy(F.col("l_event_id").alias("event_id")).agg(
+        F.count(F.lit(1)).alias("n_recent")
+    )

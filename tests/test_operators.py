@@ -1,0 +1,72 @@
+"""Unit tests for custom operators on tiny inline frames: as-of join edge
+semantics (strict/inclusive, no-match NULLs), range-join bucket boundaries,
+salted-join equivalence."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from billing_data_pipeline_spark.operators.asof import asof_join_backward, range_join
+from billing_data_pipeline_spark.operators.skew import salted_join
+
+
+def ts(minute, second=0):
+    return datetime(2025, 1, 1, 10, minute, second)
+
+
+def test_asof_inclusive_and_strict(spark):
+    left = spark.createDataFrame(
+        [(1, ts(10)), (1, ts(20)), (2, ts(5))], "user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(10), 100.0), (1, ts(15), 150.0), (2, ts(6), 60.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    inc = {
+        (r["user_id"], r["ts"]): r["asof_value"]
+        for r in asof_join_backward(left, right, "user_id", "ts", ["value"]).collect()
+    }
+    # equal timestamp matches in inclusive mode
+    assert inc[(1, ts(10))] == 100.0
+    assert inc[(1, ts(20))] == 150.0
+    assert inc[(2, ts(5))] is None  # right row is later -> no match
+
+    strict = {
+        (r["user_id"], r["ts"]): r["asof_value"]
+        for r in asof_join_backward(
+            left, right, "user_id", "ts", ["value"], strict=True
+        ).collect()
+    }
+    assert strict[(1, ts(10))] is None  # equal ts excluded when strict
+
+
+def test_range_join_boundaries(spark):
+    left = spark.createDataFrame(
+        [(1, 900, ts(15))], "user_id long, event_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 1, ts(5, 0)),   # exactly 10 min before -> included
+            (1, 2, ts(4, 59)),  # just outside -> excluded
+            (1, 3, ts(15, 0)),  # equal ts -> included
+            (1, 4, ts(15, 1)),  # later -> excluded
+            (2, 5, ts(15, 0)),  # other entity -> excluded
+        ],
+        "user_id long, event_id long, ts timestamp",
+    )
+    got = range_join(left, right, "user_id", "ts", 600, right_cols=["event_id"])
+    assert sorted(r["event_id"] for r in got.collect()) == [1, 3]
+
+
+def test_salted_join_equals_plain_join(spark):
+    big = spark.createDataFrame(
+        [(i % 3, f"row-{i}") for i in range(100)], "k long, payload string"
+    )
+    small = spark.createDataFrame([(0, "zero"), (1, "one")], "k long, label string")
+    plain = big.join(small, ["k"]).select("k", "payload", "label")
+    salted = salted_join(big, small, ["k"], n_salts=4).select("k", "payload", "label")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # inner-join semantics: k=2 has no small-side match in either variant
+    assert salted.filter(F.col("k") == 2).count() == 0
