@@ -86,6 +86,17 @@ def minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_neardup_pairs(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@register("ml_minhash_neardup_pairs", tags=("ext", "dedup", "approx", "mllib"))
+def ml_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyspark.ml MinHashLSH.approxSimilarityJoin variant — the same
+    near-dup semantics through the MLlib estimator API (HashingTF ->
+    MinHashLSH); kept alongside the faster built-in pipeline for API
+    parity. Seeded; approximate => rows-only."""
+    return D.ml_minhash_neardup_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 @register("simhash_neardup_pairs", tags=("ext", "dedup", "approx"))
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (64-bit, Arrow-vectorized) near-dup pairs at Hamming<=3 via
