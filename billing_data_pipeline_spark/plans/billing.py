@@ -355,7 +355,10 @@ def dedup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     keys = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
     existing = li.filter(F.col("l_orderkey") % 10 == 0)
-    return dedup_append(li.select(*keys), existing, keys)
+    # lineitem's natural key is unique, so skip the intra-batch dedup
+    # shuffle — the anti-join probes a broadcast of existing keys with no
+    # batch-side exchange (matches the oracle's NOT EXISTS exactly).
+    return dedup_append(li.select(*keys), existing, keys, dedup_batch=False)
 
 
 @register(

@@ -126,6 +126,20 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
 
 
+@register(
+    "embedding_matmul_topk", tags=("ext", "similarity", "fast-path"), bench=True
+)
+def embedding_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 on the Arrow+BLAS fast path (mapInPandas
+    matmul per partition + global window merge) — same query set as
+    embedding_cosine_topk; last-ulp score association differs from the
+    sequential fold => rows-only, with the HOF query as the bit-exact
+    oracle twin."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    return S.cosine_topk_matmul(emb, queries, "vec_id", "embedding", k=5)
+
+
 @register("embedding_lsh_topk", tags=("ext", "similarity", "approx"))
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketed top-k (the scale path: candidates only

@@ -70,3 +70,21 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
     # inner-join semantics: k=2 has no small-side match in either variant
     assert salted.filter(F.col("k") == 2).count() == 0
+
+
+def test_matmul_topk_agrees_with_exact(spark):
+    """The BLAS fast path must produce the same ranking as the bit-exact
+    HOF fold (deterministic data; ulp divergence would only matter on
+    exact score ties, which the synthetic embeddings don't have)."""
+    from billing_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_matmul,
+    )
+    from billing_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    fast = cosine_topk_matmul(emb, queries, "vec_id", "embedding", k=5)
+    key = lambda r: (r["query_id"], r["rank"], r["candidate_id"])  # noqa: E731
+    assert sorted(map(key, exact.collect())) == sorted(map(key, fast.collect()))
