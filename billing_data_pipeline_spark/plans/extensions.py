@@ -242,6 +242,54 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "document_quality_pipeline",
+    tags=("ext", "text", "dedup", "composed"),
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, lang, text,
+           {_WORDS} AS tokens,
+           {_QUALITY} AS quality
+    FROM documents
+    WHERE length(text) > 0
+),
+kept AS (
+    SELECT * FROM scored WHERE quality > 0.05 AND lang IN ('en', 'fr')
+),
+canon AS (
+    SELECT md5(text) AS h, MIN(doc_id) AS keep_id FROM kept GROUP BY 1
+)
+SELECT k.doc_id, k.lang, CAST(k.tokens AS BIGINT) AS tokens, k.quality
+FROM kept k JOIN canon c ON k.doc_id = c.keep_id
+""",
+)
+def document_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation flow: quality scoring ->
+    language + threshold filter -> exact content dedup (canonical doc per
+    hash survives) -> per-doc token counts. One declarative plan: Catalyst
+    pushes the lang/length filters to the scan and the dedup is one shuffle
+    on the 16-byte hash."""
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    text = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        X.token_count(text).cast("long").alias("tokens"),
+        X.quality_score(text).alias("quality"),
+    )
+    kept = scored.filter(
+        (F.col("quality") > 0.05) & F.col("lang").isin("en", "fr")
+    )
+    canon = kept.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    return (
+        kept.join(canon, kept.doc_id == canon.keep_id, "left_semi")
+        .select("doc_id", "lang", "tokens", "quality")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns
 # ---------------------------------------------------------------------------

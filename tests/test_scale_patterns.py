@@ -1,0 +1,105 @@
+"""Scale-pattern tests: bucketed co-located joins (no Exchange in the plan)
+and mergeable incremental aggregation (batch folds == full recompute)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from billing_data_pipeline_spark.operators.bucketing import (
+    bucketed_join,
+    write_bucketed,
+)
+from billing_data_pipeline_spark.operators.incremental import (
+    finalize_profile,
+    merge_partials,
+    partial_profile,
+)
+from billing_data_pipeline_spark.sources.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key: the sort-merge join must read
+    co-located buckets — zero Exchange (shuffle) operators in the plan —
+    and still produce exactly the plain-join result."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    lineitem = load_table(spark, SF_SMOKE, "lineitem")
+    try:
+        write_bucketed(
+            orders, "b_orders", ["o_orderkey"], 4, path=str(tmp_path / "bo")
+        )
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "b_lineitem", ["o_orderkey"], 4, path=str(tmp_path / "bl"),
+        )
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", ["o_orderkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+
+        plain = orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        ).count()
+        assert joined.count() == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_incremental_merge_equals_recompute(spark):
+    """Partial-aggregate two disjoint batches, merge, finalize: counts and
+    sums are EXACT (decimal merge is associative); HLL distinct estimates
+    are identical to sketching the full data directly (sketch union is
+    lossless w.r.t. sketch state)."""
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    groups = ["l_returnflag"]
+    distincts = {"unique_suppliers": "l_suppkey"}
+
+    batch1 = li.filter(F.col("l_orderkey") % 2 == 0)
+    batch2 = li.filter(F.col("l_orderkey") % 2 == 1)
+    p1 = partial_profile(batch1, groups, "l_extendedprice", distincts)
+    p2 = partial_profile(batch2, groups, "l_extendedprice", distincts)
+    merged = finalize_profile(
+        merge_partials(p1.unionByName(p2), groups, distincts), distincts
+    )
+
+    direct = finalize_profile(
+        merge_partials(
+            partial_profile(li, groups, "l_extendedprice", distincts),
+            groups,
+            distincts,
+        ),
+        distincts,
+    )
+
+    m = {r["l_returnflag"]: r for r in merged.collect()}
+    d = {r["l_returnflag"]: r for r in direct.collect()}
+    assert set(m) == set(d)
+    for k in d:
+        assert m[k]["transaction_count"] == d[k]["transaction_count"]
+        assert m[k]["total_usage"] == d[k]["total_usage"]  # exact decimal
+        assert m[k]["unique_suppliers"] == d[k]["unique_suppliers"]  # same sketch
+        # estimate is within HLL error of the exact count
+        exact = (
+            li.filter(F.col("l_returnflag") == k)
+            .select("l_suppkey").distinct().count()
+        )
+        assert abs(m[k]["unique_suppliers"] - exact) / max(exact, 1) < 0.05
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_bucketed_join_modes(spark, tmp_path, how):
+    ev = load_table(spark, SF_SMOKE, "events").limit(500)
+    agg = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    try:
+        write_bucketed(ev, "b_ev", ["user_id"], 4, path=str(tmp_path / "e"))
+        write_bucketed(agg, "b_agg", ["user_id"], 4, path=str(tmp_path / "a"))
+        j = bucketed_join(spark, "b_ev", "b_agg", ["user_id"], how=how)
+        assert "Exchange" not in j._jdf.queryExecution().executedPlan().toString()
+        assert j.count() == ev.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_ev")
+        spark.sql("DROP TABLE IF EXISTS b_agg")
