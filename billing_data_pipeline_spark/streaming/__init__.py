@@ -21,4 +21,5 @@ from .event_windows import (  # noqa: F401
     tumbling_counts_stream,
 )
 from .ingest_stream import stream_ingest_csv  # noqa: F401
+from .rollup_stream import StreamingRollup  # noqa: F401
 from .stateful import stateful_user_totals  # noqa: F401

@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis): operator semantics checked against
+naive Python reference implementations on randomized inputs — coverage the
+reference repo never had (SURVEY.md §5: 'no property-based/randomized
+testing')."""
+
+from __future__ import annotations
+
+from datetime import date, datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from billing_data_pipeline_spark.operators.asof import asof_join_backward
+from billing_data_pipeline_spark.operators.windows import sessionize
+from billing_data_pipeline_spark.sources.csv_source import (
+    generate_partition_paths,
+    parse_hive_partition_keys,
+)
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+events = st.lists(
+    st.tuples(
+        st.integers(0, 2),        # entity
+        st.integers(0, 5000),     # ts offset seconds (collisions likely)
+        st.integers(0, 999),      # payload
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _ts(off):
+    return datetime(2025, 1, 1) + timedelta(seconds=off)
+
+
+@SLOW
+@given(left=events, right=events)
+def test_asof_matches_naive_reference(spark, left, right):
+    # unique right (entity, ts): as-of is only defined with unique right
+    # timestamps; keep max payload per key like callers must.
+    rmap = {}
+    for e, t, v in right:
+        rmap[(e, t)] = max(v, rmap.get((e, t), -1))
+    rrows = [(e, _ts(t), float(v)) for (e, t), v in rmap.items()]
+    lrows = [(i, e, _ts(t)) for i, (e, t, _) in enumerate(left)]
+
+    ldf = spark.createDataFrame(lrows, "row_id long, user_id long, ts timestamp")
+    rdf = spark.createDataFrame(rrows, "user_id long, ts timestamp, value double")
+    got = {
+        r["row_id"]: r["asof_value"]
+        for r in asof_join_backward(ldf, rdf, "user_id", "ts", ["value"]).collect()
+    }
+
+    for i, (e, t, _) in enumerate(left):
+        cands = [(tt, v) for (ee, tt), v in rmap.items() if ee == e and tt <= t]
+        expected = float(max(cands)[1]) if cands else None
+        assert got[i] == expected, (i, e, t, cands)
+
+
+@SLOW
+@given(data=events, gap=st.integers(1, 600))
+def test_sessionize_matches_naive_gap_split(spark, data, gap):
+    rows = [(e, _ts(t), i) for i, (e, t, _) in enumerate(data)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    got = sessionize(df, "user_id", "ts", "event_id", gap)
+    n_sessions = (
+        got.select("user_id", "session_seq").distinct().count()
+    )
+
+    # naive: per entity, sort by (ts, id); new session when delta > gap
+    by_e = {}
+    for e, t, i in rows:
+        by_e.setdefault(e, []).append((t, i))
+    expected = 0
+    for seq in by_e.values():
+        seq.sort()
+        expected += 1 + sum(
+            1
+            for a, b in zip(seq, seq[1:])
+            if (b[0] - a[0]).total_seconds() > gap
+        )
+    assert n_sessions == expected
+
+
+@given(
+    start=st.dates(date(2020, 1, 1), date(2030, 12, 1)),
+    n_days=st.integers(0, 40),
+)
+@settings(max_examples=50, deadline=None)
+def test_partition_paths_roundtrip(start, n_days):
+    end = start + timedelta(days=n_days)
+    parts = generate_partition_paths("s3://b/x", start, end)
+    assert len(parts) == n_days + 1
+    for p, d in zip(parts, (start + timedelta(days=i) for i in range(n_days + 1))):
+        parsed = parse_hive_partition_keys(p["path"])
+        assert (int(parsed["year"]), int(parsed["month"]), int(parsed["day"])) == (
+            d.year, d.month, d.day,
+        )

@@ -103,3 +103,52 @@ def test_bucketed_join_modes(spark, tmp_path, how):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_ev")
         spark.sql("DROP TABLE IF EXISTS b_agg")
+
+
+def test_streaming_rollup_matches_batch_recompute(spark, tmp_path):
+    """Stream events file-by-file into an incremental rollup; after the
+    catch-up drain, finalized counts/sums equal a batch recompute over all
+    data, and HLL estimates equal direct sketching (lossless merge)."""
+    from billing_data_pipeline_spark.streaming.event_windows import read_event_stream
+    from billing_data_pipeline_spark.streaming.rollup_stream import StreamingRollup
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    ev = load_table(spark, SF_SMOKE, "events")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"f{i}"))
+
+    rollup = StreamingRollup(
+        spark,
+        str(tmp_path / "rollup"),
+        group_cols=["event_type"],
+        measure="value",
+        distinct_cols={"unique_users": "user_id"},
+    )
+    stream = read_event_stream(spark, str(src) + "/*", max_files_per_trigger=1)
+    rollup.attach(stream, str(tmp_path / "ckpt")).awaitTermination()
+
+    got = {r["event_type"]: r for r in rollup.read_finalized().collect()}
+    expected = {
+        r["event_type"]: r
+        for r in finalize_profile(
+            merge_partials(
+                partial_profile(ev, ["event_type"], "value", {"unique_users": "user_id"}),
+                ["event_type"],
+                {"unique_users": "user_id"},
+            ),
+            {"unique_users": "user_id"},
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k]["transaction_count"] == expected[k]["transaction_count"]
+        assert got[k]["total_usage"] == expected[k]["total_usage"]
+        assert got[k]["unique_users"] == expected[k]["unique_users"]
+
+    # Replay safety: merging an already-seen batch id is a no-op.
+    before = sorted(map(tuple, rollup.read_finalized().collect()))
+    rollup.merge_batch(ev.limit(50), batch_id=0)
+    assert sorted(map(tuple, rollup.read_finalized().collect())) == before

@@ -117,3 +117,24 @@ def test_read_partition_paths_unions_files(spark, tmp_path):
 def test_latest_partition_date(spark, tmp_path):
     root = _write_lake(tmp_path, {date(2025, 4, 22): 1, date(2025, 4, 24): 1})
     assert latest_partition_date(spark, root) == date(2025, 4, 24)
+
+
+def test_corrupt_rows_contained_permissive(spark, tmp_path):
+    """OPT7 error containment: malformed rows null out instead of failing
+    the read (PERMISSIVE mode), and well-formed rows survive intact."""
+    root = tmp_path / "lake"
+    p = root / "year=2025" / "month=04" / "day=23"
+    p.mkdir(parents=True)
+    (p / "billing.csv").write_text(
+        CSV_BODY
+        + "2025-04-23 10:00:00,r-1,u-1,1.5,eu,pro,inf,true,gpu,inv-1,USD\n"
+        + "NOT_A_TIMESTAMP,r-2,u-2,NOT_A_DOUBLE,eu,pro,inf,NOT_A_BOOL,gpu,inv-2,USD\n"
+        + "2025-04-23 11:00:00,r-3,u-3,2.5,eu,pro,inf,false,gpu,inv-3,USD\n"
+    )
+    df = read_partition_root(spark, str(root))
+    rows = {r["invoice_id"]: r for r in df.collect()}
+    assert len(rows) == 3  # no row lost the whole read
+    assert rows["inv-1"]["credit_usage"] == 1.5
+    assert rows["inv-2"]["timestamp"] is None  # malformed cell -> NULL
+    assert rows["inv-2"]["credit_usage"] is None
+    assert rows["inv-3"]["success"] is False
