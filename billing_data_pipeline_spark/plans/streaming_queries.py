@@ -156,6 +156,33 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
+@register("incremental_rollup_merge", tags=("incremental", "approx", "sketch"))
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-aggregate path (operators/incremental.py) end-to-end in
+    one plan: two disjoint event batches -> partial aggregates (decimal sum
+    + HLL sketch) -> merge -> finalize. Counts/sums are exact; the distinct
+    estimate is a DataSketches HLL => rows-only (equivalence to full
+    recompute is proven in tests/test_scale_patterns.py)."""
+    from ..operators.incremental import (
+        finalize_profile,
+        merge_partials,
+        partial_profile,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    groups = ["event_type"]
+    distincts = {"unique_users": "user_id"}
+    p1 = partial_profile(
+        ev.filter(F.col("event_id") % 2 == 0), groups, "value", distincts
+    )
+    p2 = partial_profile(
+        ev.filter(F.col("event_id") % 2 == 1), groups, "value", distincts
+    )
+    return finalize_profile(
+        merge_partials(p1.unionByName(p2), groups, distincts), distincts
+    )
+
+
 @register(
     "session_window_stats",
     tags=("streaming", "session"),
