@@ -140,6 +140,16 @@ def embedding_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_matmul(emb, queries, "vec_id", "embedding", k=5)
 
 
+@register("embedding_ivf_topk", tags=("ext", "similarity", "approx", "ivf"))
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: corpus partitioned into Voronoi cells around
+    data-derived centroids, queries probe their 4 nearest cells — search
+    cost ~n_probe/n_lists of brute force (rows-only; approximate)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    return S.ivf_topk(emb, queries, "vec_id", "embedding", k=5)
+
+
 @register("embedding_lsh_topk", tags=("ext", "similarity", "approx"))
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketed top-k (the scale path: candidates only

@@ -335,3 +335,56 @@ def status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         exact_sum("l_quantity").cast("double").alias("total_qty"),
     )
+
+
+@register(
+    "priority_status_cube",
+    tags=("cube",),
+    oracle=f"""
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""",
+)
+def priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all 2^k grouping combinations in one pass
+    (Catalyst Expand), ANSI NULL-filling on both engines."""
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum("o_totalprice").cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "user_hourly_rolling_sum",
+    tags=("window", "range-frame"),
+    oracle="""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(30,6)))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS hour_sum
+FROM events
+""",
+)
+def user_hourly_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (SURVEY.md §2.5): per user, the rolling sum of
+    `value` over the trailing hour of EVENT TIME — rangeBetween on integer
+    epoch-µs, exact-decimal accumulator (frame sums must be engine-order
+    independent)."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double").alias("hour_sum"),
+    )

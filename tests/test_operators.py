@@ -88,3 +88,30 @@ def test_matmul_topk_agrees_with_exact(spark):
     fast = cosine_topk_matmul(emb, queries, "vec_id", "embedding", k=5)
     key = lambda r: (r["query_id"], r["rank"], r["candidate_id"])  # noqa: E731
     assert sorted(map(key, exact.collect())) == sorted(map(key, fast.collect()))
+
+
+def test_ivf_topk_structure_and_probe_bound(spark):
+    """IVF invariants: k rows per query, ranks 1..k, and (since scores are
+    genuine cosines of probed candidates) every IVF rank-1 similarity is <=
+    the exact brute-force rank-1 for that query."""
+    from billing_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    from billing_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    ivf = ivf_topk(emb, queries, "vec_id", "embedding", k=5).collect()
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=5).collect()
+
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == queries.count()
+    for q, rows in by_q.items():
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+    best_exact = {r["query_id"]: r["cosine_sim"] for r in exact if r["rank"] == 1}
+    best_ivf = {r["query_id"]: r["cosine_sim"] for r in ivf if r["rank"] == 1}
+    for q in best_ivf:
+        assert best_ivf[q] <= best_exact[q] + 1e-9
