@@ -1,0 +1,83 @@
+"""SQL entry-point parity (SURVEY.md §3 lifecycle): the engine accepts raw
+ANSI SQL via ``spark.sql`` over registered table views — and for these
+queries the SPARK TEXT IS THE ORACLE TEXT, verbatim. One dialect-neutral
+string, two engines, hash-identical results: the strongest possible parity
+statement for the SQL surface.
+
+(The reference's whole query layer was SQL strings handed to DuckDB; here
+the same strings run on Catalyst.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..sources.tables import register_views
+
+# Dialect-neutral subset used: year/month(), CAST, DECIMAL accumulators,
+# CASE WHEN, JOIN/GROUP BY/ORDER BY/LIMIT — parse identically on Spark 4
+# and DuckDB.
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       COUNT(*) AS count_order,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+       (CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_quantity)) AS avg_qty,
+       (CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_discount)) AS avg_disc
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+RETURNED_ITEM_SQL = """
+SELECT c.c_custkey,
+       c.c_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       n.n_name AS nation
+FROM customer c
+JOIN orders o    ON c.c_custkey = o.o_custkey
+JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+
+def _sql_query(sql: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return fn
+
+
+@register(
+    "sql_pricing_summary",
+    tags=("sql-api", "tpch:q1-shape", "shared-text"),
+    bench=True,
+    oracle=PRICING_SUMMARY_SQL,
+)
+def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary executed from RAW SQL TEXT on Spark —
+    and the oracle runs the identical text on DuckDB (shared-text parity)."""
+    return _sql_query(PRICING_SUMMARY_SQL)(spark, sf_dir)
+
+
+@register(
+    "sql_returned_items",
+    tags=("sql-api", "tpch:q10-shape", "shared-text"),
+    oracle=RETURNED_ITEM_SQL,
+)
+def sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item revenue report (two fact joins + dim +
+    top-k) from shared SQL text — fact-fact join shuffles on the join key,
+    dims broadcast, TakeOrderedAndProject caps the sort."""
+    return _sql_query(RETURNED_ITEM_SQL)(spark, sf_dir)

@@ -68,6 +68,7 @@ def load_catalog() -> dict[str, QuerySpec]:
         extensions,
         relational,
         scalar_queries,
+        sql_api,
         streaming_queries,
         temporal_joins,
     )
