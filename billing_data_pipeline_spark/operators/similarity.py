@@ -313,6 +313,178 @@ def ivf_topk(
     )
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """DuckDB text for the same left-to-right double fold as `dot`."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """[EXT] Embedding-cosine near-duplicate detection, exact tier: every
+    unordered pair (id_a < id_b) whose cosine similarity reaches the
+    threshold.
+
+    The pair join is a broadcast nested-loop on ``id_a < id_b`` — O(n^2) by
+    definition of all-pairs, correct as the small-scale oracle tier and as
+    the within-bucket kernel. The 100 TB path is `lsh_neardup_pairs`, which
+    makes candidate generation an equi-join on an LSH bucket id so work
+    scales with collisions, not with n^2. Threshold comparison is safe
+    across engines because the fold order (and hence the double) is
+    bit-identical to the DuckDB oracle's list_reduce.
+    """
+    a = df.select(
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
+    ).withColumn("na", norm(F.col("va")))
+    b = df.select(
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
+    ).withColumn("nb", norm(F.col("vb")))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+            "cosine_sim"
+        ),
+    ).filter(F.col("cosine_sim") >= threshold)
+
+
+def neardup_pairs_oracle_sql(table: str, id_col: str, vec_col: str, threshold: float) -> str:
+    """DuckDB oracle for cosine_neardup_pairs (identical IEEE fold)."""
+    d_ab = _dot_sql("a.v", "b.v")
+    d_aa = _dot_sql("a.v", "a.v")
+    d_bb = _dot_sql("b.v", "b.v")
+    return f"""
+WITH v AS (SELECT {id_col}, {vec_col} AS v FROM {table}),
+scored AS (
+    SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+           {d_ab} / (sqrt({d_aa}) * sqrt({d_bb})) AS cosine_sim
+    FROM v a JOIN v b ON a.{id_col} < b.{id_col}
+)
+SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= {threshold}
+"""
+
+
+def cosine_dedup_survivors(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    keep_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """Greedy keep-first dedup over the near-dup pairs: drop every vector
+    that has a near-duplicate with a smaller id (deterministic, one rule —
+    not transitive-closure clustering, so it is exactly expressible in SQL
+    for the oracle). Survivors = ids never appearing as the larger member,
+    via a left_anti join against the distinct dropped-id set — column-pruned
+    to the id before the shuffle."""
+    pairs = cosine_neardup_pairs(df, id_col, vec_col, threshold)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti").select(id_col, *keep_cols)
+
+
+def neardup_survivors_oracle_sql(
+    table: str, id_col: str, vec_col: str, threshold: float, keep_cols: tuple[str, ...]
+) -> str:
+    d_ab = _dot_sql("a.v", "b.v")
+    d_aa = _dot_sql("a.v", "a.v")
+    d_bb = _dot_sql("b.v", "b.v")
+    keep = ", ".join(f"e.{c}" for c in keep_cols)
+    return f"""
+WITH v AS (SELECT {id_col}, {vec_col} AS v FROM {table}),
+dropped AS (
+    SELECT DISTINCT b.{id_col} AS id
+    FROM v a JOIN v b ON a.{id_col} < b.{id_col}
+    WHERE {d_ab} / (sqrt({d_aa}) * sqrt({d_bb})) >= {threshold}
+)
+SELECT e.{id_col}, {keep}
+FROM {table} e LEFT JOIN dropped d ON e.{id_col} = d.id
+WHERE d.id IS NULL
+"""
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_bits: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Scale-path near-dup: OR-of-ANDs banding over random-hyperplane
+    signatures. Each of ``n_tables`` independent signatures buckets the
+    corpus; candidate pairs form via a self-equi-join on (table, bucket)
+    (shuffle on the bucket key, linear in corpus + collisions — no n^2
+    anywhere); dropDuplicates merges pairs that collide in several tables
+    before the exact-cosine rerank so each pair is scored once.
+
+    Recall for a pair at cosine c: per-bit collision p = 1 - acos(c)/pi,
+    per-table p^n_bits, overall 1 - (1 - p^n_bits)^n_tables — tune
+    n_bits down / n_tables up for looser thresholds. Approximate =>
+    rows-only check; `cosine_neardup_pairs` is the exact baseline."""
+    all_planes = [
+        [
+            [random.Random((seed + 1) * 10_007 + t * 101 + i).gauss(0.0, 1.0) for _ in range(dim)]
+            for i in range(n_bits)
+        ]
+        for t in range(n_tables)
+    ]
+
+    def signature(vec: Column, planes: list[list[float]]) -> Column:
+        bits = [
+            F.when(
+                dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            for i, plane in enumerate(planes)
+        ]
+        total = bits[0]
+        for b in bits[1:]:
+            total = total + b
+        return total
+
+    s = (
+        df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+        .withColumn("n", norm(F.col("v")))
+        .select(
+            "id",
+            "v",
+            "n",
+            F.posexplode(
+                F.array(*[signature(F.col("v"), p) for p in all_planes])
+            ).alias("tbl", "bucket"),
+        )
+    )
+    a = s.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), "tbl", "bucket",
+    )
+    b = s.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), "tbl", "bucket",
+    )
+    pairs = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+            "cosine_sim"
+        ),
+    ).filter(F.col("cosine_sim") >= threshold)
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -104,6 +104,45 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_neardup_pairs(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@register(
+    "embedding_neardup_pairs",
+    tags=("ext", "dedup", "similarity"),
+    oracle=S.neardup_pairs_oracle_sql("embeddings", "vec_id", "embedding", 0.4),
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact tier): all id_a < id_b pairs
+    with cosine >= 0.4; fold order bit-identical to the DuckDB oracle so the
+    threshold cut agrees. Scale path: embedding_lsh_neardup_pairs."""
+    return S.cosine_neardup_pairs(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.4
+    )
+
+
+@register(
+    "embedding_dedup_survivors",
+    tags=("ext", "dedup"),
+    oracle=S.neardup_survivors_oracle_sql(
+        "embeddings", "vec_id", "embedding", 0.4, ("label",)
+    ),
+)
+def embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy keep-first embedding dedup: drop every vector with a near-dup
+    at a smaller id (left_anti against the distinct dropped-id set)."""
+    return S.cosine_dedup_survivors(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.4, ("label",)
+    )
+
+
+@register("embedding_lsh_neardup_pairs", tags=("ext", "dedup", "approx"))
+def embedding_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup (scale path): hyperplane-signature equi-join
+    replaces the n^2 pair scan; exact cosine reranks within buckets
+    (approximate recall => rows-only)."""
+    return S.lsh_neardup_pairs(
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -115,3 +115,47 @@ def test_ivf_topk_structure_and_probe_bound(spark):
     best_ivf = {r["query_id"]: r["cosine_sim"] for r in ivf if r["rank"] == 1}
     for q in best_ivf:
         assert best_ivf[q] <= best_exact[q] + 1e-9
+
+
+def test_cosine_neardup_pairs_and_survivors(spark):
+    """Exact near-dup semantics on a hand-built corpus: v0~v1 (identical
+    direction), v2 orthogonal, v3 = -v0. Pairs at threshold 0.9 must be
+    exactly {(0,1)}; greedy keep-first dedup drops id 1 only."""
+    from billing_data_pipeline_spark.operators.similarity import (
+        cosine_dedup_survivors,
+        cosine_neardup_pairs,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 10),
+        (1, [2.0, 0.0, 0.0], 11),
+        (2, [0.0, 1.0, 0.0], 12),
+        (3, [-1.0, 0.0, 0.0], 13),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    pairs = cosine_neardup_pairs(df, "vec_id", "embedding", 0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
+    survivors = cosine_dedup_survivors(df, "vec_id", "embedding", 0.9, ("label",))
+    assert sorted(r["vec_id"] for r in survivors.collect()) == [0, 2, 3]
+
+
+def test_lsh_neardup_subset_of_exact(spark):
+    """Every LSH-recalled pair must also be an exact pair (same threshold,
+    same exact rerank — LSH can only lose candidates, never invent them)."""
+    from billing_data_pipeline_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        lsh_neardup_pairs,
+    )
+    from billing_data_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_neardup_pairs(emb, "vec_id", "embedding", 0.4).collect()
+    }
+    lsh = [
+        (r["id_a"], r["id_b"])
+        for r in lsh_neardup_pairs(emb, "vec_id", "embedding", 0.4).collect()
+    ]
+    assert len(lsh) == len(set(lsh))  # cross-table pair dedup worked
+    assert set(lsh) <= exact
