@@ -388,3 +388,126 @@ def user_hourly_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double").alias("hour_sum"),
     )
+
+
+@register(
+    "late_shipment_priority",
+    tags=("join", "semi", "subquery", "tpch:q4-shape"),
+    oracle="""
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS: orders in a quarter having at least one
+    lineitem shipped >60 days after order date, counted per priority. The
+    correlated EXISTS is a left_semi join (Catalyst's own decorrelation
+    target) — each order counted once no matter how many late lines; the
+    date filter prunes the orders scan before the shuffle."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "small_quantity_part_revenue",
+    tags=("join", "subquery", "correlated", "tpch:q17-shape"),
+    oracle=f"""
+WITH part_avg AS (
+    SELECT l_partkey,
+           0.2 * ({dsum_sql('l_quantity')} / COUNT(l_quantity)) AS qty_cut
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT {dsum_sql('l.l_extendedprice')} AS total_small_qty_revenue,
+       CAST(COUNT(*) AS BIGINT) AS line_count
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN part_avg a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23' AND l.l_quantity < a.qty_cut
+""",
+)
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated scalar subquery, decorrelated by hand the
+    way Catalyst would: the per-part average becomes a grouped subplan
+    joined back on partkey (one shuffle each side, co-partitioned), the
+    brand filter broadcasts from part. The 0.2*avg cut uses the exact
+    decimal-sum/count average so the boundary predicate is bit-identical
+    to the oracle's."""
+    li = t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (
+                exact_sum("l_quantity").cast("double")
+                / F.count("l_quantity")
+            )
+        ).alias("qty_cut")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+    )
+    return joined.agg(
+        exact_sum("l_extendedprice").cast("double").alias("total_small_qty_revenue"),
+        F.count("*").alias("line_count"),
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    tags=("subquery", "scalar", "tpch:q15-shape"),
+    oracle=f"""
+WITH rev AS (
+    SELECT l_suppkey, {dsum_sql(REVENUE_SQL)} AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN rev r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s.s_suppkey
+""",
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped scalar subquery: supplier(s) hitting the global max
+    quarterly revenue. The max is a one-row aggregate cross-joined
+    (broadcast) back onto the grouped revenue — no single-partition window
+    bottleneck; exact decimal sums make the equality safe across engines."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        exact_sum(revenue()).cast("double").alias("total_revenue")
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev.max_revenue)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
