@@ -1,0 +1,154 @@
+"""[EXT] Distribution statistics: exact percentiles, histograms, and the
+sketch-based scale variants.
+
+The reference's analytics stop at SUM/AVG/COUNT (pipeline/assets/
+aggregates.py:34-48 computes exactly those); real billing dashboards ask
+"what does the p95 user pay" and "what does the usage distribution look
+like" next, so the engine ships them:
+
+- exact tier (oracle-checked): `percentile()` — Spark's sort-based exact
+  interpolated quantile, same linear-interpolation definition as DuckDB's
+  `quantile_cont`, verified hash-identical; histogram binning via explicit
+  floor(x / width) arithmetic (dialect-neutral, one IEEE division both
+  engines).
+- scale tier (rows-only): `approx_percentile` — a single-pass, mergeable
+  KLL-style sketch. Exact percentile requires a per-group sort that at
+  100 TB means a massive shuffle of raw values; the sketch reduces that to
+  map-side partial sketches merged at reduce, constant memory per group —
+  the same exact-vs-mergeable tradeoff as countDistinct vs HLL (SURVEY.md
+  §7 "What is hard" #1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import t
+
+PCTS = (0.5, 0.9, 0.95, 0.99)
+
+
+@register(
+    "usage_percentiles",
+    tags=("ext", "stats", "percentile"),
+    oracle=f"""
+SELECT l_returnflag,
+       {", ".join(f"quantile_cont(l_extendedprice, {p}) AS p{int(p * 100)}" for p in PCTS)}
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def usage_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p90/p95/p99 of the price measure per group.
+    Spark `percentile` and DuckDB `quantile_cont` share the
+    linear-interpolation definition ((1-f)*lo + f*hi) — hash-verified.
+    Scale note: exact percentile sorts each group; usage_percentiles_approx
+    is the 100 TB path."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.expr(f"percentile(l_extendedprice, {p})").alias(f"p{int(p * 100)}")
+                for p in PCTS
+            ]
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("usage_percentiles_approx", tags=("ext", "stats", "approx"))
+def usage_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch tier: approx_percentile at accuracy 10000 (~0.01% rank error).
+    Mergeable partial sketches replace the per-group value sort — map-side
+    combine works, shuffle carries sketches not raw doubles. Rows-only
+    (sketch output is implementation-defined); usage_percentiles is the
+    exact baseline."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            *[
+                F.expr(
+                    f"approx_percentile(l_extendedprice, {p}, 10000)"
+                ).alias(f"p{int(p * 100)}")
+                for p in PCTS
+            ]
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+HIST_WIDTH = 5000.0
+
+
+@register(
+    "usage_histogram",
+    tags=("ext", "stats", "histogram"),
+    oracle=f"""
+SELECT CAST(floor(l_extendedprice / {HIST_WIDTH}) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+FROM lineitem
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def usage_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the price measure: bucket = floor(x/width)
+    (one IEEE division, identical both engines — deliberately not
+    width_bucket, which DuckDB lacks). One hash-agg shuffle keyed on ~24
+    buckets; at scale bucket count stays constant so this is pure map-side
+    combine with a tiny exchange."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.floor(F.col("l_extendedprice") / HIST_WIDTH).alias("bucket"),
+            "l_extendedprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "event_value_deciles",
+    tags=("ext", "stats", "percentile", "ntile"),
+    oracle="""
+WITH ranked AS (
+    SELECT user_id, value,
+           ntile(10) OVER (ORDER BY value, event_id) AS decile
+    FROM events WHERE value IS NOT NULL
+)
+SELECT decile,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total
+FROM ranked GROUP BY decile ORDER BY decile
+""",
+)
+def event_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile assignment via ntile over a deterministic total order
+    (value, event_id tiebreak), then per-decile mass — the "who is in the
+    top 10%" question. Scale note: a global ntile is a single-partition
+    sort; at 100 TB swap in approx_percentile cutpoints + a range join
+    (the sketch tier), keeping this exact form for report-sized inputs."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.orderBy(F.col("value"), F.col("event_id"))
+    return (
+        ev.select("user_id", "value", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total"),
+        )
+        .orderBy("decile")
+    )

@@ -69,6 +69,7 @@ def load_catalog() -> dict[str, QuerySpec]:
         relational,
         scalar_queries,
         sql_api,
+        stats,
         streaming_queries,
         temporal_joins,
     )
