@@ -98,3 +98,127 @@ def fingerprint_sql(expr: str, modulus: int = 2147483647) -> str:
         f"list_reduce(list_transform(regexp_split_to_array({expr}, ''), "
         f"c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) % {modulus})"
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (explode-based term statistics)
+# ---------------------------------------------------------------------------
+
+TOKEN_SPLIT_RE = "[^a-z]+"
+
+
+def explode_terms(df, id_col: str, text_col: str):
+    """Lowercase alpha tokens, one row per (doc, occurrence): a projection +
+    generator, no shuffle — term statistics then hang off groupBys of this.
+    Split regex is dialect-neutral (same tokens from DuckDB's
+    string_split_regex)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def _idf(doc_freq: Column, n_docs: Column) -> Column:
+    """Smoothed idf = ln((N+1)/(df+1)) + 1 (sklearn's 'smooth' variant) —
+    one double division + libm ln, bit-stable across engines."""
+    return F.log((n_docs + F.lit(1.0)) / (doc_freq + F.lit(1.0))) + F.lit(1.0)
+
+
+def vocabulary_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus vocabulary profile: per term, document frequency, total term
+    frequency, smoothed idf, and tf-idf mass. One groupBy(term) shuffle
+    (vocab-sized, i.e. tiny next to the corpus); the doc count joins in as
+    a broadcast one-row aggregate, so nothing ever single-partitions."""
+    toks = explode_terms(df, id_col, text_col)
+    per_term = toks.groupBy("term").agg(
+        F.countDistinct(id_col).alias("doc_freq"),
+        F.count("*").alias("term_freq"),
+    )
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    return (
+        per_term.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            "doc_freq",
+            "term_freq",
+            _idf(F.col("doc_freq"), F.col("n_docs")).alias("idf"),
+            (F.col("term_freq") * _idf(F.col("doc_freq"), F.col("n_docs"))).alias(
+                "tfidf_mass"
+            ),
+        )
+        .orderBy("term")
+    )
+
+
+def doc_top_terms(df, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
+    """Per-document top-k terms by tf-idf (deterministic tiebreak on term).
+    tf = groupBy(doc, term); idf joins in broadcast (vocabulary is orders
+    of magnitude smaller than the corpus — even a 1M-term vocab broadcasts);
+    per-doc ranking is a window over doc_id partitions, which shuffles by
+    doc — the natural key, no skew."""
+    from pyspark.sql import Window
+
+    toks = explode_terms(df, id_col, text_col)
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    per_term = toks.groupBy("term").agg(F.countDistinct(id_col).alias("doc_freq"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    idf = per_term.crossJoin(F.broadcast(n_docs)).select(
+        "term", _idf(F.col("doc_freq"), F.col("n_docs")).alias("idf")
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        id_col, "term", (F.col("tf") * F.col("idf")).alias("tfidf")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "rank", "tfidf")
+    )
+
+
+def vocabulary_stats_oracle_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+WITH toks AS (
+    SELECT {id_col}, unnest(string_split_regex(lower({text_col}), '[^a-z]+')) AS term
+    FROM {table}
+),
+clean AS (SELECT * FROM toks WHERE term <> ''),
+n AS (SELECT COUNT(*) AS n_docs FROM {table}),
+per_term AS (
+    SELECT term, COUNT(DISTINCT {id_col}) AS doc_freq, COUNT(*) AS term_freq
+    FROM clean GROUP BY term
+)
+SELECT term, doc_freq, term_freq,
+       ln((n_docs + 1.0) / (doc_freq + 1.0)) + 1.0 AS idf,
+       term_freq * (ln((n_docs + 1.0) / (doc_freq + 1.0)) + 1.0) AS tfidf_mass
+FROM per_term, n
+ORDER BY term
+"""
+
+
+def doc_top_terms_oracle_sql(table: str, id_col: str, text_col: str, k: int) -> str:
+    return f"""
+WITH toks AS (
+    SELECT {id_col}, unnest(string_split_regex(lower({text_col}), '[^a-z]+')) AS term
+    FROM {table}
+),
+clean AS (SELECT * FROM toks WHERE term <> ''),
+n AS (SELECT COUNT(*) AS n_docs FROM {table}),
+tf AS (SELECT {id_col}, term, COUNT(*) AS tf FROM clean GROUP BY {id_col}, term),
+idf AS (
+    SELECT term, ln((n_docs + 1.0) / (COUNT(DISTINCT {id_col}) + 1.0)) + 1.0 AS idf
+    FROM clean, n GROUP BY term, n_docs
+),
+scored AS (
+    SELECT tf.{id_col}, tf.term, tf.tf * idf.idf AS tfidf
+    FROM tf JOIN idf ON tf.term = idf.term
+),
+ranked AS (
+    SELECT {id_col}, term, tfidf,
+           row_number() OVER (PARTITION BY {id_col}
+                              ORDER BY tfidf DESC, term ASC) AS rank
+    FROM scored
+)
+SELECT {id_col}, term, CAST(rank AS BIGINT) AS rank, tfidf
+FROM ranked WHERE rank <= {k}
+"""

@@ -369,3 +369,25 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.octet_length("blob")).alias("total_bytes"),
         )
     )
+
+
+@register(
+    "vocabulary_tfidf",
+    tags=("ext", "text", "tfidf"),
+    oracle=X.vocabulary_stats_oracle_sql("documents", "doc_id", "text"),
+)
+def vocabulary_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile (doc freq, term freq, smoothed idf, tf-idf
+    mass) from one explode + vocab-sized groupBy; doc count broadcast in."""
+    return X.vocabulary_stats(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "doc_top_terms_tfidf",
+    tags=("ext", "text", "tfidf", "topk"),
+    oracle=X.doc_top_terms_oracle_sql("documents", "doc_id", "text", 3),
+)
+def doc_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tf-idf terms: tf groupBy shuffled on the doc key,
+    idf broadcast, per-doc window rank with term tiebreak."""
+    return X.doc_top_terms(t(spark, sf_dir, "documents"), "doc_id", "text", 3)
