@@ -1,0 +1,98 @@
+"""[EXT] Deterministic sampling for training-data curation (SURVEY.md
+§2.12 family).
+
+Engine RNGs (`rand()`, TABLESAMPLE) are not reproducible across engines or
+even across retries of a failed task, so every sampler here derives its
+randomness from the row's own key via an explicit multiplicative mixer —
+pure integer arithmetic, exact in both Spark and DuckDB, making samples (a)
+oracle-checkable, (b) stable under task retry / partition reshuffle at
+100 TB, and (c) consistent between runs (a document keeps its fate when the
+corpus around it changes — crucial for incremental re-curation).
+
+Mixer: bucket(key) = ((key mod P) * K) mod 100, P = 100000007 (prime, keeps
+the product < 2^63 so BIGINT never overflows in either engine), K =
+2654435761 (Knuth's 2^32/phi multiplier). Salt shifts the key so different
+samples decorrelate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MIX_PRIME = 100_000_007
+MIX_MULT = 2_654_435_761
+
+
+def hash_bucket(key: Column, salt: int = 0) -> Column:
+    """Deterministic pseudo-uniform bucket in [0, 100) from an integer key."""
+    return ((key + F.lit(salt)) % MIX_PRIME * F.lit(MIX_MULT)) % 100
+
+
+def hash_bucket_sql(key: str, salt: int = 0) -> str:
+    return f"(({key} + {salt}) % {MIX_PRIME} * {MIX_MULT}) % 100"
+
+
+def hash_sample(df: DataFrame, key_col: str, pct: int, salt: int = 0) -> DataFrame:
+    """Uniform ~pct% sample: keep rows whose key bucket < pct. A pure
+    filter — pushes to the scan, no shuffle, no driver coordination."""
+    return df.filter(hash_bucket(F.col(key_col), salt) < pct)
+
+
+def stratified_sample(
+    df: DataFrame, key_col: str, stratum_col: str, rates: dict[str, int], salt: int = 0
+) -> DataFrame:
+    """Per-stratum rates (e.g. downsample dominant languages, keep the
+    tail): rate lookup is a CASE chain on the stratum column — still a pure
+    scan-side filter, no join, no shuffle. Strata absent from ``rates``
+    are dropped (rate 0)."""
+    rate = F.lit(0)
+    for stratum, pct in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(rate)
+    return df.filter(hash_bucket(F.col(key_col), salt) < rate)
+
+
+def stratified_sample_sql(
+    table: str, key_col: str, stratum_col: str, rates: dict[str, int], salt: int = 0
+) -> str:
+    cases = " ".join(
+        f"WHEN {stratum_col} = '{s}' THEN {p}" for s, p in sorted(rates.items())
+    )
+    return (
+        f"SELECT * FROM {table} "
+        f"WHERE {hash_bucket_sql(key_col, salt)} < (CASE {cases} ELSE 0 END)"
+    )
+
+
+def per_group_sample(
+    df: DataFrame, key_col: str, group_col: str, n: int, salt: int = 0
+) -> DataFrame:
+    """Fixed-size deterministic sample per group (the 'N examples per
+    class' curation op): rank rows within each group by mixed key (a
+    pseudo-random but reproducible order) and keep the first n. One
+    shuffle on the group key; bounded output n*|groups|."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n)
+        .drop("sample_rank")
+    )
+
+
+def per_group_sample_sql(
+    table: str, key_col: str, group_col: str, n: int, salt: int = 0, cols: str = "*"
+) -> str:
+    return f"""
+WITH ranked AS (
+    SELECT {cols},
+           row_number() OVER (PARTITION BY {group_col}
+                              ORDER BY {hash_bucket_sql(key_col, salt)} ASC,
+                                       {key_col} ASC) AS sample_rank
+    FROM {table}
+)
+SELECT {cols} FROM ranked WHERE sample_rank <= {n}
+"""

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from ..operators import sampling as SMP
 from ..operators import similarity as S
 from ..operators import text as X
 from ..registry import register
@@ -391,3 +392,69 @@ def doc_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 tf-idf terms: tf groupBy shuffled on the doc key,
     idf broadcast, per-doc window rank with term tiebreak."""
     return X.doc_top_terms(t(spark, sf_dir, "documents"), "doc_id", "text", 3)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (training-data curation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hash_sample_docs",
+    tags=("ext", "sampling"),
+    oracle=f"SELECT doc_id, lang, n_chars FROM documents WHERE {SMP.hash_bucket_sql('doc_id')} < 10",
+)
+def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform deterministic ~10% sample keyed on doc_id: a pure scan-side
+    filter (no RNG, no shuffle) — reproducible across engines, runs, and
+    task retries."""
+    return SMP.hash_sample(
+        t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars"),
+        "doc_id",
+        10,
+    )
+
+
+STRATA_RATES = {"en": 20, "de": 60, "es": 60, "fr": 60, "zh": 60}
+
+
+@register(
+    "stratified_sample_docs",
+    tags=("ext", "sampling"),
+    oracle=SMP.stratified_sample_sql(
+        "(SELECT doc_id, lang FROM documents) s", "doc_id", "lang", STRATA_RATES
+    ),
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing sample: downsample dominant English (20%), keep
+    60% of the tail languages — the standard corpus-rebalance op, still a
+    pure filter (rate CASE on the stratum column)."""
+    return SMP.stratified_sample(
+        t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        "doc_id",
+        "lang",
+        STRATA_RATES,
+    )
+
+
+@register(
+    "per_lang_sample_docs",
+    tags=("ext", "sampling"),
+    oracle=SMP.per_group_sample_sql(
+        "(SELECT doc_id, lang, n_chars FROM documents) s",
+        "doc_id",
+        "lang",
+        25,
+        cols="doc_id, lang, n_chars",
+    ),
+)
+def per_lang_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 25 docs per language by reproducible pseudo-random rank —
+    'N examples per class' curation; one shuffle on the group key,
+    output bounded at n*|groups|."""
+    return SMP.per_group_sample(
+        t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars"),
+        "doc_id",
+        "lang",
+        25,
+    )

@@ -159,3 +159,29 @@ def test_lsh_neardup_subset_of_exact(spark):
     ]
     assert len(lsh) == len(set(lsh))  # cross-table pair dedup worked
     assert set(lsh) <= exact
+
+
+def test_samplers_deterministic_and_stable_under_corpus_change(spark):
+    """Hash samplers must (a) repeat exactly, (b) keep each row's fate when
+    unrelated rows are added — the incremental re-curation invariant RNG
+    samplers can't offer."""
+    from billing_data_pipeline_spark.operators.sampling import (
+        hash_sample,
+        per_group_sample,
+    )
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in hash_sample(df, "doc_id", 10).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(df, "doc_id", 10).collect()}
+    assert s1 == s2 and 0 < len(s1) < 1000
+
+    bigger = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s3 = {r["doc_id"] for r in hash_sample(bigger, "doc_id", 10).collect()}
+    assert {d for d in s3 if d < 1000} == s1  # original rows keep their fate
+
+    g = df.withColumn("grp", (F.col("doc_id") % 4).cast("string"))
+    per = per_group_sample(g, "doc_id", "grp", 7).collect()
+    counts = {}
+    for r in per:
+        counts[r["grp"]] = counts.get(r["grp"], 0) + 1
+    assert counts == {"0": 7, "1": 7, "2": 7, "3": 7}
