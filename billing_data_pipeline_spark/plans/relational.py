@@ -511,3 +511,129 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "large_order_customers",
+    tags=("join", "subquery", "having", "tpch:q18-shape"),
+    oracle=f"""
+WITH big AS (
+    SELECT l_orderkey, {dsum_sql("l_quantity")} AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING {dsum_sql("l_quantity")} > 280
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice, b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 50
+""",
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped HAVING subquery: orders whose summed quantity tops
+    280, joined back to customer. The HAVING filter runs on the grouped
+    side BEFORE the joins, so only qualifying orderkeys (a tiny set) flow
+    into them — broadcastable at any SF; top-k via TakeOrderedAndProject."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(exact_sum("l_quantity").cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 280)
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "important_parts_share",
+    tags=("subquery", "scalar", "tpch:q11-shape"),
+    oracle=f"""
+WITH r AS (
+    SELECT l_partkey, {dsum_sql(REVENUE_SQL)} AS part_revenue
+    FROM lineitem GROUP BY l_partkey
+),
+total AS (SELECT CAST(SUM(CAST(part_revenue AS DECIMAL(30,6))) AS DOUBLE) AS tv FROM r)
+SELECT r.l_partkey, r.part_revenue
+FROM r, total
+WHERE r.part_revenue > 0.0005 * total.tv
+ORDER BY r.part_revenue DESC, r.l_partkey ASC
+""",
+)
+def important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped global-fraction filter: parts whose revenue exceeds
+    0.0005 of total revenue. The total re-aggregates the grouped result
+    (not the raw fact — one scan feeds both levels) and joins back as a
+    one-row broadcast; exact decimal sums keep the boundary predicate
+    bit-identical."""
+    li = t(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_partkey").agg(
+        exact_sum(revenue()).cast("double").alias("part_revenue")
+    )
+    total = r.agg(
+        exact_sum(F.col("part_revenue")).cast("double").alias("tv")
+    )
+    return (
+        r.crossJoin(F.broadcast(total))
+        .filter(F.col("part_revenue") > 0.0005 * F.col("tv"))
+        .select("l_partkey", "part_revenue")
+        .orderBy(F.col("part_revenue").desc(), F.col("l_partkey").asc())
+    )
+
+
+@register(
+    "conversion_funnel",
+    tags=("ext", "events", "funnel"),
+    oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS users_total,
+       CAST(COUNT(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS BIGINT) AS did_signup,
+       CAST(COUNT(CASE WHEN t_signup < t_view THEN 1 END) AS BIGINT) AS signup_then_view,
+       CAST(COUNT(CASE WHEN t_signup < t_view AND t_view < t_purchase THEN 1 END) AS BIGINT)
+           AS full_funnel
+FROM per_user
+""",
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loose conversion funnel (signup -> first view -> first purchase in
+    chronological order) from ONE groupBy pass: per-user conditional MINs
+    pivot the steps into columns, then ordering predicates count each
+    stage — no joins, no windows, one user-keyed shuffle that AQE-coalesces.
+    NULL semantics do the funnel math: a missing step yields NULL and every
+    comparison against it is false on both engines."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return per_user.agg(
+        F.count("*").alias("users_total"),
+        F.count(F.when(F.col("t_signup").isNotNull(), 1)).alias("did_signup"),
+        F.count(F.when(F.col("t_signup") < F.col("t_view"), 1)).alias(
+            "signup_then_view"
+        ),
+        F.count(
+            F.when(
+                (F.col("t_signup") < F.col("t_view"))
+                & (F.col("t_view") < F.col("t_purchase")),
+                1,
+            )
+        ).alias("full_funnel"),
+    )
