@@ -116,3 +116,134 @@ def sample_frames(df: DataFrame, every_n: int, fake: bool = True) -> DataFrame:
         )
         .select("media_id", "frame_idx", "width", "height")
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("valid", T.BooleanType(), False),
+    ]
+)
+
+
+def resize_media(df: DataFrame, max_w: int, max_h: int, fake: bool = True) -> DataFrame:
+    """Aspect-preserving downscale to fit (max_w, max_h): the scale factor
+    and target dims are computed per record in the Arrow batch; the fake
+    codec rewrites the header with the new dims and keeps the payload (a
+    real codec re-encodes pixels in the same spot). Records already small
+    enough pass through byte-identical; invalid blobs yield NULL content
+    with valid=false (per-record containment, never a job failure)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            rows = []
+            for _, r in batch.iterrows():
+                content = bytes(r["content"])
+                ok = len(content) >= HEADER_LEN and content[:4] == MAGIC
+                if not ok:
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "kind": r["kind"],
+                            "content": None,
+                            "width": None,
+                            "height": None,
+                            "valid": False,
+                        }
+                    )
+                    continue
+                w, h, nf = struct.unpack(">III", content[4:HEADER_LEN])
+                if w > max_w or h > max_h:
+                    scale = min(max_w / w, max_h / h) if w and h else 1.0
+                    w2, h2 = max(1, int(w * scale)), max(1, int(h * scale))
+                    if not fake:
+                        raise NotImplementedError(
+                            "real resize codec goes here (PIL Image.resize / "
+                            "ffmpeg scale) — same record contract as the fake"
+                        )
+                    content = (
+                        MAGIC + struct.pack(">III", w2, h2, nf) + content[HEADER_LEN:]
+                    )
+                    w, h = w2, h2
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "content": content,
+                        "width": w,
+                        "height": h,
+                        "valid": True,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(kernel, schema=RESIZED_SCHEMA)
+
+
+FEATURE_DIM = 64
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+        T.StructField("valid", T.BooleanType(), False),
+    ]
+)
+
+
+def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Feature extraction: binary content -> unit-norm float vector, one
+    vectorized numpy pass per Arrow batch (the real model — CLIP/wav2vec —
+    drops into the same kernel; the fake is a deterministic byte-histogram
+    projection so tests are exact). Output schema array<float> matches the
+    embeddings table, so decoded media feeds straight into the similarity
+    operators (cosine_topk / lsh_neardup_pairs) — media dedup for free."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if not len(batch):
+                continue
+            out = []
+            for _, r in batch.iterrows():
+                content = bytes(r["content"])
+                ok = len(content) >= HEADER_LEN and content[:4] == MAGIC
+                if not ok:
+                    out.append(
+                        {
+                            "media_id": r["media_id"],
+                            "kind": r["kind"],
+                            "embedding": None,
+                            "valid": False,
+                        }
+                    )
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "real feature model (CLIP/wav2vec) goes here — same "
+                        "(bytes) -> (float[FEATURE_DIM]) contract"
+                    )
+                payload = np.frombuffer(content[HEADER_LEN:], dtype=np.uint8)
+                hist = np.bincount(payload % FEATURE_DIM, minlength=FEATURE_DIM).astype(
+                    np.float64
+                )
+                hist += 1.0 / FEATURE_DIM  # never the zero vector
+                vec = hist / np.linalg.norm(hist)
+                out.append(
+                    {
+                        "media_id": r["media_id"],
+                        "kind": r["kind"],
+                        "embedding": vec.astype(np.float32).tolist(),
+                        "valid": True,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(kernel, schema=FEATURES_SCHEMA)

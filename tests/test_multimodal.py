@@ -52,3 +52,35 @@ def test_real_codec_gate_raises(spark, media):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_resize_scales_and_passes_through(spark, media):
+    from billing_data_pipeline_spark.operators.multimodal import resize_media
+
+    out = {r["media_id"]: r for r in resize_media(media, 960, 540).collect()}
+    # 1920x1080 -> fits (960, 540) exactly at scale 0.5
+    assert (out[2]["width"], out[2]["height"]) == (960, 540)
+    # already small: byte-identical passthrough
+    assert out[1]["width"] == 640 and bytes(out[1]["content"])[:4] == b"MM01"
+    assert out[4]["valid"] is False and out[4]["content"] is None
+
+
+def test_extract_features_unit_norm_and_feeds_similarity(spark, media):
+    """Feature vectors are unit-norm array<float> — schema-compatible with
+    the embeddings table, so the similarity operators run on them as-is."""
+    import math
+
+    from billing_data_pipeline_spark.operators.multimodal import extract_features
+    from billing_data_pipeline_spark.operators.similarity import cosine_topk
+
+    feats = extract_features(media).filter("valid")
+    rows = feats.collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert len(r["embedding"]) == 64
+        assert math.isclose(
+            sum(x * x for x in r["embedding"]), 1.0, rel_tol=1e-5
+        )
+    vecs = feats.selectExpr("media_id as vec_id", "embedding")
+    knn = cosine_topk(vecs, vecs, "vec_id", "embedding", k=1).collect()
+    assert len(knn) == 3  # every media found a nearest neighbor
