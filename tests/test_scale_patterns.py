@@ -152,3 +152,39 @@ def test_streaming_rollup_matches_batch_recompute(spark, tmp_path):
     before = sorted(map(tuple, rollup.read_finalized().collect()))
     rollup.merge_batch(ev.limit(50), batch_id=0)
     assert sorted(map(tuple, rollup.read_finalized().collect())) == before
+
+
+def test_new_query_plan_properties(spark):
+    """Plan regressions for the subquery/stats/sampling additions: the
+    properties PLANS.md documents must hold (see that file for why each
+    matters at scale)."""
+    from billing_data_pipeline_spark.registry import load_catalog
+
+    cat = load_catalog()
+    sf = "/root/testdata/sf0.001"
+
+    def plan_of(name):
+        return cat[name].fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+
+    # EXISTS compiles to a semi join, never an aggregate+inner-join dedup
+    p = plan_of("late_shipment_priority")
+    assert "LeftSemi" in p
+
+    # global-extreme subqueries never single-partition a window
+    for q in ("top_supplier_revenue", "important_parts_share"):
+        p = plan_of(q)
+        assert "Window" not in p, q
+
+    # samplers are scan-side filters: no exchange anywhere
+    for q in ("hash_sample_docs", "stratified_sample_docs"):
+        p = plan_of(q)
+        assert "Exchange" not in p, q
+
+    # histogram aggregates partially before its (tiny) exchange
+    p = plan_of("usage_histogram")
+    assert "partial_count" in p or "partial" in p.lower()
+
+    # funnel is one groupBy pass: exactly one data shuffle (user_id),
+    # plus the final single-partition fold of per-user rows
+    p = plan_of("conversion_funnel")
+    assert p.count("Exchange hashpartitioning") == 1
