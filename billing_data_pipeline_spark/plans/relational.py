@@ -637,3 +637,68 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("full_funnel"),
     )
+
+
+@register(
+    "latest_event_per_user",
+    tags=("window", "dedup", "qualify"),
+    oracle="""
+WITH ranked AS (
+    SELECT user_id, ts, event_type, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+SELECT user_id, ts, event_type, value FROM ranked WHERE rn = 1
+""",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Current state' dedup: the most recent event per user via
+    row_number()=1 (QUALIFY pattern; event_id tiebreak makes concurrent
+    timestamps deterministic). One shuffle on the natural key; Spark plans
+    a partial window-group-limit before the exchange, so each map task
+    ships at most one row per user it saw — the shuffle carries ~|users|
+    rows, not |events|."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_type", "value")
+    )
+
+
+@register(
+    "order_metrics_unpivot",
+    tags=("unpivot", "melt"),
+    oracle="""
+WITH m AS (
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS DOUBLE) AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+    FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, 'order_count' AS metric, order_count AS value FROM m
+UNION ALL
+SELECT o_orderstatus, 'total_price' AS metric, total_price AS value FROM m
+""",
+)
+def order_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long melt of per-status metrics via the native unpivot
+    operator (reporting/export shape). Unpivot is a zero-shuffle generator
+    over the (tiny) aggregated table; the oracle spells it dialect-neutral
+    as UNION ALL."""
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy("o_orderstatus").agg(
+        F.count("*").cast("double").alias("order_count"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+    return m.unpivot(
+        ["o_orderstatus"], ["order_count", "total_price"], "metric", "value"
+    )

@@ -81,3 +81,29 @@ def sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k) from shared SQL text — fact-fact join shuffles on the join key,
     dims broadcast, TakeOrderedAndProject caps the sort."""
     return _sql_query(RETURNED_ITEM_SQL)(spark, sf_dir)
+
+
+GROUPING_SETS_SQL = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_priority,
+       COUNT(*) AS order_count,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+"""
+
+
+@register(
+    "sql_grouping_sets",
+    tags=("sql-api", "grouping-sets", "shared-text"),
+    oracle=GROUPING_SETS_SQL,
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with GROUPING() markers from shared SQL text
+    (complements the DataFrame-side cube/rollup queries): one Expand over
+    three grouping arrangements, single aggregate pass — NULL group labels
+    disambiguated by the grouping flags on both engines identically."""
+    return _sql_query(GROUPING_SETS_SQL)(spark, sf_dir)
