@@ -1,0 +1,58 @@
+"""Hive-partitioned parquet sink with dynamic partition overwrite.
+
+The reference's sinks are whole-table DELETE+INSERT refreshes
+(pipeline/assets/aggregates.py:31,96,163,226) over an embedded database;
+at lake scale the equivalent layout is a Hive-partitioned parquet tree
+(year=/month=/day= — the same layout the reference READS,
+pipeline/s3_utils.py:372-404) where:
+
+- writes route each row to its partition directory (`partitionBy`),
+- a backfill of a date window rewrites ONLY the partitions it touches
+  (`spark.sql.sources.partitionOverwriteMode=dynamic` — static mode would
+  truncate the whole table, i.e. the reference's DELETE-all semantics;
+  dynamic is the incremental one),
+- readers get partition pruning for free (`PartitionFilters` on scans with
+  partition-column predicates — SURVEY.md OPT1).
+
+Small-files control: a `repartition(partition_cols)` before the write
+gives one shuffle whose output is one file per partition per AQE-coalesced
+task — without it, every upstream task writes a file into every partition
+it saw (tasks × partitions files). At 100 TB with daily partitions this is
+the difference between 365 files/year and millions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_hive_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    dynamic: bool = True,
+    coalesce_per_partition: bool = True,
+) -> None:
+    """Write ``df`` as a Hive-partitioned parquet tree. With
+    ``dynamic=True`` (the default) an overwrite replaces only the
+    partitions present in ``df`` — the idempotent-backfill semantic; with
+    ``dynamic=False`` Spark's static mode truncates the whole table first
+    (the reference's full-refresh semantic, S8)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode",
+        "dynamic" if dynamic else "static",
+    )
+    try:
+        out = df.repartition(*partition_cols) if coalesce_per_partition else df
+        out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def read_hive_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read the tree back; partition columns materialize from directory
+    names and predicates on them prune directories before listing files."""
+    return spark.read.parquet(path)

@@ -138,3 +138,47 @@ def test_corrupt_rows_contained_permissive(spark, tmp_path):
     assert rows["inv-2"]["timestamp"] is None  # malformed cell -> NULL
     assert rows["inv-2"]["credit_usage"] is None
     assert rows["inv-3"]["success"] is False
+
+
+def test_partitioned_sink_dynamic_overwrite_and_pruning(spark, tmp_path):
+    """Dynamic partition overwrite rewrites only touched partitions (the
+    incremental-backfill semantic); static mode truncates the table (the
+    reference's full-refresh). Read-back prunes on partition predicates."""
+    from pyspark.sql import functions as F
+
+    from billing_data_pipeline_spark.sources.partitioned_sink import (
+        read_hive_partitioned,
+        write_hive_partitioned,
+    )
+
+    path = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [(1, 2025, 1), (2, 2025, 1), (3, 2025, 2), (4, 2025, 3)],
+        "id long, year int, month int",
+    )
+    write_hive_partitioned(base, path, ["year", "month"])
+    assert read_hive_partitioned(spark, path).count() == 4
+
+    # backfill month=2 only: months 1 and 3 must survive
+    fix = spark.createDataFrame([(30, 2025, 2), (31, 2025, 2)], "id long, year int, month int")
+    write_hive_partitioned(fix, path, ["year", "month"], dynamic=True)
+    after = read_hive_partitioned(spark, path)
+    assert after.count() == 5
+    assert sorted(
+        r["id"] for r in after.filter("month = 2").collect()
+    ) == [30, 31]
+
+    # partition predicate shows up as PartitionFilters, not a data filter
+    pruned = after.filter(F.col("month") == 1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(month" in plan
+
+    # static mode: the same fix write truncates everything else
+    write_hive_partitioned(fix, path, ["year", "month"], dynamic=False)
+    assert read_hive_partitioned(spark, path).count() == 2
+
+    # small-files control: month=2 holds exactly one parquet file
+    import glob
+
+    files = glob.glob(f"{path}/year=2025/month=2/*.parquet")
+    assert len(files) == 1
