@@ -152,3 +152,39 @@ def event_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register("event_value_deciles_scalable", tags=("ext", "stats", "approx", "scale-path"))
+def event_value_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB decile path promised by event_value_deciles: cutpoints
+    from a mergeable approx_percentile sketch (one aggregate, no global
+    sort), broadcast as a one-row array, and each row's decile assigned by
+    a fold over the 9 cutpoints — fully distributed, no single-partition
+    window, no driver round-trip. Sketch cutpoints => rows-only;
+    event_value_deciles is the exact twin."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    qs = [i / 10 for i in range(1, 10)]
+    cuts = ev.agg(
+        F.expr(
+            f"approx_percentile(value, array({','.join(map(str, qs))}), 10000)"
+        ).alias("cuts")
+    )
+    return (
+        ev.crossJoin(F.broadcast(cuts))
+        .select(
+            "value",
+            (
+                F.aggregate(
+                    F.col("cuts"),
+                    F.lit(1),
+                    lambda acc, c: acc + F.when(F.col("value") > c, 1).otherwise(0),
+                )
+            ).alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total"),
+        )
+        .orderBy("decile")
+    )

@@ -227,3 +227,46 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "streaming_session_catchup",
+    tags=("streaming", "session", "true-stream"),
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, {TS_US} AS ts_us,
+           lag({TS_US}) OVER (PARTITION BY user_id
+                              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+    FROM events
+),
+marks AS (
+    SELECT user_id, ts_us,
+           CASE WHEN prev_us IS NULL OR ts_us - prev_us <= 1800 * 1000000
+                THEN 0 ELSE 1 END AS new_session
+    FROM seq
+),
+sessions AS (
+    SELECT user_id, ts_us,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marks
+)
+SELECT user_id,
+       CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def streaming_session_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming session windows: readStream -> watermarked
+    session_window(gap=30m) per user -> AvailableNow drain to a memory sink
+    (complete mode on finite input == the oracle-checked batch twin,
+    session_window_stats). Exercises Spark's merging-session state store
+    under the exact-hash gate."""
+    import uuid
+
+    from ..streaming.event_windows import run_to_memory, session_stats_stream
+
+    sdf = session_stats_stream(_stream_events(spark, sf_dir))
+    return run_to_memory(sdf, f"sess_catchup_{uuid.uuid4().hex[:8]}", "complete")
