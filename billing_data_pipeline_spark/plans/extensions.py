@@ -386,6 +386,7 @@ def vocabulary_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_top_terms_tfidf",
     tags=("ext", "text", "tfidf", "topk"),
+    bench=True,
     oracle=X.doc_top_terms_oracle_sql("documents", "doc_id", "text", 3),
 )
 def doc_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:

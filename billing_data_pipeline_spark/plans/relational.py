@@ -393,6 +393,7 @@ def user_hourly_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "late_shipment_priority",
     tags=("join", "semi", "subquery", "tpch:q4-shape"),
+    bench=True,
     oracle="""
 SELECT o.o_orderpriority, COUNT(*) AS order_count
 FROM orders o
@@ -642,6 +643,7 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "latest_event_per_user",
     tags=("window", "dedup", "qualify"),
+    bench=True,
     oracle="""
 WITH ranked AS (
     SELECT user_id, ts, event_type, value,

@@ -33,6 +33,7 @@ PCTS = (0.5, 0.9, 0.95, 0.99)
 @register(
     "usage_percentiles",
     tags=("ext", "stats", "percentile"),
+    bench=True,
     oracle=f"""
 SELECT l_returnflag,
        {", ".join(f"quantile_cont(l_extendedprice, {p}) AS p{int(p * 100)}" for p in PCTS)}
