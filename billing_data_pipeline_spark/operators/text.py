@@ -129,10 +129,18 @@ def vocabulary_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     frequency, smoothed idf, and tf-idf mass. One groupBy(term) shuffle
     (vocab-sized, i.e. tiny next to the corpus); the doc count joins in as
     a broadcast one-row aggregate, so nothing ever single-partitions."""
-    toks = explode_terms(df, id_col, text_col)
-    per_term = toks.groupBy("term").agg(
-        F.countDistinct(id_col).alias("doc_freq"),
-        F.count("*").alias("term_freq"),
+    # One explode pass: aggregate to (doc, term) first, then derive BOTH
+    # term stats from that — doc_freq is the (doc,term) row count and
+    # term_freq the tf sum, so the corpus-sized explode runs once and the
+    # expensive countDistinct disappears entirely.
+    tf = (
+        explode_terms(df, id_col, text_col)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    per_term = tf.groupBy("term").agg(
+        F.count("*").alias("doc_freq"),
+        F.sum("tf").alias("term_freq"),
     )
     n_docs = df.agg(F.count("*").alias("n_docs"))
     return (
@@ -158,9 +166,15 @@ def doc_top_terms(df, id_col: str = "doc_id", text_col: str = "text", k: int = 3
     doc — the natural key, no skew."""
     from pyspark.sql import Window
 
-    toks = explode_terms(df, id_col, text_col)
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    per_term = toks.groupBy("term").agg(F.countDistinct(id_col).alias("doc_freq"))
+    tf = (
+        explode_terms(df, id_col, text_col)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # doc_freq from tf, not from a second pass over the tokens: (doc,term)
+    # rows ARE the distinct pairs, so the corpus explode runs once and the
+    # term-level shuffle carries pre-aggregated rows.
+    per_term = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
     n_docs = df.agg(F.count("*").alias("n_docs"))
     idf = per_term.crossJoin(F.broadcast(n_docs)).select(
         "term", _idf(F.col("doc_freq"), F.col("n_docs")).alias("idf")
