@@ -704,3 +704,90 @@ def order_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.unpivot(
         ["o_orderstatus"], ["order_count", "total_price"], "metric", "value"
     )
+
+
+@register(
+    "promo_revenue_share",
+    tags=("join", "conditional-agg", "tpch:q14-shape"),
+    oracle=f"""
+SELECT 100.0 * {dsum_sql(f"CASE WHEN p.p_type LIKE 'PROMO%' THEN {REVENUE_SQL} ELSE 0 END")}
+             / {dsum_sql(REVENUE_SQL)} AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1996-02-01'
+""",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped conditional revenue share: % of a month's revenue
+    from PROMO parts. One broadcast dim join; numerator and denominator
+    come out of the same single aggregate pass (two conditional decimal
+    sums), then one IEEE division — no second scan, no subquery."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    rev = revenue()
+    agg = joined.agg(
+        exact_sum(
+            F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))
+        )
+        .cast("double")
+        .alias("promo_rev"),
+        exact_sum(rev).cast("double").alias("total_rev"),
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias(
+            "promo_revenue_pct"
+        )
+    )
+
+
+@register(
+    "disjunctive_part_revenue",
+    tags=("join", "pushdown", "tpch:q19-shape"),
+    oracle=f"""
+SELECT {dsum_sql(REVENUE_SQL)} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS line_count
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+""",
+)
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped OR-of-ANDs: three (brand, size, quantity) branches
+    across both join sides. Catalyst factors the disjunction into
+    single-side conjuncts — the part side gets `p_size >= 1 AND (brand IN
+    …)`-style pushdown, lineitem gets the quantity envelope [1, 40] — so
+    both scans prune BEFORE the join and the full predicate re-applies
+    after. The classic test that disjunctions don't defeat pushdown."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    b = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return joined.filter(b).agg(
+        exact_sum(revenue()).cast("double").alias("revenue"),
+        F.count("*").alias("line_count"),
+    )
