@@ -56,3 +56,58 @@ def read_hive_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read the tree back; partition columns materialize from directory
     names and predicates on them prune directories before listing files."""
     return spark.read.parquet(path)
+
+
+def write_hive_partitioned_sorted(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str],
+    mode: str = "overwrite",
+    dynamic: bool = True,
+) -> None:
+    """Partitioned write with `sortWithinPartitions` on ``sort_cols``:
+    rows land clustered, so parquet row-group min-max stats on those
+    columns become selective and point/range predicates skip whole row
+    groups at read time (the poor man's z-order — exact for one sort key,
+    which is the common case: timestamp or entity id). The sort is
+    per-output-task, no extra shuffle beyond the partition routing."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode",
+        "dynamic" if dynamic else "static",
+    )
+    try:
+        (
+            df.repartition(*partition_cols)
+            .sortWithinPartitions(*sort_cols)
+            .write.mode(mode)
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Small-files compaction: rewrite the tree so each partition holds one
+    (AQE-sized) file, preserving the sorted layout if requested. The
+    streaming ingest path appends a file per micro-batch; at 100 TB a
+    periodic compaction pass is what keeps scan task counts (and the
+    driver's file index) sane. Rewrite goes through a staging read so the
+    dynamic-overwrite write replaces each partition atomically."""
+    df = spark.read.parquet(path).cache()
+    df.count()  # materialize before overwriting the files being read
+    try:
+        if sort_cols:
+            write_hive_partitioned_sorted(df, path, partition_cols, sort_cols)
+        else:
+            write_hive_partitioned(df, path, partition_cols)
+    finally:
+        df.unpersist()

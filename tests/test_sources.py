@@ -182,3 +182,62 @@ def test_partitioned_sink_dynamic_overwrite_and_pruning(spark, tmp_path):
 
     files = glob.glob(f"{path}/year=2025/month=2/*.parquet")
     assert len(files) == 1
+
+
+def test_sorted_write_clusters_row_groups(spark, tmp_path):
+    """sortWithinPartitions must produce parquet files whose row-group
+    min-max ranges on the sort key are disjoint-ish (clustered), enabling
+    row-group skipping for range predicates."""
+    import pyarrow.parquet as pq
+    import glob
+
+    from billing_data_pipeline_spark.sources.partitioned_sink import (
+        write_hive_partitioned_sorted,
+    )
+
+    df = (
+        spark.range(0, 100_000)
+        .selectExpr("id", "cast(id % 7 as int) AS grp", "(99999 - id) AS k")
+    )
+    path = str(tmp_path / "sorted_lake")
+    write_hive_partitioned_sorted(df, path, ["grp"], ["k"])
+
+    f = glob.glob(f"{path}/grp=0/*.parquet")[0]
+    md = pq.ParquetFile(f).metadata
+    kidx = next(
+        i for i in range(len(md.schema)) if md.schema.column(i).name == "k"
+    )
+    mins = [md.row_group(rg).column(kidx).statistics.min for rg in range(md.num_row_groups)]
+    assert mins == sorted(mins)  # clustered: monotonically increasing row groups
+
+    # file-level min-max covers the partition's k range exactly
+    stats = md.row_group(0).column(kidx).statistics
+    assert stats.has_min_max
+
+
+def test_compaction_merges_microbatch_files(spark, tmp_path):
+    """Append-heavy trees compact to one file per partition with identical
+    data (count + sum invariants)."""
+    import glob
+
+    from billing_data_pipeline_spark.sources.partitioned_sink import (
+        compact_partitions,
+        read_hive_partitioned,
+    )
+
+    path = str(tmp_path / "appendy")
+    for batch in range(4):  # simulate 4 micro-batch appends
+        spark.createDataFrame(
+            [(batch * 10 + i, 2025, 1 + (i % 2)) for i in range(10)],
+            "id long, year int, month int",
+        ).write.mode("append").partitionBy("year", "month").parquet(path)
+
+    before = read_hive_partitioned(spark, path)
+    n_before, sum_before = before.count(), before.agg({"id": "sum"}).first()[0]
+    assert len(glob.glob(f"{path}/year=2025/month=1/*.parquet")) >= 4
+
+    compact_partitions(spark, path, ["year", "month"], sort_cols=["id"])
+    after = read_hive_partitioned(spark, path)
+    assert after.count() == n_before
+    assert after.agg({"id": "sum"}).first()[0] == sum_before
+    assert len(glob.glob(f"{path}/year=2025/month=1/*.parquet")) == 1
