@@ -50,6 +50,7 @@ def dedup_append(
     keys: Sequence[str],
     existing_filter: Column | None = None,
     dedup_batch: bool = True,
+    strict: bool = False,
 ) -> DataFrame:
     """Rows of ``batch`` whose natural key is absent from ``existing``.
 
@@ -61,12 +62,35 @@ def dedup_append(
     shuffle of the batch): use it when the batch is known key-unique — the
     anti-join itself then needs no batch-side shuffle at all (broadcast
     existing keys).
+
+    ``strict=True`` replicates the reference's UNIQUE-constraint behavior
+    (ingest.py:190): intra-batch duplicate keys abort the load with
+    ``ValueError`` instead of being silently collapsed. (NULL-keyed rows
+    are never duplicates of each other, same as SQL UNIQUE.)
     """
     keys = list(keys)
     existing_keys = existing.select(*keys)
     if existing_filter is not None:
         existing_keys = existing_keys.filter(existing_filter)
-    clean = dedup_within_batch(batch, keys) if dedup_batch else batch
+    if strict:
+        non_null = batch.na.drop(subset=keys)
+        dupes = (
+            non_null.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
+        )
+        if dupes:
+            key_vals = {k: dupes[0][k] for k in keys}
+            raise ValueError(
+                f"strict dedup_append: intra-batch duplicate natural key {key_vals} "
+                "(reference UNIQUE-constraint semantics, ingest.py:190)"
+            )
+    # strict mode: the batch just passed the uniqueness check, and
+    # dropDuplicates would collapse NULL-keyed rows (it treats NULLs as
+    # equal — SQL UNIQUE does not), so skip the in-batch collapse entirely.
+    clean = (
+        batch
+        if strict
+        else (dedup_within_batch(batch, keys) if dedup_batch else batch)
+    )
     return clean.join(existing_keys, on=keys, how="left_anti")
 
 

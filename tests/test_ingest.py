@@ -107,3 +107,24 @@ def test_ledger_skips_unchanged_reprocesses_changed(spark, tmp_path):
         led.filter(F.col("filename") == "billing-2.csv").first()["file_hash"]
         == new_hash["billing-2.csv"]
     )
+
+
+def test_strict_dedup_append_replicates_unique_violation(spark):
+    """strict=True aborts on intra-batch duplicate keys (the reference's
+    UNIQUE constraint, ingest.py:190); NULL-keyed rows never count as
+    duplicates (SQL UNIQUE semantics)."""
+    import pytest
+
+    from billing_data_pipeline_spark.operators.ingest import dedup_append
+
+    existing = spark.createDataFrame([], "k string, v int")
+    dup_batch = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "k string, v int"
+    )
+    with pytest.raises(ValueError, match="duplicate natural key"):
+        dedup_append(dup_batch, existing, ["k"], strict=True)
+
+    null_batch = spark.createDataFrame(
+        [(None, 1), (None, 2), ("b", 3)], "k string, v int"
+    )
+    assert dedup_append(null_batch, existing, ["k"], strict=True).count() == 3
