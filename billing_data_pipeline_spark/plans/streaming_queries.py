@@ -270,3 +270,26 @@ def streaming_session_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sdf = session_stats_stream(_stream_events(spark, sf_dir))
     return run_to_memory(sdf, f"sess_catchup_{uuid.uuid4().hex[:8]}", "complete")
+
+
+@register(
+    "streaming_sliding_catchup",
+    tags=("streaming", "window", "true-stream"),
+    oracle=f"""
+SELECT (({TS_US} // 300000000) - off.o) * 300 AS window_start_sec,
+       COUNT(*) AS n
+FROM events, (VALUES (0), (1)) AS off(o)
+GROUP BY 1
+""",
+)
+def streaming_sliding_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming sliding windows (10 min / 5 min slide) drained with
+    AvailableNow into a memory sink — completes the true-stream trio
+    (tumbling / session / sliding), each hash-checked against the same
+    oracle as its batch twin."""
+    import uuid
+
+    from ..streaming.event_windows import run_to_memory, sliding_volume_stream
+
+    sdf = sliding_volume_stream(_stream_events(spark, sf_dir))
+    return run_to_memory(sdf, f"slide_catchup_{uuid.uuid4().hex[:8]}", "complete")
