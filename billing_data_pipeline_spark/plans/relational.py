@@ -791,3 +791,83 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_sum(revenue()).cast("double").alias("revenue"),
         F.count("*").alias("line_count"),
     )
+
+
+@register(
+    "window_function_matrix",
+    tags=("window", "matrix"),
+    oracle="""
+SELECT event_id, user_id,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd,
+       first_value(value) OVER w AS first_v,
+       last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS last_v,
+       nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING) AS second_v
+FROM events
+WHERE user_id % 25 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def window_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking/navigation window surface in one query: percent_rank,
+    cume_dist (running frames) and first/last/nth_value (full frames) per
+    user timeline. Rank math is exact integer-ratio arithmetic — identical
+    doubles on both engines; all windows share one user-keyed shuffle."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    running = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    full = running.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.percent_rank().over(running).alias("pr"),
+        F.cume_dist().over(running).alias("cd"),
+        F.first("value").over(running).alias("first_v"),
+        F.last("value").over(full).alias("last_v"),
+        F.nth_value("value", 2).over(full).alias("second_v"),
+    )
+
+
+@register(
+    "user_top3_value_mass",
+    tags=("ext", "array", "hof"),
+    oracle="""
+SELECT user_id,
+       CAST(len(vals) AS BIGINT) AS n_events,
+       list_reduce(
+           CASE WHEN len(vals) >= 3 THEN vals[1:3] ELSE vals END,
+           (x, y) -> x + y) AS top3_mass
+FROM (
+    SELECT user_id,
+           list_sort(list(value), 'DESC') AS vals
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY user_id
+)
+""",
+)
+def user_top3_value_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order pipeline: per user, collect event values ->
+    sort desc -> slice top 3 -> fold-sum, entirely in JVM array built-ins
+    (collect_list + array_sort + slice + aggregate — no window, no second
+    shuffle, no UDF). Fixed fold order over a deterministic sorted slice
+    keeps the double bit-identical to the oracle's list_reduce."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    grouped = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("value"), asc=False).alias("vals")
+    )
+    top3 = F.slice(F.col("vals"), 1, 3)
+    return grouped.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.aggregate(
+            F.slice(top3, 2, 2),
+            F.element_at(top3, 1),
+            lambda acc, x: acc + x,
+        ).alias("top3_mass"),
+    )
