@@ -871,3 +871,243 @@ def user_top3_value_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("top3_mass"),
     )
+
+
+@register(
+    "customer_order_distribution",
+    tags=("join", "outer", "tpch:q13-shape"),
+    oracle="""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: LEFT OUTER join so zero-order customers survive
+    with c_count=0, then a second aggregation over the first's output (a
+    distribution of counts). The outer join's extra predicate lives in the
+    join condition, not a WHERE (which would turn it inner). Second groupBy
+    keys on ~tens of distinct counts -> map-side combine collapses it;
+    only the per-customer agg moves real data."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "part_supplier_variety",
+    tags=("join", "anti", "tpch:q16-shape"),
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#15'
+  AND p.p_type NOT LIKE 'MEDIUM%'
+  AND p.p_size IN (1, 4, 7, 10)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+)
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped: NOT IN over a non-null key compiles to a left-anti
+    join against a tiny broadcast exclusion set (suppliers in arrears
+    stand in for the reference shape's complaint filter); part dim filtered
+    then broadcast; one exact COUNT(DISTINCT) per (brand,type,size) group.
+    The fact table never shuffles before the grouped distinct."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#15")
+            & ~F.col("p_type").startswith("MEDIUM")
+            & F.col("p_size").isin(1, 4, 7, 10)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "lone_failed_supplier_orders",
+    tags=("join", "subquery", "tpch:q21-shape"),
+    oracle="""
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+""",
+)
+def lone_failed_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped double correlation (EXISTS + NOT EXISTS over the
+    same fact), hand-decorrelated: one grouped pass over lineitem computes
+    per-order distinct-supplier and distinct-returning-supplier counts;
+    'another supplier exists' <=> nsupp >= 2, 'no other supplier returned'
+    <=> nrsupp = 1 (l1 itself returns, so it is the only one). Two
+    correlated self-joins collapse into one reusable aggregate joined on
+    l_orderkey — at 100 TB that is one shuffle of (orderkey, 2 longs)
+    instead of two full fact-fact semi-joins."""
+    li = t(spark, sf_dir, "lineitem")
+    ord_stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("nrsupp"),
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        l1.join(o, l1.l_orderkey == o.o_orderkey)
+        .join(ord_stats, "l_orderkey")
+        .filter((F.col("nsupp") >= 2) & (F.col("nrsupp") == 1))
+        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "idle_rich_customers",
+    tags=("subquery", "anti", "tpch:q22-shape"),
+    oracle=f"""
+SELECT c.c_nationkey AS cntry,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       {dsum_sql('c.c_acctbal')} AS totacctbal
+FROM customer c
+WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND c.c_acctbal > (
+      SELECT {dsum_sql('c2.c_acctbal')} / COUNT(c2.c_acctbal)
+      FROM customer c2
+      WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+""",
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: attribute-set filter (nationkey stands in for the
+    phone prefix the reduced schema lacks), an uncorrelated scalar-avg
+    subquery as the threshold, and NOT EXISTS orders as a left-anti join.
+    The scalar rides a one-row broadcast cross join; the threshold avg is
+    exact-decimal sum / count so both engines compare against the identical
+    double. Anti-join probes only o_custkey (column-pruned)."""
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    c = t(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(nations))
+    threshold = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (exact_sum("c_acctbal").cast("double") / F.count("c_acctbal")).alias(
+                "avg_bal"
+            )
+        )
+    )
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            exact_sum("c_acctbal").cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "nation_pair_trade_volume",
+    tags=("join", "tpch:q7-shape"),
+    oracle=f"""
+SELECT n1.n_name AS cust_nation,
+       n2.n_name AS supp_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+       {dsum_sql(REVENUE_SQL)} AS volume
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+GROUP BY cust_nation, supp_nation, ship_year
+""",
+)
+def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: the nation dim joins twice under different roles
+    (customer's vs supplier's) with a disjunctive pair predicate that only
+    references both sides post-join. Each nation alias is pre-filtered to
+    the two named rows, so the pair predicate drops to a residual over a
+    4-row cross space while both dim joins broadcast; the facts meet in the
+    one genuine shuffle (orders x lineitem on orderkey)."""
+    pair = ["NATION_3", "NATION_7"]
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = (
+        t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair))
+        .select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    n2 = (
+        t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair))
+        .select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return joined.groupBy(
+        "cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year")
+    ).agg(exact_sum(revenue()).cast("double").alias("volume"))
