@@ -72,6 +72,7 @@ def load_catalog() -> dict[str, QuerySpec]:
         stats,
         streaming_queries,
         temporal_joins,
+        tpch_extra,
     )
 
     return QUERIES
