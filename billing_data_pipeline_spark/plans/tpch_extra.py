@@ -71,45 +71,49 @@ WITH unit AS (
            MIN(l_extendedprice / l_quantity) AS unit_price
     FROM lineitem GROUP BY l_partkey, l_suppkey
 ),
-best AS (
-    SELECT l_partkey, MIN(unit_price) AS best_price
-    FROM unit GROUP BY l_partkey
+win AS (
+    SELECT l_partkey, unit_price,
+           MIN(unit_price) OVER (PARTITION BY l_partkey) AS best_price
+    FROM unit
 )
-SELECT u.l_partkey AS partkey,
-       b.best_price AS best_price,
+SELECT l_partkey AS partkey,
+       best_price,
        CAST(COUNT(*) AS BIGINT) AS suppliers_at_best
-FROM unit u
-JOIN best b ON u.l_partkey = b.l_partkey AND u.unit_price = b.best_price
-GROUP BY u.l_partkey, b.best_price
+FROM win
+WHERE unit_price = best_price
+GROUP BY partkey, best_price
 ORDER BY partkey
 LIMIT 100
 """,
 )
 def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q2-shaped correlated-min (argmin join-back), on lineitem in
-    place of the absent partsupp: per (part, supplier) minimum effective
-    unit price, then the per-part global min, joined back to find the
-    suppliers achieving it. Both grouped subplans and the join-back key on
-    l_partkey, so after the first shuffle everything is co-partitioned —
-    no second exchange appears at any scale. unit_price is one IEEE
-    division of identical stored doubles on both engines, and MIN is
-    order-insensitive, so the equality join-back is bit-exact."""
+    """TPC-H Q2-shaped correlated-min (argmin), on lineitem in place of the
+    absent partsupp: per (part, supplier) minimum effective unit price,
+    then the suppliers achieving the per-part global min. The correlated
+    scalar min is a window-min instead of a grouped-min join-back: after
+    the map-side-combined groupBy shuffle, only the distinct (part,
+    supplier) pairs move again to cluster on l_partkey, and from there
+    HashPartitioning(l_partkey) satisfies the window, the filter, and the
+    regroup — no further exchange. The join-back formulation costs two
+    extra exchanges because its join key widens to include the float
+    value.
+    unit_price is one IEEE division of identical stored doubles on both
+    engines and MIN is order-insensitive, so the equality filter is
+    bit-exact."""
+    from pyspark.sql.window import Window
+
     li = t(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_suppkey",
         (F.col("l_extendedprice") / F.col("l_quantity")).alias("up"),
     )
     unit = li.groupBy("l_partkey", "l_suppkey").agg(F.min("up").alias("unit_price"))
-    best = unit.groupBy(F.col("l_partkey").alias("bp_partkey")).agg(
-        F.min("unit_price").alias("best_price")
+    win = unit.withColumn(
+        "best_price", F.min("unit_price").over(Window.partitionBy("l_partkey"))
     )
     return (
-        unit.join(
-            best,
-            (unit.l_partkey == best.bp_partkey)
-            & (unit.unit_price == best.best_price),
-        )
-        .groupBy(unit.l_partkey.alias("partkey"), best.best_price)
+        win.filter(F.col("unit_price") == F.col("best_price"))
+        .groupBy(F.col("l_partkey").alias("partkey"), F.col("best_price"))
         .agg(F.count("*").alias("suppliers_at_best"))
         .orderBy("partkey")
         .limit(100)
