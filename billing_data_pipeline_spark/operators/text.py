@@ -236,3 +236,82 @@ ranked AS (
 SELECT {id_col}, term, CAST(rank AS BIGINT) AS rank, tfidf
 FROM ranked WHERE rank <= {k}
 """
+
+
+def chunk_tokens(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = 32,
+    stride: int = 24,
+):
+    """Overlapping token-window chunking — the canonical LLM-training prep
+    step (context-window packing). Whitespace tokens, chunk starts at every
+    ``stride`` tokens, each chunk up to ``chunk`` tokens (tail chunks
+    shorter, every token covered when stride <= chunk). Pure built-ins:
+    split -> filter('') -> sequence -> explode -> slice -> array_join, all
+    inside whole-stage codegen. The explode multiplies rows by
+    ~n_tokens/stride BEFORE any shuffle, but chunking is shuffle-free
+    (per-row generate), so at 100 TB it streams: scan task in, chunk rows
+    out, no exchange. Deterministic — no RNG, no timestamps.
+    """
+    if stride <= 0 or chunk <= 0:
+        raise ValueError("chunk and stride must be positive")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    out = (
+        df.select(id_col, toks.alias("_toks"))
+        .select(
+            id_col,
+            "_toks",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size("_toks") - 1, F.lit(0)),
+                    F.lit(stride),
+                )
+            ).alias("_start"),
+        )
+        .select(
+            id_col,
+            (F.col("_start") / stride).cast("int").alias("chunk_idx"),
+            F.slice(F.col("_toks"), F.col("_start") + 1, chunk).alias("_ck"),
+        )
+        .filter(F.size("_ck") > 0)
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("_ck").alias("n_chunk_tokens"),
+            F.array_join(F.col("_ck"), " ").alias("chunk_text"),
+        )
+    )
+    return out
+
+
+def chunk_tokens_oracle_sql(
+    table: str, id_col: str, text_col: str, chunk: int, stride: int
+) -> str:
+    """DuckDB twin of chunk_tokens. range() excludes its stop where Spark's
+    sequence includes it, hence greatest(len,1) vs greatest(len-1,0); list
+    slicing tk[s+1 : s+chunk] is 1-based inclusive = slice(tk, s+1, chunk)."""
+    return f"""
+WITH toks AS (
+    SELECT {id_col},
+           list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x <> '') AS tk
+    FROM {table}
+),
+st AS (
+    SELECT {id_col}, tk,
+           unnest(range(0, greatest(len(tk), 1), {stride})) AS start
+    FROM toks
+),
+ck AS (
+    SELECT {id_col},
+           CAST(start / {stride} AS INTEGER) AS chunk_idx,
+           tk[start + 1 : start + {chunk}] AS ck
+    FROM st
+)
+SELECT {id_col}, chunk_idx,
+       CAST(len(ck) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(ck, ' ') AS chunk_text
+FROM ck WHERE len(ck) > 0
+"""

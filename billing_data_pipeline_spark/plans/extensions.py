@@ -395,6 +395,18 @@ def doc_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.doc_top_terms(t(spark, sf_dir, "documents"), "doc_id", "text", 3)
 
 
+@register(
+    "chunk_documents",
+    tags=("ext", "text", "chunking"),
+    oracle=X.chunk_tokens_oracle_sql("documents", "doc_id", "text", 32, 24),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: overlapping 32-token chunks every 24 tokens
+    over every document — shuffle-free generate inside the scan stage, the
+    canonical LLM-training chunking step."""
+    return X.chunk_tokens(t(spark, sf_dir, "documents"), "doc_id", "text", 32, 24)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling (training-data curation)
 # ---------------------------------------------------------------------------

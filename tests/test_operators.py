@@ -185,3 +185,32 @@ def test_samplers_deterministic_and_stable_under_corpus_change(spark):
     for r in per:
         counts[r["grp"]] = counts.get(r["grp"], 0) + 1
     assert counts == {"0": 7, "1": 7, "2": 7, "3": 7}
+
+
+def test_chunk_tokens_edges(spark):
+    from billing_data_pipeline_spark.operators.text import chunk_tokens
+
+    docs = spark.createDataFrame(
+        [
+            ("empty", ""),
+            ("short", "a b"),
+            ("exact", "t1 t2 t3 t4"),          # == chunk size
+            ("overlap", "w1 w2 w3 w4 w5 w6 w7"),  # chunk 4, stride 3
+            ("spacey", "  x   y  "),            # leading/multi whitespace
+        ],
+        "doc_id string, text string",
+    )
+    out = chunk_tokens(docs, chunk=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert "empty" not in by_doc  # zero tokens -> zero chunks
+    assert [c.chunk_text for c in by_doc["short"]] == ["a b"]
+    assert [c.chunk_text for c in by_doc["exact"]] == ["t1 t2 t3 t4", "t4"]
+    # starts 0,3,6: full window, full window, 1-token tail; stride<chunk
+    # means token w4 appears in two chunks (the overlap)
+    ov = sorted(by_doc["overlap"], key=lambda c: c.chunk_idx)
+    assert [c.chunk_text for c in ov] == ["w1 w2 w3 w4", "w4 w5 w6 w7", "w7"]
+    assert [c.n_chunk_tokens for c in ov] == [4, 4, 1]
+    assert [c.chunk_idx for c in ov] == [0, 1, 2]
+    assert [c.chunk_text for c in by_doc["spacey"]] == ["x y"]
