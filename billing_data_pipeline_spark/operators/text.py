@@ -315,3 +315,105 @@ SELECT {id_col}, chunk_idx,
        array_to_string(ck, ' ') AS chunk_text
 FROM ck WHERE len(ck) > 0
 """
+
+
+def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher/C4-style repetition quality metrics per document: token count,
+    distinct-token count, type-token ratio, share of the most frequent
+    token, and share of the most frequent bigram. High top-shares flag
+    boilerplate/repetition for training-data filtering.
+
+    Shape: one token-array projection feeds a unigram explode and a bigram
+    explode; each aggregates per (doc, gram) then per doc — grouping keys
+    are doc-sized, so shuffles carry per-doc gram counts, never the corpus
+    text. All ratios are single IEEE divisions of identical integer
+    operands on both engines. Bigram arrays need a size>=2 guard because
+    Spark's sequence(1, 0) infers a NEGATIVE step and yields [1, 0] rather
+    than an empty array.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda x: x != ""
+    )
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    uni = (
+        base.select(id_col, F.explode("_toks").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("distinct_tokens"),
+            F.max("c").alias("top_token_count"),
+        )
+    )
+    bigrams = F.expr(
+        "CASE WHEN size(_toks) >= 2 THEN "
+        "transform(sequence(1, size(_toks) - 1), "
+        "i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1))) "
+        "ELSE array() END"
+    )
+    big = (
+        base.select(id_col, F.explode(bigrams).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_count"))
+    )
+    return (
+        uni.join(big, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "distinct_tokens",
+            (F.col("distinct_tokens") / F.col("n_tokens")).alias("type_token_ratio"),
+            (F.col("top_token_count") / F.col("n_tokens")).alias("top_token_share"),
+            (F.col("top_bigram_count") / F.col("n_bigrams")).alias("top_bigram_share"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def repetition_stats_oracle_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of repetition_stats (same token regex, same size guard;
+    range(1, len) excludes the stop = Spark's sequence(1, len-1))."""
+    return f"""
+WITH base AS (
+    SELECT {id_col},
+           list_filter(string_split_regex(lower({text_col}), '[^a-z]+'),
+                       x -> x <> '') AS tk
+    FROM {table}
+),
+uni_counts AS (
+    SELECT {id_col}, unnest(tk) AS g FROM base
+),
+uni_gc AS (
+    SELECT {id_col}, g, COUNT(*) AS c FROM uni_counts GROUP BY {id_col}, g
+),
+uni AS (
+    SELECT {id_col}, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS distinct_tokens,
+           CAST(MAX(c) AS BIGINT) AS top_token_count
+    FROM uni_gc GROUP BY {id_col}
+),
+big_counts AS (
+    SELECT {id_col}, unnest(
+        CASE WHEN len(tk) >= 2
+             THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+             ELSE [] END) AS g
+    FROM base
+),
+big_gc AS (
+    SELECT {id_col}, g, COUNT(*) AS c FROM big_counts GROUP BY {id_col}, g
+),
+big AS (
+    SELECT {id_col}, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(MAX(c) AS BIGINT) AS top_bigram_count
+    FROM big_gc GROUP BY {id_col}
+)
+SELECT u.{id_col}, u.n_tokens, u.distinct_tokens,
+       (u.distinct_tokens / u.n_tokens) AS type_token_ratio,
+       (u.top_token_count / u.n_tokens) AS top_token_share,
+       (b.top_bigram_count / b.n_bigrams) AS top_bigram_share
+FROM uni u LEFT JOIN big b ON u.{id_col} = b.{id_col}
+ORDER BY u.{id_col}
+"""

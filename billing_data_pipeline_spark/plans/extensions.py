@@ -396,6 +396,18 @@ def doc_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_repetition_stats",
+    tags=("ext", "text", "quality"),
+    oracle=X.repetition_stats_oracle_sql("documents", "doc_id", "text"),
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (type-token ratio, top-token and
+    top-bigram share) per document — the boilerplate/repetition filter of
+    a training-data quality stack."""
+    return X.repetition_stats(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
     "chunk_documents",
     tags=("ext", "text", "chunking"),
     oracle=X.chunk_tokens_oracle_sql("documents", "doc_id", "text", 32, 24),

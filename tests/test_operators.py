@@ -214,3 +214,21 @@ def test_chunk_tokens_edges(spark):
     assert [c.n_chunk_tokens for c in ov] == [4, 4, 1]
     assert [c.chunk_idx for c in ov] == [0, 1, 2]
     assert [c.chunk_text for c in by_doc["spacey"]] == ["x y"]
+
+
+def test_repetition_stats_edges(spark):
+    from billing_data_pipeline_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            ("one", "hello"),                  # 1 token: no bigrams -> NULL share
+            ("rep", "a a a b"),                # top token 3/4, top bigram 'a a' 2/3
+            ("uniq", "x y z"),                 # ttr 1.0
+        ],
+        "doc_id string, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert rows["one"].n_tokens == 1 and rows["one"].top_bigram_share is None
+    assert rows["rep"].top_token_share == 0.75
+    assert abs(rows["rep"].top_bigram_share - 2 / 3) < 1e-12
+    assert rows["uniq"].type_token_ratio == 1.0
