@@ -101,3 +101,38 @@ def test_partition_paths_roundtrip(start, n_days):
         assert (int(parsed["year"]), int(parsed["month"]), int(parsed["day"])) == (
             d.year, d.month, d.day,
         )
+
+
+token_lists = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=3), min_size=0, max_size=20
+)
+
+
+@SLOW
+@given(tokens=token_lists, chunk=st.integers(1, 8), overlap=st.integers(0, 7))
+def test_chunk_tokens_covers_every_token(spark, tokens, chunk, overlap):
+    """For any stride <= chunk: chunk starts are exact stride multiples,
+    every token appears in at least one chunk, no chunk exceeds the window,
+    and with stride == chunk the chunks partition the document exactly."""
+    from billing_data_pipeline_spark.operators.text import chunk_tokens
+
+    stride = max(1, chunk - min(overlap, chunk - 1))  # 1 <= stride <= chunk
+    df = spark.createDataFrame([("d", " ".join(tokens))], "doc_id string, text string")
+    out = sorted(
+        chunk_tokens(df, chunk=chunk, stride=stride).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    if not tokens:
+        assert out == []
+        return
+    assert [r.chunk_idx for r in out] == list(range(len(out)))
+    covered = []
+    for r in out:
+        got = r.chunk_text.split(" ")
+        start = r.chunk_idx * stride
+        assert got == tokens[start : start + chunk]
+        assert 1 <= r.n_chunk_tokens <= chunk
+        covered.extend(range(start, start + len(got)))
+    assert set(covered) == set(range(len(tokens)))
+    if stride == chunk:  # non-overlapping: exact partition
+        assert " ".join(r.chunk_text for r in out) == " ".join(tokens)
