@@ -160,10 +160,13 @@ def vocabulary_stats(df, id_col: str = "doc_id", text_col: str = "text"):
 
 def doc_top_terms(df, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
     """Per-document top-k terms by tf-idf (deterministic tiebreak on term).
-    tf = groupBy(doc, term); idf joins in broadcast (vocabulary is orders
-    of magnitude smaller than the corpus — even a 1M-term vocab broadcasts);
-    per-doc ranking is a window over doc_id partitions, which shuffles by
-    doc — the natural key, no skew."""
+    tf = groupBy(doc, term); doc_freq is a window-count over the term
+    partition of those SAME tf rows — one row per (doc, term) pair is by
+    construction one row per containing doc, so no second corpus pass and
+    no idf join exist at all (the grouped-subplan + broadcast-join
+    formulation ran the corpus explode twice: divergent column pruning
+    defeats Spark's ReusedExchange). Per-doc ranking is a window over
+    doc_id partitions — the natural key, no skew."""
     from pyspark.sql import Window
 
     tf = (
@@ -171,16 +174,15 @@ def doc_top_terms(df, id_col: str = "doc_id", text_col: str = "text", k: int = 3
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
-    # doc_freq from tf, not from a second pass over the tokens: (doc,term)
-    # rows ARE the distinct pairs, so the corpus explode runs once and the
-    # term-level shuffle carries pre-aggregated rows.
-    per_term = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
     n_docs = df.agg(F.count("*").alias("n_docs"))
-    idf = per_term.crossJoin(F.broadcast(n_docs)).select(
-        "term", _idf(F.col("doc_freq"), F.col("n_docs")).alias("idf")
-    )
-    scored = tf.join(F.broadcast(idf), "term").select(
-        id_col, "term", (F.col("tf") * F.col("idf")).alias("tfidf")
+    scored = (
+        tf.withColumn("doc_freq", F.count("*").over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            (F.col("tf") * _idf(F.col("doc_freq"), F.col("n_docs"))).alias("tfidf"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (
