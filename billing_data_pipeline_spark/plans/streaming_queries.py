@@ -134,6 +134,38 @@ def streaming_tumbling_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(sdf, f"catchup_{uuid.uuid4().hex[:8]}", "complete")
 
 
+@register(
+    "streaming_interval_join_catchup",
+    tags=("streaming", "join", "true-stream"),
+    oracle=f"""
+WITH ev AS (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+)
+SELECT c.user_id,
+       c.event_id AS left_id,
+       p.event_id AS right_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM ev c
+JOIN ev p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+)
+def streaming_interval_join_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream interval join (click->purchase within 30 min per
+    user), drained with Trigger.AvailableNow in append mode and checked
+    against the batch interval-join oracle under the exact-hash gate.
+    Watermarks on both branches + two-sided time bound keep join state
+    finite on an unbounded stream; lag is exact integer microseconds."""
+    import uuid
+
+    from ..streaming.event_windows import interval_join_stream, run_to_memory
+
+    sdf = interval_join_stream(_stream_events(spark, sf_dir))
+    return run_to_memory(sdf, f"ssjoin_{uuid.uuid4().hex[:8]}", "append")
+
+
 @register("streaming_stateful_totals", tags=("streaming", "stateful", "true-stream"))
 def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState per-user running totals drained with

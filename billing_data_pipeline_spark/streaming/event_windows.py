@@ -112,6 +112,52 @@ def streaming_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def interval_join_stream(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    lag_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval self-join: each ``right_type`` event joined to
+    every same-user ``left_type`` event it follows within ``lag_minutes``
+    (click->purchase attribution as an unbounded join). Both branches carry
+    watermarks and the join condition bounds BOTH event-time columns, which
+    is what lets Spark expire join state: a click older than
+    watermark + lag can never match again and is dropped. Inner join =>
+    matches emit as they form (append mode); state is
+    O(events within the watermark horizon), constant in stream length.
+    """
+    c = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("left_id"),
+            F.col("ts").alias("left_ts"),
+        )
+        .withWatermark("left_ts", watermark)
+    )
+    p = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("right_id"),
+            F.col("ts").alias("right_ts"),
+        )
+        .withWatermark("right_ts", watermark)
+    )
+    cond = F.expr(
+        "c_user = p_user AND right_ts >= left_ts "
+        f"AND right_ts <= left_ts + interval {int(lag_minutes)} minutes"
+    )
+    return c.join(p, cond).select(
+        F.col("c_user").alias("user_id"),
+        "left_id",
+        "right_id",
+        (F.unix_micros("right_ts") - F.unix_micros("left_ts")).alias("lag_us"),
+    )
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:
