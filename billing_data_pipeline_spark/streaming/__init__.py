@@ -13,6 +13,7 @@ capabilities are native Structured Streaming:
 """
 
 from .event_windows import (  # noqa: F401
+    interval_join_stream,
     read_event_stream,
     run_to_memory,
     session_stats_stream,

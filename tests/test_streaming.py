@@ -226,3 +226,40 @@ def test_stateful_user_totals_accumulates_across_batches(spark, tmp_path):
     )
     assert list(last["user_id"]) == list(expected["user_id"])
     assert list(last["n_events"]) == list(expected["n_events"])
+
+
+def test_interval_join_matches_across_micro_batches(spark, tmp_path):
+    """Stream-stream join state persists across micro-batches: clicks and
+    purchases arrive in SEPARATE files processed one per trigger, and
+    matches within the 30-minute bound still form; a purchase outside the
+    bound never joins."""
+    from datetime import datetime, timedelta
+
+    from billing_data_pipeline_spark.streaming import interval_join_stream
+
+    t0 = datetime(2025, 6, 1, 12, 0, 0)
+
+    def ev(eid, dt_min, uid, etype):
+        return (eid, t0 + timedelta(minutes=dt_min), uid, etype, 1.0, "{}")
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = tmp_path / "ss_join"
+    src.mkdir()
+    clicks = [ev(1, 0, 100, "click"), ev(2, 10, 200, "click")]
+    purchases = [
+        ev(11, 5, 100, "purchase"),    # matches click 1 (lag 5 min)
+        ev(12, 51, 200, "purchase"),   # 41 min after click 2 -> no match
+        ev(13, 20, 100, "purchase"),   # matches click 1 (lag 20 min)
+    ]
+    spark.createDataFrame(clicks, schema).coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(purchases, schema).coalesce(1).write.parquet(str(src / "b"))
+
+    stream = read_event_stream(spark, str(src) + "/*", max_files_per_trigger=1)
+    got = run_to_memory(interval_join_stream(stream), "t_ssjoin", "append")
+    assert _rows(got, "left_id", "right_id", "lag_us") == [
+        (1, 11, 5 * 60 * 1_000_000),
+        (1, 13, 20 * 60 * 1_000_000),
+    ]
