@@ -1,0 +1,124 @@
+"""[EXT] The remaining tiers of Spark's user-defined-function surface
+(SURVEY.md §2.10): a Python UDTF (table function) and a grouped-aggregate
+pandas UDAF. The reference registers zero engine UDFs (all custom logic is
+host Python between queries) and this engine keeps that stance — built-in
+column expressions first, Arrow-vectorized pandas UDFs where Python is
+unavoidable (similarity/multimodal kernels), and these two entries complete
+the API coverage for the cases the other tiers can't express:
+
+- UDTF: one input row -> many output rows with *stateful per-row logic*
+  (run-length encoding needs sequential state a generator expresses
+  naturally; the pure-SQL equivalent is a lag + change-marker + cumulative
+  window chain, which the DuckDB oracle uses to prove equivalence).
+- grouped-agg pandas UDAF: a whole-group reduction to one scalar where the
+  reduction is a selection (median), not a mergeable sum — Arrow ships the
+  group as one pandas Series, NumPy reduces it vectorized.
+
+Both are exact-integer / order-free-selection computations, so they sit
+under the driver's exact-hash oracle gate despite crossing the Python
+boundary.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+TOKEN_RE = re.compile(r"[^a-z]+")
+
+
+class TokenRunsUDTF:
+    """Run-length encoder over a document's token stream: one row per
+    maximal run of identical consecutive tokens, with the 1-based token
+    position where the run starts. Sequential state (current run) lives in
+    plain Python locals — the natural UDTF shape."""
+
+    def eval(self, text: str):  # noqa: D102 — UDTF contract method
+        if text is None:
+            return
+        toks = [t for t in TOKEN_RE.split(text.lower()) if t]
+        if not toks:
+            return
+        run_start, run_term = 1, toks[0]
+        for i, tok in enumerate(toks[1:], start=2):
+            if tok != run_term:
+                yield run_start, run_term, i - run_start
+                run_start, run_term = i, tok
+        yield run_start, run_term, len(toks) + 1 - run_start
+
+
+def token_runs(spark, docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Lateral-apply the run-length UDTF per document. The UDTF evaluates
+    inside the scan stage (no shuffle); rows fan out like any generator."""
+    # udtf()/pandas_udf() parse their return types against the active
+    # session, so construction is deferred to call time (a module-level
+    # decorator would demand a SparkContext at import).
+    spark.udtf.register(
+        "token_runs_udtf",
+        udtf(TokenRunsUDTF, returnType="run_start int, term string, run_len int"),
+    )
+    view = f"_docs_for_runs_{abs(hash((id_col, text_col))) % 10**8}"
+    docs.createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT d.{id_col}, r.run_start, r.term, r.run_len "
+        f"FROM {view} d, LATERAL token_runs_udtf(d.{text_col}) r"
+    )
+
+
+def token_runs_oracle_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin: the same run-length encoding as a lag + change-marker +
+    cumulative-sum window chain — the SQL shape the UDTF replaces."""
+    return f"""
+WITH toks AS (
+    SELECT {id_col},
+           unnest(list_filter(string_split_regex(lower({text_col}), '[^a-z]+'),
+                              x -> x <> '')) AS term,
+           generate_subscripts(list_filter(string_split_regex(lower({text_col}),
+                              '[^a-z]+'), x -> x <> ''), 1) AS pos
+    FROM {table}
+),
+marked AS (
+    SELECT {id_col}, term, pos,
+           CASE WHEN lag(term) OVER w IS DISTINCT FROM term THEN 1 ELSE 0 END AS chg
+    FROM toks WINDOW w AS (PARTITION BY {id_col} ORDER BY pos)
+),
+runs AS (
+    SELECT {id_col}, term, pos,
+           SUM(chg) OVER (PARTITION BY {id_col} ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM marked
+)
+SELECT {id_col},
+       CAST(MIN(pos) AS INTEGER) AS run_start,
+       term,
+       CAST(COUNT(*) AS INTEGER) AS run_len
+FROM runs
+GROUP BY {id_col}, run_id, term
+"""
+
+
+def _median_udaf():
+    @pandas_udf("double")
+    def median_udaf(v: pd.Series) -> float:
+        # np.median on an even count is (a+b)/2 of the two middle elements —
+        # the same single IEEE interpolation DuckDB's median()/quantile_cont
+        # performs, and a pure selection otherwise: order-insensitive, exact.
+        arr = v.dropna().to_numpy()
+        return float(np.median(arr)) if arr.size else None
+
+    return median_udaf
+
+
+def grouped_median(df, group_cols: list[str], value_col: str):
+    """Per-group median via a grouped-aggregate pandas UDAF: Arrow ships
+    each group's values as one Series; the group key drives the shuffle
+    exactly like a built-in aggregate (partial aggregation does NOT apply —
+    median is not mergeable, which is why this is the UDAF example and not
+    a built-in rewrite)."""
+    return df.groupBy(*group_cols).agg(
+        _median_udaf()(F.col(value_col)).alias(f"median_{value_col}")
+    )

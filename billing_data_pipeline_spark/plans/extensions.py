@@ -17,6 +17,7 @@ from ..operators import dedup as D
 from ..operators import sampling as SMP
 from ..operators import similarity as S
 from ..operators import text as X
+from ..operators import udf_surface as U
 from ..registry import register
 from ._util import davg_sql, dsum_sql, t
 
@@ -393,6 +394,37 @@ def doc_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 tf-idf terms: tf groupBy shuffled on the doc key,
     idf broadcast, per-doc window rank with term tiebreak."""
     return X.doc_top_terms(t(spark, sf_dir, "documents"), "doc_id", "text", 3)
+
+
+@register(
+    "token_runs_udtf",
+    tags=("ext", "text", "udtf"),
+    oracle=U.token_runs_oracle_sql("documents", "doc_id", "text"),
+)
+def token_runs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF tier of the UDF surface: per-document run-length
+    encoding of the token stream via LATERAL table function (oracle = the
+    lag/change-marker/cumsum window chain it replaces)."""
+    return U.token_runs(spark, t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "udaf_median_event_value",
+    tags=("ext", "udaf", "stats"),
+    oracle="""
+SELECT event_type, median(value) AS median_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def udaf_median_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAF tier: per-event-type median of value
+    (selection/interpolation — not mergeable, hence a true UDAF case;
+    np.median's even-count (a+b)/2 is DuckDB median()'s interpolation)."""
+    return U.grouped_median(
+        t(spark, sf_dir, "events"), ["event_type"], "value"
+    ).orderBy("event_type")
 
 
 @register(
