@@ -188,3 +188,42 @@ def test_new_query_plan_properties(spark):
     # plus the final single-partition fold of per-user rows
     p = plan_of("conversion_funnel")
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_zorder_write_narrows_per_file_ranges_on_both_columns(spark, tmp_path):
+    """Z-order clustering on (l_partkey, l_suppkey): every written file must
+    cover a narrow slice of BOTH columns (=> parquet min-max stats prune
+    scans filtered on either), where the unclustered layout leaves each
+    file spanning nearly the full range."""
+    import pyarrow.parquet as pq
+
+    from billing_data_pipeline_spark.sources.zorder import zorder_write
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_partkey", "l_suppkey")
+    plain_dir, z_dir = str(tmp_path / "plain"), str(tmp_path / "zorder")
+    li.repartition(8).write.parquet(plain_dir)
+    zorder_write(li, z_dir, ["l_partkey", "l_suppkey"], n_files=8)
+
+    import glob
+
+    def avg_span_fraction(path, col):
+        lo = min(r[0] for r in _file_ranges(path, col))
+        hi = max(r[1] for r in _file_ranges(path, col))
+        spans = [(mx - mn) / (hi - lo) for mn, mx in _file_ranges(path, col)]
+        return sum(spans) / len(spans)
+
+    def _file_ranges(path, col):
+        out = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            mn = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+            mx = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+            out.append((mn, mx))
+        return out
+
+    for col in ("l_partkey", "l_suppkey"):
+        assert avg_span_fraction(plain_dir, col) > 0.8   # round-robin: full span
+        assert avg_span_fraction(z_dir, col) < 0.6       # clustered: compact
+    # clustering must not lose or duplicate rows
+    assert spark.read.parquet(z_dir).count() == li.count()
