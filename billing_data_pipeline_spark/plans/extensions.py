@@ -398,6 +398,7 @@ def doc_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "token_runs_udtf",
+    bench=True,
     tags=("ext", "text", "udtf"),
     oracle=U.token_runs_oracle_sql("documents", "doc_id", "text"),
 )
@@ -429,6 +430,7 @@ def udaf_median_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_repetition_stats",
+    bench=True,
     tags=("ext", "text", "quality"),
     oracle=X.repetition_stats_oracle_sql("documents", "doc_id", "text"),
 )
@@ -441,6 +443,7 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "chunk_documents",
+    bench=True,
     tags=("ext", "text", "chunking"),
     oracle=X.chunk_tokens_oracle_sql("documents", "doc_id", "text", 32, 24),
 )
