@@ -341,6 +341,72 @@ def document_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "training_corpus_pipeline",
+    tags=("ext", "text", "chunking", "dedup", "sampling", "composed"),
+    oracle=f"""
+WITH kept AS (
+    SELECT doc_id, text FROM documents
+    WHERE length(text) > 0 AND lang = 'en' AND {_QUALITY} > 0.05
+),
+toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+    FROM kept
+),
+st AS (
+    SELECT doc_id, tk, unnest(range(0, greatest(len(tk), 1), 24)) AS start
+    FROM toks
+),
+chunks AS (
+    SELECT doc_id,
+           CAST(start / 24 AS INTEGER) AS chunk_idx,
+           tk[start + 1 : start + 32] AS ck
+    FROM st
+),
+keyed AS (
+    SELECT doc_id, chunk_idx,
+           CAST(len(ck) AS INTEGER) AS n_chunk_tokens,
+           doc_id * 100000 + chunk_idx AS chunk_key,
+           md5(array_to_string(ck, ' ')) AS chunk_hash
+    FROM chunks WHERE len(ck) > 0
+),
+canon AS (SELECT chunk_hash, MIN(chunk_key) AS keep_key FROM keyed GROUP BY chunk_hash)
+SELECT k.doc_id, k.chunk_idx, k.n_chunk_tokens, k.chunk_hash
+FROM keyed k JOIN canon c ON k.chunk_key = c.keep_key
+WHERE {SMP.hash_bucket_sql('k.chunk_key')} < 60
+""",
+)
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation flow as ONE declarative plan: quality+language
+    filter -> 32/24 context-window chunking -> exact chunk-level dedup
+    (keep-first by deterministic chunk key) -> 60% deterministic hash
+    sample. Catalyst sees a single tree: the doc filters push into the
+    scan, chunking is a shuffle-free generate, dedup is one shuffle on the
+    16-byte hash, and the sample is a data-free predicate — at 100 TB the
+    whole pipeline is scan + explode + one exchange."""
+    docs = t(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0)
+        & (F.col("lang") == "en")
+        & (X.quality_score(F.col("text")) > 0.05)
+    )
+    chunks = X.chunk_tokens(docs.select("doc_id", "text"), "doc_id", "text", 32, 24)
+    keyed = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        (F.col("doc_id") * 100000 + F.col("chunk_idx")).alias("chunk_key"),
+        F.md5("chunk_text").alias("chunk_hash"),
+    )
+    canon = keyed.groupBy("chunk_hash").agg(F.min("chunk_key").alias("keep_key"))
+    survivors = keyed.join(
+        canon, keyed.chunk_key == canon.keep_key, "left_semi"
+    )
+    return survivors.filter(SMP.hash_bucket(F.col("chunk_key")) < 60).select(
+        "doc_id", "chunk_idx", "n_chunk_tokens", "chunk_hash"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns
 # ---------------------------------------------------------------------------
