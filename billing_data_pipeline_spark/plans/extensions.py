@@ -398,10 +398,15 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") * 100000 + F.col("chunk_idx")).alias("chunk_key"),
         F.md5("chunk_text").alias("chunk_hash"),
     )
-    canon = keyed.groupBy("chunk_hash").agg(F.min("chunk_key").alias("keep_key"))
-    survivors = keyed.join(
-        canon, keyed.chunk_key == canon.keep_key, "left_semi"
-    )
+    # keep-first as a window-min over the hash partition, NOT a grouped
+    # subplan semi-joined back: the join formulation evaluates the chunk
+    # explode twice (one per branch — ReusedExchange can't kick in before
+    # the exchange), the window form chunks the corpus exactly once.
+    from pyspark.sql import Window
+
+    survivors = keyed.withColumn(
+        "keep_key", F.min("chunk_key").over(Window.partitionBy("chunk_hash"))
+    ).filter(F.col("chunk_key") == F.col("keep_key"))
     return survivors.filter(SMP.hash_bucket(F.col("chunk_key")) < 60).select(
         "doc_id", "chunk_idx", "n_chunk_tokens", "chunk_hash"
     )

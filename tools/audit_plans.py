@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Physical-plan audit tool — the re-runnable source of PLANS.md's tables.
+
+Usage:
+    python tools/audit_plans.py [query ...]          # plan features per query
+    python tools/audit_plans.py --bench              # warm Spark vs DuckDB timings
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1          # data (default sf0.1)
+
+For each query: executes it (so AQE finalizes), then reports the plan
+features that constitute the scale contract — join strategies, exchange
+count, TakeOrderedAndProject, reused exchanges, pushed filters and pruned
+read schemas. With --bench, times every bench-tagged query warm on both
+engines and prints the comparison table in PLANS.md's format.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from billing_data_pipeline_spark.registry import load_catalog  # noqa: E402
+from billing_data_pipeline_spark.session import get_spark  # noqa: E402
+
+FEATURES = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+    "TakeOrderedAndProject",
+    "Exchange hashpartitioning",
+    "Exchange rangepartitioning",
+    "ReusedExchange",
+    "Window",
+    "Generate explode",
+    "StreamingSymmetricHashJoin",
+)
+
+
+def audit(names: list[str], sf_dir: str) -> None:
+    spark = get_spark(app_name="bdp-plan-audit")
+    cat = load_catalog()
+    for name in names:
+        spec = cat[name]
+        df = spec.fn(spark, sf_dir)
+        df.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        feats = [
+            f"{p}x{n}" for p in FEATURES if (n := len(re.findall(p, plan)))
+        ]
+        print(f"{name} | {', '.join(feats)}")
+        for p in sorted(set(re.findall(r"PushedFilters: \[[^\]]*\]", plan))):
+            if len(p) > 30:
+                print(f"    {p[:160]}")
+        for p in sorted(set(re.findall(r"ReadSchema: struct<[^>]{0,120}", plan))):
+            print(f"    {p[:160]}")
+
+
+def bench_compare(sf_dir: str) -> None:
+    import duckdb
+
+    from billing_data_pipeline_spark.sources.tables import TABLES
+
+    spark = get_spark(app_name="bdp-plan-audit")
+    cat = load_catalog()
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    print("| Query | Spark s | DuckDB s | ratio |")
+    print("|---|---|---|---|")
+    tot_s = tot_d = 0.0
+    for name, spec in sorted(cat.items()):
+        if not spec.bench:
+            continue
+        spec.fn(spark, sf_dir).count()
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).count()
+        s = time.perf_counter() - t0
+        tot_s += s
+        if spec.oracle:
+            con.execute(spec.oracle).fetchall()
+            t0 = time.perf_counter()
+            con.execute(spec.oracle).fetchall()
+            d = time.perf_counter() - t0
+            tot_d += d
+            print(f"| `{name}` | {s:.2f} | {d:.2f} | {s / d:.1f}× |")
+        else:
+            print(f"| `{name}` | {s:.2f} | — (rows-only) | — |")
+    print(f"\nTotals (oracle-checked set): Spark {tot_s:.2f} s, DuckDB {tot_d:.2f} s")
+
+
+if __name__ == "__main__":
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    args = sys.argv[1:]
+    if args and args[0] == "--bench":
+        bench_compare(sf)
+    else:
+        names = args or sorted(load_catalog())
+        audit(names, sf)
