@@ -154,24 +154,30 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
     )
-    c = t(spark, sf_dir, "customer")
-    n1 = t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
-    )
+    # Pre-join each dim chain into ONE broadcast build: market customers
+    # (customer⋈nation⋈region, ASIA only), supplier→nation, filtered part —
+    # three broadcast builds instead of seven (each build is a driver-side
+    # job; collapsing the snowflake into its fact-facing keys is the
+    # standard star-schema flattening and costs nothing at any scale).
+    n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    s = t(spark, sf_dir, "supplier")
-    n2 = t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    cust_market = (
+        t(spark, sf_dir, "customer")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nation = (
+        t(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
     p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
-        .join(F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(cust_market), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
     )
     rev = revenue()
     return (
@@ -214,14 +220,22 @@ def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only shuffle pair."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
-    s = t(spark, sf_dir, "supplier")
-    n = t(spark, sf_dir, "nation")
+    supp_nation = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            t(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
     p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(
+            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
+        )
     )
     amount = revenue() - F.lit(0.01) * F.col("p_retailprice") * F.col("l_quantity")
     return (
