@@ -419,3 +419,76 @@ SELECT u.{id_col}, u.n_tokens, u.distinct_tokens,
 FROM uni u LEFT JOIN big b ON u.{id_col} = b.{id_col}
 ORDER BY u.{id_col}
 """
+
+
+def pack_chunks(chunks, capacity: int, id_col: str = "doc_id",
+                idx_col: str = "chunk_idx", size_col: str = "n_chunk_tokens"):
+    """Greedy sequence packing: walk each document's chunks in order and
+    close the current bin whenever the next chunk would overflow
+    ``capacity`` (a chunk larger than capacity gets its own bin). This is
+    inherently sequential per document — the applyInPandas case: one
+    shuffle on the doc key ships each doc's chunk list to a worker, the
+    loop runs vectorized-adjacent in pandas, and docs pack in parallel.
+    The DuckDB twin is a recursive CTE (pack_chunks_oracle_sql) — proof
+    the semantics are engine-checkable even though the operator is not a
+    window expression (bin depends on a running value RESET by its own
+    outcome, which no cumsum can express)."""
+    import pandas as pd
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in chunks.schema.fields
+        if f.name in (id_col, idx_col, size_col)
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(idx_col)
+        bins, fill, b = [], 0, 0
+        for n in pdf[size_col]:
+            if fill and fill + n > capacity:
+                b, fill = b + 1, 0
+            fill += n
+            bins.append(b)
+        pdf = pdf[[id_col, idx_col, size_col]].copy()
+        pdf["bin"] = bins
+        return pdf
+
+    return chunks.groupBy(id_col).applyInPandas(pack, f"{out_fields}, bin int")
+
+
+def pack_chunks_oracle_sql(
+    table: str, id_col: str, text_col: str, chunk: int, capacity: int
+) -> str:
+    """Recursive-CTE twin of non-overlapping chunking (stride == chunk)
+    followed by greedy packing."""
+    return f"""
+WITH RECURSIVE toks AS (
+    SELECT {id_col},
+           list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x <> '') AS tk
+    FROM {table}
+),
+st AS (
+    SELECT {id_col}, tk, unnest(range(0, greatest(len(tk), 1), {chunk})) AS start
+    FROM toks
+),
+chunks AS (
+    SELECT {id_col},
+           CAST(start / {chunk} AS INTEGER) AS chunk_idx,
+           CAST(len(tk[start + 1 : start + {chunk}]) AS INTEGER) AS n_chunk_tokens
+    FROM st WHERE len(tk[start + 1 : start + {chunk}]) > 0
+),
+packed AS (
+    SELECT {id_col}, chunk_idx, n_chunk_tokens,
+           0 AS bin, n_chunk_tokens AS fill
+    FROM chunks WHERE chunk_idx = 0
+    UNION ALL
+    SELECT c.{id_col}, c.chunk_idx, c.n_chunk_tokens,
+           CASE WHEN p.fill + c.n_chunk_tokens > {capacity}
+                THEN p.bin + 1 ELSE p.bin END,
+           CASE WHEN p.fill + c.n_chunk_tokens > {capacity}
+                THEN c.n_chunk_tokens ELSE p.fill + c.n_chunk_tokens END
+    FROM packed p
+    JOIN chunks c
+      ON c.{id_col} = p.{id_col} AND c.chunk_idx = p.chunk_idx + 1
+)
+SELECT {id_col}, chunk_idx, n_chunk_tokens, bin FROM packed
+"""

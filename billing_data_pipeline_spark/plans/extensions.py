@@ -342,6 +342,20 @@ def document_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "packed_chunk_bins",
+    tags=("ext", "text", "chunking", "applyInPandas"),
+    oracle=X.pack_chunks_oracle_sql("documents", "doc_id", "text", 32, 64),
+)
+def packed_chunk_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing of non-overlapping 32-token chunks into
+    64-token bins — sequential per-doc state via applyInPandas, proven
+    against a DuckDB recursive-CTE oracle (the one §2.12 op a window
+    cannot express: the running fill RESETS based on its own outcome)."""
+    chunks = X.chunk_tokens(t(spark, sf_dir, "documents"), "doc_id", "text", 32, 32)
+    return X.pack_chunks(chunks.drop("chunk_text"), capacity=64)
+
+
+@register(
     "training_corpus_pipeline",
     tags=("ext", "text", "chunking", "dedup", "sampling", "composed"),
     oracle=f"""

@@ -232,3 +232,25 @@ def test_repetition_stats_edges(spark):
     assert rows["rep"].top_token_share == 0.75
     assert abs(rows["rep"].top_bigram_share - 2 / 3) < 1e-12
     assert rows["uniq"].type_token_ratio == 1.0
+
+
+def test_pack_chunks_greedy_semantics(spark):
+    from billing_data_pipeline_spark.operators.text import pack_chunks
+
+    chunks = spark.createDataFrame(
+        [
+            ("d", 0, 30), ("d", 1, 30), ("d", 2, 30),   # 30+30 fits 64, 3rd spills
+            ("e", 0, 100), ("e", 1, 10),                  # oversize chunk: own bin
+            ("f", 0, 32), ("f", 1, 32), ("f", 2, 1),     # exact fit then spill
+        ],
+        "doc_id string, chunk_idx int, n_chunk_tokens int",
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): r.bin
+        for r in pack_chunks(chunks, capacity=64).collect()
+    }
+    assert got == {
+        ("d", 0): 0, ("d", 1): 0, ("d", 2): 1,
+        ("e", 0): 0, ("e", 1): 1,
+        ("f", 0): 0, ("f", 1): 0, ("f", 2): 1,
+    }
