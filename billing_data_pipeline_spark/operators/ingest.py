@@ -121,6 +121,46 @@ def append_new_rows(
     return n
 
 
+def append_new_rows_per_file(
+    batch: DataFrame,
+    table_path: str,
+    keys: Sequence[str],
+    file_col: str,
+    existing_filter: Column | None = None,
+) -> tuple[int, dict[str, int]]:
+    """Idempotent append that also reports rows-added PER source file.
+
+    ``file_col`` names a column in ``batch`` carrying the source-file key
+    (it is dropped before the write). Mirrors the reference's per-file
+    new_record_count bookkeeping (ingest.py:262-265) without appending one
+    file at a time: one anti-join + one write for the whole batch, then a
+    cheap groupBy on the surviving rows for the per-file split.
+    """
+    spark = batch.sparkSession
+    try:
+        existing = spark.read.parquet(table_path)
+    except Exception:
+        existing = None
+    if existing is None:
+        new_rows = dedup_within_batch(batch, keys)
+    else:
+        new_rows = dedup_append(batch, existing, keys, existing_filter)
+    new_rows = new_rows.persist()
+    try:
+        per_file = {
+            r[file_col]: r["n"]
+            for r in new_rows.groupBy(file_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n = sum(per_file.values())
+        if n:
+            new_rows.drop(file_col).write.mode("append").parquet(table_path)
+    finally:
+        new_rows.unpersist()
+    return n, per_file
+
+
 def assert_unique(df: DataFrame, keys: Sequence[str]) -> None:
     """Uniqueness assertion replacing the reference's UNIQUE constraint.
 

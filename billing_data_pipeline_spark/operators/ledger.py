@@ -35,13 +35,34 @@ LEDGER_SCHEMA = T.StructType(
 )
 
 
+def ledger_key(path):
+    """Scheme-normalized FULL path — the ledger key.
+
+    Basenames collide across Hive partitions (every partition's file is
+    named ``billing.csv`` under ``year=*/month=*/day=*/``), so a
+    basename-keyed ledger would evict every other partition's entry on each
+    upsert and silently break the skip-unchanged contract (OPT2/ST5). The
+    reference sidesteps this by renaming downloads to partition-qualified
+    local names (reference: pipeline/s3_utils.py:189); with no download
+    step here, the full path IS the partition-qualified name. The URI
+    scheme is stripped so ``binaryFile``'s ``path`` and
+    ``input_file_name()`` (which may render ``file:/`` vs ``file:///``)
+    normalize to the same key.
+    """
+    return F.regexp_replace(path, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
+
 def hash_files(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """(filename, file_hash) for every input file, hashed on executors."""
+    """(filename, file_hash) for every input file, hashed on executors.
+
+    ``filename`` is the partition-qualified ``ledger_key`` of the path,
+    not the basename (see ``ledger_key``).
+    """
     return (
         spark.read.format("binaryFile")
         .load(paths)
         .select(
-            F.element_at(F.split(F.col("path"), "/"), -1).alias("filename"),
+            ledger_key(F.col("path")).alias("filename"),
             F.md5(F.col("content")).alias("file_hash"),
         )
     )

@@ -25,12 +25,24 @@ MIX_MULT = 2_654_435_761
 
 
 def hash_bucket(key: Column, salt: int = 0) -> Column:
-    """Deterministic pseudo-uniform bucket in [0, 100) from an integer key."""
-    return ((key + F.lit(salt)) % MIX_PRIME * F.lit(MIX_MULT)) % 100
+    """Deterministic pseudo-uniform bucket in [0, 100) from an integer key.
+
+    Both modulo steps use pmod: SQL ``%`` keeps the dividend's sign, so a
+    negative key would otherwise yield a negative bucket that compares
+    ``< pct`` at ANY rate — including rate-0 strata, which must drop rows.
+    pmod keeps the bucket in [0, 100) for arbitrary (incl. negative) keys;
+    identical to ``%`` for non-negative keys, so sample membership for
+    existing non-negative key columns is unchanged.
+    """
+    return F.pmod(F.pmod(key + F.lit(salt), MIX_PRIME) * F.lit(MIX_MULT), 100)
 
 
 def hash_bucket_sql(key: str, salt: int = 0) -> str:
-    return f"(({key} + {salt}) % {MIX_PRIME} * {MIX_MULT}) % 100"
+    # DuckDB has no pmod; ((x % m) + m) % m is the portable equivalent.
+    # The inner pmod keeps the product non-negative, so the outer % needs
+    # no second correction.
+    inner = f"((({key} + {salt}) % {MIX_PRIME}) + {MIX_PRIME}) % {MIX_PRIME}"
+    return f"({inner} * {MIX_MULT}) % 100"
 
 
 def hash_sample(df: DataFrame, key_col: str, pct: int, salt: int = 0) -> DataFrame:

@@ -74,10 +74,18 @@ def sessionize(
     tiebreak_col: str,
     gap_seconds: int,
 ) -> DataFrame:
-    """Gap-based sessionization: a new session starts when the time since the
-    previous event is STRICTLY GREATER than the gap (an event exactly at the
-    gap boundary extends the session — matching Structured Streaming's
-    ``session_window`` whose windows are closed at [start, end)).
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event is STRICTLY GREATER than the gap; an event exactly
+    at ``prev_ts + gap`` EXTENDS the session.
+
+    This matches Structured Streaming's ``session_window`` boundary rule,
+    verified empirically (Spark 4.1: events at 10:00:00 and 10:30:00 with a
+    30-minute gap merge into one session [10:00, 11:00); at 10:30:00.000001
+    they split) — Spark merges candidate sessions when
+    ``next_start <= prev_end``, i.e. touching windows DO merge, so the
+    window-end exclusivity of [start, last+gap) does not make the boundary
+    event a new session. Regression-tested against the native operator in
+    ``tests/test_operators.py::test_sessionize_matches_native_session_window_boundary``.
 
     Adds ``session_seq`` (1-based per entity). Gap arithmetic is integer
     epoch-microseconds — exact on any engine.

@@ -27,8 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.aggregates import grouped_profile
-from .operators.ingest import append_new_rows
-from .operators.ledger import FileLedger, hash_files
+from .operators.ingest import append_new_rows_per_file
+from .operators.ledger import FileLedger, hash_files, ledger_key
 from .operators.reports import billing_insights
 from .sources.csv_source import (
     RAW_BILLING_KEYS,
@@ -83,13 +83,21 @@ class BillingPipeline:
         if not todo_names:
             return metrics
 
-        batch = lake.withColumn(
-            "_fname", F.element_at(F.split(F.input_file_name(), "/"), -1)
-        ).filter(F.col("_fname").isin(todo_names)).drop("_fname")
-        n = append_new_rows(
-            batch, self.table_path("raw_billing"), list(RAW_BILLING_KEYS)
+        # Filter the lake to new/changed files using the SAME partition-
+        # qualified key the ledger uses (basenames collide across Hive
+        # partitions — every partition's file is 'billing.csv').
+        batch = lake.withColumn("_lk", ledger_key(F.input_file_name())).filter(
+            F.col("_lk").isin(todo_names)
         )
-        ledger.record([(r["filename"], r["file_hash"], n) for r in todo])
+        n, per_file = append_new_rows_per_file(
+            batch, self.table_path("raw_billing"), list(RAW_BILLING_KEYS), "_lk"
+        )
+        # Per-file new-row counts, matching the reference's per-file
+        # new_record_count (ingest.py:262-265) — a file whose rows were all
+        # already present records 0, not the batch total.
+        ledger.record(
+            [(r["filename"], r["file_hash"], per_file.get(r["filename"], 0)) for r in todo]
+        )
         metrics["rows_appended"] = n
         return metrics
 

@@ -195,7 +195,9 @@ GROUP BY user_id
 def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) -> per-user session count. The
     batch equivalent of Structured Streaming session windows; boundary
-    semantics match session_window (gap strictly greater starts a session)."""
+    semantics match session_window exactly (touching windows merge: a gap
+    of exactly 30 min extends the session — verified against the native
+    operator in test_operators.py)."""
     ev = t(spark, sf_dir, "events")
     s = sessionize(ev, "user_id", "ts", "event_id", gap_seconds=1800)
     return s.groupBy("user_id").agg(

@@ -18,11 +18,57 @@ Content-hash redetection stays a batch-mode concern via operators/ledger.py.
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import or_
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.ingest import append_new_rows
 from ..sources.csv_source import RAW_BILLING_KEYS, RAW_BILLING_SCHEMA
+
+
+def replay_safe_append(batch: DataFrame, table_path: str, keys: list[str]) -> None:
+    """Idempotent-even-under-replay append (the foreachBatch sink body).
+
+    foreachBatch may replay a batch after failure. ``append_new_rows``'s
+    key anti-join makes the replay a no-op for rows with a fully NON-NULL
+    natural key => effectively exactly-once for those. Rows with any NULL
+    key column never match the key anti-join (SQL join semantics, see
+    operators/ingest.py) and would re-append on every replay, so the
+    NULL-key subset is deduped on a FULL-ROW hash instead: replays become
+    no-ops, at the cost of also collapsing genuinely identical NULL-key
+    rows (documented divergence from batch mode; the reference's UNIQUE
+    constraint never applied to NULL keys either).
+    """
+    key_cols = [F.col(k) for k in keys]
+    has_null_key = reduce(or_, (c.isNull() for c in key_cols))
+    append_new_rows(batch.filter(~has_null_key), table_path, keys)
+
+    null_part = batch.filter(has_null_key)
+    row_hash = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in batch.columns
+            ],
+        )
+    )
+    hashed = null_part.withColumn("_row_hash", row_hash).dropDuplicates(["_row_hash"])
+    try:
+        existing = batch.sparkSession.read.parquet(table_path).withColumn(
+            "_row_hash", row_hash
+        )
+        new_nulls = hashed.join(
+            existing.select("_row_hash"), on="_row_hash", how="left_anti"
+        )
+    except Exception:
+        new_nulls = hashed
+    out = new_nulls.drop("_row_hash")
+    if out.take(1):
+        out.write.mode("append").parquet(table_path)
 
 
 def stream_ingest_csv(
@@ -50,9 +96,7 @@ def stream_ingest_csv(
     )
 
     def sink(batch: DataFrame, batch_id: int) -> None:
-        # foreachBatch may replay a batch after failure; dedup_append makes
-        # the replay a no-op => effectively exactly-once into the table.
-        append_new_rows(batch, table_path, list(keys))
+        replay_safe_append(batch, table_path, list(keys))
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

@@ -92,21 +92,53 @@ def test_ledger_skips_unchanged_reprocesses_changed(spark, tmp_path):
     assert ledger.filter_unprocessed(hash_files(spark, [str(f1), str(f2)])).count() == 0
 
     # Modify f2 in place: name matches, hash differs -> reprocess only f2.
+    # Ledger keys are partition-qualified full paths, not basenames.
     f2.write_text("a,b\n3,5\n")
     redo = ledger.filter_unprocessed(hash_files(spark, [str(f1), str(f2)]))
-    assert [r["filename"] for r in redo.collect()] == ["billing-2.csv"]
+    assert [r["filename"] for r in redo.collect()] == [str(f2)]
 
     # Ledger upsert keeps one row per filename (latest hash wins).
     new_hash = {
         r["filename"]: r["file_hash"] for r in hash_files(spark, [str(f2)]).collect()
     }
-    ledger.record([("billing-2.csv", new_hash["billing-2.csv"], 1)])
+    ledger.record([(str(f2), new_hash[str(f2)], 1)])
     led = ledger.load()
     assert led.count() == 2
     assert (
-        led.filter(F.col("filename") == "billing-2.csv").first()["file_hash"]
-        == new_hash["billing-2.csv"]
+        led.filter(F.col("filename") == str(f2)).first()["file_hash"]
+        == new_hash[str(f2)]
     )
+
+
+def test_ledger_keys_distinguish_hive_partitions(spark, tmp_path):
+    """Regression (ADVICE r1, medium): every Hive partition's file is named
+    'billing.csv'; a basename-keyed ledger evicts all other partitions'
+    entries on each upsert. Keys must be partition-qualified, and a third
+    run over unchanged files must skip everything."""
+    paths = []
+    for day in (1, 2, 3):
+        d = tmp_path / "year=2025" / "month=04" / f"day=0{day}"
+        d.mkdir(parents=True)
+        f = d / "billing.csv"
+        f.write_text(f"a,b\n{day},x\n")
+        paths.append(str(f))
+
+    ledger = FileLedger(spark, str(tmp_path / "ledger"))
+    # Day 1 arrives first, days 2-3 on a later run (separate record calls,
+    # like the pipeline's successive ingests).
+    c1 = hash_files(spark, paths[:1])
+    todo1 = ledger.filter_unprocessed(c1).collect()
+    assert len(todo1) == 1
+    ledger.record([(r["filename"], r["file_hash"], 1) for r in todo1])
+
+    c23 = hash_files(spark, paths)
+    todo2 = ledger.filter_unprocessed(c23).collect()
+    assert sorted(r["filename"] for r in todo2) == sorted(paths[1:])
+    ledger.record([(r["filename"], r["file_hash"], 1) for r in todo2])
+
+    # Third run: NOTHING is re-processed and no entry was evicted.
+    assert ledger.filter_unprocessed(hash_files(spark, paths)).count() == 0
+    assert ledger.load().count() == 3
 
 
 def test_strict_dedup_append_replicates_unique_violation(spark):

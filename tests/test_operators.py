@@ -254,3 +254,43 @@ def test_pack_chunks_greedy_semantics(spark):
         ("e", 0): 0, ("e", 1): 1,
         ("f", 0): 0, ("f", 1): 0, ("f", 2): 1,
     }
+
+
+def test_sessionize_matches_native_session_window_boundary(spark):
+    """Exact-gap boundary semantics pinned to Spark's native session_window
+    (ADVICE r1 claimed they diverge; empirically they do not): an event at
+    prev_ts + gap MERGES (touching windows merge), one microsecond past
+    splits. The batch sessionize must agree with the native operator on
+    both sides of the boundary."""
+    from billing_data_pipeline_spark.operators.windows import sessionize
+
+    rows = [
+        # user 1: exactly at the 30-min boundary -> one session natively
+        (1, "2025-01-01 10:00:00", 1),
+        (1, "2025-01-01 10:30:00", 2),
+        # user 2: 1 microsecond past the boundary -> two sessions natively
+        (2, "2025-01-01 10:00:00", 3),
+        (2, "2025-01-01 10:30:00.000001", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    native = {
+        r["user_id"]: r["n"]
+        for r in df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert native == {1: 1, 2: 2}  # pin the native behavior itself
+
+    ours = {
+        r["user_id"]: r["n"]
+        for r in sessionize(df, "user_id", "ts", "event_id", 1800)
+        .groupBy("user_id")
+        .agg(F.max("session_seq").alias("n"))
+        .collect()
+    }
+    assert ours == native

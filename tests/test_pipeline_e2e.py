@@ -46,6 +46,13 @@ def test_pipeline_end_to_end_idempotent(spark, tmp_path):
     assert "Success Rate by Service Tier" in report
     assert "Files processed: 2" in report
 
+    # Per-file record counts (reference ingest.py:262-265): each ledger row
+    # carries ITS file's appended rows, not the batch total.
+    counts = sorted(
+        r["record_count"] for r in pipe.read("processed_files").collect()
+    )
+    assert counts == [6, 8]
+
     # Second run over the unchanged lake: ledger skips both files, nothing
     # appends, aggregates recompute to identical state.
     m2 = pipe.run(root)
@@ -53,6 +60,28 @@ def test_pipeline_end_to_end_idempotent(spark, tmp_path):
     assert m2["ingest"]["rows_appended"] == 0
     assert pipe.read("raw_billing").count() == n_rows
     assert m2["report_markdown"] == report
+
+    # A new partition lands; its file is ALSO named billing.csv. Run 3 must
+    # ingest only it, and run 4 must skip everything — i.e. recording the
+    # new file must not evict the other partitions' ledger entries
+    # (ADVICE r1 medium: basename-keyed ledgers break here).
+    import pathlib
+
+    p = pathlib.Path(root) / "year=2025" / "month=04" / "day=24"
+    p.mkdir(parents=True)
+    (p / "billing.csv").write_text(
+        CSV_HEADER
+        + "2025-04-24 10:00:00,res-9,user-9,2.5,us,pro,inference,true,gpu,inv-24-0,USD\n"
+    )
+    m3 = pipe.run(root)
+    assert m3["ingest"]["files_new_or_changed"] == 1
+    assert m3["ingest"]["rows_appended"] == 1
+    assert pipe.read("processed_files").count() == 3
+
+    m4 = pipe.run(root)
+    assert m4["ingest"]["files_new_or_changed"] == 0
+    assert m4["ingest"]["rows_appended"] == 0
+    assert pipe.read("raw_billing").count() == n_rows + 1
 
 
 def test_pipeline_backfill_window_limits_ingest(spark, tmp_path):

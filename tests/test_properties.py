@@ -73,6 +73,8 @@ def test_sessionize_matches_naive_gap_split(spark, data, gap):
     )
 
     # naive: per entity, sort by (ts, id); new session when delta > gap
+    # (session_window merges touching windows — exact-gap events extend,
+    # verified against the native operator in test_operators.py)
     by_e = {}
     for e, t, i in rows:
         by_e.setdefault(e, []).append((t, i))

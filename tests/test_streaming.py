@@ -263,3 +263,36 @@ def test_interval_join_matches_across_micro_batches(spark, tmp_path):
         (1, 11, 5 * 60 * 1_000_000),
         (1, 13, 20 * 60 * 1_000_000),
     ]
+
+
+def test_replay_safe_append_null_keys_idempotent(spark, tmp_path):
+    """ADVICE r1: NULL-key rows never match the key anti-join, so a naive
+    sink re-appends them on every foreachBatch replay. replay_safe_append
+    dedups the NULL-key subset on a full-row hash: replaying the same batch
+    must be a complete no-op, while distinct NULL-key rows still land."""
+    from billing_data_pipeline_spark.streaming.ingest_stream import (
+        replay_safe_append,
+    )
+
+    table = str(tmp_path / "t")
+    batch = spark.createDataFrame(
+        [
+            (1, "a", 1.0),          # normal keyed row
+            (None, "n1", 2.0),      # NULL key, distinct payloads
+            (None, "n2", 3.0),
+            (None, "n2", 3.0),      # identical NULL-key dup inside the batch
+        ],
+        "k int, name string, v double",
+    )
+    replay_safe_append(batch, table, ["k"])
+    first = spark.read.parquet(table)
+    assert first.count() == 3  # 1 keyed + 2 distinct NULL-key rows
+
+    # Replay the exact same batch (simulated foreachBatch retry): no-op.
+    replay_safe_append(batch, table, ["k"])
+    assert spark.read.parquet(table).count() == 3
+
+    # A later batch with a NEW NULL-key row still appends it.
+    batch2 = spark.createDataFrame([(None, "n3", 4.0)], "k int, name string, v double")
+    replay_safe_append(batch2, table, ["k"])
+    assert spark.read.parquet(table).count() == 4
