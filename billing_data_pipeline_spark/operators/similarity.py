@@ -134,6 +134,104 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def cosine_topk_exact_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k, vectorized — BIT-IDENTICAL to ``cosine_topk``
+    (and hence to the DuckDB oracle) at ~2x the speed.
+
+    The trick: the oracle's left-to-right fold is *sequential over
+    dimensions* but has no ordering constraint *across pairs*, so the
+    kernel loops over the 64 dims (one rank-1 update per dim:
+    ``acc += c_i * q_i``) and vectorizes over the corpus-batch x query
+    plane. Every partial sum is produced in exactly the fold's order, so
+    the resulting doubles equal the HOF/zip_with plan bit-for-bit —
+    verified in tests/test_scale_patterns.py — unlike ``np.dot``/BLAS,
+    whose pairwise reductions differ in the last ulp (that fast path is
+    ``cosine_topk_matmul``, rows-only).
+
+    Per-batch selection keeps the global answer exact: rows are pre-sorted
+    by candidate id and selected with a STABLE argsort on -sim, so
+    boundary ties resolve (sim desc, id asc) — the same total order as the
+    final window, and top-k of unioned per-batch top-ks = global top-k.
+    Scale: corpus-linear, one pass, shuffle carries only k rows per query
+    per batch into a tiny final window.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("candidate_id", T.LongType()),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+    spark = corpus.sparkSession
+    if not q_rows:
+        empty = spark.createDataFrame([], out_schema)
+        return empty.withColumn("rank", F.lit(1)).limit(0).select(
+            "query_id", "candidate_id", "rank", "cosine_sim"
+        )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
+    dim = Q.shape[1]
+
+    def seq_norm(M: "np.ndarray") -> "np.ndarray":
+        # acc += m_i * m_i, dim by dim: the fold's exact addition order.
+        acc = np.zeros(M.shape[0])
+        for i in range(M.shape[1]):
+            acc += M[:, i] * M[:, i]
+        return np.sqrt(acc)
+
+    Qn = seq_norm(Q)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(id_col)  # ties later resolve id-asc
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = np.array(list(pdf[vec_col]), dtype=np.float64)
+            Cn = seq_norm(C)
+            S = np.zeros((len(cids), len(q_ids)))
+            for i in range(dim):  # exact left fold, vectorized over pairs
+                S += C[:, i][:, None] * Q[None, :, i]
+            S = S / (Qn[None, :] * Cn[:, None])
+            S[cids[:, None] == q_ids[None, :]] = -np.inf
+            kk = min(k, S.shape[0])
+            # stable sort on -sim over id-ascending rows == (sim desc, id asc)
+            top = np.argsort(-S, axis=0, kind="stable")[:kk]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids[None, :], kk, 0).ravel(),
+                    "candidate_id": cids[top].ravel(),
+                    "cosine_sim": np.take_along_axis(S, top, axis=0).ravel(),
+                }
+            )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("candidate_id").asc()
+    )
+    return (
+        partial.filter(F.col("cosine_sim") != float("-inf"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "rank", "cosine_sim")
+    )
+
+
 def cosine_topk_matmul(
     corpus: DataFrame,
     queries: DataFrame,

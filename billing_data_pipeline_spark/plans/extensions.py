@@ -160,11 +160,13 @@ def embedding_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for a deterministic query subset
-    (vec_id % 40 = 0) — the ANN correctness baseline; double fold matches
-    the oracle bit-for-bit."""
+    (vec_id % 40 = 0) — the ANN correctness baseline. Runs the vectorized
+    exact kernel (dim-sequential fold => bit-identical to the oracle and
+    to the pure-HOF `S.cosine_topk`, which stays as the no-UDF twin,
+    equality pinned in tests/test_scale_patterns.py)."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 40 == 0)
-    return S.cosine_topk(emb, queries, "vec_id", "embedding", k=5)
+    return S.cosine_topk_exact_vectorized(emb, queries, "vec_id", "embedding", k=5)
 
 
 @register(

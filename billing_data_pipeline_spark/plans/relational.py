@@ -410,22 +410,36 @@ ORDER BY o.o_orderpriority
 )
 def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4-shaped EXISTS: orders in a quarter having at least one
-    lineitem shipped >60 days after order date, counted per priority. The
-    correlated EXISTS is a left_semi join (Catalyst's own decorrelation
-    target) — each order counted once no matter how many late lines; the
-    date filter prunes the orders scan before the shuffle."""
+    lineitem shipped >60 days after order date, counted per priority.
+
+    Join orientation matters: Spark's BroadcastHashJoin supports LeftSemi
+    only with BuildRight, so the natural ``orders left_semi lineitem``
+    formulation broadcasts the FACT side (measured: 600k-row build at
+    sf0.1; unboundable at 100 TB). Instead the fact probes a broadcast of
+    the quarter's orders (the genuinely small side) through an inner join,
+    and each order dedups to one row before the per-priority count — same
+    result, small-side build at any scale (0.75 s -> 0.47 s median at
+    sf0.1). The EXISTS date bound also implies a derived scan predicate
+    ``l_shipdate > quarter_start + 60d`` that Catalyst cannot infer across
+    the non-equi join condition; stated explicitly it reaches the parquet
+    scan as a PushedFilter (row-group pruning on a date-sorted lake)."""
     o = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .filter(F.col("l_shipdate") > F.date_add(F.lit("1996-01-01").cast("date"), 60))
     )
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    late = o.join(
-        li,
+    hits = li.join(
+        F.broadcast(o),
         (li.l_orderkey == o.o_orderkey)
         & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
-        "left_semi",
     )
     return (
-        late.groupBy("o_orderpriority")
+        hits.select("o_orderkey", "o_orderpriority")
+        .dropDuplicates(["o_orderkey"])
+        .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
         .orderBy("o_orderpriority")
     )

@@ -166,9 +166,12 @@ def test_new_query_plan_properties(spark):
     def plan_of(name):
         return cat[name].fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
 
-    # EXISTS compiles to a semi join, never an aggregate+inner-join dedup
+    # EXISTS is fact-probes-broadcast-build: the quarter's orders (small
+    # side) must be the broadcast build, never the lineitem fact (LeftSemi
+    # BHJ can only BuildRight, which broadcast the fact — rewritten r2 to
+    # inner-join + per-order dedup; see the query docstring)
     p = plan_of("late_shipment_priority")
-    assert "LeftSemi" in p
+    assert "BroadcastHashJoin" in p and "LeftSemi" not in p
 
     # global-extreme subqueries never single-partition a window
     for q in ("top_supplier_revenue", "important_parts_share"):
@@ -227,3 +230,27 @@ def test_zorder_write_narrows_per_file_ranges_on_both_columns(spark, tmp_path):
         assert avg_span_fraction(z_dir, col) < 0.6       # clustered: compact
     # clustering must not lose or duplicate rows
     assert spark.read.parquet(z_dir).count() == li.count()
+
+
+def test_cosine_topk_vectorized_bit_identical_to_hof(spark):
+    """The dim-sequential numpy kernel must reproduce the HOF fold's
+    doubles BIT-FOR-BIT (same IEEE op order), including rank/tiebreak —
+    this is what licenses the fast kernel as the oracle-checked
+    implementation of embedding_cosine_topk."""
+    from billing_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_exact_vectorized,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    hof = sorted(
+        tuple(r) for r in cosine_topk(emb, queries, "vec_id", "embedding", k=5).collect()
+    )
+    vec = sorted(
+        tuple(r)
+        for r in cosine_topk_exact_vectorized(
+            emb, queries, "vec_id", "embedding", k=5
+        ).collect()
+    )
+    assert hof == vec  # exact equality: ids, ranks, and double bits
