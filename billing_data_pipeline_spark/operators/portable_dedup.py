@@ -1,0 +1,340 @@
+"""[EXT] Cross-engine-deterministic ("portable") near-dup tiers:
+MinHash-LSH and SimHash variants whose EVERY step is md5 + exact integer
+arithmetic that Spark and DuckDB compute identically — so the full
+approximate pipelines (signature -> bands -> candidate join -> score)
+are oracle-CHECKED, not rows-only.
+
+Why this exists: the fast tiers in operators/dedup.py key on Spark's
+xxhash64 (JVM-only — no DuckDB twin exists), so the driver can only
+row-count them. These twins replace xxhash64 with
+
+    portable_hash60(s) = first 15 hex chars of md5(s) as a 60-bit BIGINT
+
+(Spark: conv(substr(md5(s),1,15),16,10); DuckDB:
+('0x' || substr(md5(s),1,15))::BIGINT — verified byte-identical), and all
+downstream mixing with 31-bit modular arithmetic whose products stay under
+2^62, so no overflow in either engine's BIGINT. The LSH *structure*
+(banded buckets, linear candidate generation, no cross join) is identical
+to the fast tier — these prove the algorithm's semantics; the xxhash64
+tier keeps the throughput crown (md5 is ~5x the hash cost).
+
+Reference parity note: the reference's only hashing is file-level md5 for
+change detection (pipeline/assets/ingest.py:218-220); these operators are
+the [EXT] row/shingle-level generalization mandated by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .dedup import word_shingles
+
+# 31-bit Mersenne prime: (a * h + b) stays < 2^62 for a, h < 2^31 — exact
+# BIGINT arithmetic in both engines, no unsigned wraparound anywhere.
+MINHASH_P = 2_147_483_647
+_rng = random.Random(20240813)
+MINHASH_AB: tuple[tuple[int, int], ...] = tuple(
+    (_rng.randrange(1, MINHASH_P), _rng.randrange(0, MINHASH_P)) for _ in range(16)
+)
+del _rng
+
+SIMHASH_PORTABLE_BITS = 60  # portable_hash60 yields 60-bit values
+SIMHASH_PORTABLE_BANDS = 4  # 15-bit bands; Hamming<=3 shares >=1 band
+
+
+def portable_hash60(c: Column) -> Column:
+    """60-bit integer hash both engines agree on: the first 15 hex chars of
+    md5 parsed base-16. Always non-negative (< 2^60)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash60_sql(expr: str) -> str:
+    """DuckDB text computing the identical 60-bit value."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# MinHash (portable tier)
+# ---------------------------------------------------------------------------
+
+
+def minhash_portable_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 12,
+    band_size: int = 2,
+    min_jaccard: float = 0.4,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, every step engine-portable:
+
+    word-3-gram shingles (string tier, same construction as the exact
+    Jaccard oracle) -> one md5 per shingle -> k affine-modular component
+    hashes (a_i*h + b_i mod P) -> per-doc min per component -> band keys
+    packing ``band_size`` components into one BIGINT -> self-equi-join on
+    (band, key) -> estimated Jaccard = agreeing-component share.
+
+    Same scale shape as the xxhash64 tier (candidate generation is linear
+    in corpus + bucket collisions; one shuffle per band join); ~5x hash
+    cost from md5 — run the fast tier in production, this tier is the
+    oracle-checked proof of the pipeline's semantics.
+    """
+    n_bands = k // band_size
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    docs = df.filter(F.size(toks) >= 3)
+    # h: one md5 pass per shingle, reduced mod P. Materialized as its own
+    # column so the k component passes run over 31-bit longs, not strings.
+    hashed = docs.select(
+        F.col(id_col).alias("doc"),
+        F.transform(
+            word_shingles(text_col, 3),
+            lambda s: F.pmod(portable_hash60(s), F.lit(MINHASH_P)),
+        ).alias("h"),
+    ).filter(F.size("h") > 0)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("h"),
+                    lambda x: (F.lit(a).cast("long") * x + F.lit(b)) % F.lit(MINHASH_P),
+                )
+            )
+            for a, b in MINHASH_AB[:k]
+        ]
+    )
+    # Persist + eager-materialize: the sigs subtree feeds the band self-join
+    # (twice) and both agreement rejoins — same multi-branch shape as the
+    # fast tier, where an unmaterialized cache recomputed shingling per
+    # branch (see dedup.minhash_neardup_pairs).
+    sigs = hashed.select("doc", sig.alias("sig")).persist()
+    sigs.count()
+
+    bands = sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.element_at("sig", b * band_size + 1)
+                            * F.lit(2_147_483_648)
+                            + F.element_at("sig", b * band_size + 2)
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.key")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(float(k))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def minhash_portable_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    k: int = 12,
+    band_size: int = 2,
+    min_jaccard: float = 0.4,
+) -> str:
+    """DuckDB twin of minhash_portable_pairs — identical md5/modular math,
+    so buckets, candidates, and the estimate all agree exactly."""
+    n_bands = k // band_size
+    params = ", ".join(
+        f"({i}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+        for i, (a, b) in enumerate(MINHASH_AB[:k])
+    )
+    h60 = portable_hash60_sql("shingle")
+    return rf"""
+WITH toks AS (
+    SELECT {id_col} AS doc, regexp_split_to_array(trim({text_col}), '\s+') AS w
+    FROM {table}
+    WHERE len(regexp_split_to_array(trim({text_col}), '\s+')) >= 3
+),
+sh AS (
+    SELECT DISTINCT doc,
+           unnest(list_transform(generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM toks
+),
+hv AS (SELECT doc, {h60} % {MINHASH_P} AS hm FROM sh),
+comps AS (
+    SELECT hv.doc, p.i, MIN((p.a * hv.hm + p.b) % {MINHASH_P}) AS comp
+    FROM hv CROSS JOIN (VALUES {params}) AS p(i, a, b)
+    GROUP BY hv.doc, p.i
+),
+sigs AS (SELECT doc, list(comp ORDER BY i) AS sig FROM comps GROUP BY doc),
+bands AS (
+    SELECT doc, b.b AS band,
+           sig[{band_size}*b.b + 1] * 2147483648 + sig[{band_size}*b.b + 2] AS key
+    FROM sigs CROSS JOIN (SELECT unnest(range({n_bands})) AS b) b
+),
+cand AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+),
+est AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))
+                AS DOUBLE) / {float(k)} AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc = c.doc_a
+    JOIN sigs sb ON sb.doc = c.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= {min_jaccard}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash (portable tier)
+# ---------------------------------------------------------------------------
+
+
+def simhash_portable_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """60-bit SimHash over portable token hashes. The bit-vote fold is an
+    Arrow-vectorized Pandas UDF — pure integer math (shift/mask/sum), so
+    its result is EXACTLY the SQL formulation's despite being numpy: there
+    is no float anywhere to reassociate."""
+
+    @F.pandas_udf(T.LongType())
+    def simhash60(hashes: pd.Series) -> pd.Series:
+        out = np.empty(len(hashes), dtype=np.int64)
+        for i, hs in enumerate(hashes):
+            arr = np.asarray(hs, dtype=np.int64)
+            if arr.size == 0:
+                out[i] = 0
+                continue
+            bits = (arr[:, None] >> np.arange(SIMHASH_PORTABLE_BITS)) & 1
+            votes = bits.sum(axis=0) * 2 - arr.size
+            out[i] = int(((votes > 0).astype(np.int64) << np.arange(SIMHASH_PORTABLE_BITS)).sum())
+        return pd.Series(out)
+
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    hashes = F.transform(toks, lambda t: portable_hash60(t))
+    return df.select(F.col(id_col).alias("doc"), simhash60(hashes).alias("simhash"))
+
+
+def simhash_portable_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Portable SimHash near-dup pairs (Hamming <= max_hamming over 60
+    bits). 4 bands x 15 bits: pigeonhole guarantees any pair within
+    Hamming 3 collides on at least one band, so candidate generation is a
+    linear band-key equi-join — same plan shape as the 64-bit fast tier."""
+    sigs = simhash_portable_signatures(df, id_col, text_col)
+    bands = sigs.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), 15 * i)
+                        .bitwiseAND(F.lit(0x7FFF))
+                        .alias("key"),
+                    )
+                    for i in range(SIMHASH_PORTABLE_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_portable_oracle_sql(
+    table: str, id_col: str, text_col: str, max_hamming: int = 3
+) -> str:
+    """DuckDB twin of simhash_portable_pairs: bit votes via an unnested
+    (token-hash x bit) grid, signature reassembly, band join, bit_count
+    Hamming — all exact integer ops."""
+    h60 = portable_hash60_sql("tok")
+    return rf"""
+WITH toks AS (
+    SELECT {id_col} AS doc,
+           unnest(list_distinct(regexp_split_to_array(trim({text_col}), '\s+'))) AS tok
+    FROM {table}
+),
+th AS (SELECT doc, {h60} AS h FROM toks),
+votes AS (
+    SELECT doc, bb.b,
+           SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM th CROSS JOIN (SELECT unnest(range({SIMHASH_PORTABLE_BITS})) AS b) bb
+    GROUP BY doc, bb.b
+),
+sigs AS (
+    SELECT doc,
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+    FROM votes GROUP BY doc
+),
+bands AS (
+    SELECT doc, sig, ii.i AS band, (sig >> (15 * ii.i)) & 32767 AS key
+    FROM sigs CROSS JOIN (SELECT unnest(range({SIMHASH_PORTABLE_BANDS})) AS i) ii
+),
+cand AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.sig AS sa, b.sig AS sb
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""

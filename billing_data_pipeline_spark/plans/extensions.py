@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from ..operators import portable_dedup as PD
 from ..operators import sampling as SMP
 from ..operators import similarity as S
 from ..operators import text as X
@@ -99,11 +100,42 @@ def ml_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "minhash_neardup_pairs_portable",
+    tags=("ext", "dedup", "portable"),
+    oracle=PD.minhash_portable_oracle_sql("documents", "doc_id", "text"),
+)
+def minhash_neardup_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs on the PORTABLE hash tier (md5-derived
+    60-bit shingle hashes + 31-bit affine-modular components): the full
+    shingle->signature->band->bucket-join->estimate pipeline is exact
+    integer math both engines share, so this approximate ALGORITHM is
+    oracle-CHECKED end-to-end — buckets, candidates, and estimates all
+    hash-match DuckDB. The xxhash64 tier above stays the throughput path."""
+    return PD.minhash_portable_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 @register("simhash_neardup_pairs", tags=("ext", "dedup", "approx"))
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (64-bit, Arrow-vectorized) near-dup pairs at Hamming<=3 via
     16-bit band self-join (pigeonhole guarantees recall; rows-only)."""
     return D.simhash_neardup_pairs(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "simhash_neardup_pairs_portable",
+    tags=("ext", "dedup", "portable"),
+    oracle=PD.simhash_portable_oracle_sql("documents", "doc_id", "text"),
+)
+def simhash_neardup_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs on the PORTABLE hash tier: 60-bit md5-derived
+    token hashes, bit-vote signature (integer-only Pandas UDF — nothing to
+    reassociate), 15-bit band join, bit_count Hamming. Same banded plan
+    shape as the fast tier, but every value is reproducible in DuckDB, so
+    the pipeline is oracle-checked end-to-end."""
+    return PD.simhash_portable_pairs(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @register(

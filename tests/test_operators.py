@@ -294,3 +294,51 @@ def test_sessionize_matches_native_session_window_boundary(spark):
         .collect()
     }
     assert ours == native
+
+
+def test_portable_hash60_matches_python_md5(spark):
+    """portable_hash60 (Spark conv/md5 path) must equal int(md5[:15], 16) —
+    the same value DuckDB's ('0x' || substr(md5,1,15))::BIGINT parses."""
+    import hashlib
+
+    from billing_data_pipeline_spark.operators.portable_dedup import portable_hash60
+
+    vals = ["", "abc", "hello world", "Ünïcode ÷ test", "a b  c\td"]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = {r["s"]: r["h"] for r in df.select("s", portable_hash60(F.col("s")).alias("h")).collect()}
+    for v in vals:
+        expect = int(hashlib.md5(v.encode("utf-8")).hexdigest()[:15], 16)
+        assert got[v] == expect, v
+
+
+def test_simhash_portable_band_recall_pigeonhole(spark):
+    """Any pair within Hamming<=3 of 60 bits must share one of the 4
+    15-bit bands (pigeonhole) — i.e. the banded candidate join loses no
+    qualifying pair vs a brute-force signature comparison."""
+    from itertools import combinations
+
+    from billing_data_pipeline_spark.operators.portable_dedup import (
+        simhash_portable_pairs,
+        simhash_portable_signatures,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "the quick brown fox leaps over the lazy dog"),
+        (4, "completely different content about spark engines"),
+        (5, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {r["doc"]: r["simhash"] for r in simhash_portable_signatures(df, "doc_id", "text").collect()}
+    brute = {
+        (a, b)
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_portable_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert banded == brute
+    assert (1, 5) in banded  # identical docs: Hamming 0
