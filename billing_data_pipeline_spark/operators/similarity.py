@@ -305,6 +305,30 @@ def cosine_topk_matmul(
     )
 
 
+def _seq_norms(M):
+    """Row norms in the fold's exact addition order (acc += m_i*m_i dim by
+    dim) — bit-identical to sqrt(list_reduce(self-products))."""
+    import numpy as np
+
+    acc = np.zeros(M.shape[0])
+    for i in range(M.shape[1]):
+        acc += M[:, i] * M[:, i]
+    return np.sqrt(acc)
+
+
+def _seq_cosine_matrix(V, Vn, C, Cn):
+    """(len(V), len(C)) cosine matrix where every dot is produced in the
+    left fold's addition order (one rank-1 update per dim), then divided by
+    the precomputed sequential norms — the SQL fold, vectorized over
+    pairs."""
+    import numpy as np
+
+    S = np.zeros((V.shape[0], C.shape[0]))
+    for i in range(V.shape[1]):
+        S += V[:, i][:, None] * C[None, :, i]
+    return S / (Vn[:, None] * Cn[None, :])
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -320,10 +344,16 @@ def ivf_topk(
     the data itself); each query scores only the cells of its ``n_probe``
     nearest centroids.
 
-    Scale shape: assignment is one corpus-linear matmul pass; search work
-    drops to ~n_probe/n_lists of brute force; candidates meet queries
-    through an equi-join on the cell id (no cross join). Approximate =>
-    rows-only; `cosine_topk`/`cosine_topk_matmul` are the exact baselines.
+    Scale shape: assignment is one corpus-linear pass; search work drops to
+    ~n_probe/n_lists of brute force; candidates meet queries through an
+    equi-join on the cell id (no cross join).
+
+    Oracle-checked despite being approximate: cell assignment and probe
+    selection use the dim-sequential fold (bit-identical doubles to the
+    DuckDB list_reduce) with (sim desc, centroid-index asc) tie order —
+    np.argmax/stable argsort pick the first max, row_number's rank-1 twin —
+    so the cells, the candidate set, and the final rerank all reproduce in
+    SQL (`ivf_topk_oracle_sql`).
     """
     from collections.abc import Iterator
 
@@ -343,8 +373,8 @@ def ivf_topk(
         .orderBy(id_col)
         .collect()
     )
-    Cm = np.array([r[1] for r in cent_rows], dtype=np.float64)
-    Cm = Cm / np.linalg.norm(Cm, axis=1, keepdims=True)
+    Cm = np.array([[float(x) for x in r[1]] for r in cent_rows], dtype=np.float64)
+    Cn = _seq_norms(Cm)
 
     assign_schema = T.StructType(
         [
@@ -359,8 +389,8 @@ def ivf_topk(
             if not len(pdf):
                 continue
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            cells = np.argmax(Vn @ Cm.T, axis=1).astype(np.int32)
+            S = _seq_cosine_matrix(V, _seq_norms(V), Cm, Cn)
+            cells = np.argmax(S, axis=1).astype(np.int32)  # ties: first idx
             yield pd.DataFrame(
                 {"vid": pdf[id_col].to_numpy(), "cell": cells, "vec": list(V)}
             )
@@ -380,9 +410,11 @@ def ivf_topk(
             if not len(pdf):
                 continue
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            order = np.argsort(-(Vn @ Cm.T), axis=1)[:, :n_probe].astype(np.int32)
-            n = len(pdf)
+            S = _seq_cosine_matrix(V, _seq_norms(V), Cm, Cn)
+            # stable argsort on -sim == (sim desc, centroid idx asc)
+            order = np.argsort(-S, axis=1, kind="stable")[:, :n_probe].astype(
+                np.int32
+            )
             yield pd.DataFrame(
                 {
                     "qid": np.repeat(pdf[id_col].to_numpy(), n_probe),
@@ -418,6 +450,73 @@ def _dot_sql(a: str, b: str) -> str:
         "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
         "(x, y) -> x + y)"
     )
+
+
+def ivf_topk_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    query_pred: str = "TRUE",
+) -> str:
+    """DuckDB twin of ivf_topk: stride-selected centroids, rank-1 cell
+    assignment, rank<=n_probe probes, exact cosine rerank — every double
+    from the same fold, every tie broken (sim desc, idx asc)."""
+    d_vc = _dot_sql("v.vec", "c.cv")
+    d_vv = _dot_sql("v.vec", "v.vec")
+    d_cc = _dot_sql("c.cv", "c.cv")
+    d_qa = _dot_sql("q.vec", "a.vec")
+    d_qq = _dot_sql("q.vec", "q.vec")
+    d_aa = _dot_sql("a.vec", "a.vec")
+    return f"""
+WITH ids AS (
+    SELECT {id_col} AS id, row_number() OVER (ORDER BY {id_col}) - 1 AS rn
+    FROM {table}
+),
+params AS (SELECT greatest(1, COUNT(*) // {n_lists}) AS stride FROM ids),
+cents AS (
+    SELECT CAST(i.rn // p.stride AS INTEGER) AS cidx, e.{vec_col} AS cv
+    FROM ids i CROSS JOIN params p
+    JOIN {table} e ON e.{id_col} = i.id
+    WHERE i.rn % p.stride = 0 AND i.rn // p.stride < {n_lists}
+),
+vecs AS (SELECT {id_col} AS id, {vec_col} AS vec FROM {table}),
+sims AS (
+    SELECT v.id, c.cidx,
+           {d_vc} / (sqrt({d_vv}) * sqrt({d_cc})) AS sim
+    FROM vecs v CROSS JOIN cents c
+),
+cells AS (
+    SELECT id, cidx AS cell FROM (
+        SELECT id, cidx,
+               row_number() OVER (PARTITION BY id ORDER BY sim DESC, cidx ASC) AS rnk
+        FROM sims) WHERE rnk = 1
+),
+probes AS (
+    SELECT id AS qid, cidx AS cell FROM (
+        SELECT id, cidx,
+               row_number() OVER (PARTITION BY id ORDER BY sim DESC, cidx ASC) AS rnk
+        FROM sims WHERE {query_pred}) WHERE rnk <= {n_probe}
+),
+scored AS (
+    SELECT p.qid AS query_id, ca.id AS candidate_id,
+           {d_qa} / (sqrt({d_qq}) * sqrt({d_aa})) AS cosine_sim
+    FROM probes p
+    JOIN cells ca ON ca.cell = p.cell AND ca.id <> p.qid
+    JOIN vecs q ON q.id = p.qid
+    JOIN vecs a ON a.id = ca.id
+),
+ranked AS (
+    SELECT query_id, candidate_id, cosine_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_sim DESC, candidate_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, candidate_id, CAST(rank AS BIGINT) AS rank, cosine_sim
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def cosine_neardup_pairs(
@@ -508,6 +607,122 @@ WHERE d.id IS NULL
 """
 
 
+def _lsh_tables_planes(
+    n_tables: int, n_bits: int, dim: int, seed: int
+) -> list[list[list[float]]]:
+    """The seeded hyperplane constant shared by lsh_neardup_pairs and its
+    DuckDB oracle builder: same Python floats land as literals in BOTH the
+    Spark plan and the SQL text (repr round-trips doubles exactly), so the
+    sign tests — and hence buckets and candidates — agree bit-for-bit."""
+    return [
+        [
+            [
+                random.Random((seed + 1) * 10_007 + t * 101 + i).gauss(0.0, 1.0)
+                for _ in range(dim)
+            ]
+            for i in range(n_bits)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def _signature_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """DuckDB text for the same bucket id Spark computes: sum of CASE on
+    the sign of the identical left-fold dot against literal planes."""
+    bits = []
+    for i, plane in enumerate(planes):
+        lits = "[" + ", ".join(repr(w) for w in plane) + "]"
+        d = (
+            f"list_reduce(list_transform(list_zip({vec_expr}, {lits}), "
+            "p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y)"
+        )
+        bits.append(f"CASE WHEN {d} >= 0 THEN {1 << i} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def lsh_neardup_pairs_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    n_bits: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    n_tables: int = 4,
+) -> str:
+    """DuckDB twin of lsh_neardup_pairs. The hyperplanes are embedded as
+    double literals, the sign tests reuse the bit-identical fold, and the
+    rerank is the exact cosine — so the approximate LSH pipeline is
+    oracle-checked end-to-end, not rows-only."""
+    planes = _lsh_tables_planes(n_tables, n_bits, dim, seed)
+    sigs = "\nUNION ALL\n".join(
+        f"SELECT {id_col} AS id, {vec_col} AS v, {t} AS tbl, "
+        f"{_signature_sql(vec_col, planes[t])} AS bucket FROM {table}"
+        for t in range(n_tables)
+    )
+    d_ab = _dot_sql("va.v", "vb.v")
+    d_aa = _dot_sql("va.v", "va.v")
+    d_bb = _dot_sql("vb.v", "vb.v")
+    return f"""
+WITH s AS (
+{sigs}
+),
+cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM s a JOIN s b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+),
+scored AS (
+    SELECT c.id_a, c.id_b,
+           {d_ab} / (sqrt({d_aa}) * sqrt({d_bb})) AS cosine_sim
+    FROM cand c
+    JOIN (SELECT {id_col} AS id, {vec_col} AS v FROM {table}) va ON va.id = c.id_a
+    JOIN (SELECT {id_col} AS id, {vec_col} AS v FROM {table}) vb ON vb.id = c.id_b
+)
+SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= {threshold}
+"""
+
+
+def lsh_bucketed_topk_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    query_pred: str = "TRUE",
+) -> str:
+    """DuckDB twin of lsh_bucketed_topk (single plane set, bucket
+    equi-join, exact cosine rerank, deterministic (sim desc, id asc)
+    top-k)."""
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
+    sig = _signature_sql(vec_col, planes)
+    d_qc = _dot_sql("q.v", "c.v")
+    d_qq = _dot_sql("q.v", "q.v")
+    d_cc = _dot_sql("c.v", "c.v")
+    return f"""
+WITH s AS (
+    SELECT {id_col} AS id, {vec_col} AS v, {sig} AS bucket
+    FROM {table}
+),
+q AS (SELECT * FROM s WHERE {query_pred}),
+scored AS (
+    SELECT q.id AS query_id, c.id AS candidate_id,
+           {d_qc} / (sqrt({d_qq}) * sqrt({d_cc})) AS cosine_sim
+    FROM s c JOIN q ON c.bucket = q.bucket AND c.id <> q.id
+),
+ranked AS (
+    SELECT query_id, candidate_id, cosine_sim,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_sim DESC, candidate_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, candidate_id, CAST(rank AS BIGINT) AS rank, cosine_sim
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -529,13 +744,7 @@ def lsh_neardup_pairs(
     per-table p^n_bits, overall 1 - (1 - p^n_bits)^n_tables — tune
     n_bits down / n_tables up for looser thresholds. Approximate =>
     rows-only check; `cosine_neardup_pairs` is the exact baseline."""
-    all_planes = [
-        [
-            [random.Random((seed + 1) * 10_007 + t * 101 + i).gauss(0.0, 1.0) for _ in range(dim)]
-            for i in range(n_bits)
-        ]
-        for t in range(n_tables)
-    ]
+    all_planes = _lsh_tables_planes(n_tables, n_bits, dim, seed)
 
     def signature(vec: Column, planes: list[list[float]]) -> Column:
         bits = [

@@ -167,11 +167,17 @@ def embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_lsh_neardup_pairs", tags=("ext", "dedup", "approx"))
+@register(
+    "embedding_lsh_neardup_pairs",
+    tags=("ext", "dedup", "approx"),
+    oracle=S.lsh_neardup_pairs_oracle_sql("embeddings", "vec_id", "embedding", 0.4),
+)
 def embedding_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup (scale path): hyperplane-signature equi-join
-    replaces the n^2 pair scan; exact cosine reranks within buckets
-    (approximate recall => rows-only)."""
+    replaces the n^2 pair scan; exact cosine reranks within buckets.
+    Oracle-checked despite being approximate: the seeded hyperplanes are
+    shared double literals and the sign-test fold is bit-identical, so
+    DuckDB reproduces the buckets, the candidate set, and the rerank."""
     return S.lsh_neardup_pairs(
         t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.4
     )
@@ -215,20 +221,36 @@ def embedding_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_matmul(emb, queries, "vec_id", "embedding", k=5)
 
 
-@register("embedding_ivf_topk", tags=("ext", "similarity", "approx", "ivf"))
+@register(
+    "embedding_ivf_topk",
+    tags=("ext", "similarity", "approx", "ivf"),
+    oracle=S.ivf_topk_oracle_sql(
+        "embeddings", "vec_id", "embedding", k=5, query_pred="id % 40 = 0"
+    ),
+)
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: corpus partitioned into Voronoi cells around
     data-derived centroids, queries probe their 4 nearest cells — search
-    cost ~n_probe/n_lists of brute force (rows-only; approximate)."""
+    cost ~n_probe/n_lists of brute force. Oracle-checked: assignment and
+    probing use the dim-sequential fold with deterministic tie order, so
+    DuckDB reproduces cells, candidates, and ranks exactly."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 40 == 0)
     return S.ivf_topk(emb, queries, "vec_id", "embedding", k=5)
 
 
-@register("embedding_lsh_topk", tags=("ext", "similarity", "approx"))
+@register(
+    "embedding_lsh_topk",
+    tags=("ext", "similarity", "approx"),
+    oracle=S.lsh_bucketed_topk_oracle_sql(
+        "embeddings", "vec_id", "embedding", k=5, query_pred="id % 40 = 0"
+    ),
+)
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucketed top-k (the scale path: candidates only
-    within signature buckets; seeded, approximate => rows-only)."""
+    """Random-hyperplane LSH bucketed top-k (the scale path: candidates
+    only within signature buckets). Oracle-checked via shared literal
+    hyperplanes + bit-identical folds — DuckDB reproduces buckets and the
+    (sim desc, id asc) rank order exactly."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 40 == 0)
     return S.lsh_bucketed_topk(emb, queries, "vec_id", "embedding", k=5)
