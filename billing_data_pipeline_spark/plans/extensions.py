@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import components as CC
 from ..operators import dedup as D
 from ..operators import portable_dedup as PD
 from ..operators import sampling as SMP
@@ -181,6 +182,31 @@ def embedding_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_neardup_pairs(
         t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.4
     )
+
+
+@register(
+    "embedding_dedup_components",
+    tags=("ext", "dedup", "iterative", "graph"),
+    oracle=CC.components_oracle_sql(
+        "SELECT vec_id FROM embeddings",
+        S.neardup_pairs_oracle_sql("embeddings", "vec_id", "embedding", 0.4)
+        .replace("SELECT id_a, id_b, cosine_sim FROM scored", "SELECT id_a, id_b FROM scored"),
+        "vec_id",
+    ),
+)
+def embedding_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure dedup clusters: connected components over the
+    exact cosine near-dup pairs via iterative min-label propagation
+    (2-4 rounds at near-dup diameters; localCheckpoint per round). The
+    one iterative-fixpoint operator of the dedup stack — and still
+    oracle-checked, against a DuckDB recursive-CTE reachability closure."""
+    emb = t(spark, sf_dir, "embeddings")
+    edges = S.cosine_neardup_pairs(emb, "vec_id", "embedding", 0.4).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return CC.connected_components(
+        emb.select("vec_id"), edges, "vec_id"
+    ).select(F.col("id").alias("vec_id"), "component_id")
 
 
 # ---------------------------------------------------------------------------

@@ -342,3 +342,20 @@ def test_simhash_portable_band_recall_pigeonhole(spark):
     }
     assert banded == brute
     assert (1, 5) in banded  # identical docs: Hamming 0
+
+
+def test_connected_components_chain_vs_greedy(spark):
+    """Chain a-b-c (a~b, b~c, but a!~c) must collapse into ONE component
+    under transitive closure — the case greedy keep-first mislabels —
+    and singletons keep their own id."""
+    from billing_data_pipeline_spark.operators.components import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["id"])
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], ["src", "dst"]
+    )
+    got = {
+        r["id"]: r["component_id"]
+        for r in connected_components(nodes, edges, "id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
