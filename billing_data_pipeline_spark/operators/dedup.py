@@ -114,7 +114,12 @@ def shingle_hashes(text_col: str, n: int = 3) -> F.Column:
     All long arithmetic after one string pass — measured ~2x faster than
     concat_ws shingles + string hashing. Collisions are 2^-64-scale noise,
     fine for MinHash/SimHash tiers (NOT for the exact Jaccard oracle tier,
-    which keeps string shingles)."""
+    which keeps string shingles).
+
+    Deliberately a MULTISET (no array_distinct): the only consumer is
+    MinHash's array_min, which is duplicate-invariant, and the dedup pass
+    was 35% of the whole shingling stage at sf0.1 (0.90 s -> 0.62 s
+    without it)."""
     toks = F.split(F.trim(F.col(text_col)), "\\s+")
     th = F.transform(toks, lambda t: F.xxhash64(t))
     length = F.greatest(F.size(th) - (n - 1), F.lit(0))
@@ -128,7 +133,7 @@ def shingle_hashes(text_col: str, n: int = 3) -> F.Column:
             # multiply-mix arithmetic).
             lambda acc, nxt: F.xxhash64(acc, nxt),
         )
-    return F.array_distinct(grams)
+    return grams
 
 
 def minhash_signature(shingle_hashes: F.Column, k: int) -> F.Column:

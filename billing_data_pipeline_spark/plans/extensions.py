@@ -2,10 +2,21 @@
 similarity search, text analysis, multimodal columns — over the driver's
 documents/embeddings tables.
 
-Oracle policy: exact operators (hash dedup, n-gram Jaccard, brute-force
-cosine, text stats, fingerprints) carry full DuckDB oracles; approximate
-operators (MinHash LSH, SimHash, LSH-bucketed ANN) are seeded-deterministic
-but approximate by construction, so the driver records rows-only checks.
+Oracle policy (round 2): APPROXIMATE is not an excuse for rows-only.
+Every algorithm family carries a fully hash-checked variant —
+- exact operators (hash dedup, n-gram Jaccard, brute-force cosine, text
+  stats, fingerprints): direct oracles;
+- MinHash/SimHash: `*_portable` twins on md5-derived hashes + modular
+  integer mixing that both engines compute identically;
+- hyperplane LSH (pairs + topk): the seeded planes are shared double
+  literals, the sign folds bit-identical — DuckDB reproduces the buckets;
+- IVF: dim-sequential folds + deterministic tie order — DuckDB reproduces
+  cells, probes, and ranks;
+- connected components: DuckDB recursive-CTE closure.
+Rows-only remains ONLY where cross-engine equality is impossible in
+principle: Spark-private hashing (xxhash64 throughput tiers, MLlib
+MinHashLSH), BLAS reduction order (matmul top-k), HLL sketches, and
+stateful streaming.
 """
 
 from __future__ import annotations
