@@ -44,6 +44,32 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def normalized_text(text_col: str = "text") -> F.Column:
+    """Canonical form for normalization-tier dedup: lowercase, every
+    non-alphanumeric run collapsed to one space, edges trimmed. Catches
+    the near-exact duplicates content hashing misses (case, punctuation,
+    whitespace variants) without any signature machinery — the standard
+    tier between exact md5 and MinHash in a curation stack. Pure regexp
+    built-ins; same result from DuckDB's regexp_replace(..., 'g')."""
+    return F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    )
+
+
+def normalized_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct NORMALIZED content hash: canonical (min) id +
+    copy count — exact_dedup_groups on the canonical form. Same scale
+    shape: one shuffle on a 16-byte key."""
+    return (
+        df.withColumn("norm_hash", F.md5(normalized_text(text_col)))
+        .groupBy("norm_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("copies"),
+        )
+    )
+
+
 def word_shingles(text_col: str, n: int = 3) -> F.Column:
     """Distinct word n-gram shingles of a text column (built-in higher-order
     functions; no UDF).

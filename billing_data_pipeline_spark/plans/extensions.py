@@ -57,6 +57,27 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_groups(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@register(
+    "normalized_dedup_docs",
+    tags=("ext", "dedup"),
+    oracle="""
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS copies
+FROM documents
+GROUP BY 1
+""",
+)
+def normalized_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-tier dedup: md5 over the canonical text form (lower,
+    non-alphanumeric runs -> single space, trimmed) — catches case/
+    punctuation/whitespace duplicates between the exact and MinHash
+    tiers; still one 16-byte-key shuffle."""
+    return D.normalized_dedup_groups(
+        t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 NGRAM_JACCARD_ORACLE = r"""
 WITH toks AS (
     SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

@@ -166,6 +166,34 @@ def streaming_interval_join_catchup(spark: SparkSession, sf_dir: str) -> DataFra
     return run_to_memory(sdf, f"ssjoin_{uuid.uuid4().hex[:8]}", "append")
 
 
+@register(
+    "streaming_enrich_catchup",
+    tags=("streaming", "join", "true-stream"),
+    oracle=f"""
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       {dsum_sql('e.value')} AS total_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1
+""",
+)
+def streaming_enrich_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-static enrichment join: the event stream joins the
+    static customer dimension (broadcast, stateless — no join state, the
+    dim re-plans per micro-batch) and rolls up per market segment, drained
+    with AvailableNow in complete mode. The streaming twin of the batch
+    star-join rule: the fact stream never shuffles for the join at any
+    scale. Hash-checked against the plain SQL join+group."""
+    import uuid
+
+    from ..streaming.event_windows import enriched_segment_stream, run_to_memory
+
+    cust = t(spark, sf_dir, "customer")
+    sdf = enriched_segment_stream(_stream_events(spark, sf_dir), cust)
+    return run_to_memory(sdf, f"enrich_{uuid.uuid4().hex[:8]}", "complete")
+
+
 @register("streaming_stateful_totals", tags=("streaming", "stateful", "true-stream"))
 def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState per-user running totals drained with

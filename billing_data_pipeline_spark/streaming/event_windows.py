@@ -103,6 +103,33 @@ def session_stats_stream(
     )
 
 
+def enriched_segment_stream(
+    events: DataFrame, customer: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a STATIC dimension
+    (customer) — Spark re-plans the static side per micro-batch and keeps
+    the join stateless (no watermark needed on the dim, no join state at
+    all; the stream side's watermark only bounds the downstream aggregate).
+    The dim is broadcast, so at any scale the fact stream never shuffles
+    for the join — the streaming twin of the batch star-join rule.
+    Output: per-market-segment running event counts + exact-decimal value
+    sums (batch twin/oracle: a plain join+groupBy in SQL)."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
 def streaming_dedup(
     events: DataFrame, keys: list[str], watermark: str = "30 minutes"
 ) -> DataFrame:
