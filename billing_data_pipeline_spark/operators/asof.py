@@ -84,6 +84,76 @@ def asof_join_backward(
     return out
 
 
+def asof_join_backward_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join on the COGROUPED-PANDAS path: both sides group
+    on the entity key, cogroup co-shuffles matching groups into one Arrow
+    batch, and ``pd.merge_asof`` runs the per-entity merge — the
+    imperative twin of the union+window composition (`asof_join_backward`)
+    and the missing tier of the pandas API family (scalar pandas_udf /
+    grouped-agg / grouped-map / mapInPandas / applyInPandasWithState are
+    covered elsewhere; this is ``cogroup().applyInPandas``).
+
+    Same scale shape as the window form: one co-partitioning shuffle on
+    the entity key, no join explosion; per-group memory is the entity's
+    own rows (the window form streams instead — prefer it for single
+    monster entities). Output columns/semantics are identical, so the two
+    formulations share one DuckDB ASOF JOIN oracle.
+
+    Right-side columns are renamed to their output names BEFORE the
+    cogroup: Spark's cogroup resolution drops right-side columns whose
+    names collide with the left's (observed: a right frame arriving in
+    the kernel with only its uniquely-named columns), so the two sides
+    must not share non-key names."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    left_fields = [left.schema[c] for c in left.columns]
+    right_field = {f.name: f for f in right.schema.fields}
+    out_schema = T.StructType(
+        left_fields
+        + [
+            T.StructField(f"asof_{c}", right_field[c].dataType, True)
+            for c in value_cols
+        ]
+    )
+    l_cols = list(left.columns)
+    right_renamed = right.select(
+        F.col(entity_col),
+        F.col(ts_col).alias("_r_ts"),
+        *[F.col(c).alias(f"asof_{c}") for c in value_cols],
+    )
+
+    def merge_group(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if not len(l):
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        l = l.sort_values(ts_col, kind="stable")
+        rr = (
+            r[["_r_ts", *[f"asof_{c}" for c in value_cols]]]
+            .rename(columns={"_r_ts": ts_col})
+            .sort_values(ts_col, kind="stable")
+        )
+        out = pd.merge_asof(l, rr, on=ts_col, direction="backward")
+        # NaN -> None so missing matches surface as SQL NULLs (the window
+        # form's semantics), not float NaNs
+        for c in value_cols:
+            col = out[f"asof_{c}"]
+            out[f"asof_{c}"] = col.astype(object).where(col.notna(), None)
+        return out[l_cols + [f"asof_{c}" for c in value_cols]]
+
+    return (
+        left.groupBy(entity_col)
+        .cogroup(right_renamed.groupBy(entity_col))
+        .applyInPandas(merge_group, out_schema)
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

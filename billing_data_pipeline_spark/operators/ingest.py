@@ -121,6 +121,27 @@ def append_new_rows(
     return n
 
 
+def upsert_latest_wins(
+    existing: DataFrame, updates: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """UPSERT (MERGE: update matched, insert unmatched) as a pure
+    DataFrame expression: take every update row, plus the existing rows
+    whose key has no update — the reference's ledger upsert pattern
+    (pipeline/assets/ingest.py:260-266, DELETE + re-INSERT per filename)
+    generalized to any key set.
+
+    Scale shape: one left_anti of existing against the UPDATE KEYS ONLY
+    (column-pruned before the shuffle; broadcast when the update batch is
+    small — the common incremental case) + a union. No full-outer join,
+    no window: the rewrite touches each existing row once. Storage-wise
+    this is the engine-agnostic MERGE; on a transactional table format the
+    same plan feeds MERGE INTO."""
+    untouched = existing.join(
+        updates.select(*keys), on=list(keys), how="left_anti"
+    )
+    return updates.unionByName(untouched)
+
+
 def append_new_rows_per_file(
     batch: DataFrame,
     table_path: str,

@@ -8,7 +8,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.asof import asof_join_backward, range_join
+from ..operators.asof import (
+    asof_join_backward,
+    asof_join_backward_cogrouped,
+    range_join,
+)
 from ..registry import register
 from ._util import t
 
@@ -51,6 +55,80 @@ def purchase_last_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_event_id"),
         F.col("asof_value"),
     )
+
+
+@register(
+    "purchase_last_click_asof_cogroup",
+    tags=("ext", "join", "asof", "cogroup"),
+    oracle="""
+WITH ev AS (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type
+    FROM events
+)
+SELECT l.event_id, l.user_id,
+       r.event_id AS asof_event_id,
+       r.value AS asof_value
+FROM (SELECT * FROM ev WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def purchase_last_click_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same backward as-of join on the cogrouped-pandas path:
+    cogroup().applyInPandas + pd.merge_asof per user — identical result to
+    the union+window form (shared oracle), completing the pandas API
+    family. One co-partitioning shuffle, per-group memory bounded by the
+    entity's own rows."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join_backward_cogrouped(
+        purchases, clicks, "user_id", "ts", ["event_id", "value"]
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("asof_event_id"), F.col("asof_value")
+    )
+
+
+@register(
+    "upsert_latest_wins",
+    tags=("ingest", "merge", "reference:S7"),
+    oracle="""
+WITH existing AS (
+    SELECT event_id, user_id, event_type, value FROM events WHERE event_id % 10 <= 7
+),
+updates AS (
+    SELECT event_id, user_id, event_type, value * 2 AS value
+    FROM events WHERE event_id % 10 >= 6
+)
+SELECT * FROM updates
+UNION ALL
+SELECT e.* FROM existing e
+LEFT JOIN updates u ON u.event_id = e.event_id
+WHERE u.event_id IS NULL
+""",
+)
+def upsert_latest_wins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics (update matched, insert unmatched) as one
+    declarative plan — the reference's ledger upsert (ingest.py:260-266)
+    generalized: existing rows (event_id%10<=7) merged with an update
+    batch (event_id%10>=6, corrected values; 6-7 overlap = updates,
+    8-9 = inserts). One key-pruned left_anti + union; no full-outer join,
+    no window."""
+    from ..operators.ingest import upsert_latest_wins
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    existing = ev.filter(F.col("event_id") % 10 <= 7)
+    updates = ev.filter(F.col("event_id") % 10 >= 6).withColumn(
+        "value", F.col("value") * 2
+    )
+    return upsert_latest_wins(existing, updates, ["event_id"])
 
 
 @register(
