@@ -254,3 +254,89 @@ def test_cosine_topk_vectorized_bit_identical_to_hof(spark):
         ).collect()
     )
     assert hof == vec  # exact equality: ids, ranks, and double bits
+
+
+def test_round2_plan_properties(spark):
+    """Round-2 plan regressions: tf-idf must not window over the term
+    partition (vocab skew trap), repetition stats must be exchange-free,
+    and the upsert's anti-join must broadcast the key-pruned update side."""
+    from billing_data_pipeline_spark.registry import load_catalog
+
+    cat = load_catalog()
+    sf = "/root/testdata/sf0.001"
+
+    def plan_of(name):
+        return cat[name].fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+
+    # doc_freq comes from a broadcast grouped aggregate; the ONLY window
+    # is the per-doc rank (partitioned on the doc key)
+    p = plan_of("doc_top_terms_tfidf")
+    assert p.count("Window [") == 1  # WindowGroupLimit pushdown rides along
+    assert "windowspecdefinition(term" not in p
+    assert "BroadcastExchange" in p
+
+    # per-row HOF stats: zero exchanges of any kind
+    p = plan_of("doc_repetition_stats")
+    assert "Exchange hashpartitioning" not in p
+
+    # MERGE: existing anti-joins a BROADCAST of the pruned update keys
+    p = plan_of("upsert_latest_wins")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_upsert_latest_wins_semantics(spark):
+    """Updates overwrite matched keys, inserts land, untouched rows
+    survive — and the op never duplicates a key."""
+    from billing_data_pipeline_spark.operators.ingest import upsert_latest_wins
+
+    existing = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], ["k", "s", "v"]
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 20.0), (4, "d", 4.0)], ["k", "s", "v"]
+    )
+    got = {r["k"]: (r["s"], r["v"]) for r in upsert_latest_wins(existing, updates, ["k"]).collect()}
+    assert got == {1: ("a", 1.0), 2: ("b2", 20.0), 3: ("c", 3.0), 4: ("d", 4.0)}
+
+
+def test_cogrouped_asof_equals_window_asof(spark):
+    """The cogrouped-pandas as-of must agree with the union+window form on
+    edge topologies: no-match-yet rows (NULLs), exact-ts matches
+    (inclusive), and entities present on only one side."""
+    from datetime import datetime
+
+    from billing_data_pipeline_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_backward_cogrouped,
+    )
+
+    def ts(m):
+        return datetime(2025, 1, 1, 10, m)
+
+    left = spark.createDataFrame(
+        [(1, 100, ts(5)), (1, 101, ts(1)), (2, 200, ts(3)), (3, 300, ts(2))],
+        ["user_id", "event_id", "ts"],
+    ).select("event_id", "user_id", "ts")
+    right = spark.createDataFrame(
+        [(1, 900, ts(2), 9.0), (1, 901, ts(5), 10.0), (2, 902, ts(4), 11.0),
+         (4, 903, ts(1), 12.0)],
+        ["user_id", "event_id", "ts", "value"],
+    ).select("event_id", "user_id", "ts", "value")
+
+    win = sorted(
+        tuple(r)
+        for r in asof_join_backward(
+            left, right, "user_id", "ts", ["event_id", "value"]
+        ).select("event_id", "user_id", "asof_event_id", "asof_value").collect()
+    )
+    cog = sorted(
+        tuple(r)
+        for r in asof_join_backward_cogrouped(
+            left, right, "user_id", "ts", ["event_id", "value"]
+        ).select("event_id", "user_id", "asof_event_id", "asof_value").collect()
+    )
+    assert win == cog
+    d = {r[0]: r for r in cog}
+    assert d[100][2] == 901 and d[100][3] == 10.0  # exact-ts inclusive
+    assert d[101][2] is None  # before any click
+    assert d[300][2] is None  # user with no clicks at all
