@@ -80,6 +80,73 @@ def quality_score(text: Column) -> Column:
     return word_density - punct_ratio
 
 
+# Fixed linear-model weights for model-based quality filtering (a stand-in
+# for a fastText/logreg quality classifier: same feature plumbing, tiny
+# deterministic model). Order matters — the score folds left-to-right.
+QUALITY_MODEL_WEIGHTS: tuple[tuple[str, float], ...] = (
+    ("bias", -0.25),
+    ("word_density", 4.0),
+    ("punct_ratio", -6.0),
+    ("log_len", 0.03),
+    ("distinct_ratio", 0.5),
+)
+
+
+def model_quality_features(text: Column) -> dict[str, Column]:
+    """The classifier's feature map — cheap deterministic per-row exprs
+    (each an IEEE division / libm ln of identical operands on both
+    engines; ln is already hash-proven cross-engine by the tf-idf
+    oracles)."""
+    n_chars = F.length(text)
+    words = token_count(text)
+    toks = F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda x: x != "")
+    return {
+        "word_density": words.cast("double") / n_chars,
+        "punct_ratio": punct_count(text).cast("double") / n_chars,
+        "log_len": F.log(F.lit(1.0) + n_chars),
+        "distinct_ratio": F.size(F.array_distinct(toks)).cast("double")
+        / F.size(toks),
+    }
+
+
+def model_quality_score(text: Column) -> Column:
+    """Linear-model quality score: w·f folded left-to-right (bias first) so
+    the double is reproducible in SQL. The sigmoid is monotone, so
+    thresholding the LINEAR score is the same filter without betting the
+    value hash on cross-libm exp()."""
+    feats = model_quality_features(text)
+    score = F.lit(dict(QUALITY_MODEL_WEIGHTS)["bias"])
+    for name, w in QUALITY_MODEL_WEIGHTS:
+        if name == "bias":
+            continue
+        score = score + F.lit(w) * feats[name]
+    return score
+
+
+def model_quality_score_sql(text_expr: str) -> str:
+    """DuckDB twin of model_quality_score (same features, same fold)."""
+    words = f"len(regexp_extract_all({text_expr}, '{WORD_RE}'))"
+    puncts = f"len(regexp_extract_all({text_expr}, '{PUNCT_RE}'))"
+    toks = (
+        f"list_filter(string_split_regex(lower({text_expr}), '{TOKEN_SPLIT_RE}'), "
+        "x -> x <> '')"
+    )
+    feats = {
+        "word_density": f"(CAST({words} AS DOUBLE) / length({text_expr}))",
+        "punct_ratio": f"(CAST({puncts} AS DOUBLE) / length({text_expr}))",
+        "log_len": f"ln(1.0 + length({text_expr}))",
+        "distinct_ratio": (
+            f"(CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks}))"
+        ),
+    }
+    expr = repr(dict(QUALITY_MODEL_WEIGHTS)["bias"])
+    for name, w in QUALITY_MODEL_WEIGHTS:
+        if name == "bias":
+            continue
+        expr = f"({expr} + {w!r} * {feats[name]})"
+    return expr
+
+
 def rolling_fingerprint(text: Column, modulus: int = 2147483647) -> Column:
     """Polynomial rolling hash over characters (base 31, mod 2^31-1) —
     a deterministic document fingerprint computed with a higher-order fold

@@ -436,3 +436,52 @@ def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id") == 4242)
         .select("event_id", "user_id", "event_type", "value")
     )
+
+
+@register(
+    "lineitem_quality_checks",
+    tags=("quality", "constraints", "reference:1.3"),
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS dup_natural_keys,
+       COUNT(*) - COUNT(l_shipdate) AS null_shipdates,
+       CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS negative_prices,
+       CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS bad_discounts,
+       CAST(SUM(CASE WHEN l_shipdate <  TIMESTAMP '1992-01-01'
+                       OR l_shipdate >= TIMESTAMP '1999-01-01'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS out_of_range_dates
+FROM lineitem
+""",
+)
+def lineitem_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint report in ONE aggregate pass — the engine's
+    answer to the reference's declarative UNIQUE/type constraints
+    (SURVEY.md §1.3: Spark can't enforce, so constraints become checked
+    properties): natural-key duplicate count, null counts, domain-range
+    violations. Map-side partials collapse 100 TB to one row per task;
+    the key-distinct rides the same Expand pass as the profile aggs."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
+        ).alias("dup_natural_keys"),
+        (F.count(F.lit(1)) - F.count("l_shipdate")).alias("null_shipdates"),
+        F.sum(F.when(F.col("l_extendedprice") < 0, 1).otherwise(0)).alias(
+            "negative_prices"
+        ),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1)
+            .otherwise(0)
+        ).alias("bad_discounts"),
+        F.sum(
+            F.when(
+                (F.col("l_shipdate") < F.lit("1992-01-01").cast("timestamp"))
+                | (F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("out_of_range_dates"),
+    )

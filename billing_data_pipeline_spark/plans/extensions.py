@@ -540,6 +540,87 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_model_quality_scores",
+    tags=("ext", "text", "quality", "model"),
+    oracle=f"""
+SELECT doc_id,
+       {X.model_quality_score_sql('text')} AS model_score,
+       CASE WHEN {X.model_quality_score_sql('text')} > 0.5
+            THEN TRUE ELSE FALSE END AS kept
+FROM documents
+WHERE length(text) > 0
+  AND len(regexp_extract_all(text, '[A-Za-z0-9]+')) >= 1
+""",
+)
+def doc_model_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a fixed linear classifier (the
+    fastText/logreg stand-in) scoring word-density / punctuation /
+    length / lexical-diversity features per document, thresholded into a
+    keep decision. Features and the left-folded w·f score are exact
+    cross-engine arithmetic => fully oracle-checked; at scale this is one
+    scan-stage projection, no shuffle."""
+    docs = t(spark, sf_dir, "documents").filter(
+        (F.length("text") > 0) & (X.token_count(F.col("text")) >= 1)
+    )
+    score = X.model_quality_score(F.col("text"))
+    return docs.select(
+        "doc_id",
+        score.alias("model_score"),
+        (score > 0.5).alias("kept"),
+    )
+
+
+@register(
+    "user_event_transcripts",
+    tags=("ext", "text", "sequence"),
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       string_agg(event_type || '@' || epoch_us(CAST(ts AS TIMESTAMP)), '|'
+                  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_type, event_id)
+           AS transcript
+FROM events
+GROUP BY user_id
+""",
+)
+def user_event_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence assembly for SFT-style training data: each user's events
+    collected into ONE ordered transcript string (type@epoch_us joined by
+    '|'). sort_array over collected (ts, type, id) structs gives a total
+    deterministic order — the struct sort IS the oracle's ORDER BY triple.
+    One shuffle on the entity key; per-group memory bounded by the
+    entity's own events (the conversation-assembly shape of a pretraining
+    pipeline)."""
+    ev = t(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("event_type").alias("et"),
+            F.col("event_id").alias("eid"),
+        ).alias("e"),
+    )
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sort_array(F.collect_list("e")).alias("seq"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.array_join(
+                F.transform(
+                    F.col("seq"),
+                    lambda x: F.concat_ws("@", x["et"], x["ts_us"].cast("string")),
+                ),
+                "|",
+            ).alias("transcript"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns
 # ---------------------------------------------------------------------------
