@@ -132,6 +132,43 @@ def upsert_latest_wins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_segment_revenue",
+    tags=("join", "skew", "salting"),
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1
+""",
+)
+def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-mitigation path under the exact-hash gate: the event fact
+    joins the customer dim through `salted_join` (hot keys split across 8
+    deterministic salt buckets, dim replicated per salt) and rolls up per
+    segment — result provably identical to the plain join (the oracle IS
+    the plain join). At 100 TB with a power-law user distribution this
+    caps any single reducer at 1/n_salts of the hottest key; AQE's
+    skew-join split is the built-in alternative for sort-merge plans."""
+    from ..operators.skew import salted_join
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id")
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    joined = salted_join(ev, cust, ["user_id"], n_salts=8)
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+@register(
     "error_burst_range_join",
     tags=("ext", "join", "range"),
     oracle="""

@@ -138,3 +138,33 @@ def test_chunk_tokens_covers_every_token(spark, tokens, chunk, overlap):
     assert set(covered) == set(range(len(tokens)))
     if stride == chunk:  # non-overlapping: exact partition
         assert " ".join(r.chunk_text for r in out) == " ".join(tokens)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+        ),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+def test_portable_hash60_matches_md5_for_arbitrary_unicode(spark, texts):
+    """portable_hash60 must equal int(md5(utf8)[:15], 16) for ANY unicode
+    payload — the invariant every portable dedup tier's oracle parity
+    rests on."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from billing_data_pipeline_spark.operators.portable_dedup import portable_hash60
+
+    df = spark.createDataFrame([(t,) for t in texts], ["s"])
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", portable_hash60(F.col("s")).alias("h")).collect()
+    }
+    for s in texts:
+        assert got[s] == int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
