@@ -121,3 +121,45 @@ def url_and_path_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
         hive_partition_value("url", "source").alias("source_param"),
         basename("url").alias("fname"),
     )
+
+
+@register(
+    "array_function_matrix",
+    tags=("scalar", "array", "hof"),
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+       len(list_filter(embedding, x -> x < 0)) AS n_neg,
+       list_reduce(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)),
+                   (a, b) -> a + b) AS head3_sum,
+       CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+            AS DOUBLE) AS abs_max,
+       CAST(list_sort(embedding)[1] AS DOUBLE) AS smallest,
+       CAST(list_reverse(embedding)[1] AS DOUBLE) AS last_elem
+FROM embeddings
+WHERE vec_id % 20 = 0
+""",
+)
+def array_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array/higher-order-function surface in one projection — size,
+    filter-counts, slice+fold, transform(abs)+max, sort, reverse — all
+    JVM built-ins over the embeddings array column, each with an exact
+    DuckDB list-function twin (float->double widening is exact, so every
+    comparison and fold agrees bit-for-bit). Maps/JSON are exercised by
+    json_props_rollup; this completes the §2.8 [EXT] array surface."""
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 20 == 0)
+    v = F.col("embedding")
+    dv = F.transform(v, lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.size(F.filter(v, lambda x: x < 0)).alias("n_neg"),
+        F.aggregate(
+            F.slice(dv, 1, 3), F.lit(0.0), lambda a, b: a + b
+        ).alias("head3_sum"),
+        F.array_max(F.transform(dv, lambda x: F.abs(x))).alias("abs_max"),
+        F.element_at(F.array_sort(v), 1).cast("double").alias("smallest"),
+        F.element_at(F.reverse(v), 1).cast("double").alias("last_elem"),
+    )
