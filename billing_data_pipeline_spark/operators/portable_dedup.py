@@ -87,55 +87,15 @@ def minhash_portable_pairs(
     cost from md5 — run the fast tier in production, this tier is the
     oracle-checked proof of the pipeline's semantics.
     """
-    n_bands = k // band_size
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    docs = df.filter(F.size(toks) >= 3)
-    # h: one md5 pass per shingle, reduced mod P. Materialized as its own
-    # column so the k component passes run over 31-bit longs, not strings.
-    hashed = docs.select(
-        F.col(id_col).alias("doc"),
-        F.transform(
-            word_shingles(text_col, 3),
-            lambda s: F.pmod(portable_hash60(s), F.lit(MINHASH_P)),
-        ).alias("h"),
-    ).filter(F.size("h") > 0)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("h"),
-                    lambda x: (F.lit(a).cast("long") * x + F.lit(b)) % F.lit(MINHASH_P),
-                )
-            )
-            for a, b in MINHASH_AB[:k]
-        ]
-    )
     # Persist + eager-materialize: the sigs subtree feeds the band self-join
     # (twice) and both agreement rejoins — same multi-branch shape as the
     # fast tier, where an unmaterialized cache recomputed shingling per
-    # branch (see dedup.minhash_neardup_pairs).
-    sigs = hashed.select("doc", sig.alias("sig")).persist()
+    # branch (see dedup.minhash_neardup_pairs). One md5 pass per shingle;
+    # the k component passes run over 31-bit longs, not strings.
+    sigs = _minhash_sigs(df, id_col, text_col, k).persist()
     sigs.count()
 
-    bands = sigs.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        (
-                            F.element_at("sig", b * band_size + 1)
-                            * F.lit(2_147_483_648)
-                            + F.element_at("sig", b * band_size + 2)
-                        ).alias("key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc", "bk.band", "bk.key")
-
+    bands = _band_keys(sigs, k, band_size)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -162,6 +122,164 @@ def minhash_portable_pairs(
         .filter(F.col("est_jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", "est_jaccard")
     )
+
+
+def _minhash_sigs(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc, sig[k]) portable MinHash signatures — the shared front half of
+    the self-join and incremental (batch-vs-corpus) pair generators."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    docs = df.filter(F.size(toks) >= 3)
+    hashed = docs.select(
+        F.col(id_col).alias("doc"),
+        F.transform(
+            word_shingles(text_col, 3),
+            lambda s: F.pmod(portable_hash60(s), F.lit(MINHASH_P)),
+        ).alias("h"),
+    ).filter(F.size("h") > 0)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("h"),
+                    lambda x: (F.lit(a).cast("long") * x + F.lit(b)) % F.lit(MINHASH_P),
+                )
+            )
+            for a, b in MINHASH_AB[:k]
+        ]
+    )
+    return hashed.select("doc", sig.alias("sig"))
+
+
+def _band_keys(sigs: DataFrame, k: int, band_size: int) -> DataFrame:
+    n_bands = k // band_size
+    return sigs.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.element_at("sig", b * band_size + 1)
+                            * F.lit(2_147_483_648)
+                            + F.element_at("sig", b * band_size + 2)
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc", "bk.band", "bk.key")
+
+
+def minhash_portable_pairs_between(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 12,
+    band_size: int = 2,
+    min_jaccard: float = 0.4,
+) -> DataFrame:
+    """INCREMENTAL near-dup: candidates pair an EXISTING doc with an
+    INCOMING doc — the ingestion-time dedup shape. At 100 TB you never
+    re-self-join the corpus per batch: the corpus's band keys are computed
+    once (in practice persisted as a bucketed band index), the new batch's
+    bands are tiny, and the join probes corpus bands with batch bands —
+    work scales with |batch| + collisions, not |corpus|^2 or even
+    |corpus| x |batch|. Same portable hashing as the self-join tier, so
+    fully oracle-checked."""
+    ex_sigs = _minhash_sigs(existing, id_col, text_col, k).persist()
+    in_sigs = _minhash_sigs(incoming, id_col, text_col, k).persist()
+    ex_sigs.count(), in_sigs.count()
+    a = _band_keys(ex_sigs, k, band_size).alias("a")
+    b = _band_keys(in_sigs, k, band_size).alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("a.doc").alias("existing_doc"), F.col("b.doc").alias("incoming_doc")
+        )
+        .distinct()
+    )
+    sa = ex_sigs.select(F.col("doc").alias("existing_doc"), F.col("sig").alias("sig_a"))
+    sb = in_sigs.select(F.col("doc").alias("incoming_doc"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(float(k))
+    return (
+        cand.join(sa, "existing_doc")
+        .join(sb, "incoming_doc")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= min_jaccard)
+        .select("existing_doc", "incoming_doc", "est_jaccard")
+    )
+
+
+def minhash_portable_between_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    existing_pred: str,
+    incoming_pred: str,
+    k: int = 12,
+    band_size: int = 2,
+    min_jaccard: float = 0.4,
+) -> str:
+    """DuckDB twin of minhash_portable_pairs_between over one table split
+    by predicates."""
+    n_bands = k // band_size
+    params = ", ".join(
+        f"({i}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+        for i, (a, b) in enumerate(MINHASH_AB[:k])
+    )
+    h60 = portable_hash60_sql("shingle")
+    return rf"""
+WITH toks AS (
+    SELECT {id_col} AS doc, regexp_split_to_array(trim({text_col}), '\s+') AS w
+    FROM {table}
+    WHERE len(regexp_split_to_array(trim({text_col}), '\s+')) >= 3
+),
+sh AS (
+    SELECT DISTINCT doc,
+           unnest(list_transform(generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+    FROM toks
+),
+hv AS (SELECT doc, {h60} % {MINHASH_P} AS hm FROM sh),
+comps AS (
+    SELECT hv.doc, p.i, MIN((p.a * hv.hm + p.b) % {MINHASH_P}) AS comp
+    FROM hv CROSS JOIN (VALUES {params}) AS p(i, a, b)
+    GROUP BY hv.doc, p.i
+),
+sigs AS (SELECT doc, list(comp ORDER BY i) AS sig FROM comps GROUP BY doc),
+bands AS (
+    SELECT doc, b.b AS band,
+           sig[{band_size}*b.b + 1] * 2147483648 + sig[{band_size}*b.b + 2] AS key
+    FROM sigs CROSS JOIN (SELECT unnest(range({n_bands})) AS b) b
+),
+cand AS (
+    SELECT DISTINCT a.doc AS existing_doc, b.doc AS incoming_doc
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc IN (SELECT {id_col} FROM {table} WHERE {existing_pred})
+      AND b.doc IN (SELECT {id_col} FROM {table} WHERE {incoming_pred})
+),
+est AS (
+    SELECT c.existing_doc, c.incoming_doc,
+           CAST(len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))
+                AS DOUBLE) / {float(k)} AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc = c.existing_doc
+    JOIN sigs sb ON sb.doc = c.incoming_doc
+)
+SELECT existing_doc, incoming_doc, est_jaccard
+FROM est WHERE est_jaccard >= {min_jaccard}
+"""
 
 
 def minhash_portable_oracle_sql(

@@ -150,6 +150,30 @@ def minhash_neardup_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "incremental_neardup_vs_corpus",
+    tags=("ext", "dedup", "portable", "incremental"),
+    oracle=PD.minhash_portable_between_oracle_sql(
+        "documents", "doc_id", "text",
+        existing_pred="doc_id % 2 = 0", incoming_pred="doc_id % 2 = 1",
+    ),
+)
+def incremental_neardup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time near-dup: an incoming batch (odd doc_ids) checked
+    against the existing corpus (even doc_ids) through the portable
+    MinHash band index — the INCREMENTAL dedup shape: per batch, work
+    scales with |batch| + band collisions (the corpus band index is
+    computed once and persisted in practice), never a corpus self-join.
+    Fully oracle-checked via the shared portable hashing."""
+    docs = t(spark, sf_dir, "documents")
+    return PD.minhash_portable_pairs_between(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+    )
+
+
 @register("simhash_neardup_pairs", tags=("ext", "dedup", "approx"))
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (64-bit, Arrow-vectorized) near-dup pairs at Hamming<=3 via
