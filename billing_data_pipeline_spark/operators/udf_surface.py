@@ -122,3 +122,31 @@ def grouped_median(df, group_cols: list[str], value_col: str):
     return df.groupBy(*group_cols).agg(
         _median_udaf()(F.col(value_col)).alias(f"median_{value_col}")
     )
+
+
+def arrow_doc_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """mapInArrow tier: per-document character/byte stats computed by
+    pyarrow compute kernels directly on the Arrow RecordBatch — no pandas
+    materialization at all (the zero-copy tier below mapInPandas; right
+    when the kernel is itself Arrow-native). Integer outputs of identical
+    semantics on both engines (utf8_length = codepoints = SQL length;
+    binary_length of the utf8 bytes = octet_length), so fully
+    oracle-checked."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for batch in batches:
+            txt = batch.column(text_col)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(id_col),
+                    pc.cast(pc.utf8_length(txt), pa.int64()),
+                    pc.cast(pc.binary_length(pc.cast(txt, pa.binary())), pa.int64()),
+                ],
+                ["doc_id", "n_chars", "n_bytes"],
+            )
+
+    return docs.select(id_col, text_col).mapInArrow(
+        kernel, "doc_id long, n_chars long, n_bytes long"
+    )

@@ -733,6 +733,26 @@ def udaf_median_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "arrow_doc_stats",
+    tags=("ext", "udf", "arrow"),
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+""",
+)
+def arrow_doc_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow tier of the UDF surface: pyarrow compute kernels on the
+    raw RecordBatch (no pandas materialization) — codepoint and utf8-byte
+    lengths per document, oracle-checked (exact integer semantics both
+    engines). Completes the Python-interop ladder: scalar pandas_udf,
+    grouped-agg UDAF, grouped-map, cogrouped-map, mapInPandas,
+    applyInPandasWithState, Python UDTF, and now Arrow-native mapInArrow."""
+    return U.arrow_doc_stats(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
     "doc_repetition_stats",
     bench=True,
     tags=("ext", "text", "quality"),

@@ -241,3 +241,62 @@ def test_compaction_merges_microbatch_files(spark, tmp_path):
     assert after.count() == n_before
     assert after.agg({"id": "sum"}).first()[0] == sum_before
     assert len(glob.glob(f"{path}/year=2025/month=1/*.parquet")) == 1
+
+
+def test_jsonl_gz_roundtrip_with_corrupt_containment(spark, tmp_path):
+    """JSONL(.gz) read: explicit schema, clean rows parse, torn lines land
+    in _corrupt_record instead of failing the scan (OPT7 row-level
+    analogue), and gzip transparently decodes."""
+    import gzip
+
+    from pyspark.sql import types as T
+
+    from billing_data_pipeline_spark.sources.jsonl_source import (
+        read_jsonl,
+        split_clean_corrupt,
+    )
+
+    lines = [
+        '{"doc_id": 1, "text": "hello world", "lang": "en"}',
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr"}',
+        '{"doc_id": 3, "text": "truncated...',  # torn mid-record
+        "not json at all",
+        '{"doc_id": 4, "text": "ok", "lang": "en"}',
+    ]
+    gz = tmp_path / "shard-00000.jsonl.gz"
+    with gzip.open(gz, "wt", encoding="utf-8") as f:
+        f.write("\n".join(lines))
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    df = read_jsonl(spark, str(gz), schema)
+    clean, quarantine = split_clean_corrupt(df)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2, 4]
+    assert quarantine.count() == 2  # both torn lines contained, not fatal
+
+
+def test_orc_roundtrip_preserves_schema_and_rows(spark, tmp_path):
+    """ORC sink/source round-trip (the second columnar format Spark ships
+    natively): schema and contents survive, predicates push down."""
+    from billing_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = str(tmp_path / "events_orc")
+    ev.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == ev.schema
+    assert back.count() == ev.count()
+    plan = (
+        back.filter("event_id = 42")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "event_id" in plan
