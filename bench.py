@@ -19,7 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from billing_data_pipeline_spark.registry import load_catalog
-from billing_data_pipeline_spark.session import get_spark
+from billing_data_pipeline_spark.session import dir_input_bytes, get_spark, input_sized_conf
 
 
 def main() -> None:
@@ -28,7 +28,13 @@ def main() -> None:
     catalog = load_catalog()
     bench_specs = {n: s for n, s in sorted(catalog.items()) if s.bench}
 
-    spark = get_spark(app_name="bdp-spark-bench")
+    # Size the shuffle from the input's file statistics (see
+    # session.input_sized_conf): static partition count + AQE off below
+    # 1 GiB, AQE back on with 2x-cores partitions above it.
+    spark = get_spark(
+        app_name="bdp-spark-bench",
+        extra_conf=input_sized_conf(dir_input_bytes(sf_dir)),
+    )
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # session warm-up
 
     # Per-query warm-up IMMEDIATELY before its timed run: whole-stage

@@ -62,9 +62,13 @@ def audit(names: list[str], sf_dir: str) -> None:
 def bench_compare(sf_dir: str) -> None:
     import duckdb
 
+    from billing_data_pipeline_spark.session import dir_input_bytes, input_sized_conf
     from billing_data_pipeline_spark.sources.tables import TABLES
 
-    spark = get_spark(app_name="bdp-plan-audit")
+    spark = get_spark(
+        app_name="bdp-plan-audit",
+        extra_conf=input_sized_conf(dir_input_bytes(sf_dir)),
+    )
     cat = load_catalog()
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
