@@ -1,0 +1,349 @@
+"""[EXT] Corpus-curation operators for LLM-training pipelines (SURVEY.md
+§2.12 family): PII scrubbing, segment-level dedup, benchmark
+decontamination, and per-source token-budget mixing.
+
+All four are pure built-in column expressions / joins — no Python in the
+hot path — and each has a DuckDB-reproducible formulation so the catalog
+entries are fully hash-checked:
+
+- PII scrub: a fixed chain of regexp_replace passes whose patterns avoid
+  every Java-vs-RE2 divergence (no lookaround, no backrefs); counts are
+  taken per pass on the progressively-scrubbed text so overlapping
+  patterns can't make the engines disagree.
+- Segment dedup: reuses text.chunk_tokens with stride == chunk for
+  non-overlapping segments; global keep-first is the lexicographic-min
+  (doc_id, idx) rule, identical to the oracle's row_number()=1.
+- Decontamination: the eval side's distinct n-gram set is tiny relative
+  to the corpus, so Spark broadcasts it — the scan-side semi-join is the
+  scale path (no shuffle of the 100 TB train side).
+- Budget mixing: integer-only budget arithmetic (DIV), multiplicative-
+  mixer ordering from sampling.py — no RNG, stable under retry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .sampling import MIX_MULT, MIX_PRIME
+from .text import chunk_tokens, chunk_tokens_oracle_sql
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# (name, pattern, replacement) applied IN ORDER. Patterns restricted to the
+# regex intersection Java (Spark) and RE2 (DuckDB) agree on: character
+# classes, bounded repetition, \b word boundaries.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+)
+
+
+def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Redact PII-shaped spans; emit the clean text + per-type hit counts.
+
+    Counts are evaluated against the text as already scrubbed by earlier
+    passes (email first, so an address's digits can't double-count as a
+    phone) — the same sequential semantics the SQL oracle replays. Pure
+    regexp_count/regexp_replace: whole-stage codegen, shuffle-free, scales
+    with the scan.
+    """
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}s"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.select(F.col(id_col), cur.alias("clean_text"), *counts)
+
+
+def scrub_pii_sql(table: str, id_col: str, text_expr: str) -> str:
+    """DuckDB twin: the same ordered replace chain ('g' = global, matching
+    Spark's always-global regexp_replace)."""
+    cur = text_expr
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS INT) AS n_{name}s"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    cols = ",\n       ".join([id_col, f"{cur} AS clean_text"] + counts)
+    return f"SELECT {cols}\nFROM {table}"
+
+
+# ---------------------------------------------------------------------------
+# Segment-level (paragraph-style) dedup
+# ---------------------------------------------------------------------------
+
+
+def segment_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", seg: int = 10
+) -> DataFrame:
+    """Line/paragraph-level dedup (the CCNet move, applied to word windows):
+    split each doc into non-overlapping ``seg``-token segments, drop every
+    repeat of a segment already seen elsewhere in the corpus (keep-first by
+    lexicographic (doc_id, idx)), and reassemble the surviving text.
+
+    Returns (id, n_segments, segments_kept, clean_text) per document.
+
+    Scale shape: one hash-partitioned window over the 16-byte segment hash
+    (the only shuffle over segment rows), then one groupBy(doc) to
+    reassemble. Segment rows are ~n_tokens/seg per doc — smaller than the
+    token explosion of n-gram methods. Keep-first via window-min avoids a
+    join-back, reusing the same exchange for dedup decision and dedup
+    application.
+    """
+    segs = chunk_tokens(df, id_col, text_col, chunk=seg, stride=seg)
+    h = F.md5(F.col("chunk_text"))
+    w = Window.partitionBy(h)
+    first = F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).over(w)
+    kept = (F.col(id_col) == first[id_col]) & (
+        F.col("chunk_idx") == first["chunk_idx"]
+    )
+    return (
+        segs.withColumn("_kept", kept)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum(F.col("_kept").cast("int")).cast("bigint").alias("segments_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_kept"),
+                                F.struct(F.col("chunk_idx"), F.col("chunk_text")),
+                            )
+                        )
+                    ),
+                    lambda s: s.chunk_text,
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
+def segment_dedup_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text", seg: int = 10
+) -> str:
+    """DuckDB twin: same segments (chunk_tokens oracle with stride=chunk),
+    row_number()=1 over (hash ORDER BY id, idx) == the lexicographic-min
+    keep rule; string_agg reassembly coalesced to '' for all-dropped docs
+    (Spark's array_join of an empty array is '')."""
+    segs = chunk_tokens_oracle_sql(table, id_col, text_col, seg, seg)
+    return f"""
+WITH segs AS ({segs}),
+ranked AS (
+    SELECT {id_col}, chunk_idx, chunk_text,
+           row_number() OVER (
+               PARTITION BY md5(chunk_text) ORDER BY {id_col}, chunk_idx
+           ) = 1 AS kept
+    FROM segs
+)
+SELECT {id_col},
+       COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS segments_kept,
+       COALESCE(
+           string_agg(CASE WHEN kept THEN chunk_text END, ' ' ORDER BY chunk_idx),
+           '') AS clean_text
+FROM ranked
+GROUP BY {id_col}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------------
+
+
+def _ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct word n-grams per document (id, ngram)."""
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    return (
+        df.select(F.col(id_col), toks.alias("_tk"))
+        .filter(F.size("_tk") >= n)
+        .select(
+            id_col,
+            F.explode(F.sequence(F.lit(1), F.size("_tk") - (n - 1))).alias("_i"),
+            "_tk",
+        )
+        .select(
+            id_col,
+            F.array_join(F.slice("_tk", F.col("_i"), n), " ").alias("ngram"),
+        )
+        .distinct()
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Flag training documents that share any word ``n``-gram with the eval
+    set (the standard pre-training decontamination pass). Returns every
+    train doc with its distinct-shared-n-gram count and a contaminated flag.
+
+    Scale shape: the eval set's distinct n-grams are broadcast (eval
+    benchmarks are MBs against a 100 TB corpus), so the overlap check is a
+    scan-side broadcast hash join on the train side — the train corpus is
+    never shuffled. The per-doc distinct() before the join dedups n-grams
+    within a doc map-side, bounding join output at (doc, distinct-gram).
+    """
+    ev = eval_set
+    ev_grams = _ngrams(ev, id_col, text_col, n).select("ngram").distinct()
+    tr_grams = _ngrams(train, id_col, text_col, n)
+    hits = (
+        tr_grams.join(F.broadcast(ev_grams), on="ngram", how="inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_ngrams"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_hit_ngrams", F.lit(0)).cast("bigint").alias("n_hit_ngrams"),
+            (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def ngrams_sql(src: str, id_col: str, text_col: str, n: int) -> str:
+    """DuckDB twin of _ngrams (1-based inclusive slices; range() excludes
+    its stop, so stop = len - n + 2 and docs shorter than n yield none)."""
+    return f"""
+SELECT DISTINCT {id_col},
+       array_to_string(tk[i : i + {n - 1}], ' ') AS ngram
+FROM (
+    SELECT {id_col},
+           list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x <> '') AS tk
+    FROM {src}
+) s, unnest(range(1, greatest(len(tk) - {n - 1}, 0) + 1)) AS u(i)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus mixing
+# ---------------------------------------------------------------------------
+
+
+def mix_to_budget(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    token_count_col,
+    weight_col,
+    budget_num: int = 1,
+    budget_den: int = 2,
+    salt: int = 17,
+) -> DataFrame:
+    """Per-source token-budget corpus mixing: give source s a budget of
+    ``(budget_num/budget_den) * total_tokens * w_s / sum(w)`` tokens and
+    greedily keep its documents in deterministic mixed-hash order until the
+    budget is exhausted. Returns a per-source summary
+    (source, budget_tokens, docs_kept, tokens_kept).
+
+    Determinism: budgets are integer arithmetic (DIV), the keep order is
+    the sampling.py multiplicative mixer on the id — no RNG, so a doc's
+    fate is stable under retries and across engines.
+
+    Scale shape: two scalar aggregates (total tokens; per-source weight
+    sum over the distinct-source set — both tiny broadcasts), then ONE
+    window partitioned by source for the running token sum, then the
+    summary groupBy reusing the same partitioning. The per-source cumsum is
+    the inherently sequential part of greedy budgeting; with thousands of
+    sources it parallelizes across them, and a skewed mega-source can be
+    pre-aggregated into hash-bucket subtotals whose prefix sums bound the
+    cut point before touching rows.
+    """
+    base = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("_id"),
+        token_count_col.cast("bigint").alias("_tokens"),
+        weight_col.cast("bigint").alias("_w"),
+    )
+    totals = base.agg(F.sum("_tokens").alias("_total_tokens"))
+    wsum = (
+        base.select("source", "_w")
+        .distinct()
+        .agg(F.sum("_w").alias("_wsum"))
+    )
+    rank = F.pmod(F.pmod(F.col("_id") + F.lit(salt), MIX_PRIME) * F.lit(MIX_MULT), MIX_PRIME)
+    w = (
+        Window.partitionBy("source")
+        .orderBy(rank.alias("_rank"), F.col("_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = (
+        base.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(wsum))
+        .withColumn(
+            "_budget",
+            F.expr(
+                f"(_total_tokens * _w * {budget_num}) DIV (_wsum * {budget_den})"
+            ),
+        )
+        .withColumn("_cum", F.sum("_tokens").over(w))
+    )
+    return (
+        scored.filter(F.col("_cum") <= F.col("_budget"))
+        .groupBy("source")
+        .agg(
+            F.max("_budget").alias("budget_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("docs_kept"),
+            F.sum("_tokens").alias("tokens_kept"),
+        )
+    )
+
+
+def mix_to_budget_sql(
+    src: str,
+    source_col: str,
+    id_col: str,
+    token_count_sql: str,
+    weight_sql: str,
+    budget_num: int = 1,
+    budget_den: int = 2,
+    salt: int = 17,
+) -> str:
+    """DuckDB twin of mix_to_budget (portable pmod spelled out; // is
+    integer floor-div on BIGINTs, matching Spark's DIV for non-negatives)."""
+    rank = (
+        f"((({id_col} + {salt}) % {MIX_PRIME}) + {MIX_PRIME}) % {MIX_PRIME} "
+        f"* {MIX_MULT} % {MIX_PRIME}"
+    )
+    return f"""
+WITH base AS (
+    SELECT {source_col} AS source, {id_col} AS _id,
+           CAST({token_count_sql} AS BIGINT) AS _tokens,
+           CAST({weight_sql} AS BIGINT) AS _w,
+           {rank} AS _rank
+    FROM {src}
+),
+tot AS (SELECT CAST(SUM(_tokens) AS BIGINT) AS _total_tokens FROM base),
+ws AS (SELECT CAST(SUM(_w) AS BIGINT) AS _wsum
+       FROM (SELECT DISTINCT source, _w FROM base)),
+scored AS (
+    SELECT base.*,
+           CAST((_total_tokens * _w * {budget_num})
+                // (_wsum * {budget_den}) AS BIGINT) AS _budget,
+           SUM(_tokens) OVER (
+               PARTITION BY source ORDER BY _rank, _id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS _cum
+    FROM base, tot, ws
+)
+SELECT source,
+       MAX(_budget) AS budget_tokens,
+       CAST(COUNT(*) AS BIGINT) AS docs_kept,
+       CAST(SUM(_tokens) AS BIGINT) AS tokens_kept
+FROM scored
+WHERE _cum <= _budget
+GROUP BY source
+"""

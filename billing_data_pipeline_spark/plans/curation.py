@@ -1,0 +1,133 @@
+"""[EXT] Corpus-curation catalog queries (SURVEY.md §2.12 family): PII
+scrubbing, segment-level dedup, benchmark decontamination, token-budget
+mixing — all fully hash-checked against DuckDB oracles.
+
+The documents testdata is clean word-soup (no emails/digits), so the PII
+query injects deterministic PII spans derived from doc_id IDENTICALLY in
+both engines before scrubbing — the scrub chain itself is what's under
+test, end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import curation as C
+from ..operators import text as X
+from ..registry import register
+from ._util import t
+
+# Deterministic PII injection (same expression both engines):
+#   '<text> contact user<id>@mail.example.com from 10.<id%200>.0.<id*7%200>
+#    call 555-<id%10000 zero-padded>'
+_INJECT_SQL = (
+    "text || ' contact user' || doc_id || '@mail.example.com'"
+    " || ' from 10.' || (doc_id % 200) || '.0.' || ((doc_id * 7) % 200)"
+    " || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _injected(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            d.cast("string"),
+            F.lit("@mail.example.com"),
+            F.lit(" from 10."),
+            (d % 200).cast("string"),
+            F.lit(".0."),
+            ((d * 7) % 200).cast("string"),
+            F.lit(" call 555-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+
+
+@register(
+    "pii_scrub_docs",
+    tags=("ext", "curation", "text"),
+    bench=True,
+    oracle=C.scrub_pii_sql("documents", "doc_id", f"({_INJECT_SQL})"),
+)
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the documents corpus (emails / IPv4s / phone
+    spans -> typed redaction tokens, per-type hit counts). Pure
+    regexp_count/regexp_replace chain: shuffle-free, whole-stage codegen,
+    scales with the scan."""
+    return C.scrub_pii(_injected(t(spark, sf_dir, "documents")), "doc_id", "text")
+
+
+@register(
+    "segment_dedup_docs",
+    tags=("ext", "curation", "dedup"),
+    bench=True,
+    oracle=C.segment_dedup_sql("documents", "doc_id", "text", 10),
+)
+def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level (paragraph-style) corpus dedup: 10-token segments,
+    global keep-first by (doc_id, idx), reassembled clean text. One
+    segment-hash window + one per-doc groupBy."""
+    return C.segment_dedup(t(spark, sf_dir, "documents"), "doc_id", "text", seg=10)
+
+
+_DECON_N = 5
+
+
+@register(
+    "decontaminate_ngram",
+    tags=("ext", "curation", "dedup"),
+    bench=True,
+    oracle=f"""
+WITH ev AS (SELECT * FROM documents WHERE doc_id % 20 = 0),
+tr AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+evg AS (SELECT DISTINCT ngram
+        FROM ({C.ngrams_sql('ev', 'doc_id', 'text', _DECON_N)})),
+trg AS ({C.ngrams_sql('tr', 'doc_id', 'text', _DECON_N)}),
+hits AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM trg JOIN evg USING (ngram)
+    GROUP BY doc_id
+)
+SELECT tr.doc_id,
+       COALESCE(n, 0) AS n_hit_ngrams,
+       COALESCE(n, 0) > 0 AS contaminated
+FROM tr LEFT JOIN hits USING (doc_id)
+""",
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    5-gram with the held-out eval slice (doc_id % 20 == 0). The eval
+    n-gram set is broadcast — the train corpus is never shuffled."""
+    docs = t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    tr = docs.filter(F.col("doc_id") % 20 != 0)
+    return C.decontaminate(tr, ev, "doc_id", "text", n=_DECON_N)
+
+
+@register(
+    "corpus_mix_budget",
+    tags=("ext", "curation", "sampling"),
+    oracle=C.mix_to_budget_sql(
+        "documents",
+        "source",
+        "doc_id",
+        "len(regexp_extract_all(text, '[A-Za-z0-9]+'))",
+        "(CAST(substr(source, 4) AS BIGINT) % 3) + 1",
+    ),
+)
+def corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing: per-source weights (derived
+    deterministically from the source id), half the corpus's tokens as the
+    global budget, greedy keep in mixed-hash order. Per-source summary."""
+    docs = t(spark, sf_dir, "documents")
+    return C.mix_to_budget(
+        docs,
+        "source",
+        "doc_id",
+        X.token_count(F.col("text")),
+        (F.expr("CAST(substring(source, 4) AS BIGINT)") % 3) + 1,
+    )

@@ -86,27 +86,42 @@ def sliding_window_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_STREAM_EVENTS_NANOS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+_STREAM_EVENTS_SCHEMA = (
+    "event_id long, ts {ts_type}, user_id long, event_type string, "
     "value double, props string"
 )
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source STREAM over the events table (the driver's parquet stores
-    TIMESTAMP(NANOS): read nanos as long, floor to µs — same convention as
-    sources/tables.load_table)."""
+    """File-source STREAM over the events table. The driver's parquet has
+    shipped ``ts`` as either INT64 TIMESTAMP(NANOS) or TIMESTAMP(MICROS)
+    across rounds, so probe the footer via the batch loader and declare the
+    matching stream schema — same µs-floor convention as
+    sources/tables.load_table either way."""
     import os
     import tempfile
 
+    from pyspark.sql import types as T
+
+    from ..sources.tables import load_table
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stored_long = isinstance(
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType,
+        T.LongType,
+    )
     # The file-stream source wants a DIRECTORY (it derives basePath from the
     # input path); the driver's layout is one bare file per table, so expose
     # it through a symlink directory.
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
-    raw = spark.readStream.schema(_STREAM_EVENTS_NANOS_SCHEMA).parquet(stream_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    schema = _STREAM_EVENTS_SCHEMA.format(
+        ts_type="long" if stored_long else "timestamp_ntz"
+    )
+    raw = spark.readStream.schema(schema).parquet(stream_dir)
+    if stored_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 @register(

@@ -65,6 +65,7 @@ def load_catalog() -> dict[str, QuerySpec]:
     """Import all plan modules (side effect: they register) and return the catalog."""
     from .plans import (  # noqa: F401
         billing,
+        curation,
         extensions,
         relational,
         scalar_queries,

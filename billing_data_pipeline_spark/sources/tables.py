@@ -43,16 +43,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores INT64 TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects. Read nanos as long, floor-divide to microseconds
-        # (integer DIV — double division would lose precision past 2^53).
-        # DuckDB's TIMESTAMP_NS -> TIMESTAMP cast also truncates, so oracles
-        # using CAST(ts AS TIMESTAMP) see identical values.
+        # events.parquet has shipped as either INT64 TIMESTAMP(NANOS) (which
+        # Spark's parquet reader rejects without nanosAsLong) or plain
+        # TIMESTAMP(MICROS) — the driver regenerates testdata between rounds,
+        # so adapt to whatever the footer declares:
+        # - nanos: read as long, floor-divide to µs (integer DIV — double
+        #   division would lose precision past 2^53). DuckDB's TIMESTAMP_NS
+        #   -> TIMESTAMP cast also truncates, so oracles match.
+        # - micros: parquet isAdjustedToUTC=false reads as TIMESTAMP_NTZ;
+        #   cast to session-TZ timestamp (UTC session => value-preserving)
+        #   so downstream plans/oracles see the same type either way.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -1,0 +1,90 @@
+"""Edge semantics for the curation operators (operators/curation.py)."""
+
+from pyspark.sql import functions as F
+
+from billing_data_pipeline_spark.operators import curation as C
+
+
+def test_scrub_pii_sequential_counts_and_order(spark):
+    # The email is scrubbed FIRST, so its digits/dots never count as an IP
+    # or phone; the IP and phone are then counted on the scrubbed text.
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b%c@x-y.example.io then 10.0.0.1 call 555-1234 end"),
+            (2, "no pii here at all"),
+            (3, "999.999.999.999 and 123-4567"),  # ip-shaped + phone-shaped
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in C.scrub_pii(df, "id", "text").collect()}
+    assert rows[1]["n_emails"] == 1
+    assert rows[1]["n_ips"] == 1
+    assert rows[1]["n_phones"] == 1
+    assert rows[1]["clean_text"] == "mail <EMAIL> then <IP> call <PHONE> end"
+    assert rows[2]["clean_text"] == "no pii here at all"
+    assert (rows[2]["n_emails"], rows[2]["n_ips"], rows[2]["n_phones"]) == (0, 0, 0)
+    # The scrubber is syntactic: 999.* still matches the IPv4 shape (range
+    # validation is out of scope, as in most corpus scrubbers).
+    assert rows[3]["n_ips"] == 1 and rows[3]["n_phones"] == 1
+
+
+def test_segment_dedup_keep_first_and_reassembly(spark):
+    # doc 1 and doc 2 share their first segment; doc 2 keeps only its tail.
+    # doc 3 is a full duplicate of doc 1 -> everything dropped, clean_text ''.
+    seg1 = "a b c"
+    df = spark.createDataFrame(
+        [
+            (1, f"{seg1} x y z"),
+            (2, f"{seg1} p q r"),
+            (3, f"{seg1} x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in C.segment_dedup(df, "doc_id", "text", seg=3).collect()
+    }
+    assert out[1]["segments_kept"] == 2 and out[1]["clean_text"] == "a b c x y z"
+    assert out[2]["segments_kept"] == 1 and out[2]["clean_text"] == "p q r"
+    assert out[3]["segments_kept"] == 0 and out[3]["clean_text"] == ""
+    assert all(out[i]["n_segments"] == 2 for i in (1, 2, 3))
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words in this one sentence"),
+            (3, "short"),  # fewer tokens than n -> no ngrams, never flagged
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "quick brown fox jumps over and more")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in C.decontaminate(train, eval_set, "doc_id", "text", n=5).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["n_hit_ngrams"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_hit_ngrams"] == 0
+    assert not out[3]["contaminated"]
+    assert set(out) == {1, 2, 3}  # every train doc present
+
+
+def test_mix_to_budget_respects_budgets(spark):
+    # Two sources, equal weights, 10 tokens total, budget_num/den = 1/2 =>
+    # 5 tokens split by weight => 2 each (integer floor of 2.5); each doc
+    # is 1 token, so each source keeps exactly 2 docs.
+    rows = [(f"s{j}", i + 10 * j, "tok") for j in range(2) for i in range(5)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    out = C.mix_to_budget(
+        df,
+        "source",
+        "doc_id",
+        F.lit(1),
+        F.lit(1),
+    ).collect()
+    assert {r["source"]: r["docs_kept"] for r in out} == {"s0": 2, "s1": 2}
+    assert all(r["tokens_kept"] == 2 and r["budget_tokens"] == 2 for r in out)
