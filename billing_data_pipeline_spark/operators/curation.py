@@ -302,6 +302,83 @@ def mix_to_budget(
     )
 
 
+def epoch_shard_manifest(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    token_count_col,
+    epochs_col,
+    n_shards: int = 8,
+    salt: int = 23,
+) -> DataFrame:
+    """Epoch upsampling + deterministic shard assignment — the final
+    write-ordering step of a training-data pipeline: replicate each
+    document ``epochs`` times (per-source epoch weighting), give every
+    (doc, epoch) replica a deterministic pseudo-random rank, and hash it
+    into one of ``n_shards`` output shards. Returns the per-shard manifest
+    (shard_id, n_rows, n_docs, total_tokens).
+
+    Scale shape: the epoch explode is a per-row generate (no shuffle; the
+    multiplier is the per-source epoch count, bounded and known), the rank
+    and shard id are scan-side expressions, and only the manifest groupBy
+    shuffles — compact (shard, partial-agg) rows. In the real write path
+    the same shard column feeds ``df.repartition(n_shards, "shard_id")``
+    + partitioned write, so training-order shuffling costs exactly one
+    exchange and is reproducible run-to-run (mixer, not RNG).
+    """
+    base = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("_id"),
+        token_count_col.cast("bigint").alias("_tokens"),
+        epochs_col.cast("int").alias("_epochs"),
+    ).select(
+        "source",
+        "_id",
+        "_tokens",
+        F.explode(F.sequence(F.lit(1), F.col("_epochs"))).alias("epoch"),
+    )
+    key = F.col("_id") * 31 + F.col("epoch") + F.lit(salt)
+    rank = F.pmod(F.pmod(key, MIX_PRIME) * F.lit(MIX_MULT), MIX_PRIME)
+    return (
+        base.withColumn("shard_id", F.pmod(rank, n_shards).cast("int"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("_id").cast("bigint").alias("n_docs"),
+            F.sum("_tokens").alias("total_tokens"),
+        )
+    )
+
+
+def epoch_shard_manifest_sql(
+    src: str,
+    source_col: str,
+    id_col: str,
+    token_count_sql: str,
+    epochs_sql: str,
+    n_shards: int = 8,
+    salt: int = 23,
+) -> str:
+    """DuckDB twin of epoch_shard_manifest (range() excludes its stop =>
+    range(1, e+1); portable pmod chain)."""
+    key = f"({id_col} * 31 + epoch + {salt})"
+    rank = f"((({key}) % {MIX_PRIME}) + {MIX_PRIME}) % {MIX_PRIME} * {MIX_MULT} % {MIX_PRIME}"
+    return f"""
+WITH rows AS (
+    SELECT {source_col} AS source, {id_col},
+           CAST({token_count_sql} AS BIGINT) AS _tokens,
+           unnest(range(1, CAST({epochs_sql} AS INT) + 1)) AS epoch
+    FROM {src}
+)
+SELECT CAST(({rank}) % {n_shards} AS INT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS n_docs,
+       CAST(SUM(_tokens) AS BIGINT) AS total_tokens
+FROM rows
+GROUP BY 1
+"""
+
+
 def mix_to_budget_sql(
     src: str,
     source_col: str,

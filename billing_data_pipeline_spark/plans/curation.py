@@ -109,6 +109,35 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "epoch_shard_manifest",
+    tags=("ext", "curation", "sampling", "layout"),
+    oracle=C.epoch_shard_manifest_sql(
+        "documents",
+        "source",
+        "doc_id",
+        "len(regexp_extract_all(text, '[A-Za-z0-9]+'))",
+        "(CAST(substr(source, 4) AS BIGINT) % 3) + 1",
+        n_shards=8,
+    ),
+)
+def epoch_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch upsampling + deterministic shard assignment: each source's
+    docs repeat 1-3 times (epoch weight from the source id), every (doc,
+    epoch) replica lands in one of 8 shards by mixed hash; per-shard
+    manifest. The write path repartitions on the same shard column — one
+    exchange, reproducible training order."""
+    docs = t(spark, sf_dir, "documents")
+    return C.epoch_shard_manifest(
+        docs,
+        "source",
+        "doc_id",
+        X.token_count(F.col("text")),
+        (F.expr("CAST(substring(source, 4) AS BIGINT)") % 3) + 1,
+        n_shards=8,
+    )
+
+
+@register(
     "corpus_mix_budget",
     tags=("ext", "curation", "sampling"),
     oracle=C.mix_to_budget_sql(

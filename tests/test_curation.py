@@ -73,6 +73,28 @@ def test_decontaminate_flags_only_overlapping_docs(spark):
     assert set(out) == {1, 2, 3}  # every train doc present
 
 
+def test_epoch_shard_manifest_conservation(spark):
+    # 3 docs x epochs (2, 2, 1) = 5 replica rows; shard totals must
+    # conserve rows and tokens, and n_docs per shard <= docs overall.
+    df = spark.createDataFrame(
+        [("a", 1, "x y"), ("a", 2, "z"), ("b", 3, "w v u")],
+        "source string, doc_id long, text string",
+    )
+    out = C.epoch_shard_manifest(
+        df,
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")),
+        F.when(F.col("source") == "a", 2).otherwise(1),
+        n_shards=4,
+    ).collect()
+    assert sum(r["n_rows"] for r in out) == 5
+    # tokens: doc1 (2 tokens x2) + doc2 (1 x2) + doc3 (3 x1) = 9
+    assert sum(r["total_tokens"] for r in out) == 9
+    assert all(0 <= r["shard_id"] < 4 for r in out)
+    assert all(r["n_docs"] <= 3 for r in out)
+
+
 def test_mix_to_budget_respects_budgets(spark):
     # Two sources, equal weights, 10 tokens total, budget_num/den = 1/2 =>
     # 5 tokens split by weight => 2 each (integer floor of 2.5); each doc

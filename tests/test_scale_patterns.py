@@ -340,3 +340,33 @@ def test_cogrouped_asof_equals_window_asof(spark):
     assert d[100][2] == 901 and d[100][3] == 10.0  # exact-ts inclusive
     assert d[101][2] is None  # before any click
     assert d[300][2] is None  # user with no clicks at all
+
+
+def test_curation_plan_properties(spark):
+    """Curation operators keep their scale shapes: PII scrub is
+    exchange-free, decontamination broadcasts the eval n-gram set and
+    never shuffle-joins the train side, segment dedup spends exactly two
+    hash exchanges (segment-hash window + per-doc regroup)."""
+    from billing_data_pipeline_spark.registry import load_catalog
+
+    cat = load_catalog()
+    sf = "/root/testdata/sf0.001"
+
+    def plan_of(name):
+        return cat[name].fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+
+    p = plan_of("pii_scrub_docs")
+    assert "Exchange hashpartitioning" not in p
+
+    p = plan_of("decontaminate_ngram")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+    p = plan_of("segment_dedup_docs")
+    assert p.count("Exchange hashpartitioning") == 2
+
+    # epoch/shard manifest: the manifest groupBy plus the exchange Spark's
+    # two-phase distinct-aggregate inserts for n_docs (partial agg keyed
+    # (shard, doc), then final on shard) — both carry compact rows
+    p = plan_of("epoch_shard_manifest")
+    assert p.count("Exchange hashpartitioning") == 2
