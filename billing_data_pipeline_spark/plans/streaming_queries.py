@@ -209,11 +209,22 @@ def streaming_enrich_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(sdf, f"enrich_{uuid.uuid4().hex[:8]}", "complete")
 
 
-@register("streaming_stateful_totals", tags=("streaming", "stateful", "true-stream"))
+@register(
+    "streaming_stateful_totals",
+    tags=("streaming", "stateful", "true-stream"),
+    oracle="""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+""",
+)
 def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState per-user running totals drained with
-    AvailableNow (update mode; arbitrary-state API). Float totals depend on
-    in-batch row order => rows-only correctness check by design."""
+    AvailableNow (update mode; arbitrary-state API). The drained FINAL
+    state's event count per user is order-independent (integers), so it is
+    oracle-checked against a plain per-user COUNT(*); the float
+    total_value column stays out of the output because in-batch row order
+    makes it engine-private."""
     import uuid
 
     from ..streaming.stateful import stateful_user_totals

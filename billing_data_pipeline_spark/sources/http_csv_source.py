@@ -1,0 +1,142 @@
+"""Python DataSource (Spark 4 API) for URL-addressed CSV — the reference's
+remote-ingestion path (SURVEY.md §2.1 S2/S5) as a real executor-side source.
+
+The reference fetches partition CSVs with s3fs and falls back to streamed
+HTTP chunks on the driver box (reference: pipeline/s3_utils.py:159-246),
+serializing all I/O through one node. Here each URL becomes an
+InputPartition, so N files download and parse on N executor cores in
+parallel, with the reference's retry behavior per partition; nothing ever
+stages on the driver.
+
+Role at scale: s3a:// + the native CSV reader remain the first-choice path
+(JVM, vectorized, splittable). This source exists for endpoints Hadoop has
+no connector for — signed HTTP APIs, on-prem object stores — where the
+alternative is the reference's driver-side download loop. One URL = one
+task = one partition, so parallelism equals file count, the right unit for
+partition-per-day lake layouts.
+
+Usage::
+
+    spark.dataSource.register(HttpCsvDataSource)
+    df = (spark.read.format("http_csv")
+          .schema("ts timestamp, user_id string, amount double")
+          .option("urls", "https://host/a.csv\\nfile:///data/b.csv")
+          .load())
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import time
+from datetime import date, datetime
+from typing import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    BooleanType,
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructType,
+    TimestampType,
+)
+
+
+class UrlPartition(InputPartition):
+    def __init__(self, url: str):
+        self.url = url
+
+
+def _convert(value: str, dtype):
+    """CSV string -> Spark external type. Empty string => NULL (the
+    reference relied on DuckDB's read_csv_auto doing the same)."""
+    if value == "" or value is None:
+        return None
+    if isinstance(dtype, StringType):
+        return value
+    if isinstance(dtype, (IntegerType, LongType)):
+        return int(value)
+    if isinstance(dtype, (DoubleType, FloatType)):
+        return float(value)
+    if isinstance(dtype, BooleanType):
+        return value.strip().lower() in ("true", "1", "t", "yes")
+    if isinstance(dtype, TimestampType):
+        return datetime.fromisoformat(value)
+    if isinstance(dtype, DateType):
+        return date.fromisoformat(value)
+    return value
+
+
+class HttpCsvReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        self.schema_ = schema
+        raw = options.get("urls") or options.get("path") or ""
+        self.urls = [u.strip() for u in raw.replace("\n", ",").split(",") if u.strip()]
+        if not self.urls:
+            raise ValueError("http_csv: provide 'urls' (comma/newline separated)")
+        self.header = (options.get("header") or "true").lower() == "true"
+        self.retries = int(options.get("retries") or 3)
+        self.drop_malformed = (options.get("mode") or "permissive").lower() != "failfast"
+
+    def partitions(self):
+        # One URL per partition: parallelism = file count, matching the
+        # lake's partition-per-day layout.
+        return [UrlPartition(u) for u in self.urls]
+
+    def _open(self, url: str):
+        """Streamed open with bounded retries (the reference's 3-attempt
+        loop, reference: pipeline/s3_utils.py:200-239) — executor-side."""
+        from urllib.request import urlopen
+
+        last = None
+        for attempt in range(self.retries):
+            try:
+                return urlopen(url)  # noqa: S310 (scheme comes from config)
+            except Exception as e:  # pragma: no cover - network flake path
+                last = e
+                time.sleep(min(2**attempt, 5))
+        raise last
+
+    def read(self, partition: UrlPartition) -> Iterator[tuple]:
+        fields = self.schema_.fields
+        with self._open(partition.url) as resp:
+            text = io.TextIOWrapper(resp, encoding="utf-8", newline="")
+            rows = csv.reader(text)
+            if self.header:
+                next(rows, None)
+            for rec in rows:
+                if len(rec) != len(fields):
+                    if self.drop_malformed:
+                        continue
+                    raise ValueError(
+                        f"http_csv: row has {len(rec)} columns, "
+                        f"schema has {len(fields)}: {rec!r}"
+                    )
+                try:
+                    yield tuple(
+                        _convert(v, f.dataType) for v, f in zip(rec, fields)
+                    )
+                except (ValueError, TypeError):
+                    if not self.drop_malformed:
+                        raise
+
+
+class HttpCsvDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "http_csv"
+
+    def schema(self):
+        # Schema must be supplied by the caller (.schema(...)); CSV-over-HTTP
+        # has no footer to infer from without a second fetch.
+        raise NotImplementedError(
+            "http_csv requires an explicit .schema(...) — remote CSV has "
+            "nothing to infer from without double-fetching"
+        )
+
+    def reader(self, schema: StructType) -> HttpCsvReader:
+        return HttpCsvReader(schema, self.options)
