@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Scale probe: run headline queries at 1x/2x/4x/8x the sf0.1 fact data and
+report wall time + marginal cost per million rows.
+
+This measures the claim PLANS.md makes qualitatively: Spark's per-job floor
+is constant in data size, so once the input outgrows the floor, cost grows
+~linearly with rows while the PLAN stays identical (same exchanges, same
+join strategies — dims stay broadcast as the fact side scales). The fact
+table (lineitem) is scaled by unioning key-shifted copies; every other
+table is the original, exactly how a growing warehouse behaves.
+
+Usage: python tools/scale_probe.py [multiplier ...]   (default 1 2 4 8)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from billing_data_pipeline_spark.registry import load_catalog
+from billing_data_pipeline_spark.session import (
+    dir_input_bytes,
+    get_spark,
+    input_sized_conf,
+)
+from billing_data_pipeline_spark.sources.tables import TABLES, load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# lineitem-dominated queries: two pure scans/agg, one percentile, one
+# dim-broadcast join — the shapes whose scaling matters.
+PROBE_QUERIES = (
+    "daily_aggregates",
+    "discounted_revenue",
+    "usage_percentiles",
+    "shipping_priority",
+)
+
+
+def build_scaled_dir(spark, mult: int, base: str, root: str) -> str:
+    """{root}/x{mult}: lineitem = mult key-shifted copies; other tables
+    symlinked to the originals."""
+    out = os.path.join(root, f"x{mult}")
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        if t != "lineitem":
+            os.symlink(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
+    max_key = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    copies = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * max_key))
+        for i in range(mult)
+    ]
+    scaled = copies[0]
+    for c in copies[1:]:
+        scaled = scaled.unionByName(c)
+    scaled.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    return out
+
+
+def main() -> None:
+    mults = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
+    catalog = load_catalog()
+    root = tempfile.mkdtemp(prefix="scale_probe_")
+    try:
+        # Conf sized for the LARGEST multiplier so every run shares one
+        # session (cross-scale comparability beats per-scale tuning here).
+        spark = get_spark(
+            app_name="bdp-scale-probe",
+            extra_conf=input_sized_conf(dir_input_bytes(SF_DIR) * max(mults)),
+        )
+        dirs = {m: build_scaled_dir(spark, m, SF_DIR, root) for m in mults}
+        rows = {
+            m: spark.read.parquet(f"{d}/lineitem.parquet").count()
+            for m, d in dirs.items()
+        }
+        print(f"| Query | " + " | ".join(f"x{m} ({rows[m]/1e6:.1f}M rows)" for m in mults) + " |")
+        print("|---|" + "---|" * len(mults))
+        for name in PROBE_QUERIES:
+            fn = catalog[name].fn
+            cells = []
+            for m in mults:
+                fn(spark, dirs[m]).count()  # warm (codegen + page cache)
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, dirs[m]).count()
+                    best = min(best, time.perf_counter() - t0)
+                cells.append(f"{best:.2f}s")
+            print(f"| `{name}` | " + " | ".join(cells) + " |")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
