@@ -678,6 +678,51 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "frame_sample_manifest",
+    tags=("ext", "multimodal", "mapInPandas"),
+    oracle="""
+WITH media AS (
+    SELECT doc_id AS media_id,
+           CAST(320 + (doc_id % 4) * 160 AS INT) AS width,
+           CAST(240 + (doc_id % 4) * 120 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id % 50) + 1 ELSE 1 END AS INT)
+               AS n_frames
+    FROM documents
+    WHERE doc_id % 3 = 0
+)
+SELECT media_id,
+       CAST(unnest(range(0, n_frames, 7)) AS INT) AS frame_idx,
+       width, height
+FROM media
+""",
+)
+def frame_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling manifest through the REAL multimodal path:
+    synthetic media blobs are assembled JVM-side (unhex'd MM01 headers,
+    every third doc a video), decoded by the Arrow-batched mapInPandas
+    kernel (operators/multimodal._decode_fake — byte parsing in Python,
+    exactly where a codec slots in), then frame indices explode every 7th
+    frame. The oracle reproduces the header arithmetic directly, so the
+    whole binary-column -> Python-kernel -> explode pipeline is
+    hash-checked end to end."""
+    from ..operators.multimodal import sample_frames
+
+    d = F.col("doc_id")
+    hex8 = lambda c: F.lpad(F.hex(c), 8, "0")  # noqa: E731
+    w = F.lit(320) + (d % 4) * 160
+    h = F.lit(240) + (d % 4) * 120
+    nf = F.when(d % 3 == 0, (d % 50) + 1).otherwise(F.lit(1))
+    media = t(spark, sf_dir, "documents").select(
+        d.alias("media_id"),
+        F.when(d % 3 == 0, "video").otherwise("image").alias("kind"),
+        F.unhex(
+            F.concat(F.lit("4D4D3031"), hex8(w), hex8(h), hex8(nf))
+        ).alias("content"),
+    )
+    return sample_frames(media, every_n=7)
+
+
+@register(
     "vocabulary_tfidf",
     tags=("ext", "text", "tfidf"),
     oracle=X.vocabulary_stats_oracle_sql("documents", "doc_id", "text"),
