@@ -1,0 +1,103 @@
+"""End-to-end training-corpus curation job: the §2.12 operator family
+composed into one runnable pipeline with a sharded parquet output.
+
+    raw documents
+      -> PII scrub (regex chain, scan-side)
+      -> quality + language filter (scan-side predicates)
+      -> context-window chunking (shuffle-free generate)
+      -> exact chunk-level dedup (keep-first window-min, ONE hash exchange)
+      -> deterministic shard assignment (mixer, no RNG)
+      -> partitioned write by shard_id + per-shard manifest
+
+Catalyst sees a single tree up to the write: filters reach the scan,
+chunking multiplies rows without an exchange, dedup is the only
+corpus-sized shuffle, and the shard write reuses the repartition as its
+clustering. Deterministic end to end — re-running over the same input
+produces byte-identical shard membership (retry- and backfill-safe).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import curation as C
+from .operators import sampling as SMP
+from .operators import text as X
+
+
+def curate_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    lang: str | None = "en",
+    min_quality: float = 0.05,
+    chunk: int = 32,
+    stride: int = 24,
+    sample_pct: int = 100,
+    n_shards: int = 8,
+) -> dict:
+    """Run the curation flow over ``docs`` (doc_id, text, lang, ...) and
+    write ``{out_dir}/shard_id=*/...`` plus return a metrics dict."""
+    scrubbed = C.scrub_pii(docs, "doc_id", "text").withColumnRenamed(
+        "clean_text", "text"
+    )
+    if lang is not None:
+        scrubbed = scrubbed.join(
+            docs.select("doc_id", "lang"), on="doc_id", how="inner"
+        ).filter(F.col("lang") == lang)
+    kept = scrubbed.filter(
+        (F.length("text") > 0) & (X.quality_score(F.col("text")) > min_quality)
+    )
+    chunks = X.chunk_tokens(kept.select("doc_id", "text"), "doc_id", "text", chunk, stride)
+    keyed = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        "chunk_text",
+        (F.col("doc_id") * 100000 + F.col("chunk_idx")).alias("chunk_key"),
+        F.md5("chunk_text").alias("chunk_hash"),
+    )
+    survivors = keyed.withColumn(
+        "keep_key", F.min("chunk_key").over(Window.partitionBy("chunk_hash"))
+    ).filter(F.col("chunk_key") == F.col("keep_key"))
+    if sample_pct < 100:
+        survivors = survivors.filter(
+            SMP.hash_bucket(F.col("chunk_key")) < sample_pct
+        )
+    rank = F.pmod(
+        F.pmod(F.col("chunk_key") + 23, SMP.MIX_PRIME) * F.lit(SMP.MIX_MULT),
+        SMP.MIX_PRIME,
+    )
+    sharded = survivors.withColumn(
+        "shard_id", F.pmod(rank, n_shards).cast("int")
+    ).select("shard_id", "doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text")
+    (
+        sharded.repartition(n_shards, "shard_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )
+    written = spark.read.parquet(out_dir)
+    manifest = (
+        written.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").alias("n_tokens"),
+        )
+        .orderBy("shard_id")
+        .collect()
+    )
+    return {
+        "docs_in": docs.count(),
+        "docs_kept": kept.count(),
+        "chunks_written": written.count(),
+        "tokens_written": written.agg(F.sum("n_chunk_tokens")).collect()[0][0],
+        "shards": {
+            int(r["shard_id"]): {"n_chunks": r["n_chunks"], "n_tokens": r["n_tokens"]}
+            for r in manifest
+        },
+        "out_dir": os.path.abspath(out_dir),
+    }

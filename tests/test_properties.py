@@ -168,3 +168,81 @@ def test_portable_hash60_matches_md5_for_arbitrary_unicode(spark, texts):
     }
     for s in texts:
         assert got[s] == int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+pii_texts = st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="ascii", categories=("L", "N", "P", "Z")
+        ),
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@SLOW
+@given(texts=pii_texts)
+def test_scrub_pii_idempotent(spark, texts):
+    """Scrubbing is a projection to a fixed point: scrub(scrub(x)) ==
+    scrub(x) and the second pass finds zero hits — the redaction tokens
+    must never themselves match a PII pattern."""
+    from billing_data_pipeline_spark.operators.curation import scrub_pii
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    once = scrub_pii(df, "id", "text").withColumnRenamed("clean_text", "text")
+    twice = scrub_pii(once.select("id", "text"), "id", "text")
+    rows = twice.collect()
+    assert all(
+        r["n_emails"] == 0 and r["n_ips"] == 0 and r["n_phones"] == 0
+        for r in rows
+    )
+    first = {r["id"]: r["text"] for r in once.select("id", "text").collect()}
+    assert {r["id"]: r["clean_text"] for r in rows} == first
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    seg=st.integers(1, 4),
+)
+def test_segment_dedup_conservation(spark, docs, seg):
+    """Kept segments across the corpus == distinct segment count; per doc
+    kept <= total; reassembled text only loses whole segments."""
+    from billing_data_pipeline_spark.operators.curation import segment_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    out = segment_dedup(df, "doc_id", "text", seg=seg).collect()
+    # naive reference: non-overlapping seg-token windows per doc
+    segments = {}
+    for i, t in enumerate(docs):
+        toks = t.split()
+        segments[i] = [
+            " ".join(toks[j : j + seg]) for j in range(0, len(toks), seg)
+        ]
+    distinct = len({s for segs in segments.values() for s in segs})
+    assert sum(r["segments_kept"] for r in out) == distinct
+    # exact keep-first reference: walk docs in (doc_id, idx) order
+    seen: set[str] = set()
+    expect = {}
+    for i in sorted(segments):
+        kept = []
+        for s in segments[i]:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        expect[i] = kept
+    for r in out:
+        i = r["doc_id"]
+        assert r["n_segments"] == len(segments[i])
+        assert r["segments_kept"] == len(expect[i])
+        assert r["clean_text"] == " ".join(expect[i])
