@@ -137,6 +137,64 @@ def epoch_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUALITY_SQL = (
+    "(CAST(len(regexp_extract_all(clean_text, '[A-Za-z0-9]+')) AS DOUBLE)"
+    " / length(clean_text))"
+    " - (CAST(len(regexp_extract_all(clean_text, '[.,!?;:]')) AS DOUBLE)"
+    " / length(clean_text))"
+)
+
+
+_STREAM_CURATION_ORACLE = f"""
+WITH scrubbed AS (
+{C.scrub_pii_sql("documents", "doc_id", f"({_INJECT_SQL})")}
+)
+SELECT doc_id, n_emails, n_ips, n_phones,
+       CAST(len(regexp_extract_all(clean_text, '[A-Za-z0-9]+')) AS INT) AS n_tokens
+FROM scrubbed
+WHERE length(clean_text) > 0 AND {_QUALITY_SQL} > 0.05
+"""
+
+
+@register(
+    "streaming_curation_catchup",
+    tags=("ext", "curation", "streaming", "true-stream"),
+    oracle=_STREAM_CURATION_ORACLE,
+)
+def streaming_curation_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE-stream curation: the documents table replayed through a
+    file-source stream, PII-scrubbed (same injected spans as
+    pii_scrub_docs) and quality-filtered per micro-batch — stateless
+    transformations, so append mode needs no watermark and no state store.
+    Drained with AvailableNow and hash-checked against the batch SQL: the
+    batch/stream unification claim, proven on the curation surface."""
+    import os
+    import tempfile
+    import uuid
+
+    from ..streaming.event_windows import run_to_memory
+
+    d = tempfile.mkdtemp(prefix="docs_stream_")
+    os.symlink(f"{sf_dir}/documents.parquet", f"{d}/documents.parquet")
+    sdf = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(d)
+    scrubbed = C.scrub_pii(_injected(sdf), "doc_id", "text")
+    from ..operators import text as XX
+
+    out = scrubbed.filter(
+        (F.length("clean_text") > 0)
+        & (XX.quality_score(F.col("clean_text")) > 0.05)
+    ).select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        XX.token_count(F.col("clean_text")).cast("int").alias("n_tokens"),
+    )
+    return run_to_memory(out, f"cur_{uuid.uuid4().hex[:8]}", "append")
+
+
 @register(
     "corpus_mix_budget",
     tags=("ext", "curation", "sampling"),
