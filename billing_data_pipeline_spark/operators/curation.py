@@ -79,7 +79,11 @@ def scrub_pii_sql(table: str, id_col: str, text_expr: str) -> str:
 
 
 def segment_dedup(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", seg: int = 10
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg: int = 10,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Line/paragraph-level dedup (the CCNet move, applied to word windows):
     split each doc into non-overlapping ``seg``-token segments, drop every
@@ -88,23 +92,49 @@ def segment_dedup(
 
     Returns (id, n_segments, segments_kept, clean_text) per document.
 
-    Scale shape: one hash-partitioned window over the 16-byte segment hash
-    (the only shuffle over segment rows), then one groupBy(doc) to
-    reassemble. Segment rows are ~n_tokens/seg per doc — smaller than the
-    token explosion of n-gram methods. Keep-first via window-min avoids a
-    join-back, reusing the same exchange for dedup decision and dedup
-    application.
+    Scale shape, default (window) form: one hash-partitioned window over
+    the 16-byte segment hash (the only shuffle over segment rows), then
+    one groupBy(doc) to reassemble. Segment rows are ~n_tokens/seg per doc
+    — smaller than the token explosion of n-gram methods. Keep-first via
+    window-min avoids a join-back, reusing the same exchange for dedup
+    decision and dedup application.
+
+    ``skew_safe=True`` swaps the window for groupBy(hash).min + join-back.
+    Window partitions cannot be split: a boilerplate segment repeated
+    billions of times ("click here to subscribe") lands its ENTIRE row set
+    on one reducer in the window form. The aggregate form collapses those
+    duplicates map-side (partial min before the exchange), and the
+    join-back is an equi-join AQE's skew-join splitting applies to — one
+    more exchange in the plan, but no unsplittable hot partition. Same
+    result bit-for-bit (tests/test_curation.py asserts equality); choose
+    by corpus: window for organic text, skew_safe for boilerplate-heavy
+    web scrapes.
     """
     segs = chunk_tokens(df, id_col, text_col, chunk=seg, stride=seg)
     h = F.md5(F.col("chunk_text"))
+    if skew_safe:
+        keyed = segs.withColumn("_h", h)
+        canon = keyed.groupBy("_h").agg(
+            F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("_first")
+        )
+        flagged = keyed.join(canon, on="_h", how="inner").withColumn(
+            "_kept",
+            (F.col(id_col) == F.col("_first")[id_col])
+            & (F.col("chunk_idx") == F.col("_first")["chunk_idx"]),
+        )
+        return _reassemble(flagged, id_col)
     w = Window.partitionBy(h)
     first = F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).over(w)
     kept = (F.col(id_col) == first[id_col]) & (
         F.col("chunk_idx") == first["chunk_idx"]
     )
+    return _reassemble(segs.withColumn("_kept", kept), id_col)
+
+
+def _reassemble(flagged: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc rollup shared by both segment_dedup forms."""
     return (
-        segs.withColumn("_kept", kept)
-        .groupBy(id_col)
+        flagged.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_segments"),
             F.sum(F.col("_kept").cast("int")).cast("bigint").alias("segments_kept"),

@@ -50,6 +50,31 @@ def test_segment_dedup_keep_first_and_reassembly(spark):
     assert all(out[i]["n_segments"] == 2 for i in (1, 2, 3))
 
 
+def test_segment_dedup_skew_safe_form_identical(spark):
+    # The groupBy+join-back (skew-safe) form must match the window form
+    # bit-for-bit, including on a pathological hot segment (boilerplate
+    # repeated in every doc).
+    boiler = "x y z"
+    rows = [(i, f"{boiler} doc{i} unique{i} tail{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        C.segment_dedup(df, "doc_id", "text", seg=3).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    b = sorted(
+        C.segment_dedup(df, "doc_id", "text", seg=3, skew_safe=True).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert a == b
+    # skew-safe plan: partial-agg before the exchange, no Window operator
+    plan = (
+        C.segment_dedup(df, "doc_id", "text", seg=3, skew_safe=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
 def test_decontaminate_flags_only_overlapping_docs(spark):
     train = spark.createDataFrame(
         [
