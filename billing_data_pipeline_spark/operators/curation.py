@@ -272,6 +272,7 @@ def mix_to_budget(
     budget_num: int = 1,
     budget_den: int = 2,
     salt: int = 17,
+    coarse_buckets: int | None = None,
 ) -> DataFrame:
     """Per-source token-budget corpus mixing: give source s a budget of
     ``(budget_num/budget_den) * total_tokens * w_s / sum(w)`` tokens and
@@ -288,9 +289,11 @@ def mix_to_budget(
     window partitioned by source for the running token sum, then the
     summary groupBy reusing the same partitioning. The per-source cumsum is
     the inherently sequential part of greedy budgeting; with thousands of
-    sources it parallelizes across them, and a skewed mega-source can be
-    pre-aggregated into hash-bucket subtotals whose prefix sums bound the
-    cut point before touching rows.
+    sources it parallelizes across them. For a skewed mega-source pass
+    ``coarse_buckets`` (e.g. 1024): the cut point is then bounded by a
+    prefix sum over BUCKET subtotals (tiny) and the row-level ordering
+    runs only inside the one boundary bucket per source —
+    ``_coarse_budget_keep`` below; identical keep-set, test-asserted.
     """
     base = df.select(
         F.col(source_col).alias("source"),
@@ -305,13 +308,9 @@ def mix_to_budget(
         .agg(F.sum("_w").alias("_wsum"))
     )
     rank = F.pmod(F.pmod(F.col("_id") + F.lit(salt), MIX_PRIME) * F.lit(MIX_MULT), MIX_PRIME)
-    w = (
-        Window.partitionBy("source")
-        .orderBy(rank.alias("_rank"), F.col("_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    scored = (
-        base.crossJoin(F.broadcast(totals))
+    budgeted = (
+        base.withColumn("_rank", rank)
+        .crossJoin(F.broadcast(totals))
         .crossJoin(F.broadcast(wsum))
         .withColumn(
             "_budget",
@@ -319,17 +318,67 @@ def mix_to_budget(
                 f"(_total_tokens * _w * {budget_num}) DIV (_wsum * {budget_den})"
             ),
         )
-        .withColumn("_cum", F.sum("_tokens").over(w))
     )
-    return (
-        scored.filter(F.col("_cum") <= F.col("_budget"))
-        .groupBy("source")
-        .agg(
-            F.max("_budget").alias("budget_tokens"),
-            F.count(F.lit(1)).cast("bigint").alias("docs_kept"),
-            F.sum("_tokens").alias("tokens_kept"),
+    if coarse_buckets:
+        kept = _coarse_budget_keep(budgeted, coarse_buckets)
+    else:
+        w = (
+            Window.partitionBy("source")
+            .orderBy("_rank", "_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        scored = budgeted.withColumn("_cum", F.sum("_tokens").over(w))
+        kept = scored.filter(F.col("_cum") <= F.col("_budget"))
+    return kept.groupBy("source").agg(
+        F.max("_budget").alias("budget_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("docs_kept"),
+        F.sum("_tokens").alias("tokens_kept"),
     )
+
+
+def _coarse_budget_keep(budgeted: DataFrame, n_buckets: int) -> DataFrame:
+    """Two-level prefix sum for the greedy budget cut (the mega-source
+    path): bucket rows by rank prefix, prefix-sum BUCKET token totals
+    (tiny: sources x n_buckets rows), then evaluate the row-level cumsum
+    ONLY inside each source's boundary bucket. Buckets wholly under budget
+    are kept without ordering their rows; buckets past the boundary are
+    dropped the same way. Identical keep-set to the row-level form (same
+    total order, same prefix semantics — test-asserted); the sequential
+    window touches ~1/n_buckets of the source's rows.
+    """
+    width = MIX_PRIME // n_buckets + 1
+    rows = budgeted.withColumn("_bkt", (F.col("_rank") / width).cast("long"))
+    bsums = rows.groupBy("source", "_bkt", "_budget").agg(
+        F.sum("_tokens").alias("_btok")
+    )
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = bsums.withColumn("_bcum", F.sum("_btok").over(wb)).withColumn(
+        "_bprev", F.col("_bcum") - F.col("_btok")
+    )
+    # whole buckets strictly under budget after their last row
+    full = marked.filter(F.col("_bcum") <= F.col("_budget")).select("source", "_bkt")
+    full_rows = rows.join(full, on=["source", "_bkt"], how="left_semi")
+    # the boundary bucket: first bucket whose cumulative total crosses the
+    # budget — row-level cumsum there, offset by the previous buckets' sum
+    boundary = marked.filter(
+        (F.col("_bcum") > F.col("_budget")) & (F.col("_bprev") <= F.col("_budget"))
+    ).select("source", "_bkt", "_bprev")
+    wr = (
+        Window.partitionBy("source", "_bkt")
+        .orderBy("_rank", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boundary_rows = (
+        rows.join(boundary, on=["source", "_bkt"], how="inner")
+        .withColumn("_cum", F.col("_bprev") + F.sum("_tokens").over(wr))
+        .filter(F.col("_cum") <= F.col("_budget"))
+        .drop("_bprev", "_cum")
+    )
+    return full_rows.unionByName(boundary_rows)
 
 
 def epoch_shard_manifest(

@@ -98,6 +98,31 @@ def test_decontaminate_flags_only_overlapping_docs(spark):
     assert set(out) == {1, 2, 3}  # every train doc present
 
 
+def test_mix_to_budget_coarse_form_identical(spark):
+    # Two-level prefix sum (coarse buckets) must produce the identical
+    # keep-set/summary as the row-level cumsum, across sources whose
+    # budgets land mid-bucket. Varied token counts force a partial
+    # boundary bucket at any bucket width.
+    rows = [
+        (f"s{j}", i + 100 * j, "w " * ((i * 7 + j) % 13 + 1))
+        for j in range(3)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    tok = F.size(F.split(F.trim("text"), " "))
+    weight = F.lit(1)
+    plain = sorted(
+        C.mix_to_budget(df, "source", "doc_id", tok, weight).collect()
+    )
+    for nb in (2, 16, 512):
+        coarse = sorted(
+            C.mix_to_budget(
+                df, "source", "doc_id", tok, weight, coarse_buckets=nb
+            ).collect()
+        )
+        assert coarse == plain, f"coarse_buckets={nb}"
+
+
 def test_epoch_shard_manifest_conservation(spark):
     # 3 docs x epochs (2, 2, 1) = 5 replica rows; shard totals must
     # conserve rows and tokens, and n_docs per shard <= docs overall.
