@@ -83,8 +83,15 @@ def cache_dimension_tables(spark: SparkSession, sf_dir: str) -> None:
     the cache holds the build sides, never the probe sides.
     """
     for name in DIM_TABLES:
-        df = load_table(spark, sf_dir, name).cache()
-        df.count()
+        try:
+            df = load_table(spark, sf_dir, name).cache()
+            df.count()
+        except Exception:
+            # A custom sf_dir may carry only the tables its queries touch
+            # (e.g. a facts-only lake); caching is an optimization, never a
+            # prerequisite — skip what isn't there.
+            _HANDLES.pop((id(spark), sf_dir, name), None)
+            continue
         _HANDLES[(id(spark), sf_dir, name)] = df
 
 

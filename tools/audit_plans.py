@@ -69,6 +69,10 @@ def bench_compare(sf_dir: str) -> None:
         app_name="bdp-plan-audit",
         extra_conf=input_sized_conf(dir_input_bytes(sf_dir)),
     )
+    # Same warm-warehouse posture as bench.py: dims pinned, facts stream.
+    from billing_data_pipeline_spark.sources.tables import cache_dimension_tables
+
+    cache_dimension_tables(spark, sf_dir)
     cat = load_catalog()
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
