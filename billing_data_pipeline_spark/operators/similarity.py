@@ -687,30 +687,41 @@ def lsh_bucketed_topk_oracle_sql(
     id_col: str,
     vec_col: str,
     k: int = 5,
-    n_bits: int = 8,
+    n_bits: int = 6,
     dim: int = 64,
     seed: int = 42,
     query_pred: str = "TRUE",
+    n_tables: int = 8,
 ) -> str:
-    """DuckDB twin of lsh_bucketed_topk (single plane set, bucket
-    equi-join, exact cosine rerank, deterministic (sim desc, id asc)
-    top-k)."""
-    rng = random.Random(seed)
-    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
-    sig = _signature_sql(vec_col, planes)
-    d_qc = _dot_sql("q.v", "c.v")
-    d_qq = _dot_sql("q.v", "q.v")
-    d_cc = _dot_sql("c.v", "c.v")
+    """DuckDB twin of lsh_bucketed_topk (OR over ``n_tables`` plane sets —
+    a UNION ALL of per-table bucket selects — distinct candidate pairs,
+    exact cosine rerank, deterministic (sim desc, id asc) top-k)."""
+    all_planes = _lsh_tables_planes(n_tables, n_bits, dim, seed)
+    buckets = "\nUNION ALL\n".join(
+        f"SELECT id, {t} AS tbl, {_signature_sql('v', planes)} AS bucket FROM s"
+        for t, planes in enumerate(all_planes)
+    )
+    d_qc = _dot_sql("qs.v", "cs.v")
+    d_qq = _dot_sql("qs.v", "qs.v")
+    d_cc = _dot_sql("cs.v", "cs.v")
     return f"""
 WITH s AS (
-    SELECT {id_col} AS id, {vec_col} AS v, {sig} AS bucket
-    FROM {table}
+    SELECT {id_col} AS id, {vec_col} AS v FROM {table}
 ),
-q AS (SELECT * FROM s WHERE {query_pred}),
+e AS (
+{buckets}
+),
+q AS (SELECT e.* FROM e JOIN s USING (id) WHERE {query_pred}),
+cand AS (
+    SELECT DISTINCT q.id AS query_id, c.id AS candidate_id
+    FROM e c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.id <> q.id
+),
 scored AS (
-    SELECT q.id AS query_id, c.id AS candidate_id,
+    SELECT cand.query_id, cand.candidate_id,
            {d_qc} / (sqrt({d_qq}) * sqrt({d_cc})) AS cosine_sim
-    FROM s c JOIN q ON c.bucket = q.bucket AND c.id <> q.id
+    FROM cand
+    JOIN s qs ON qs.id = cand.query_id
+    JOIN s cs ON cs.id = cand.candidate_id
 ),
 ranked AS (
     SELECT query_id, candidate_id, cosine_sim,
@@ -798,24 +809,32 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_bits: int = 8,
+    n_bits: int = 6,
     dim: int = 64,
     seed: int = 42,
+    n_tables: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane signatures bucket the corpus;
-    cosine is evaluated only within the query's bucket.
+    """Approximate top-k: OR-of-ANDs random-hyperplane bucketing — a
+    candidate is scored if it shares a bucket with the query in ANY of
+    ``n_tables`` independent ``n_bits``-bit signatures, then exact-cosine
+    reranked. A single AND signature has recall 1-in-2^b for weakly
+    correlated vectors (measured 5% on the driver embeddings); the OR
+    construction multiplies candidate coverage while keeping per-table
+    bucket density at n/2^b — the same recall calculus as
+    lsh_neardup_pairs, tuned for top-k (recall floor regression-tested in
+    tests/test_scale_patterns.py::test_ann_recall_floors).
 
     The hyperplanes are a seeded driver-side constant broadcast into the
-    plan as literals — no fit step, fully deterministic.
+    plan as literals — no fit step, fully deterministic. Queries explode
+    to (table, bucket) rows and broadcast; duplicate (query, candidate)
+    collisions across tables dedupe before scoring so each pair is scored
+    once.
     """
     from pyspark.sql import Window
 
-    rng = random.Random(seed)
-    planes = [
-        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)
-    ]
+    all_planes = _lsh_tables_planes(n_tables, n_bits, dim, seed)
 
-    def signature(vec: Column) -> Column:
+    def signature(vec: Column, planes: list[list[float]]) -> Column:
         bits = [
             F.when(
                 dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit(1 << i)
@@ -827,17 +846,22 @@ def lsh_bucketed_topk(
             total = total + b
         return total
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-    ).withColumn("bucket", signature(F.col("qv")))
-    c = corpus.select(
-        F.col(id_col).alias("candidate_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("bucket", signature(F.col("cv")))
+    def exploded(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        v = _as_double(F.col(vec_col))
+        return df.select(
+            F.col(id_col).alias(out_id),
+            v.alias(out_vec),
+            F.posexplode(
+                F.array(*[signature(v, p) for p in all_planes])
+            ).alias("tbl", "bucket"),
+        )
 
-    pairs = c.join(F.broadcast(q), "bucket").filter(
-        F.col("candidate_id") != F.col("query_id")
+    q = exploded(queries, "query_id", "qv")
+    c = exploded(corpus, "candidate_id", "cv")
+    pairs = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("candidate_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "candidate_id"])
     )
     scored = pairs.select(
         "query_id", "candidate_id", cosine(F.col("qv"), F.col("cv")).alias("cosine_sim")

@@ -330,8 +330,10 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketed top-k (the scale path: candidates
-    only within signature buckets). Oracle-checked via shared literal
-    hyperplanes + bit-identical folds — DuckDB reproduces buckets and the
+    only from buckets shared in ANY of 8 independent 6-bit signatures —
+    OR-of-ANDs, recall@5 ~0.54 vs the exact baseline on this data, floor
+    regression-tested). Oracle-checked via shared literal hyperplanes +
+    bit-identical folds — DuckDB reproduces every bucket table and the
     (sim desc, id asc) rank order exactly."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 40 == 0)

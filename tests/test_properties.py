@@ -246,3 +246,59 @@ def test_segment_dedup_conservation(spark, docs, seg):
         assert r["n_segments"] == len(segments[i])
         assert r["segments_kept"] == len(expect[i])
         assert r["clean_text"] == " ".join(expect[i])
+
+
+@SLOW
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 2),     # source idx
+            st.integers(0, 200),   # doc id (deduped below)
+            st.integers(0, 5),     # token count
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+def test_mix_to_budget_matches_naive_greedy(spark, data):
+    """The windowed greedy budget mix equals a sequential Python reference
+    (same mixer ordering, same integer budget arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from billing_data_pipeline_spark.operators.curation import mix_to_budget
+    from billing_data_pipeline_spark.operators.sampling import MIX_MULT, MIX_PRIME
+
+    rows = {(s, i): t for s, i, t in data}  # dedupe doc ids per source
+    rows = [(f"s{s}", i, t) for (s, i), t in sorted(rows.items())]
+    seen_ids = set()
+    rows = [r for r in rows if not (r[1] in seen_ids or seen_ids.add(r[1]))]
+    df = spark.createDataFrame(rows, "source string, doc_id long, tokens long")
+
+    got = {
+        r["source"]: (r["budget_tokens"], r["docs_kept"], r["tokens_kept"])
+        for r in mix_to_budget(
+            df, "source", "doc_id", F.col("tokens"), F.lit(1)
+        ).collect()
+    }
+
+    total = sum(t for _, _, t in rows)
+    sources = sorted({s for s, _, _ in rows})
+    W = len(sources)
+    expect = {}
+    for s in sources:
+        budget = (total * 1 * 1) // (W * 2)
+        docs = [
+            (((i + 17) % MIX_PRIME) * MIX_MULT % MIX_PRIME, i, t)
+            for (src, i, t) in rows
+            if src == s
+        ]
+        cum = kept = tok = 0
+        for _, _i, t in sorted(docs):
+            if cum + t > budget:
+                break
+            cum += t
+            kept += 1
+            tok += t
+        if kept:
+            expect[s] = (budget, kept, tok)
+    assert got == expect

@@ -370,3 +370,28 @@ def test_curation_plan_properties(spark):
     # (shard, doc), then final on shard) — both carry compact rows
     p = plan_of("epoch_shard_manifest")
     assert p.count("Exchange hashpartitioning") == 2
+
+
+def test_ann_recall_floors(spark):
+    """The approximate similarity paths must actually find neighbors:
+    recall@5 against the exact brute-force result, measured on the driver
+    testdata. Floors are deliberately conservative — they catch a broken
+    bucketing/probing change, not tune approximation quality."""
+    from billing_data_pipeline_spark.registry import load_catalog
+
+    cat = load_catalog()
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r["query_id"], r["candidate_id"])
+        for r in cat["embedding_cosine_topk"].fn(spark, sf).collect()
+    }
+    n = len(exact)
+    assert n > 0
+    # measured on this data: ivf ~0.38 (4/16 lists probed), lsh ~0.54
+    # (8 tables x 6 bits OR'd); floors leave room for plan-level noise only
+    for name, floor in (("embedding_ivf_topk", 0.25), ("embedding_lsh_topk", 0.35)):
+        approx = {
+            (r["query_id"], r["candidate_id"]) for r in cat[name].fn(spark, sf).collect()
+        }
+        recall = len(exact & approx) / n
+        assert recall >= floor, f"{name} recall@5 {recall:.2f} < {floor}"
