@@ -10,10 +10,13 @@ composed into one runnable pipeline with a sharded parquet output.
       -> partitioned write by shard_id + per-shard manifest
 
 Catalyst sees a single tree up to the write: filters reach the scan,
-chunking multiplies rows without an exchange, dedup is the only
-corpus-sized shuffle, and the shard write reuses the repartition as its
-clustering. Deterministic end to end — re-running over the same input
-produces byte-identical shard membership (retry- and backfill-safe).
+chunking multiplies rows without an exchange, and the corpus moves
+through exactly TWO shuffles — the dedup hash exchange and the
+shard-clustering repartition at the write edge (the second is the write's
+own layout step, not overhead: it is what makes each output shard one
+task's sequential write). Deterministic end to end — re-running over the
+same input produces byte-identical shard membership (retry- and
+backfill-safe).
 """
 
 from __future__ import annotations
@@ -41,13 +44,12 @@ def curate_corpus(
 ) -> dict:
     """Run the curation flow over ``docs`` (doc_id, text, lang, ...) and
     write ``{out_dir}/shard_id=*/...`` plus return a metrics dict."""
-    scrubbed = C.scrub_pii(docs, "doc_id", "text").withColumnRenamed(
+    keep = ("lang",) if lang is not None else ()
+    scrubbed = C.scrub_pii(docs, "doc_id", "text", keep_cols=keep).withColumnRenamed(
         "clean_text", "text"
     )
     if lang is not None:
-        scrubbed = scrubbed.join(
-            docs.select("doc_id", "lang"), on="doc_id", how="inner"
-        ).filter(F.col("lang") == lang)
+        scrubbed = scrubbed.filter(F.col("lang") == lang)
     kept = scrubbed.filter(
         (F.length("text") > 0) & (X.quality_score(F.col("text")) > min_quality)
     )

@@ -42,8 +42,12 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 )
 
 
-def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Redact PII-shaped spans; emit the clean text + per-type hit counts.
+def scrub_pii(
+    df: DataFrame, id_col: str, text_col: str, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Redact PII-shaped spans; emit the clean text + per-type hit counts
+    (plus any ``keep_cols`` carried through, so callers never need a
+    self-join to recover sibling columns).
 
     Counts are evaluated against the text as already scrubbed by earlier
     passes (email first, so an address's digits can't double-count as a
@@ -56,7 +60,9 @@ def scrub_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for name, pat, repl in PII_PATTERNS:
         counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}s"))
         cur = F.regexp_replace(cur, pat, repl)
-    return df.select(F.col(id_col), cur.alias("clean_text"), *counts)
+    return df.select(
+        F.col(id_col), *keep_cols, cur.alias("clean_text"), *counts
+    )
 
 
 def scrub_pii_sql(table: str, id_col: str, text_expr: str) -> str:
@@ -190,21 +196,24 @@ GROUP BY {id_col}
 
 
 def _ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """Distinct word n-grams per document (id, ngram)."""
+    """Distinct word n-grams per document (id, ngram).
+
+    The per-doc dedup happens INSIDE the row (array_distinct over the
+    gram array) before the explode — a DataFrame-level distinct() here
+    would hash-shuffle the full corpus-sized (doc, ngram) set, which is
+    exactly what decontaminate promises never to do to the train side.
+    """
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_tk") - (n - 1)),
+            lambda i: F.array_join(F.slice("_tk", i, n), " "),
+        )
+    )
     return (
         df.select(F.col(id_col), toks.alias("_tk"))
         .filter(F.size("_tk") >= n)
-        .select(
-            id_col,
-            F.explode(F.sequence(F.lit(1), F.size("_tk") - (n - 1))).alias("_i"),
-            "_tk",
-        )
-        .select(
-            id_col,
-            F.array_join(F.slice("_tk", F.col("_i"), n), " ").alias("ngram"),
-        )
-        .distinct()
+        .select(id_col, F.explode(grams).alias("ngram"))
     )
 
 

@@ -361,6 +361,10 @@ def test_curation_plan_properties(spark):
     p = plan_of("decontaminate_ngram")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    # only the (tiny) eval-gram distinct and the compact per-doc hit
+    # groupBy shuffle — the train (doc, ngram) explosion never does
+    # (per-doc gram dedup is array_distinct inside the row)
+    assert p.count("Exchange hashpartitioning") == 2
 
     p = plan_of("segment_dedup_docs")
     assert p.count("Exchange hashpartitioning") == 2
