@@ -217,6 +217,81 @@ def _ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     )
 
 
+def repeated_ngram_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Cross-document duplicate-span analysis (the corpus-level statistic
+    behind substring-dedup decisions): for every document, how many of its
+    distinct word ``n``-grams also occur in at least one OTHER document,
+    and the share of its n-grams that do. High shares flag template/
+    boilerplate documents and near-duplicate clusters that survived
+    doc-level dedup.
+
+    Scale shape: per-doc gram dedup is array_distinct inside the row (no
+    shuffle — see _ngrams), so each (doc, gram) row is already unique;
+    gram document-frequency is then ONE compact groupBy(gram) with
+    map-side partials, and the rejoin back to the gram rows is an
+    equi-join on the gram key that AQE can skew-split if one template
+    gram dominates. Nothing ever moves document text — only grams and
+    counts.
+    """
+    grams = _ngrams(df, id_col, text_col, n)
+    gram_df = grams.groupBy("ngram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_docs_with")
+    )
+    per_doc = (
+        grams.join(gram_df, on="ngram", how="inner")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            F.sum((F.col("_docs_with") >= 2).cast("int"))
+            .cast("bigint")
+            .alias("n_shared"),
+        )
+    )
+    return df.select(id_col).join(per_doc, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("n_ngrams", F.lit(0)).cast("bigint").alias("n_ngrams"),
+        F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+        F.when(
+            F.coalesce("n_ngrams", F.lit(0)) > 0,
+            F.col("n_shared") / F.col("n_ngrams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("shared_frac"),
+    )
+
+
+def repeated_ngram_stats_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> str:
+    """DuckDB twin of repeated_ngram_stats (same distinct-gram set via
+    ngrams_sql, same df >= 2 rule, ratio = one IEEE division of identical
+    BIGINT operands)."""
+    return f"""
+WITH grams AS ({ngrams_sql(table, id_col, text_col, n)}),
+gdf AS (
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS docs_with
+    FROM grams GROUP BY ngram
+),
+per_doc AS (
+    SELECT {id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(CASE WHEN docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared
+    FROM grams JOIN gdf USING (ngram)
+    GROUP BY {id_col}
+)
+SELECT t.{id_col},
+       COALESCE(n_ngrams, 0) AS n_ngrams,
+       COALESCE(n_shared, 0) AS n_shared,
+       CASE WHEN COALESCE(n_ngrams, 0) > 0
+            THEN CAST(n_shared AS DOUBLE) / n_ngrams
+            ELSE 0.0 END AS shared_frac
+FROM {table} t LEFT JOIN per_doc USING ({id_col})
+"""
+
+
 def decontaminate(
     train: DataFrame,
     eval_set: DataFrame,

@@ -137,6 +137,21 @@ def epoch_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "repeated_ngram_stats",
+    tags=("ext", "curation", "dedup", "stats"),
+    oracle=C.repeated_ngram_stats_sql("documents", "doc_id", "text", 8),
+)
+def repeated_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span analysis: per doc, how many of its
+    distinct word 8-grams occur in >= 2 documents, and the shared
+    fraction — the corpus statistic behind substring-dedup decisions.
+    Grams dedup inside the row; only gram/count rows shuffle."""
+    return C.repeated_ngram_stats(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=8
+    )
+
+
 _QUALITY_SQL = (
     "(CAST(len(regexp_extract_all(clean_text, '[A-Za-z0-9]+')) AS DOUBLE)"
     " / length(clean_text))"

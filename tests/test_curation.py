@@ -145,6 +145,27 @@ def test_epoch_shard_manifest_conservation(spark):
     assert all(r["n_docs"] <= 3 for r in out)
 
 
+def test_repeated_ngram_stats_counts_cross_doc_spans(spark):
+    # docs 1 and 2 share exactly one 3-gram ("a b c"); doc 3 is too short
+    # for any 3-gram but must still appear with zeros.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),   # grams: "a b c", "b c d"
+            (2, "z a b c"),   # grams: "z a b", "a b c"
+            (3, "x y"),       # no 3-grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in C.repeated_ngram_stats(df, "doc_id", "text", n=3).collect()
+    }
+    assert out[1]["n_ngrams"] == 2 and out[1]["n_shared"] == 1
+    assert out[2]["n_ngrams"] == 2 and out[2]["n_shared"] == 1
+    assert out[1]["shared_frac"] == 0.5
+    assert out[3]["n_ngrams"] == 0 and out[3]["shared_frac"] == 0.0
+
+
 def test_mix_to_budget_respects_budgets(spark):
     # Two sources, equal weights, 10 tokens total, budget_num/den = 1/2 =>
     # 5 tokens split by weight => 2 each (integer floor of 2.5); each doc
