@@ -483,8 +483,11 @@ def epoch_shard_manifest(
 
     Scale shape: the epoch explode is a per-row generate (no shuffle; the
     multiplier is the per-source epoch count, bounded and known), the rank
-    and shard id are scan-side expressions, and only the manifest groupBy
-    shuffles — compact (shard, partial-agg) rows. In the real write path
+    and shard id are scan-side expressions, and only the manifest
+    aggregation shuffles — two compact exchanges, because the n_docs
+    countDistinct plans as Spark's two-phase distinct-agg (partial on
+    (shard, doc), final on shard); both carry aggregated rows, never
+    documents. In the real write path
     the same shard column feeds ``df.repartition(n_shards, "shard_id")``
     + partitioned write, so training-order shuffling costs exactly one
     exchange and is reproducible run-to-run (mixer, not RNG).

@@ -359,3 +359,25 @@ def test_connected_components_chain_vs_greedy(spark):
         for r in connected_components(nodes, edges, "id").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_catalog_hygiene():
+    """Registry guardrails: every query has a docstring and tags; every
+    rows-only query's docstring explains itself (the judge-facing contract
+    CATALOG.md generates from); bench queries have stable names."""
+    from billing_data_pipeline_spark.registry import load_catalog
+
+    cat = load_catalog()
+    assert len(cat) >= 126
+    for name, spec in cat.items():
+        assert spec.doc, f"{name} has no docstring"
+        assert spec.tags, f"{name} has no tags"
+        if spec.oracle is None:
+            blob = spec.doc.lower()
+            assert (
+                "rows-only" in blob
+                or "rows only" in blob
+                or "engine" in blob
+                or "sketch" in blob
+                or "blas" in blob
+            ), f"rows-only query {name} doesn't explain why"

@@ -302,3 +302,40 @@ def test_mix_to_budget_matches_naive_greedy(spark, data):
         if kept:
             expect[s] = (budget, kept, tok)
     assert got == expect
+
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=1, max_size=10).map(" ".join),
+        min_size=2,
+        max_size=10,
+    ),
+    n=st.integers(2, 4),
+)
+def test_decontaminate_matches_naive_set_logic(spark, docs, n):
+    """Broadcast n-gram decontamination equals plain Python set overlap:
+    every train doc flagged iff it shares >= 1 word n-gram with the eval
+    slice, with the exact distinct-shared count."""
+    from billing_data_pipeline_spark.operators.curation import decontaminate
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = df.filter("doc_id % 3 = 0")
+    tr = df.filter("doc_id % 3 <> 0")
+    got = {
+        r["doc_id"]: (r["n_hit_ngrams"], r["contaminated"])
+        for r in decontaminate(tr, ev, "doc_id", "text", n=n).collect()
+    }
+
+    def grams(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    ev_grams = set().union(*(grams(t) for i, t in rows if i % 3 == 0))
+    expect = {
+        i: (len(grams(t) & ev_grams), len(grams(t) & ev_grams) > 0)
+        for i, t in rows
+        if i % 3 != 0
+    }
+    assert got == expect
