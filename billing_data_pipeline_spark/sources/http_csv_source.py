@@ -32,7 +32,12 @@ import time
 from datetime import date, datetime
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     BooleanType,
     DateType,
@@ -125,6 +130,47 @@ class HttpCsvReader(DataSourceReader):
                         raise
 
 
+class HttpCsvStreamReader(SimpleDataSourceStreamReader):
+    """Streaming form: the URL list is a totally ordered log and the offset
+    is an index into it — each micro-batch ingests the next unread URLs.
+
+    This is the reference's polling sensor (pipeline/pipeline.py:41-96:
+    compare cursor against newly listed partitions, emit a run per new
+    batch) recast as a checkpointable stream source: the offset {"idx": n}
+    plays the sensor cursor, Spark's checkpoint persists it, and replay
+    after failure re-reads exactly the uncommitted suffix. Pair with the
+    idempotent foreachBatch sink for end-to-end effectively-once.
+    """
+
+    def __init__(self, schema: StructType, options):
+        self.batch = HttpCsvReader(schema, options)
+        self.per_trigger = int(options.get("urlspertrigger") or 1)
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def read(self, start: dict):
+        lo = start["idx"]
+        hi = min(lo + self.per_trigger, len(self.batch.urls))
+        end = {"idx": hi}
+        return self.readBetweenOffsets(start, end), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # Materialized list-iterator, not a generator: the simple-reader
+        # wrapper prefetches on the driver and PICKLES the iterator for
+        # replay (list_iterator pickles, generators don't). Per-trigger
+        # batches are bounded by urlsPerTrigger — the documented memory
+        # contract of the simple API (use the full DataSourceStreamReader
+        # for executor-side partition reads).
+        rows = []
+        for url in self.batch.urls[start["idx"] : end["idx"]]:
+            rows.extend(self.batch.read(UrlPartition(url)))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up — the URL log is immutable
+
+
 class HttpCsvDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -140,3 +186,6 @@ class HttpCsvDataSource(DataSource):
 
     def reader(self, schema: StructType) -> HttpCsvReader:
         return HttpCsvReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> HttpCsvStreamReader:
+        return HttpCsvStreamReader(schema, self.options)

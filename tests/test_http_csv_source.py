@@ -41,6 +41,38 @@ def test_http_csv_reads_urls_in_parallel_partitions(spark, csv_urls):
     assert rows["u1"]["ts"].hour == 10
 
 
+def test_http_csv_stream_drains_url_log(spark, csv_urls, tmp_path):
+    # The streaming form treats the URL list as an ordered log: one URL
+    # per trigger, offsets checkpointed, AvailableNow drains everything.
+    import uuid
+
+    spark.dataSource.register(HttpCsvDataSource)
+    sdf = (
+        spark.readStream.format("http_csv")
+        .schema(SCHEMA)
+        .option("urls", ",".join(csv_urls))
+        .option("urlsPerTrigger", "1")
+        .load()
+    )
+    name = f"httpcsv_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.table(name).collect()
+        assert {r["user_id"] for r in rows} == {"u1", "u2", "u3"}
+        # one URL per trigger -> the drain took at least 2 micro-batches
+        fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(fed) >= 2
+    finally:
+        q.stop()
+
+
 def test_http_csv_failfast_raises_on_malformed(spark, csv_urls):
     spark.dataSource.register(HttpCsvDataSource)
     df = (
