@@ -70,6 +70,42 @@ def normalized_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFr
     )
 
 
+def best_survivor_dedup(
+    df: DataFrame, id_col: str, text_col: str, score_col
+) -> DataFrame:
+    """Quality-aware canonical selection: one row per distinct NORMALIZED
+    content hash keeping the HIGHEST-scoring member (ties broken by min
+    id) — the survivorship policy real curation pipelines want, where
+    near-identical copies differ in formatting noise and you keep the
+    cleanest one, not the lowest id.
+
+    Returns (norm_hash, keep_id, keep_score, copies). One aggregation on
+    the 16-byte hash key; argmax is a single max over an orderable
+    (score, -id) struct — map-side partials apply, no window, no
+    join-back. ``score_col`` is any deterministic per-row expression
+    (e.g. text.model_quality_score) so the pick is retry-stable.
+    """
+    pick = F.max(
+        F.struct(
+            score_col.alias("s"), (-F.col(id_col)).alias("neg_id")
+        )
+    )
+    return (
+        df.withColumn("norm_hash", F.md5(normalized_text(text_col)))
+        .groupBy("norm_hash")
+        .agg(
+            pick.alias("_best"),
+            F.count(F.lit(1)).alias("copies"),
+        )
+        .select(
+            "norm_hash",
+            (-F.col("_best.neg_id")).cast("long").alias("keep_id"),
+            F.col("_best.s").alias("keep_score"),
+            "copies",
+        )
+    )
+
+
 def word_shingles(text_col: str, n: int = 3) -> F.Column:
     """Distinct word n-gram shingles of a text column (built-in higher-order
     functions; no UDF).

@@ -78,6 +78,43 @@ def normalized_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "best_survivor_dedup_docs",
+    tags=("ext", "dedup", "quality"),
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS norm_hash,
+           {X.model_quality_score_sql('text')} AS s
+    FROM documents
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY norm_hash ORDER BY s DESC, doc_id ASC
+    ) AS rn,
+    COUNT(*) OVER (PARTITION BY norm_hash) AS copies
+    FROM scored
+)
+SELECT norm_hash, doc_id AS keep_id, s AS keep_score,
+       CAST(copies AS BIGINT) AS copies
+FROM ranked WHERE rn = 1
+""",
+)
+def best_survivor_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivorship on the normalized-dedup tier: each
+    duplicate group keeps its highest model-quality member (tie -> min
+    id) instead of blindly the min id. Argmax = one max over an
+    orderable (score, -id) struct — map-side partials, no window, no
+    join-back; oracle replays it as row_number over (score desc, id)."""
+    return D.best_survivor_dedup(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        X.model_quality_score(F.col("text")),
+    )
+
+
 NGRAM_JACCARD_ORACLE = r"""
 WITH toks AS (
     SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

@@ -181,3 +181,30 @@ def test_mix_to_budget_respects_budgets(spark):
     ).collect()
     assert {r["source"]: r["docs_kept"] for r in out} == {"s0": 2, "s1": 2}
     assert all(r["tokens_kept"] == 2 and r["budget_tokens"] == 2 for r in out)
+
+
+def test_best_survivor_dedup_picks_quality_then_min_id(spark):
+    from billing_data_pipeline_spark.operators.dedup import best_survivor_dedup
+
+    # Docs 1/2 normalize identically (punctuation differs); doc 2 gets the
+    # higher score -> keep 2. Docs 3/4 also normalize identically and TIE
+    # on score -> min id (3) wins.
+    df = spark.createDataFrame(
+        [
+            (1, "same text!!"),
+            (2, "same;;;text"),
+            (3, "tie words here"),
+            (4, "tie, words... here"),
+        ],
+        "doc_id long, text string",
+    )
+    score = (
+        F.when(F.col("doc_id") == 2, 2.0)
+        .when(F.col("doc_id").isin(3, 4), 1.0)
+        .otherwise(0.5)
+    )
+    out = best_survivor_dedup(df, "doc_id", "text", score).collect()
+    assert len(out) == 2
+    assert all(r["copies"] == 2 for r in out)
+    keep = {r["keep_id"]: r["keep_score"] for r in out}
+    assert keep == {2: 2.0, 3: 1.0}
