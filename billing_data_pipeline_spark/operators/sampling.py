@@ -108,3 +108,41 @@ WITH ranked AS (
 )
 SELECT {cols} FROM ranked WHERE sample_rank <= {n}
 """
+
+
+def assign_split(
+    key: Column,
+    boundaries: tuple[int, ...] = (90, 95),
+    labels: tuple[str, ...] = ("train", "val", "test"),
+    salt: int = 7,
+) -> Column:
+    """Deterministic train/val/test assignment: the mixer bucket in
+    [0,100) cut at ``boundaries`` (default 90/5/5). A labeled 3-way
+    partition, not a keep/drop sample — every row gets exactly one split,
+    the assignment is a scan-side expression (no shuffle, no RNG), and a
+    document keeps its split when the corpus around it changes — the
+    property that prevents silent train/test leakage across incremental
+    re-curations (a doc that once entered `test` can never drift into
+    `train` on a later run).
+    """
+    if len(labels) != len(boundaries) + 1:
+        raise ValueError("need exactly one more label than boundary")
+    b = hash_bucket(key, salt)
+    expr = F.lit(labels[-1])
+    for bound, lab in zip(reversed(boundaries), reversed(labels[:-1])):
+        expr = F.when(b < bound, lab).otherwise(expr)
+    return expr
+
+
+def assign_split_sql(
+    key: str,
+    boundaries: tuple[int, ...] = (90, 95),
+    labels: tuple[str, ...] = ("train", "val", "test"),
+    salt: int = 7,
+) -> str:
+    b = hash_bucket_sql(key, salt)
+    cases = " ".join(
+        f"WHEN ({b}) < {bound} THEN '{lab}'"
+        for bound, lab in zip(boundaries, labels[:-1])
+    )
+    return f"(CASE {cases} ELSE '{labels[-1]}' END)"

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import curation as C
+from ..operators import sampling as SMP
 from ..operators import text as X
 from ..registry import register
 from ._util import t
@@ -149,6 +150,35 @@ def repeated_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Grams dedup inside the row; only gram/count rows shuffle."""
     return C.repeated_ngram_stats(
         t(spark, sf_dir, "documents"), "doc_id", "text", n=8
+    )
+
+
+@register(
+    "dataset_split_summary",
+    tags=("ext", "curation", "sampling"),
+    oracle=f"""
+SELECT source,
+       {SMP.assign_split_sql('doc_id')} AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT)
+           AS n_tokens
+FROM documents
+GROUP BY 1, 2
+""",
+)
+def dataset_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5 mixer cut) rolled
+    up per (source, split). The split label is a scan-side expression —
+    no shuffle beyond the summary groupBy — and a doc's split never
+    changes across incremental re-curations (no train/test leakage)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", SMP.assign_split(F.col("doc_id")))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(X.token_count(F.col("text")).cast("bigint")).alias("n_tokens"),
+        )
     )
 
 

@@ -208,3 +208,23 @@ def test_best_survivor_dedup_picks_quality_then_min_id(spark):
     assert all(r["copies"] == 2 for r in out)
     keep = {r["keep_id"]: r["keep_score"] for r in out}
     assert keep == {2: 2.0, 3: 1.0}
+
+
+def test_assign_split_partitions_every_row_stably(spark):
+    from billing_data_pipeline_spark.operators.sampling import assign_split
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = df.withColumn("split", assign_split(F.col("doc_id")))
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    # every row labeled, all three splits non-empty at this size,
+    # train dominates (90/5/5 cut)
+    assert sum(counts.values()) == 500
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # stability: the same ids get the same split on a fresh computation
+    again = {
+        r["doc_id"]: r["split"]
+        for r in df.withColumn("split", assign_split(F.col("doc_id"))).collect()
+    }
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again
