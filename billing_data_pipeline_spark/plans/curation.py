@@ -182,6 +182,50 @@ def dataset_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+
+@register(
+    "leakage_safe_split_summary",
+    tags=("ext", "curation", "sampling", "dedup"),
+    oracle=f"""
+WITH keyed AS (
+    SELECT *, ('0x' || substr(md5({_NORM_SQL}), 1, 15))::BIGINT AS grp
+    FROM documents
+)
+SELECT {SMP.assign_split_sql('grp')} AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT)
+           AS n_tokens
+FROM keyed
+GROUP BY 1
+""",
+)
+def leakage_safe_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split assignment keyed on the NORMALIZED-CONTENT hash, not the doc
+    id: near-identical copies straddling train/test are themselves
+    leakage, so every member of a duplicate group inherits the same split
+    by construction (no dedup pass required first). Portable 60-bit
+    md5-derived key feeds the same mixer cut as dataset_split_summary;
+    summary per split counts docs vs distinct duplicate groups."""
+    from ..operators import dedup as D
+    from ..operators import portable_dedup as PD
+
+    docs = t(spark, sf_dir, "documents")
+    grp = PD.portable_hash60(D.normalized_text("text"))
+    return (
+        docs.withColumn("grp", grp)
+        .withColumn("split", SMP.assign_split(F.col("grp")))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("grp").cast("bigint").alias("n_groups"),
+            F.sum(X.token_count(F.col("text")).cast("bigint")).alias("n_tokens"),
+        )
+    )
+
+
 _QUALITY_SQL = (
     "(CAST(len(regexp_extract_all(clean_text, '[A-Za-z0-9]+')) AS DOUBLE)"
     " / length(clean_text))"

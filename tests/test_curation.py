@@ -228,3 +228,27 @@ def test_assign_split_partitions_every_row_stably(spark):
     }
     first = {r["doc_id"]: r["split"] for r in out.collect()}
     assert first == again
+
+
+def test_leakage_safe_split_keeps_duplicate_groups_together(spark):
+    from billing_data_pipeline_spark.operators.dedup import normalized_text
+    from billing_data_pipeline_spark.operators.portable_dedup import portable_hash60
+    from billing_data_pipeline_spark.operators.sampling import assign_split
+
+    # many duplicate groups, each with formatting-variant copies — every
+    # copy must land in its group's split
+    rows = []
+    for g in range(60):
+        rows.append((3 * g, f"group {g} words here"))
+        rows.append((3 * g + 1, f"GROUP {g} words... here"))
+        rows.append((3 * g + 2, f"group   {g} WORDS here!!"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = df.withColumn(
+        "split", assign_split(portable_hash60(normalized_text("text")))
+    ).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["doc_id"] // 3, set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())
+    # and the cut still produces more than one split across groups
+    assert len({next(iter(s)) for s in by_group.values()}) >= 2
