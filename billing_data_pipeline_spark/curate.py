@@ -73,9 +73,19 @@ def curate_corpus(
         F.pmod(F.col("chunk_key") + 23, SMP.MIX_PRIME) * F.lit(SMP.MIX_MULT),
         SMP.MIX_PRIME,
     )
-    sharded = survivors.withColumn(
-        "shard_id", F.pmod(rank, n_shards).cast("int")
-    ).select("shard_id", "doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text")
+    # Leakage-safe split: keyed on the chunk's CONTENT hash, so identical
+    # chunks (and re-curated corpora) can never land one copy in train and
+    # another in test (operators/sampling.assign_split).
+    split = SMP.assign_split(
+        F.conv(F.substring("chunk_hash", 1, 15), 16, 10).cast("long")
+    )
+    sharded = (
+        survivors.withColumn("shard_id", F.pmod(rank, n_shards).cast("int"))
+        .withColumn("split", split)
+        .select(
+            "shard_id", "split", "doc_id", "chunk_idx", "n_chunk_tokens", "chunk_text"
+        )
+    )
     (
         sharded.repartition(n_shards, "shard_id")
         .write.mode("overwrite")
@@ -92,6 +102,12 @@ def curate_corpus(
         .orderBy("shard_id")
         .collect()
     )
+    splits = {
+        r["split"]: r["n"]
+        for r in written.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     return {
         "docs_in": docs.count(),
         "docs_kept": kept.count(),
@@ -101,5 +117,6 @@ def curate_corpus(
             int(r["shard_id"]): {"n_chunks": r["n_chunks"], "n_tokens": r["n_tokens"]}
             for r in manifest
         },
+        "splits": splits,
         "out_dir": os.path.abspath(out_dir),
     }

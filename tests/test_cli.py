@@ -41,6 +41,10 @@ def test_cli_curate_writes_deterministic_shards(spark, tmp_path, capsys):
     assert sum(s["n_tokens"] for s in m1["shards"].values()) == m1["tokens_written"]
     # determinism: re-running produces the identical shard membership
     assert {k: v for k, v in m1["shards"].items()} == m2["shards"]
+    # leakage-safe split labels: all chunks labeled, train dominates
+    assert sum(m1["splits"].values()) == m1["chunks_written"]
+    assert m1["splits"]["train"] == max(m1["splits"].values())
+    assert m1["splits"] == m2["splits"]
     df1 = spark.read.parquet(out1).orderBy("doc_id", "chunk_idx")
     df2 = spark.read.parquet(out2).orderBy("doc_id", "chunk_idx")
     assert df1.collect() == df2.collect()
