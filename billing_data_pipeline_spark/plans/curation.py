@@ -307,3 +307,50 @@ def corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.token_count(F.col("text")),
         (F.expr("CAST(substring(source, 4) AS BIGINT)") % 3) + 1,
     )
+
+
+@register(
+    "quality_quantile_filter",
+    tags=("ext", "curation", "quality", "quantile"),
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, lang, {X.model_quality_score_sql("text")} AS score
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, lang, score,
+           row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC)
+               AS rnk,
+           COUNT(*) OVER (PARTITION BY lang) AS n
+    FROM scored
+)
+SELECT doc_id, lang, score FROM ranked WHERE rnk * 4 <= n
+""",
+)
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the top quality QUARTILE per language — quantile-relative corpus
+    filtering (the "take the best X% of each language" curation op, which a
+    fixed threshold can't express because score distributions differ per
+    language). The cut is pure integer rank arithmetic (rnk * 4 <= n), not
+    percent_rank's n=1-edge-cased float division — deterministic for any
+    group size on any engine.
+
+    Scale shape: one window over the (lang | score, doc_id) partitioning —
+    the same exchange a groupBy(lang) would make; the count-over is computed
+    in the same window pass. Per-lang skew is bounded by the corpus's
+    language mix; for a mega-language, cut on approx_percentile cutpoints
+    instead (the event_value_deciles_scalable pattern)."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", X.model_quality_score(F.col("text")).alias("score")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    wn = Window.partitionBy("lang")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rnk") * 4 <= F.col("n"))
+        .select("doc_id", "lang", "score")
+    )

@@ -1,0 +1,152 @@
+"""[EXT] Distributed ML primitives over the embeddings table: one exact,
+oracle-checked k-means iteration (assign + centroid update).
+
+k-means is the workhorse behind IVF coarse quantizers (see
+operators/similarity.ivf_topk, which uses stride-seeded centroids and
+would take these refined centroids as a drop-in), embedding-space corpus
+clustering, and diversity sampling in training-data curation. Spark's
+MLlib KMeans is RNG-seeded and float-sum nondeterministic; this is the
+DataFrame-native step expressed so every double is reproducible in ANSI
+SQL:
+
+- init: stride-seeded centroids (every |corpus|/k-th vector by id — the
+  same training-free seeding as ivf_topk, so the two share a contract);
+- assign: nearest centroid by cosine (dim-sequential fold), computed
+  IN-ROW against k LITERAL centroid vectors — the argmax is
+  ``array_position(sims, array_max(sims))``, first-match = lowest centroid
+  index on ties, so assignment is a pure scan-side projection: ZERO
+  shuffles, no row blowup, corpus x k folds distributed over the scan;
+- update: new centroid = per-cell mean of member vectors on FIXED-POINT
+  components (floor(x * 2^20) -> BIGINT): integer sums are associative, so
+  the mean is identical under any partitioning/parallelism on any engine —
+  the float-sum nondeterminism that usually makes distributed k-means
+  unreproducible is engineered out. Precision cost: 2^-20 per component,
+  below the 2^-24-per-ULP float32 input noise floor. The only exchange in
+  the whole step is the (cell, dim)-keyed aggregation, which map-side
+  combines to k x dim rows per task.
+
+Iterating = feeding the output centroids back in; each round costs one
+scan + one compact aggregation — the same shape at any corpus size.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import similarity as S
+from ..registry import register
+from ._util import t
+
+K_LISTS = 8
+Q_SCALE = 1 << 20  # fixed-point scale for the centroid-update sums
+
+
+@register(
+    "embedding_kmeans_step",
+    tags=("ext", "ml", "kmeans", "iterative"),
+    oracle=f"""
+WITH ids AS (
+    SELECT vec_id AS id, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+    FROM embeddings
+),
+params AS (SELECT greatest(1, COUNT(*) // {K_LISTS}) AS stride FROM ids),
+cents AS (
+    SELECT CAST(i.rn // p.stride AS INTEGER) AS cidx, e.embedding AS cv
+    FROM ids i CROSS JOIN params p
+    JOIN embeddings e ON e.vec_id = i.id
+    WHERE i.rn % p.stride = 0 AND i.rn // p.stride < {K_LISTS}
+),
+vecs AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+sims AS (
+    SELECT v.id, c.cidx,
+           {S._dot_sql("v.vec", "c.cv")}
+           / (sqrt({S._dot_sql("v.vec", "v.vec")})
+              * sqrt({S._dot_sql("c.cv", "c.cv")})) AS sim
+    FROM vecs v CROSS JOIN cents c
+),
+cells AS (
+    SELECT id, cidx AS cell FROM (
+        SELECT id, cidx,
+               row_number() OVER (PARTITION BY id ORDER BY sim DESC, cidx ASC)
+                   AS rnk
+        FROM sims) WHERE rnk = 1
+),
+comp AS (
+    SELECT ce.cell, CAST(d.dim AS INTEGER) AS dim,
+           CAST(floor(CAST(v.vec[CAST(d.dim AS INTEGER) + 1] AS DOUBLE)
+                      * {Q_SCALE}.0) AS BIGINT) AS q
+    FROM cells ce
+    JOIN vecs v ON v.id = ce.id
+    CROSS JOIN range(0, 64) AS d(dim)
+)
+SELECT cell, dim,
+       (CAST(SUM(q) AS DOUBLE) / COUNT(*)) / {Q_SCALE}.0 AS centroid_component,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM comp
+GROUP BY cell, dim
+""",
+)
+def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact k-means iteration over the embeddings corpus: stride-seeded
+    centroids, in-row cosine argmax assignment, fixed-point mean update.
+    Output is the updated centroid matrix in long form (cell, dim,
+    component) plus cluster sizes — k x dim rows regardless of corpus
+    size. The oracle reproduces assignment via the equivalent rank-1
+    window (sim DESC, cidx ASC == first-max argmax)."""
+    emb = t(spark, sf_dir, "embeddings")
+
+    # Stride-seeded centroids, identical to the oracle's row_number stride
+    # (and to ivf_topk's seeding). Driver-side collect is O(k x dim).
+    ids = [r[0] for r in emb.select("vec_id").orderBy("vec_id").collect()]
+    stride = max(1, len(ids) // K_LISTS)
+    centroid_ids = set(ids[::stride][:K_LISTS])
+    cent_rows = (
+        emb.filter(F.col("vec_id").isin(centroid_ids))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    cvs = [[float(x) for x in r[1]] for r in cent_rows]
+    # Python's sequential sum over float64 IS the oracle's left-to-right
+    # list_reduce fold, and math.sqrt is the same IEEE sqrt — so these
+    # literal norms are bit-identical to sqrt(dot(cv, cv)) in either engine.
+    cnorms = [math.sqrt(sum_seq([x * x for x in cv])) for cv in cvs]
+
+    vec = S._as_double(F.col("embedding"))
+    vnorm = F.sqrt(S.dot(vec, vec))
+    sims = F.array(
+        *[
+            (S.dot(vec, F.array(*[F.lit(x) for x in cv])) / (vnorm * F.lit(cn)))
+            for cv, cn in zip(cvs, cnorms)
+        ]
+    )
+    assigned = emb.select(
+        (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cell"),
+        vec.alias("vec"),
+    )
+    comp = assigned.select(
+        "cell", F.posexplode("vec").alias("dim", "x")
+    ).select(
+        "cell",
+        "dim",
+        F.floor(F.col("x") * F.lit(float(Q_SCALE))).alias("q"),
+    )
+    return comp.groupBy("cell", "dim").agg(
+        ((F.sum("q").cast("double") / F.count(F.lit(1))) / F.lit(float(Q_SCALE))).alias(
+            "centroid_component"
+        ),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+def sum_seq(xs: list[float]) -> float:
+    """Strict left-to-right float64 sum (explicit, so nobody 'optimizes' it
+    into math.fsum/pairwise summation — order is the cross-engine
+    contract)."""
+    acc = 0.0
+    for x in xs:
+        acc += x
+    return acc

@@ -1,0 +1,268 @@
+"""[EXT] Time-series operators over the event log: rolling time-range
+windows, date-spine gap filling with LOCF, SCD2 interval builds, and
+rolling distinct counts.
+
+The reference's nearest analogue is the per-user MIN/MAX activity timeline
+(reference: pipeline/assets/aggregates.py:110-111); a billing warehouse
+asks the follow-up questions — "usage in the trailing 7 days", "fill the
+days a customer was silent", "when did the account change state" — so the
+engine ships them as first-class, oracle-checked operators.
+
+Portability rules (what keeps the DuckDB value-hash green):
+- all time arithmetic is integer epoch-microseconds / epoch-days (``div``
+  on BIGINT truncates identically on both engines; no interval types cross
+  the oracle boundary except as derived DATE columns);
+- RANGE window frames order by the integer timestamp, so frame membership
+  is exact integer comparison on both engines;
+- rolling money sums accumulate in DECIMAL(30,6) and cast to double at the
+  output edge (window frames are float-association traps otherwise).
+
+Scale notes per operator are on each query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import dsum_sql, t
+
+US_PER_DAY = 86_400_000_000
+US_7D = 7 * US_PER_DAY
+
+
+@register(
+    "user_rolling_usage_7d",
+    tags=("ext", "timeseries", "window"),
+    oracle=f"""
+SELECT event_id, user_id, ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS roll_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS roll_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN {US_7D} PRECEDING AND CURRENT ROW)
+""",
+)
+def user_rolling_usage_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day event count and value per user at every event — a
+    RANGE frame over integer epoch-µs, so frame membership is exact on any
+    engine (events at exactly ts-7d are IN the frame on both).
+
+    Scale shape: one shuffle on user_id + an in-partition sort — the same
+    cost as a groupBy; the frame is computed incrementally (no per-row
+    rescan). Equal-timestamp peers share a frame by RANGE semantics, so the
+    result is row-order independent."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-US_7D, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("roll_events"),
+        F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double").alias("roll_value"),
+    )
+
+
+@register(
+    "purchase_gap_filled_locf",
+    tags=("ext", "timeseries", "gapfill"),
+    oracle=f"""
+WITH p AS (
+    SELECT user_id, epoch_us(ts) // {US_PER_DAY} AS day, value
+    FROM events WHERE event_type = 'purchase'
+),
+daily AS (
+    SELECT user_id, day,
+           {dsum_sql("value")} AS day_value,
+           COUNT(*) AS day_events
+    FROM p GROUP BY user_id, day
+),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM p),
+u AS (SELECT DISTINCT user_id FROM p),
+spine AS (
+    SELECT u.user_id, unnest(generate_series(b.d0, b.d1)) AS day
+    FROM u CROSS JOIN b
+),
+j AS (
+    SELECT s.user_id, s.day, d.day_value,
+           COALESCE(d.day_events, 0) AS day_events
+    FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+)
+SELECT user_id, day,
+       DATE '1970-01-01' + CAST(day AS INTEGER) AS day_date,
+       CAST(day_events AS BIGINT) AS day_events,
+       last_value(day_value IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+FROM j
+""",
+)
+def purchase_gap_filled_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-user daily purchase series: a generated day spine (every
+    user x every day in the observed range) left-joined with actual daily
+    totals, silent days carried forward (LOCF) via last(ignoreNulls).
+
+    Scale shape: the spine is |users| x |days| rows built by a per-row
+    ``sequence``/explode — a generate, not a shuffle; the left join keys on
+    (user, day) and co-partitions with the LOCF window's user partitioning.
+    Days before a user's first purchase stay NULL (nothing to carry), and
+    the LOCF value is carried, never recomputed — no float arithmetic, so
+    the carried double is bit-identical on both engines."""
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {US_PER_DAY}").alias("day"),
+        "value",
+    )
+    daily = p.groupBy("user_id", "day").agg(
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("day_value"),
+        F.count(F.lit(1)).alias("day_events"),
+    )
+    bounds = p.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    users = p.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    j = spine.join(daily, on=["user_id", "day"], how="left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("day").cast("int")).alias(
+            "day_date"
+        ),
+        F.coalesce(F.col("day_events"), F.lit(0).cast("long")).alias("day_events"),
+        F.last("day_value", ignorenulls=True).over(w).alias("locf_value"),
+    )
+
+
+@register(
+    "user_state_scd2",
+    tags=("ext", "timeseries", "scd2"),
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+),
+changes AS (
+    SELECT user_id, event_type AS state, ts AS valid_from, event_id
+    FROM seq WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+           AS valid_to,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+            AS BIGINT) AS version,
+       (lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
+            IS NULL) AS is_current
+FROM changes
+""",
+)
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from the event log: collapse
+    consecutive equal states per user (change detection via lag), then cut
+    [valid_from, valid_to) validity intervals with lead; the open interval
+    is the current row. The classic CDC-log -> dimension-table operator the
+    reference's append-only ledger implies but never materializes.
+
+    Scale shape: two windows over the SAME (user_id | ts, event_id)
+    partitioning — Catalyst reuses one exchange+sort for lag, the change
+    filter shrinks the data, and the lead/row_number pass sorts only the
+    surviving change rows."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "rolling_active_users_7d",
+    tags=("ext", "timeseries", "distinct"),
+    oracle=f"""
+WITH du AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // {US_PER_DAY} AS day FROM events
+),
+b AS (
+    SELECT min(epoch_us(ts) // {US_PER_DAY}) AS d0,
+           max(epoch_us(ts) // {US_PER_DAY}) AS d1
+    FROM events
+),
+covered AS (
+    SELECT user_id, unnest(generate_series(day, day + 6)) AS window_day
+    FROM du
+)
+SELECT c.window_day,
+       DATE '1970-01-01' + CAST(c.window_day AS INTEGER) AS window_date,
+       CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS active_users_7d
+FROM covered c CROSS JOIN b
+WHERE c.window_day BETWEEN b.d0 AND b.d1
+GROUP BY c.window_day
+""",
+)
+def rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users for every day — the rolling
+    COUNT(DISTINCT) no engine supports as a window frame, expressed
+    scalably: dedup to (user, day) pairs, explode each pair into the <=7
+    window-end days it covers (bounded x7 generate), then one
+    countDistinct per day.
+
+    Scale shape: the x7 expansion happens AFTER the (user, day) dedup
+    collapses raw events to at most |users| x |days| rows, so shuffle
+    volume is bounded by active-pairs x 7, independent of event volume —
+    vs. the naive self-join which is |days| x |events|. Leading days with
+    partial windows are reported (their trailing window just starts before
+    the data), bounded to the observed day range."""
+    ev = t(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(ts) div {US_PER_DAY}")
+    du = ev.select("user_id", day.alias("day")).distinct()
+    bounds = ev.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")
+    )
+    covered = du.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("window_day"),
+    )
+    return (
+        covered.crossJoin(F.broadcast(bounds))
+        .filter(F.col("window_day").between(F.col("d0"), F.col("d1")))
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+        .select(
+            "window_day",
+            F.date_add(
+                F.lit("1970-01-01").cast("date"), F.col("window_day").cast("int")
+            ).alias("window_date"),
+            "active_users_7d",
+        )
+    )

@@ -67,12 +67,14 @@ def load_catalog() -> dict[str, QuerySpec]:
         billing,
         curation,
         extensions,
+        ml,
         relational,
         scalar_queries,
         sql_api,
         stats,
         streaming_queries,
         temporal_joins,
+        timeseries,
         tpch_extra,
     )
 
