@@ -1,13 +1,13 @@
-"""[EXT] Distributed ML primitives over the embeddings table: one exact,
-oracle-checked k-means iteration (assign + centroid update).
+"""[EXT] Distributed ML primitives over the embeddings table: exact,
+oracle-checked k-means (single iteration and a multi-round fit).
 
 k-means is the workhorse behind IVF coarse quantizers (see
 operators/similarity.ivf_topk, which uses stride-seeded centroids and
 would take these refined centroids as a drop-in), embedding-space corpus
 clustering, and diversity sampling in training-data curation. Spark's
 MLlib KMeans is RNG-seeded and float-sum nondeterministic; this is the
-DataFrame-native step expressed so every double is reproducible in ANSI
-SQL:
+DataFrame-native algorithm expressed so every double is reproducible in
+ANSI SQL:
 
 - init: stride-seeded centroids (every |corpus|/k-th vector by id — the
   same training-free seeding as ivf_topk, so the two share a contract);
@@ -21,12 +21,13 @@ SQL:
   the mean is identical under any partitioning/parallelism on any engine —
   the float-sum nondeterminism that usually makes distributed k-means
   unreproducible is engineered out. Precision cost: 2^-20 per component,
-  below the 2^-24-per-ULP float32 input noise floor. The only exchange in
-  the whole step is the (cell, dim)-keyed aggregation, which map-side
-  combines to k x dim rows per task.
-
-Iterating = feeding the output centroids back in; each round costs one
-scan + one compact aggregation — the same shape at any corpus size.
+  below the 2^-24-per-ULP float32 input noise floor. The only exchange per
+  round is the (cell, dim)-keyed aggregation, which map-side combines to
+  k x dim rows per task;
+- iterate: the round's k x dim output collects to the driver (KBs) and
+  feeds the next round's literal centroids — the same driver-coordinated
+  fixpoint shape as operators/components.connected_components, with the
+  oracle chaining the identical rounds as CTEs.
 """
 
 from __future__ import annotations
@@ -41,80 +42,89 @@ from ..registry import register
 from ._util import t
 
 K_LISTS = 8
+DIM = 64
 Q_SCALE = 1 << 20  # fixed-point scale for the centroid-update sums
 
-
-@register(
-    "embedding_kmeans_step",
-    tags=("ext", "ml", "kmeans", "iterative"),
-    oracle=f"""
-WITH ids AS (
+_SEED_CTES = f"""
+ids AS (
     SELECT vec_id AS id, row_number() OVER (ORDER BY vec_id) - 1 AS rn
     FROM embeddings
 ),
 params AS (SELECT greatest(1, COUNT(*) // {K_LISTS}) AS stride FROM ids),
-cents AS (
+cents1 AS (
     SELECT CAST(i.rn // p.stride AS INTEGER) AS cidx, e.embedding AS cv
     FROM ids i CROSS JOIN params p
     JOIN embeddings e ON e.vec_id = i.id
     WHERE i.rn % p.stride = 0 AND i.rn // p.stride < {K_LISTS}
 ),
-vecs AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
-sims AS (
+vecs AS (SELECT vec_id AS id, embedding AS vec FROM embeddings)"""
+
+
+def _round_ctes(r: int) -> str:
+    """One assign+update round as chained CTEs reading cents{r} -> upd{r}."""
+    return f"""
+sims{r} AS (
     SELECT v.id, c.cidx,
            {S._dot_sql("v.vec", "c.cv")}
            / (sqrt({S._dot_sql("v.vec", "v.vec")})
               * sqrt({S._dot_sql("c.cv", "c.cv")})) AS sim
-    FROM vecs v CROSS JOIN cents c
+    FROM vecs v CROSS JOIN cents{r} c
 ),
-cells AS (
+cells{r} AS (
     SELECT id, cidx AS cell FROM (
         SELECT id, cidx,
                row_number() OVER (PARTITION BY id ORDER BY sim DESC, cidx ASC)
                    AS rnk
-        FROM sims) WHERE rnk = 1
+        FROM sims{r}) WHERE rnk = 1
 ),
-comp AS (
+comp{r} AS (
     SELECT ce.cell, CAST(d.dim AS INTEGER) AS dim,
            CAST(floor(CAST(v.vec[CAST(d.dim AS INTEGER) + 1] AS DOUBLE)
                       * {Q_SCALE}.0) AS BIGINT) AS q
-    FROM cells ce
+    FROM cells{r} ce
     JOIN vecs v ON v.id = ce.id
-    CROSS JOIN range(0, 64) AS d(dim)
-)
-SELECT cell, dim,
-       (CAST(SUM(q) AS DOUBLE) / COUNT(*)) / {Q_SCALE}.0 AS centroid_component,
-       CAST(COUNT(*) AS BIGINT) AS n_members
-FROM comp
-GROUP BY cell, dim
-""",
-)
-def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One exact k-means iteration over the embeddings corpus: stride-seeded
-    centroids, in-row cosine argmax assignment, fixed-point mean update.
-    Output is the updated centroid matrix in long form (cell, dim,
-    component) plus cluster sizes — k x dim rows regardless of corpus
-    size. The oracle reproduces assignment via the equivalent rank-1
-    window (sim DESC, cidx ASC == first-max argmax)."""
-    emb = t(spark, sf_dir, "embeddings")
+    CROSS JOIN range(0, {DIM}) AS d(dim)
+),
+upd{r} AS (
+    SELECT cell, dim,
+           (CAST(SUM(q) AS DOUBLE) / COUNT(*)) / {Q_SCALE}.0
+               AS centroid_component,
+           COUNT(*) AS n_members
+    FROM comp{r}
+    GROUP BY cell, dim
+)"""
 
-    # Stride-seeded centroids, identical to the oracle's row_number stride
-    # (and to ivf_topk's seeding). Driver-side collect is O(k x dim).
-    ids = [r[0] for r in emb.select("vec_id").orderBy("vec_id").collect()]
-    stride = max(1, len(ids) // K_LISTS)
-    centroid_ids = set(ids[::stride][:K_LISTS])
-    cent_rows = (
-        emb.filter(F.col("vec_id").isin(centroid_ids))
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
-    )
-    cvs = [[float(x) for x in r[1]] for r in cent_rows]
+
+_FINAL = "SELECT cell, dim, centroid_component, CAST(n_members AS BIGINT) AS n_members FROM upd{r}"
+
+KMEANS_STEP_SQL = f"WITH {_SEED_CTES},{_round_ctes(1)}\n{_FINAL.format(r=1)}"
+
+KMEANS_FIT2_SQL = f"""WITH {_SEED_CTES},{_round_ctes(1)},
+cents2 AS (
+    SELECT cell AS cidx, list(centroid_component ORDER BY dim) AS cv
+    FROM upd1 GROUP BY cell
+),{_round_ctes(2)}
+{_FINAL.format(r=2)}"""
+
+
+def sum_seq(xs: list[float]) -> float:
+    """Strict left-to-right float64 sum (explicit, so nobody 'optimizes' it
+    into math.fsum/pairwise summation — order is the cross-engine
+    contract)."""
+    acc = 0.0
+    for x in xs:
+        acc += x
+    return acc
+
+
+def _assign_update(emb: DataFrame, cells: list[int], cvs: list[list[float]]) -> DataFrame:
+    """One k-means round: scan-side nearest-centroid argmax against literal
+    centroid vectors (``cells``-ascending order = the oracle's cidx ASC tie
+    rule), then the fixed-point per-(cell, dim) mean."""
     # Python's sequential sum over float64 IS the oracle's left-to-right
     # list_reduce fold, and math.sqrt is the same IEEE sqrt — so these
     # literal norms are bit-identical to sqrt(dot(cv, cv)) in either engine.
     cnorms = [math.sqrt(sum_seq([x * x for x in cv])) for cv in cvs]
-
     vec = S._as_double(F.col("embedding"))
     vnorm = F.sqrt(S.dot(vec, vec))
     sims = F.array(
@@ -123,10 +133,9 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             for cv, cn in zip(cvs, cnorms)
         ]
     )
-    assigned = emb.select(
-        (F.array_position(sims, F.array_max(sims)) - 1).cast("int").alias("cell"),
-        vec.alias("vec"),
-    )
+    pos = F.array_position(sims, F.array_max(sims))
+    cell_at = F.element_at(F.array(*[F.lit(c) for c in cells]), pos.cast("int"))
+    assigned = emb.select(cell_at.alias("cell"), vec.alias("vec"))
     comp = assigned.select(
         "cell", F.posexplode("vec").alias("dim", "x")
     ).select(
@@ -142,11 +151,58 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sum_seq(xs: list[float]) -> float:
-    """Strict left-to-right float64 sum (explicit, so nobody 'optimizes' it
-    into math.fsum/pairwise summation — order is the cross-engine
-    contract)."""
-    acc = 0.0
-    for x in xs:
-        acc += x
-    return acc
+def _seed_centroids(emb: DataFrame) -> list[list[float]]:
+    """Stride-seeded centroids, identical to the oracle's row_number stride
+    (and to ivf_topk's seeding). Driver-side collect is O(k x dim)."""
+    ids = [r[0] for r in emb.select("vec_id").orderBy("vec_id").collect()]
+    stride = max(1, len(ids) // K_LISTS)
+    centroid_ids = set(ids[::stride][:K_LISTS])
+    cent_rows = (
+        emb.filter(F.col("vec_id").isin(centroid_ids))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [[float(x) for x in r[1]] for r in cent_rows]
+
+
+@register(
+    "embedding_kmeans_step",
+    tags=("ext", "ml", "kmeans", "iterative"),
+    oracle=KMEANS_STEP_SQL,
+)
+def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact k-means iteration over the embeddings corpus: stride-seeded
+    centroids, in-row cosine argmax assignment, fixed-point mean update.
+    Output is the updated centroid matrix in long form (cell, dim,
+    component) plus cluster sizes — k x dim rows regardless of corpus
+    size. The oracle reproduces assignment via the equivalent rank-1
+    window (sim DESC, cidx ASC == first-max argmax)."""
+    emb = t(spark, sf_dir, "embeddings")
+    cvs = _seed_centroids(emb)
+    return _assign_update(emb, list(range(len(cvs))), cvs)
+
+
+@register(
+    "embedding_kmeans_fit2",
+    tags=("ext", "ml", "kmeans", "iterative"),
+    oracle=KMEANS_FIT2_SQL,
+)
+def embedding_kmeans_fit2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained k-means rounds — the iterative fit, still fully
+    hash-checked: round 1's k x dim centroid matrix collects to the driver
+    (KBs, the connected_components fixpoint shape) and re-enters round 2 as
+    literal vectors, while the oracle chains the identical rounds as CTEs
+    (round-2 centroids = ``list(component ORDER BY dim)`` — the same
+    doubles, hash-proven by the round-1 query). Cells that lose all members
+    drop out on both engines (no empty-cell repair round). Per-round cost
+    is one scan + one k x dim-row exchange at any corpus size."""
+    emb = t(spark, sf_dir, "embeddings")
+    cvs = _seed_centroids(emb)
+    r1 = _assign_update(emb, list(range(len(cvs))), cvs).collect()
+    byc: dict[int, dict[int, float]] = {}
+    for row in r1:
+        byc.setdefault(row["cell"], {})[row["dim"]] = row["centroid_component"]
+    cells2 = sorted(byc)
+    cvs2 = [[byc[c][d] for d in sorted(byc[c])] for c in cells2]
+    return _assign_update(emb, cells2, cvs2)

@@ -107,3 +107,34 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     three grouping arrangements, single aggregate pass — NULL group labels
     disambiguated by the grouping flags on both engines identically."""
     return _sql_query(GROUPING_SETS_SQL)(spark, sf_dir)
+
+
+LATERAL_TOP_ORDERS_SQL = """
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 2
+) o
+WHERE c.c_custkey % 10 = 0
+ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
+"""
+
+
+@register(
+    "sql_lateral_top_orders",
+    tags=("sql-api", "lateral", "shared-text"),
+    oracle=LATERAL_TOP_ORDERS_SQL,
+)
+def sql_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery from shared SQL text: each customer's
+    top-2 orders by price — the "top-N per entity" idiom in its SQL-standard
+    form, parsed and planned by both engines from the identical string.
+    Catalyst decorrelates the per-row LIMIT into a ranked window join (plan
+    shows Window + the c_custkey equi-join, not a per-customer re-scan), so
+    the lateral costs one fact shuffle at any scale — semantically the
+    DataFrame-side latest_event_per_user/QUALIFY pattern, here proven at
+    the raw-SQL entry point."""
+    return _sql_query(LATERAL_TOP_ORDERS_SQL)(spark, sf_dir)

@@ -399,3 +399,45 @@ def test_ann_recall_floors(spark):
         }
         recall = len(exact & approx) / n
         assert recall >= floor, f"{name} recall@5 {recall:.2f} < {floor}"
+
+
+def test_runtime_bloom_filter_prunes_selective_join(spark):
+    """Spark's runtime row-level filtering: for a shuffle join with a
+    selective filter on the creation side, the optimizer injects a bloom
+    filter on the application (fact) side, discarding non-joining rows
+    BEFORE the shuffle — at 100 TB this is the difference between
+    shuffling the whole fact table and shuffling the ~matching fraction.
+    The thresholds below only shrink the size gates so the sf0.001 fixture
+    qualifies; the rewrite itself is stock Catalyst, and the filtered plan
+    must still produce the plain join's result."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    saved = {}
+    for k, v in confs.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        orders = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        n = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+        "o_orderpriority"
+    ).count().collect()
+    assert sorted(map(tuple, n)) == sorted(map(tuple, plain))
