@@ -874,3 +874,229 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "candidate_id", "rank", "cosine_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compression tier of the ANN stack
+# ---------------------------------------------------------------------------
+
+
+def _pq_codebook(corpus: DataFrame, id_col: str, vec_col: str, m: int, k_codes: int):
+    """Deterministic, training-free PQ codebook: the ``k_codes``
+    stride-selected corpus vectors (every (|corpus|/k_codes)-th by sorted
+    id — the same data-seeded sampling as ivf_topk's centroids), L2-
+    normalized with the sequential fold, then sliced into ``m`` subspaces.
+    Returns (norm_samples ndarray [k_codes, dim], sub_dim)."""
+    import numpy as np
+
+    ids = [r[0] for r in corpus.select(id_col).orderBy(id_col).collect()]
+    stride = max(1, len(ids) // k_codes)
+    sample_ids = set(ids[::stride][:k_codes])
+    rows = (
+        corpus.filter(F.col(id_col).isin(sample_ids))
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+    S = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
+    S = S / _seq_norms(S)[:, None]
+    dim = S.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    return S, dim // m
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    m: int = 16,
+    k_codes: int = 128,
+) -> DataFrame:
+    """Product-quantization top-k (asymmetric distance computation).
+
+    The 100 TB memory story of the ANN stack: every corpus vector is
+    L2-normalized and compressed to ``m`` codebook indices (64 float32 =
+    256 B -> 16 one-byte codes here, 16x), and queries scan the *codes*, not the
+    vectors — each candidate costs m table lookups + m-1 adds instead of a
+    dim-length dot product. Normalization makes the ADC inner product a
+    cosine approximation.
+
+    Plan shape: encode is one corpus-linear mapInPandas pass emitting
+    (id, codes array<int>); per-query ADC lookup tables (m x k_codes
+    doubles) are built the same way on the query side and broadcast; the
+    scoring join + top-k window are pure JVM (an explicit m-term
+    element_at chain — small enough to stay inside codegen, unlike the
+    dim-length unroll documented in `dot`).
+
+    Oracle-checked despite being approximate (`pq_topk_oracle_sql`): the
+    codebook is data-seeded (stride sampling), code assignment is a
+    sequential-fold L2 argmin with (d2 asc, code asc) tie order, and the
+    ADC sum is a fixed-order m-term chain — every double reproduces in
+    DuckDB exactly.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    S, sub = _pq_codebook(corpus, id_col, vec_col, m, k_codes)
+    k_codes = S.shape[0]  # tiny corpora yield fewer samples than requested
+
+    def _norm_rows(pdf: "pd.DataFrame") -> "np.ndarray":
+        V = np.array(list(pdf[vec_col]), dtype=np.float64)
+        return V / _seq_norms(V)[:, None]
+
+    encode_schema = T.StructType(
+        [
+            T.StructField("vid", T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _norm_rows(pdf)
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j in range(m):
+                Vj = V[:, j * sub : (j + 1) * sub]
+                Cj = S[:, j * sub : (j + 1) * sub]
+                # sequential-fold squared L2: acc += diff*diff, dim by dim
+                D = np.zeros((len(V), k_codes))
+                for i in range(sub):
+                    diff = Vj[:, i][:, None] - Cj[None, :, i]
+                    D += diff * diff
+                codes[:, j] = np.argmin(D, axis=1)  # ties: lowest code
+            yield pd.DataFrame({"vid": pdf[id_col].to_numpy(), "codes": list(codes)})
+
+    encoded = corpus.select(id_col, vec_col).mapInPandas(encode, encode_schema)
+
+    table_schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("tables", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def build_tables(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = _norm_rows(pdf)
+            out = np.zeros((len(Q), m * k_codes))
+            for j in range(m):
+                Qj = Q[:, j * sub : (j + 1) * sub]
+                Cj = S[:, j * sub : (j + 1) * sub]
+                T_j = np.zeros((len(Q), k_codes))
+                for i in range(sub):  # sequential-fold dot, dim by dim
+                    T_j += Qj[:, i][:, None] * Cj[None, :, i]
+                out[:, j * k_codes : (j + 1) * k_codes] = T_j
+            yield pd.DataFrame({"qid": pdf[id_col].to_numpy(), "tables": list(out)})
+
+    qtables = queries.select(id_col, vec_col).mapInPandas(build_tables, table_schema)
+
+    # ADC score: fixed left-to-right m-term chain of table lookups (JVM-side).
+    def term(j: int) -> Column:
+        idx = F.lit(j * k_codes + 1) + F.element_at("codes", j + 1)
+        return F.element_at("tables", idx.cast("int"))
+
+    score = term(0)
+    for j in range(1, m):
+        score = score + term(j)
+
+    scored = (
+        encoded.join(F.broadcast(qtables))
+        .filter(F.col("vid") != F.col("qid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("candidate_id"),
+            score.alias("adc_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("candidate_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "candidate_id", "rank", "adc_score")
+    )
+
+
+def pq_topk_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    m: int = 16,
+    k_codes: int = 128,
+    sub: int = 4,
+    query_pred: str = "TRUE",
+) -> str:
+    """DuckDB twin of pq_topk: stride-sampled normalized codebook, per-
+    subspace sequential-fold L2 argmin codes, ADC = fold over the m lookup
+    values in subspace order — bit-identical doubles throughout."""
+    d_vv = _dot_sql(f"e.{vec_col}", f"e.{vec_col}")
+    sq = (
+        "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])"
+    )
+    return f"""
+WITH vecs AS (
+    SELECT {id_col} AS id,
+           list_transform(e.{vec_col}, x -> CAST(x AS DOUBLE) / sqrt({d_vv})) AS vec
+    FROM {table} e
+),
+ids AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS rn FROM vecs),
+params AS (SELECT greatest(1, COUNT(*) // {k_codes}) AS stride FROM ids),
+codebook AS (
+    SELECT CAST(i.rn // p.stride AS INTEGER) AS cidx,
+           CAST(t.j AS INTEGER) AS j,
+           list_slice(v.vec, t.j * {sub} + 1, (t.j + 1) * {sub}) AS cv
+    FROM ids i
+    CROSS JOIN params p
+    JOIN vecs v ON v.id = i.id
+    CROSS JOIN range({m}) t(j)
+    WHERE i.rn % p.stride = 0 AND i.rn // p.stride < {k_codes}
+),
+dists AS (
+    SELECT v.id, cb.j, cb.cidx,
+           list_reduce(list_transform(
+               list_zip(list_slice(v.vec, cb.j * {sub} + 1, (cb.j + 1) * {sub}), cb.cv),
+               {sq}), (x, y) -> x + y) AS d2
+    FROM vecs v CROSS JOIN codebook cb
+),
+codes AS (
+    SELECT id, j, cidx AS code FROM (
+        SELECT id, j, cidx,
+               row_number() OVER (PARTITION BY id, j ORDER BY d2 ASC, cidx ASC) AS rnk
+        FROM dists) WHERE rnk = 1
+),
+qtab AS (
+    SELECT q.id AS qid, cb.j, cb.cidx,
+           {_dot_sql(f"list_slice(q.vec, cb.j * {sub} + 1, (cb.j + 1) * {sub})", "cb.cv")} AS tv
+    FROM vecs q CROSS JOIN codebook cb
+    WHERE {query_pred}
+),
+scored AS (
+    SELECT qt.qid AS query_id, c.id AS candidate_id,
+           list_reduce(list(qt.tv ORDER BY qt.j ASC), (x, y) -> x + y) AS adc_score
+    FROM codes c
+    JOIN qtab qt ON qt.j = c.j AND qt.cidx = c.code AND c.id <> qt.qid
+    GROUP BY qt.qid, c.id
+),
+ranked AS (
+    SELECT query_id, candidate_id, adc_score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_score DESC, candidate_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, candidate_id, CAST(rank AS BIGINT) AS rank, adc_score
+FROM ranked WHERE rank <= {k}
+"""

@@ -359,6 +359,26 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_pq_topk",
+    tags=("ext", "similarity", "approx", "pq"),
+    oracle=S.pq_topk_oracle_sql(
+        "embeddings", "vec_id", "embedding", k=5, query_pred="q.id % 40 = 0"
+    ),
+)
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-5 — the ANN stack's compression tier
+    (corpus vectors -> 16 codebook indices; queries scan 16-byte codes via
+    ADC lookup tables instead of 256-byte vectors). Oracle-checked despite
+    being approximate: data-seeded codebook, sequential-fold L2 argmin
+    codes, fixed-order ADC sum — every double reproduces in DuckDB. Same
+    query subset as the exact baseline; recall floor regression-tested in
+    tests/test_scale_patterns.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    return S.pq_topk(emb, queries, "vec_id", "embedding", k=5)
+
+
+@register(
     "embedding_lsh_topk",
     tags=("ext", "similarity", "approx"),
     oracle=S.lsh_bucketed_topk_oracle_sql(

@@ -1127,3 +1127,91 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         "cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year")
     ).agg(exact_sum(revenue()).cast("double").alias("volume"))
+
+
+@register(
+    "daily_click_purchase_reconciliation",
+    tags=("join", "outer", "full-outer", "events"),
+    oracle=f"""
+WITH clicks AS (
+    SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day,
+           COUNT(*) AS n_clicks,
+           {dsum_sql('value')} AS click_value
+    FROM events WHERE event_type = 'click' GROUP BY 1
+),
+purchases AS (
+    SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day,
+           COUNT(*) AS n_purchases,
+           {dsum_sql('value')} AS purchase_value
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT COALESCE(c.day, p.day) AS day,
+       c.n_clicks, c.click_value, p.n_purchases, p.purchase_value
+FROM clicks c FULL OUTER JOIN purchases p ON c.day = p.day
+""",
+)
+def daily_click_purchase_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join — the reconciliation shape: per-day click totals
+    against per-day purchase totals, keeping days where EITHER side is
+    absent (NULL-padded), the classic two-ledger comparison the other
+    outer-join queries can't express. Day keys are exact integer epoch-day
+    arithmetic; both inputs are pre-aggregated (day-cardinality), so the
+    full-outer join is a merge of two tiny grouped sets — at 100 TB the
+    shuffles are the two event-scans' map-side-combined groupBys, and the
+    join itself moves only |days| rows per side."""
+    ev = t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long")
+
+    def side(etype: str, n_name: str, v_name: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(day.alias("day"))
+            .agg(
+                F.count("*").alias(n_name),
+                exact_sum("value").cast("double").alias(v_name),
+            )
+        )
+
+    c = side("click", "n_clicks", "click_value")
+    p = side("purchase", "n_purchases", "purchase_value")
+    return (
+        c.withColumnRenamed("day", "c_day")
+        .join(p.withColumnRenamed("day", "p_day"),
+              F.col("c_day") == F.col("p_day"), "full_outer")
+        .select(
+            F.coalesce("c_day", "p_day").alias("day"),
+            "n_clicks", "click_value", "n_purchases", "purchase_value",
+        )
+    )
+
+
+@register(
+    "returnflag_multiset_ops",
+    tags=("setop", "except-all", "intersect-all"),
+    oracle="""
+WITH r AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'),
+a AS (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A')
+SELECT 'except_all' AS op, l_orderkey, COUNT(*) AS n
+FROM (SELECT * FROM r EXCEPT ALL SELECT * FROM a) GROUP BY 2
+UNION ALL
+SELECT 'intersect_all' AS op, l_orderkey, COUNT(*) AS n
+FROM (SELECT * FROM r INTERSECT ALL SELECT * FROM a) GROUP BY 2
+""",
+)
+def returnflag_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — the bag-semantic set ops (§2.7 EXT):
+    per order key, surviving multiplicities of returned ('R') lines against
+    accepted ('A') lines. ALL-semantics is the point: except_all keeps
+    max(0, nR - nA) copies and intersect_all min(nR, nA) — duplicate-
+    sensitive, unlike DISTINCT set ops. Catalyst rewrites both into ONE
+    key-partitioned count aggregate + replicate generate (RewriteExceptAll/
+    RewriteIntersectAll): no join, shuffle carries only (key, count) —
+    bag reconciliation at fact scale for a groupBy's price."""
+    li = t(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_orderkey")
+    ea = r.exceptAll(a).groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    ia = r.intersectAll(a).groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    return ea.select(F.lit("except_all").alias("op"), "l_orderkey", "n").unionByName(
+        ia.select(F.lit("intersect_all").alias("op"), "l_orderkey", "n")
+    )

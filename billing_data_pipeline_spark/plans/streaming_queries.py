@@ -181,6 +181,131 @@ def streaming_interval_join_catchup(spark: SparkSession, sf_dir: str) -> DataFra
     return run_to_memory(sdf, f"ssjoin_{uuid.uuid4().hex[:8]}", "append")
 
 
+def _stream_events_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`_stream_events` plus two future-dated sentinel files and
+    ``maxFilesPerTrigger=1``, so the drain runs as (events, s1, s2) micro-
+    batches. Outer joins / append-mode aggregates only emit a row once the
+    watermark PASSES its horizon, and the watermark used in batch N is
+    computed from batch N-1's data — so on a finite stream the final
+    horizon's rows never flush on their own. The sentinels (user_id=-1,
+    one click + one purchase each, at max_ts+3h and +4h) advance the
+    watermark in two steps: batch 2 runs with the watermark derived from
+    the real data, batch 3 runs with max_ts+3h-2h = max_ts+1h — past every
+    real event's horizon — so ALL real-row state flushes by end of drain.
+    Callers must filter ``user_id >= 0``."""
+    import os
+    import tempfile
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import types as T
+
+    from ..sources.tables import load_table
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stored_long = isinstance(
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType,
+        T.LongType,
+    )
+    max_us = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max(F.unix_micros("ts")))
+        .collect()[0][0]
+    )
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_flush_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    ts_field = (
+        pa.field("ts", pa.int64())
+        if stored_long
+        else pa.field("ts", pa.timestamp("us"))
+    )
+    schema = pa.schema(
+        [
+            pa.field("event_id", pa.int64()),
+            ts_field,
+            pa.field("user_id", pa.int64()),
+            pa.field("event_type", pa.string()),
+            pa.field("value", pa.float64()),
+            pa.field("props", pa.string()),
+        ]
+    )
+    now = time.time()
+    for i, hours in enumerate((3, 4)):
+        us = max_us + hours * 3600 * 1_000_000
+        ts_vals = [us * 1000] * 2 if stored_long else pa.array([us] * 2, pa.timestamp("us"))
+        tbl = pa.table(
+            {
+                "event_id": [-(2 * i + 1), -(2 * i + 2)],
+                "ts": ts_vals,
+                "user_id": [-1, -1],
+                "event_type": ["click", "purchase"],
+                "value": [0.0, 0.0],
+                "props": [None, None],
+            },
+            schema=schema,
+        )
+        path = f"{stream_dir}/zz_sentinel_{i}.parquet"
+        pq.write_table(tbl, path)
+        # distinct ascending mtimes => file-source processes sentinels last;
+        # keep them in the PAST — future-dated files are not served
+        os.utime(path, (now - 20 + 10 * i, now - 20 + 10 * i))
+    decl = _STREAM_EVENTS_SCHEMA.format(
+        ts_type="long" if stored_long else "timestamp_ntz"
+    )
+    raw = (
+        spark.readStream.schema(decl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    if stored_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+@register(
+    "streaming_left_outer_join_catchup",
+    tags=("streaming", "join", "outer", "true-stream"),
+    oracle="""
+WITH ev AS (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+)
+SELECT c.user_id,
+       c.event_id AS left_id,
+       p.event_id AS right_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+FROM ev c
+LEFT JOIN ev p
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click'
+""",
+)
+def streaming_left_outer_join_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream LEFT OUTER interval join: click->purchase
+    attribution WITH the abandoned clicks (NULL right side). The outer
+    rows exercise watermark-driven state finalization — Spark emits a
+    null-padded row only once the watermark proves no match can still
+    arrive — and the finite drain flushes completely thanks to
+    `_stream_events_flushed`'s sentinel batches. Hash-checked against the
+    plain SQL LEFT JOIN, so the eviction logic must emit each unmatched
+    click EXACTLY once (a dropped or duplicated outer row flips the
+    hash)."""
+    import uuid
+
+    from ..streaming.event_windows import interval_join_stream, run_to_memory
+
+    sdf = interval_join_stream(_stream_events_flushed(spark, sf_dir), how="leftOuter")
+    # Drop the sentinel rows AFTER the drain: a user_id filter inside the
+    # streaming plan would push through the join into the click-branch file
+    # scan, where parquet min/max stats prune the sentinel FILES themselves
+    # — and with them the watermark advance they exist to provide.
+    out = run_to_memory(sdf, f"ssloj_{uuid.uuid4().hex[:8]}", "append")
+    return out.filter(F.col("user_id") >= 0)
+
+
 @register(
     "streaming_enrich_catchup",
     tags=("streaming", "join", "true-stream"),

@@ -145,6 +145,7 @@ def interval_join_stream(
     right_type: str = "purchase",
     lag_minutes: int = 30,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval self-join: each ``right_type`` event joined to
     every same-user ``left_type`` event it follows within ``lag_minutes``
@@ -154,6 +155,14 @@ def interval_join_stream(
     watermark + lag can never match again and is dropped. Inner join =>
     matches emit as they form (append mode); state is
     O(events within the watermark horizon), constant in stream length.
+
+    ``how="leftOuter"`` adds the non-converting clicks with NULL right
+    side — the attribution-with-abandonment shape. Outer rows are emitted
+    only when the watermark passes ``left_ts + lag`` (Spark then KNOWS no
+    match can arrive), so on a finite drain the last horizon's unmatched
+    rows stay in state unless the watermark is pushed past them — see
+    ``plans.streaming_queries.streaming_left_outer_join_catchup`` for the
+    sentinel-batch flush pattern.
     """
     c = (
         events.filter(F.col("event_type") == left_type)
@@ -177,7 +186,7 @@ def interval_join_stream(
         "c_user = p_user AND right_ts >= left_ts "
         f"AND right_ts <= left_ts + interval {int(lag_minutes)} minutes"
     )
-    return c.join(p, cond).select(
+    return c.join(p, cond, how).select(
         F.col("c_user").alias("user_id"),
         "left_id",
         "right_id",

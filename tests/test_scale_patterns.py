@@ -392,8 +392,13 @@ def test_ann_recall_floors(spark):
     n = len(exact)
     assert n > 0
     # measured on this data: ivf ~0.38 (4/16 lists probed), lsh ~0.54
-    # (8 tables x 6 bits OR'd); floors leave room for plan-level noise only
-    for name, floor in (("embedding_ivf_topk", 0.25), ("embedding_lsh_topk", 0.35)):
+    # (8 tables x 6 bits OR'd), pq ~0.68 (16 subspaces x 128 codes);
+    # floors leave room for plan-level noise only
+    for name, floor in (
+        ("embedding_ivf_topk", 0.25),
+        ("embedding_lsh_topk", 0.35),
+        ("embedding_pq_topk", 0.5),
+    ):
         approx = {
             (r["query_id"], r["candidate_id"]) for r in cat[name].fn(spark, sf).collect()
         }

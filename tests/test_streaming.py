@@ -265,6 +265,54 @@ def test_interval_join_matches_across_micro_batches(spark, tmp_path):
     ]
 
 
+def test_left_outer_interval_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: non-converting clicks emit a
+    NULL-padded row, but only once the watermark PROVES no match can still
+    arrive. A far-future flush file (separate micro-batch) pushes the
+    watermark past every real click's horizon; each unmatched click must
+    appear exactly once, each match exactly as in the inner join."""
+    from datetime import datetime, timedelta
+
+    from billing_data_pipeline_spark.streaming import interval_join_stream
+
+    t0 = datetime(2025, 6, 1, 12, 0, 0)
+
+    def ev(eid, dt_min, uid, etype):
+        return (eid, t0 + timedelta(minutes=dt_min), uid, etype, 1.0, "{}")
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = tmp_path / "ss_loj"
+    src.mkdir()
+    rows = [
+        ev(1, 0, 100, "click"),       # matched (by 11)
+        ev(2, 10, 200, "click"),      # unmatched (12 misses the bound)
+        ev(3, 15, 300, "click"),      # unmatched (no purchase at all)
+        ev(11, 5, 100, "purchase"),
+        ev(12, 51, 200, "purchase"),  # 41 min after click 2 -> no match
+    ]
+    # flush batches: one click+purchase pair far past every horizon, then a
+    # second to run a batch WITH the advanced watermark (watermark used in
+    # batch N comes from batch N-1's data)
+    flush1 = [ev(91, 10_000, -1, "click"), ev(92, 10_000, -1, "purchase")]
+    flush2 = [ev(93, 20_000, -1, "click"), ev(94, 20_000, -1, "purchase")]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / "a"))
+    spark.createDataFrame(flush1, schema).coalesce(1).write.parquet(str(src / "b"))
+    spark.createDataFrame(flush2, schema).coalesce(1).write.parquet(str(src / "c"))
+
+    stream = read_event_stream(spark, str(src) + "/*", max_files_per_trigger=1)
+    got = run_to_memory(
+        interval_join_stream(stream, how="leftOuter"), "t_ssloj", "append"
+    ).filter(F.col("user_id") >= 0)
+    assert _rows(got, "left_id", "right_id", "lag_us") == [
+        (1, 11, 5 * 60 * 1_000_000),
+        (2, None, None),
+        (3, None, None),
+    ]
+
+
 def test_replay_safe_append_null_keys_idempotent(spark, tmp_path):
     """ADVICE r1: NULL-key rows never match the key anti-join, so a naive
     sink re-appends them on every foreachBatch replay. replay_safe_append
