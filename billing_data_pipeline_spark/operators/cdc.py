@@ -1,0 +1,170 @@
+"""Snapshot diffing — CDC rows from two table versions.
+
+The reference has no change capture (its incrementality is file-level,
+reference: pipeline/assets/ingest.py:217-231); at warehouse scale the
+standard need is the inverse of ingestion: given two snapshots of a keyed
+table (e.g. two ``SnapshotTable`` versions), emit the row-level changes
+between them — inserts, deletes, and updates — so downstream consumers can
+merge incrementally instead of rescanning.
+
+Semantics (Delta's ``table_changes`` shape, minus the engine):
+- key present only in ``new``           -> ``insert``
+- key present only in ``old``           -> ``delete``
+- key in both, any tracked column differs (null-safe) -> ``update``
+- identical rows are NOT emitted.
+
+Plan shape: ONE full-outer sort-merge/shuffle join on the key — the only
+data-sized exchange; per-column null-safe comparisons happen in the join's
+projection, no row hashing (hashing would be engine-private and would also
+false-positive on float formatting). At 100 TB both sides shuffle once on
+the same key; if snapshots are written bucketed by the key
+(sources/bucketing), the exchange disappears entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def diff_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level changes old -> new. Output: key columns, ``change``
+    ('insert' | 'delete' | 'update'), then ``old_<c>``/``new_<c>`` for every
+    compared column."""
+    cols = compare_cols or [c for c in new.columns if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        *[F.col(c).alias(f"old_{c}") for c in cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        *[F.col(c).alias(f"new_{c}") for c in cols],
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, cond, "full_outer")
+
+    changed: Column = F.lit(False)
+    for c in cols:
+        # null-safe inequality: engine-neutral, no hashing/formatting
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (
+        F.when(F.col(f"_ok_{keys[0]}").isNull(), F.lit("insert"))
+        .when(F.col(f"_nk_{keys[0]}").isNull(), F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *[
+                F.coalesce(f"_ok_{k}", f"_nk_{k}").alias(k)
+                for k in keys
+            ],
+            "change",
+            *[F.col(f"old_{c}") for c in cols],
+            *[F.col(f"new_{c}") for c in cols],
+        )
+    )
+
+
+def diff_snapshots_oracle_sql(
+    old_sql: str, new_sql: str, keys: list[str], cols: list[str]
+) -> str:
+    """DuckDB twin of diff_snapshots for oracle checking."""
+    key_join = " AND ".join(f"o.{k} = n.{k}" for k in keys)
+    key_out = ", ".join(f"COALESCE(o.{k}, n.{k}) AS {k}" for k in keys)
+    diff = " OR ".join(f"(o.{c} IS DISTINCT FROM n.{c})" for c in cols)
+    old_out = ", ".join(f"o.{c} AS old_{c}" for c in cols)
+    new_out = ", ".join(f"n.{c} AS new_{c}" for c in cols)
+    k0 = keys[0]
+    return f"""
+WITH o AS ({old_sql}), n AS ({new_sql})
+SELECT {key_out},
+       CASE WHEN o.{k0} IS NULL THEN 'insert'
+            WHEN n.{k0} IS NULL THEN 'delete'
+            WHEN {diff} THEN 'update' END AS change,
+       {old_out}, {new_out}
+FROM o FULL OUTER JOIN n ON {key_join}
+WHERE (o.{k0} IS NULL) OR (n.{k0} IS NULL) OR ({diff})
+"""
+
+
+def change_deltas(
+    changes: DataFrame, group_col: str, measure_col: str
+) -> DataFrame:
+    """CDC rows -> signed per-group contributions for incremental rollup
+    maintenance: a delete contributes (-1, -old_measure) to the OLD row's
+    group, an insert (+1, +new_measure) to the NEW row's group, an update
+    both (which also handles group-key churn — the two contributions land
+    on different groups when the key column itself changed). Output:
+    (group, d_count, d_measure)."""
+    old_side = changes.filter(F.col("change").isin("delete", "update")).select(
+        F.col(f"old_{group_col}").alias(group_col),
+        F.lit(-1).cast("long").alias("d_count"),
+        (-F.col(f"old_{measure_col}")).alias("d_measure"),
+    )
+    new_side = changes.filter(F.col("change").isin("insert", "update")).select(
+        F.col(f"new_{group_col}").alias(group_col),
+        F.lit(1).cast("long").alias("d_count"),
+        F.col(f"new_{measure_col}").alias("d_measure"),
+    )
+    return old_side.unionByName(new_side)
+
+
+def maintain_rollup(
+    base_rollup: DataFrame,
+    changes: DataFrame,
+    group_col: str,
+    count_col: str = "n",
+    sum_col: str = "total",
+    measure_col: str | None = None,
+) -> DataFrame:
+    """Incremental materialized-view maintenance: fold CDC deltas into an
+    existing (group, count, sum) rollup WITHOUT rescanning the base table.
+    Groups whose count drops to zero disappear (exactly as a recompute
+    would drop them).
+
+    The algebra only works for mergeable aggregates (count/sum/avg — NOT
+    exact distinct, which is why the reference full-refreshes its distinct-
+    bearing tables, SURVEY.md §4 OPT5); sums must be carried in exact
+    decimal so (base + deltas) is associative and lands bit-identical to a
+    direct recompute of the new snapshot — that equality is what the
+    catalog query's oracle asserts.
+
+    At 100 TB: the rollup is |groups|-sized, the deltas |changes|-sized —
+    maintenance cost is independent of the base table entirely."""
+    from .aggregates import MEASURE_DECIMAL
+
+    measure_col = measure_col or sum_col
+    # Cast BOTH sides to the exact-decimal type BEFORE the union: union
+    # type-coercion of decimal with double would widen to double and
+    # silently reintroduce float-order nondeterminism. (Pass a decimal-
+    # typed base sum — e.g. exact_sum without the double cast — for
+    # bit-exact parity with a direct recompute.)
+    deltas = change_deltas(changes, group_col, measure_col).select(
+        F.col(group_col),
+        F.col("d_count").alias(count_col),
+        F.col("d_measure").cast(MEASURE_DECIMAL).alias(sum_col),
+    )
+    base = base_rollup.select(
+        group_col,
+        F.col(count_col).cast("long").alias(count_col),
+        F.col(sum_col).cast(MEASURE_DECIMAL).alias(sum_col),
+    )
+    return (
+        base.unionByName(deltas)
+        .groupBy(group_col)
+        .agg(
+            F.sum(count_col).alias(count_col),
+            F.sum(sum_col).cast("double").alias(sum_col),
+        )
+        .filter(F.col(count_col) > 0)
+    )

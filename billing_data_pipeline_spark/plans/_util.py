@@ -22,8 +22,16 @@ REVENUE_SQL = "l_extendedprice * (1 - l_discount)"
 
 
 def dsum_sql(expr: str) -> str:
-    """Oracle-side exact-decimal SUM, matching operators.aggregates.exact_sum."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE)"
+    """Oracle-side exact-decimal SUM, matching operators.aggregates.exact_sum.
+
+    The decimal -> double edge goes THROUGH VARCHAR: DuckDB's direct
+    decimal->double cast divides the int128 payload by 10^scale in floating
+    point (two roundings), which is off by 1 ulp from correct rounding once
+    the decimal carries ~18+ significant digits (observed on a sum of
+    squared prices); Spark's Decimal.toDouble (BigDecimal.doubleValue) is
+    correctly rounded. Parsing the exact decimal string is correctly
+    rounded in DuckDB too, so the two engines agree at every magnitude."""
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)"
 
 
 def davg_sql(expr: str) -> str:

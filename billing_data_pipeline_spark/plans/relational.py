@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.aggregates import MEASURE_DECIMAL, exact_sum
+from ..operators import cdc as _cdc
 from ..operators.windows import running_total, sessionize, with_sequence
 from ..registry import register
 from ._util import REVENUE_SQL, dsum_sql, revenue, t
@@ -1214,4 +1215,99 @@ def returnflag_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ia = r.intersectAll(a).groupBy("l_orderkey").agg(F.count("*").alias("n"))
     return ea.select(F.lit("except_all").alias("op"), "l_orderkey", "n").unionByName(
         ia.select(F.lit("intersect_all").alias("op"), "l_orderkey", "n")
+    )
+
+
+@register(
+    "order_snapshot_diff",
+    tags=("cdc", "join", "full-outer", "snapshot"),
+    oracle=_cdc.diff_snapshots_oracle_sql(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+        "WHERE o_orderdate < TIMESTAMP '1997-01-01'",
+        "SELECT o_orderkey, o_orderstatus, "
+        "CASE WHEN o_orderstatus = 'O' THEN o_totalprice * CAST(1.1 AS DOUBLE) "
+        "ELSE o_totalprice END AS o_totalprice FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01'",
+        ["o_orderkey"],
+        ["o_orderstatus", "o_totalprice"],
+    ),
+)
+def order_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two keyed snapshots (operators/cdc.diff_snapshots): the
+    pre-1997 order book vs a later snapshot where open ('O') orders were
+    repriced +10% and the window advanced a year. Inserts (new-window
+    orders), deletes (aged-out orders), updates (repriced overlap) fall out
+    of ONE full-outer join on the key with null-safe column comparisons —
+    no row hashing, so the same semantics reproduce on any engine. The
+    companion write path is sources/versioned_sink.SnapshotTable (atomic
+    manifest publish + time travel), tested in test_sources.py."""
+    orders = t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") < "1997-01-01").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderdate") >= "1996-01-01").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderstatus") == "O", F.col("o_totalprice") * F.lit(1.1)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return _cdc.diff_snapshots(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
+@register(
+    "incremental_status_rollup_cdc",
+    tags=("cdc", "incremental", "materialized-view"),
+    oracle=f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       {dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice * CAST(1.1 AS DOUBLE) ELSE o_totalprice END")} AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY o_orderstatus
+""",
+)
+def incremental_status_rollup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the per-status order
+    rollup is NOT recomputed from the new snapshot — it is maintained by
+    folding CDC deltas (order_snapshot_diff's insert/delete/update rows)
+    into the OLD snapshot's rollup (operators/cdc.maintain_rollup). The
+    ORACLE is the direct recompute over the new snapshot, so the hash gate
+    proves the maintenance algebra exact: signed exact-decimal
+    contributions make (base + deltas) associative and bit-identical to
+    the rescan. The reference full-refreshes its aggregates (OPT5) because
+    they carry exact distincts; for the mergeable count/sum/avg core this
+    is the O(|changes| + |groups|) alternative — at 100 TB, maintenance
+    cost is independent of base-table size."""
+    orders = t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") < "1997-01-01").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderdate") >= "1996-01-01").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderstatus") == "O", F.col("o_totalprice") * F.lit(1.1)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    base = old.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        exact_sum("o_totalprice").alias("total_price"),  # decimal — no cast
+    )
+    changes = _cdc.diff_snapshots(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+    return _cdc.maintain_rollup(
+        base,
+        changes,
+        "o_orderstatus",
+        count_col="n_orders",
+        sum_col="total_price",
+        measure_col="o_totalprice",
     )

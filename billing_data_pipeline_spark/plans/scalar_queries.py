@@ -163,3 +163,53 @@ def array_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.array_sort(v), 1).cast("double").alias("smallest"),
         F.element_at(F.reverse(v), 1).cast("double").alias("last_elem"),
     )
+
+
+@register(
+    "map_function_matrix",
+    tags=("scalar", "map", "hof"),
+    oracle="""
+WITH per AS (
+    SELECT user_id, event_type, COUNT(*) AS c
+    FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(COALESCE(SUM(c) FILTER (WHERE event_type = 'click'), 0) AS BIGINT) AS clicks,
+       CAST(COALESCE(SUM(c) FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS purchases,
+       CAST(COUNT(*) FILTER (WHERE c >= 3) AS BIGINT) AS frequent_types,
+       CAST(SUM(c) AS BIGINT) AS total_events
+FROM per GROUP BY user_id
+""",
+)
+def map_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MapType surface (§2.8 EXT) in one projection: per user, an
+    event_type -> count map built with map_from_entries(collect_list),
+    then size, element_at lookups (NULL -> 0 via coalesce), map_filter
+    (types seen >= 3 times) and a map_values fold. collect_list order is
+    nondeterministic, but every extraction here is key-based or
+    order-insensitive, so the result is deterministic — the oracle computes
+    the same answers relationally (DuckDB's MAP is a different-enough type
+    that value-level parity, not map-literal parity, is the check that
+    makes sense). Plan: one (user, type) groupBy, one user groupBy — the
+    map lives entirely inside the second aggregate's projection."""
+    ev = t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").count()
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "count"))
+        ).alias("m")
+    )
+    zero = F.lit(0).cast("long")
+    return m.select(
+        "user_id",
+        F.size("m").cast("long").alias("n_types"),
+        F.coalesce(F.element_at("m", F.lit("click")), zero).alias("clicks"),
+        F.coalesce(F.element_at("m", F.lit("purchase")), zero).alias("purchases"),
+        F.size(F.map_filter("m", lambda k, v: v >= 3)).cast("long").alias(
+            "frequent_types"
+        ),
+        F.aggregate(F.map_values("m"), zero, lambda a, x: a + x).alias(
+            "total_events"
+        ),
+    )

@@ -189,3 +189,77 @@ def event_value_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "price_quantity_regression",
+    tags=("ext", "stats", "regression", "correlation"),
+    oracle="""
+WITH s AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sx,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sy,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxy,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS syy
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
+       (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr,
+       (n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n) AS covar_pop
+FROM s
+""",
+)
+def price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS regression + Pearson correlation + population
+    covariance of (quantity -> extendedprice), computed from exact-decimal
+    POWER SUMS (Σx, Σy, Σxy, Σx², Σy²) rather than Spark's built-in
+    corr/covar_samp — the built-ins accumulate co-moments in shuffle order
+    (nondeterministic doubles), while decimal power sums are associative,
+    so every statistic is one fixed IEEE expression over identical
+    operands on both engines. The shuffle carries 5 decimals + a count per
+    group: a 100 TB regression costs exactly what a SUM costs, and the
+    same five sums serve slope, intercept, r, and covariance without a
+    second pass.
+
+    Cross-engine trap avoided here: casting a PRODUCT of doubles to
+    decimal is NOT portable — Spark rounds the shortest-string repr,
+    DuckDB the binary value, and they disagree once the product carries a
+    full mantissa (found empirically on sum(y*y)). So each FACTOR is cast
+    to DECIMAL(19,6) — lossless for this data (prices carry 2 decimals) —
+    and multiplied in exact decimal arithmetic: the product never exists
+    as a double. 19 digits also forces int128 physical decimals in DuckDB,
+    whose int64 decimal multiplication overflows (errors) at width 15."""
+    from ..operators.aggregates import exact_sum
+
+    li = t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+
+    def prod_sum(a, b):
+        return F.sum(a.cast("decimal(19,6)") * b.cast("decimal(19,6)"))
+
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        exact_sum(x).cast("double").alias("sx"),
+        exact_sum(y).cast("double").alias("sy"),
+        prod_sum(x, y).cast("double").alias("sxy"),
+        prod_sum(x, x).cast("double").alias("sxx"),
+        prod_sum(y, y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_num = n * sxy - sx * sy
+    slope = cov_num / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        "n",
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (
+            cov_num / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr"),
+        (cov_num / (n.cast("double") * n)).alias("covar_pop"),
+    )

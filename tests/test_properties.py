@@ -339,3 +339,59 @@ def test_decontaminate_matches_naive_set_logic(spark, docs, n):
         if i % 3 != 0
     }
     assert got == expect
+
+
+snapshot_rows = st.lists(
+    st.tuples(
+        st.integers(0, 15),                   # key (collisions likely)
+        st.sampled_from(["a", "b", "c"]),     # group
+        st.integers(-500, 500),               # measure in cents
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@SLOW
+@given(old=snapshot_rows, new=snapshot_rows)
+def test_cdc_maintenance_equals_direct_recompute(spark, old, new):
+    """diff_snapshots + maintain_rollup == recomputing the rollup from the
+    new snapshot, for ANY pair of keyed snapshots (inserts/deletes/updates/
+    group moves/no-ops in arbitrary mixture) — the incremental-view algebra
+    as a property, not just the one catalog example."""
+    from pyspark.sql import functions as F
+
+    from billing_data_pipeline_spark.operators.cdc import (
+        diff_snapshots,
+        maintain_rollup,
+    )
+
+    def dedup(rows):  # snapshots are keyed: last write wins per key
+        m = {}
+        for k, g, cents in rows:
+            m[k] = (k, g, cents / 100.0)
+        return list(m.values())
+
+    schema = "k int, g string, x double"
+    odf = spark.createDataFrame(dedup(old), schema)
+    ndf = spark.createDataFrame(dedup(new), schema)
+
+    base = odf.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(30,6)")).alias("total"),
+    )
+    maintained = maintain_rollup(
+        base,
+        diff_snapshots(odf, ndf, ["k"]),
+        "g",
+        count_col="n",
+        sum_col="total",
+        measure_col="x",
+    )
+    direct = ndf.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(30,6)")).cast("double").alias("total"),
+    )
+    got = {r["g"]: (r["n"], r["total"]) for r in maintained.collect()}
+    want = {r["g"]: (r["n"], r["total"]) for r in direct.collect()}
+    assert got == want

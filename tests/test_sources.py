@@ -300,3 +300,128 @@ def test_orc_roundtrip_preserves_schema_and_rows(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "event_id" in plan
+
+
+def test_snapshot_table_commit_time_travel_vacuum(spark, tmp_path):
+    """SnapshotTable: atomic manifest publish, version monotonicity, time
+    travel to any retained version, vacuum pruning, and crash-orphan
+    handling (an unpublished v=N dir is invisible to readers and removed by
+    vacuum)."""
+    import os
+
+    from billing_data_pipeline_spark.sources.versioned_sink import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "snap"))
+    assert t.latest_version() is None
+
+    v0 = t.commit(spark.range(3).withColumnRenamed("id", "k"))
+    v1 = t.commit(spark.range(5).withColumnRenamed("id", "k"))
+    assert (v0, v1) == (0, 1)
+    assert t.read().count() == 5            # latest
+    assert t.read(version=0).count() == 3   # time travel
+
+    # crash leftover: an orphan version dir newer than the manifest must
+    # not affect reads, and vacuum removes it
+    spark.range(9).write.parquet(os.path.join(t.path, "v=7"))
+    assert t.read().count() == 5
+    removed = t.vacuum(keep=1)
+    assert 7 in removed and 0 in removed
+    assert t.read().count() == 5
+    import pytest
+
+    with pytest.raises(Exception):
+        t.read(version=0)  # vacuumed away
+
+
+def test_diff_snapshots_classifies_changes(spark):
+    """diff_snapshots: insert/delete/update classification with null-safe
+    column comparison (a NULL -> value transition is an update, value ->
+    identical value is silent)."""
+    from billing_data_pipeline_spark.operators.cdc import diff_snapshots
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0)],
+        "k int, s string, x double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "c", 3.0), (4, "d", 4.0)],
+        "k int, s string, x double",
+    )
+    got = {
+        r["k"]: (r["change"], r["old_x"], r["new_x"])
+        for r in diff_snapshots(old, new, ["k"]).collect()
+    }
+    assert got == {
+        1: ("delete", 1.0, None),
+        2: ("update", None, 2.0),   # NULL -> 2.0 is a change
+        4: ("insert", None, 4.0),
+    }  # k=3 unchanged -> absent
+
+
+def test_snapshot_schema_evolution_across_versions(spark, tmp_path):
+    """Schema evolution across snapshot versions: a later commit may add
+    columns; time travel returns each version's own schema, and a merged
+    read (mergeSchema over the retained version dirs) yields the union
+    schema with NULLs for pre-evolution rows — the plain-parquet form of
+    additive evolution."""
+    from billing_data_pipeline_spark.sources.versioned_sink import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "snap_evo"))
+    t.commit(spark.createDataFrame([(1, "x")], "k int, s string"))
+    t.commit(spark.createDataFrame([(2, "y", 9.5)], "k int, s string, score double"))
+
+    assert t.read(version=0).columns == ["k", "s"]
+    assert t.read(version=1).columns == ["k", "s", "score"]
+
+    merged = (
+        spark.read.option("mergeSchema", True)
+        .parquet(*[f"{t.path}/v={v}" for v in t.versions()])
+    )
+    assert set(merged.columns) == {"k", "s", "score"}
+    rows = {r["k"]: r["score"] for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+
+def test_maintain_rollup_handles_group_key_churn(spark):
+    """Incremental view maintenance under group-key churn: an update that
+    MOVES a row between groups must debit the old group and credit the new
+    one; a group emptied by deletes disappears, exactly as a recompute
+    would."""
+    from pyspark.sql import functions as F
+
+    from billing_data_pipeline_spark.operators.cdc import (
+        diff_snapshots,
+        maintain_rollup,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "k int, g string, x double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "c", 20.0), (4, "a", 5.0)],  # 2 moved a->c, 3 gone
+        "k int, g string, x double",
+    )
+    base = old.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(30,6)")).alias("total"),
+    )
+    changes = diff_snapshots(old, new, ["k"], ["g", "x"])
+    got = {
+        r["g"]: (r["n"], float(r["total"]))
+        for r in maintain_rollup(
+            base, changes, "g", count_col="n", sum_col="total", measure_col="x"
+        ).collect()
+    }
+    direct = {
+        r["g"]: (r["n"], float(r["total"]))
+        for r in new.groupBy("g")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("x").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .collect()
+    }
+    assert got == direct == {"a": (2, 15.0), "c": (1, 20.0)}  # 'b' vanished
