@@ -1,4 +1,5 @@
-"""Versioned snapshot table: atomic commits + time travel on plain parquet.
+"""Versioned snapshot table: atomic commits, appends, time travel — on
+plain parquet.
 
 The reference's sinks (S7 append, S8 full-refresh — reference:
 pipeline/assets/ingest.py:248-257, aggregates.py:31+) rely on DuckDB's
@@ -10,15 +11,23 @@ without requiring a table format:
 - every commit writes a fresh immutable ``v=N`` directory, then publishes
   it by atomically renaming a manifest tempfile over ``_latest`` (POSIX
   rename; on object stores, swap for a conditional PUT) — readers always
-  resolve a fully-written snapshot;
-- old versions stay readable => time travel (``read(version=k)``) and
-  snapshot diffing (operators/cdc.diff_snapshots) come for free;
+  resolve fully-written data;
+- commits are either ``overwrite`` (the directory IS the snapshot) or
+  ``append`` (log-structured: a snapshot at version v = the last overwrite
+  at or before v plus every append after it — the same add-file idea as a
+  table format's transaction log, reduced to one JSON manifest);
+- an optional ``epoch`` id makes commits idempotent: re-committing an
+  already-recorded epoch is a no-op. That is exactly the foreachBatch
+  exactly-once contract — a replayed micro-batch (restart after crash,
+  before checkpoint advance) cannot double-append
+  (streaming/snapshot_sink.stream_to_snapshots);
 - a crashed commit leaves an unreferenced ``v=N`` directory, never a
-  half-published table; ``vacuum(keep)`` prunes unreferenced/old versions.
+  half-published table; ``vacuum(keep)`` prunes orphans and versions no
+  retained read can need.
 
 At 100 TB the commit cost is the data write itself — the publish step is
-one metadata rename regardless of table size, and readers pay zero
-coordination (one small-file read to resolve the version).
+one metadata rename regardless of table size, and readers pay one
+small-file read to resolve the version.
 """
 
 from __future__ import annotations
@@ -42,14 +51,24 @@ class SnapshotTable:
     def _manifest(self) -> str:
         return os.path.join(self.path, "_latest")
 
-    def latest_version(self) -> int | None:
+    def _load(self) -> dict:
         try:
             with open(self._manifest) as f:
-                return int(json.load(f)["version"])
-        except (OSError, ValueError, KeyError):
-            return None
+                return json.load(f)
+        except (OSError, ValueError):
+            return {"version": None, "commits": []}
+
+    def latest_version(self) -> int | None:
+        return self._load()["version"]
+
+    def epochs(self) -> set:
+        return {
+            c["epoch"] for c in self._load()["commits"] if c.get("epoch") is not None
+        }
 
     def versions(self) -> list[int]:
+        """Version directories present on disk (may include unpublished
+        crash orphans — the manifest, not the listing, is the truth)."""
         out = []
         for name in os.listdir(self.path):
             if name.startswith("v=") and name[2:].isdigit():
@@ -59,39 +78,82 @@ class SnapshotTable:
     def _vdir(self, version: int) -> str:
         return os.path.join(self.path, f"v={version}")
 
-    def commit(self, df: DataFrame) -> int:
+    def commit(self, df: DataFrame, mode: str = "overwrite", epoch=None) -> int:
         """Write ``df`` as the next version and publish it atomically.
-        Returns the new version number."""
-        current = self.latest_version()
-        version = 0 if current is None else current + 1
+        ``mode='append'`` adds to the current snapshot instead of replacing
+        it. A non-None ``epoch`` already in the log makes this a no-op
+        (idempotent replay). Returns the published version number."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        man = self._load()
+        if epoch is not None:
+            for c in man["commits"]:
+                if c.get("epoch") == epoch:
+                    return c["v"]  # replay: already committed
+        version = 0 if man["version"] is None else man["version"] + 1
         df.write.mode("errorifexists").parquet(self._vdir(version))
+        man["version"] = version
+        man["commits"].append({"v": version, "mode": mode, "epoch": epoch})
         fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_manifest_")
         with os.fdopen(fd, "w") as f:
-            json.dump({"version": version}, f)
+            json.dump(man, f)
         os.replace(tmp, self._manifest)  # the atomic publish
         return version
 
+    def _base_of(self, version: int) -> int:
+        """Last overwrite commit at or before ``version`` (0 if the log
+        starts with appends)."""
+        base = 0
+        for c in self._load()["commits"]:
+            if c["v"] <= version and c["mode"] == "overwrite":
+                base = c["v"]
+        return base
+
     def read(self, version: int | None = None) -> DataFrame:
-        """Latest snapshot, or time travel to an explicit ``version``."""
-        v = self.latest_version() if version is None else version
+        """Latest snapshot, or time travel to an explicit ``version``: the
+        base overwrite plus every append commit up to ``version``, resolved
+        from the manifest (never from a directory listing — orphans stay
+        invisible)."""
+        man = self._load()
+        v = man["version"] if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.path}")
-        return self.spark.read.parquet(self._vdir(v))
+        base = self._base_of(v)
+        dirs = [
+            self._vdir(c["v"])
+            for c in man["commits"]
+            if base <= c["v"] <= v
+        ]
+        if not any(c["v"] == v for c in man["commits"]):
+            raise FileNotFoundError(f"version {v} is not in the commit log")
+        if len(dirs) == 1:
+            return self.spark.read.parquet(dirs[0])
+        # append chains may span additive schema evolution
+        return self.spark.read.option("mergeSchema", True).parquet(*dirs)
 
     def vacuum(self, keep: int = 1) -> list[int]:
-        """Delete all but the newest ``keep`` PUBLISHED versions (and any
-        unpublished orphans newer than the manifest — crash leftovers).
-        Returns the versions removed."""
+        """Delete every version directory no retained read can need: reads
+        of the newest ``keep`` versions resolve to their base overwrite +
+        later appends, so anything older than the oldest retained base —
+        and any unpublished crash orphan — goes. Returns versions
+        removed."""
         import shutil
 
-        latest = self.latest_version()
+        man = self._load()
+        latest = man["version"]
         if latest is None:
             return []
+        oldest_retained = max(0, latest - keep + 1)
+        needed_from = self._base_of(oldest_retained)
+        published = {c["v"] for c in man["commits"]}
         removed = []
         for v in self.versions():
-            published = v <= latest
-            keep_this = published and v > latest - keep
-            if not keep_this:
+            if v < needed_from or v not in published:
                 shutil.rmtree(self._vdir(v))
                 removed.append(v)
-        return removed
+        man["commits"] = [c for c in man["commits"] if c["v"] not in removed]
+        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_manifest_")
+        with os.fdopen(fd, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, self._manifest)
+        return sorted(removed)

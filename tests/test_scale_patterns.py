@@ -446,3 +446,31 @@ def test_runtime_bloom_filter_prunes_selective_join(spark):
         "o_orderpriority"
     ).count().collect()
     assert sorted(map(tuple, n)) == sorted(map(tuple, plain))
+
+
+def test_cdc_and_regression_plan_shapes(spark):
+    """Scale contract for the round's new operators (PLANS.md rows):
+    order_snapshot_diff = ONE full-outer join with comparisons in the
+    projection (no second exchange pair, no extra aggregate);
+    price_quantity_regression = a single grouped-aggregate pass, zero
+    joins (every statistic derives from the five power sums)."""
+    from billing_data_pipeline_spark.registry import load_catalog
+
+    cat = load_catalog()
+    sf = "/root/testdata/sf0.001"
+
+    diff_plan = (
+        cat["order_snapshot_diff"].fn(spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "FullOuter" in diff_plan
+    assert diff_plan.count("Join") <= 2  # one join node (+possible reuse line)
+    assert "HashAggregate" not in diff_plan  # diffing never aggregates
+
+    reg_plan = (
+        cat["price_quantity_regression"].fn(spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in reg_plan
+    # partial + final aggregate of ONE groupBy; no second pass over the data
+    assert reg_plan.count("Exchange hashpartitioning") == 1

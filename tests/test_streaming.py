@@ -344,3 +344,71 @@ def test_replay_safe_append_null_keys_idempotent(spark, tmp_path):
     batch2 = spark.createDataFrame([(None, "n3", 4.0)], "k int, name string, v double")
     replay_safe_append(batch2, table, ["k"])
     assert spark.read.parquet(table).count() == 4
+
+
+def test_stream_to_snapshots_exactly_once_and_cdc_log(spark, tmp_path):
+    """Streaming appends into a SnapshotTable: each micro-batch is one
+    epoch-keyed append commit, so (a) the final table equals the batch
+    read, (b) every batch boundary is a time-travel point, (c) a REPLAYED
+    epoch commits nothing — foreachBatch at-least-once becomes an
+    exactly-once table, and (d) diff_snapshots between consecutive
+    versions recovers exactly the replayed-safe batch rows (a free CDC
+    log)."""
+    from billing_data_pipeline_spark.operators.cdc import diff_snapshots
+    from billing_data_pipeline_spark.sources.versioned_sink import SnapshotTable
+    from billing_data_pipeline_spark.streaming.snapshot_sink import (
+        stream_to_snapshots,
+    )
+
+    schema = "event_id long, user_id long, value double"
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [(1, 100, 1.0), (2, 200, 2.0)],
+        [(3, 100, 3.0)],
+        [(4, 300, 4.0), (5, 100, 5.0)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"b{i}")
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    table = SnapshotTable(spark, str(tmp_path / "snap"))
+    q = stream_to_snapshots(stream, table, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    all_ids = {r["event_id"] for r in table.read().collect()}
+    assert all_ids == {1, 2, 3, 4, 5}
+    assert table.latest_version() == 2  # one commit per micro-batch
+
+    # time travel to the first batch boundary
+    assert len(table.read(version=0).collect()) in (1, 2)
+
+    # replay an already-committed epoch: no new version, no duplicate rows
+    seen_epochs = table.epochs()
+    replay_epoch = min(seen_epochs)
+    table.commit(
+        spark.createDataFrame(batches[0], schema), mode="append", epoch=replay_epoch
+    )
+    assert table.latest_version() == 2
+    assert len(table.read().collect()) == 5
+
+    # CDC log: the diff between consecutive versions is exactly one batch
+    v1_minus_v0 = diff_snapshots(
+        table.read(version=0), table.read(version=1), ["event_id"]
+    )
+    assert {r["change"] for r in v1_minus_v0.collect()} == {"insert"}
+    total = sum(
+        len(
+            diff_snapshots(
+                table.read(version=v), table.read(version=v + 1), ["event_id"]
+            ).collect()
+        )
+        for v in (0, 1)
+    )
+    assert total + len(table.read(version=0).collect()) == 5
