@@ -151,10 +151,19 @@ class BillingPipeline:
                 },
             ),
         }
+        # O2 metrics via the Observation API: row counts are collected from
+        # the SAME job that writes each table — no read-back count scan.
+        # At 100 TB the old pattern (write, then re-scan to count) doubled
+        # the I/O of every aggregate refresh.
+        from pyspark.sql import Observation
+
         metrics = {}
         for name, df in tables.items():
-            df.write.mode("overwrite").parquet(self.table_path(name))
-            metrics[f"{name}_rows"] = self.read(name).count()
+            obs = Observation(f"{name}_obs")
+            df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+                "overwrite"
+            ).parquet(self.table_path(name))
+            metrics[f"{name}_rows"] = obs.get["rows"]
         return metrics
 
     # -- stage 3: insights --------------------------------------------------

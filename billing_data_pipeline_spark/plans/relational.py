@@ -1311,3 +1311,35 @@ def incremental_status_rollup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame
         sum_col="total_price",
         measure_col="o_totalprice",
     )
+
+
+@register(
+    "variant_props_rollup",
+    tags=("json", "variant", "spark4"),
+    oracle=f"""
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       COUNT(*) AS n,
+       {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT tier of the semi-structured surface: props parsed ONCE
+    into Spark 4's binary-encoded VariantType (parse_json), then accessed
+    with typed paths (variant_get) — same result as json_props_rollup's
+    per-call get_json_object, but the parse cost is paid once per row
+    regardless of how many fields are later extracted, which is the shape
+    that matters when a 100 TB event stream carries wide JSON payloads
+    read by many downstream projections. Hash-checked against the same
+    relational oracle as the string-JSON twin."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(F.parse_json("props").alias("v"), "value")
+        .select(F.variant_get("v", "$.k", "int").alias("k_val"), "value")
+        .groupBy("k_val")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("value").cast("double").alias("total_value"),
+        )
+    )
