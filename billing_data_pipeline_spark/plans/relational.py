@@ -1343,3 +1343,43 @@ def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("value").cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "fuzzy_part_name_pairs",
+    tags=("join", "fuzzy", "levenshtein", "blocking"),
+    oracle="""
+SELECT a.p_partkey AS key_a,
+       b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+FROM part a
+JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+""",
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy string join (the last §2.8 EXT string function,
+    levenshtein, in its real use): near-identical part names within a
+    (brand, size) block at edit distance <= 4. Blocking is what makes
+    fuzzy joins survive scale — the equi-join on the block key reduces
+    O(n^2) comparisons to sum-of-block-squares, and levenshtein runs only
+    on the surviving pairs, JVM-side; both engines implement the same
+    classic edit distance, so the pair set and distances hash-match."""
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_name")
+    a = p.select(
+        F.col("p_brand").alias("b"), F.col("p_size").alias("s"),
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("b"), F.col("p_size").alias("s"),
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, ["b", "s"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 4)
+        .select("key_a", "key_b", "edit_dist")
+    )
