@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.aggregates import exact_sum
 from ..registry import register
 from ._util import dsum_sql, t
 
@@ -265,4 +266,103 @@ def rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("window_date"),
             "active_users_7d",
         )
+    )
+
+
+@register(
+    "daily_value_ohlc",
+    tags=("ext", "timeseries", "ohlc", "argminmax"),
+    oracle=f"""
+SELECT user_id,
+       CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day,
+       arg_min(value, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT) * 10000000000 + event_id) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT) * 10000000000 + event_id) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {dsum_sql('value')} AS volume
+FROM events
+WHERE value IS NOT NULL
+GROUP BY user_id, day
+""",
+)
+def daily_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling (candlestick bars): per (user, day), the first
+    (open) and last (close) observed value by event time plus high/low/
+    count/volume — the classic time-series compaction, as ONE grouped
+    aggregate. open/close use min_by/max_by over a (epoch-µs, event_id)
+    struct: argmin/argmax inside the hash aggregate, so there is no sort
+    and no window — a (user, day)-keyed exchange of one bar per group is
+    the entire cost at any scale. The struct tiebreak makes the argmin
+    total-ordered (duplicate timestamps resolve by event id), which is
+    what lets the hash gate hold against DuckDB's arg_min/arg_max over
+    an order-equivalent HUGEINT key (us * 10^10 + event_id — DuckDB's
+    arg_min lacks a struct-key overload; the linear combination has the
+    identical total order for event_id < 10^10)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    us = F.unix_micros(F.col("ts"))
+    order = F.struct(us.alias("us"), F.col("event_id"))
+    return ev.groupBy(
+        "user_id",
+        F.floor(us / F.lit(86_400_000_000)).cast("long").alias("day"),
+    ).agg(
+        F.min_by("value", order).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", order).alias("close"),
+        F.count("*").alias("n_events"),
+        exact_sum("value").cast("double").alias("volume"),
+    )
+
+
+@register(
+    "user_time_weighted_value",
+    tags=("ext", "timeseries", "twap"),
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, value,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+           lead(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id
+                     ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS next_us
+    FROM events WHERE value IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(19,6)) * (next_us - us)) AS VARCHAR) AS DOUBLE) AS weighted_sum_us,
+       CAST(SUM(next_us - us) AS BIGINT) AS span_us,
+       (CAST(CAST(SUM(CAST(value AS DECIMAL(19,6)) * (next_us - us)) AS VARCHAR) AS DOUBLE)
+        / CAST(SUM(next_us - us) AS BIGINT)) AS twap
+FROM seq
+WHERE next_us IS NOT NULL AND next_us > us
+GROUP BY user_id
+""",
+)
+def user_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation is weighted by how
+    long it remained current (lead(ts) - ts), the correct mean for
+    irregularly-sampled series where the arithmetic mean over-weights
+    bursts. ONE user-keyed exchange feeds both the lead window and the
+    final group; weights are exact integer microseconds and the weighted
+    sum accumulates in decimal, so the single closing division is the only
+    float op — bit-identical on both engines. Zero-length intervals
+    (duplicate timestamps) carry zero weight and are excluded with the
+    final open-ended observation."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    seq = ev.select(
+        "user_id", "value", us.alias("us"), F.lead(us).over(w).alias("next_us")
+    ).filter(F.col("next_us").isNotNull() & (F.col("next_us") > F.col("us")))
+    dur = F.col("next_us") - F.col("us")
+    # decimal FACTOR cast (value is 6-decimal-representable), integer
+    # weight: the product never exists as a double (PLANS.md trap #1)
+    wsum = F.sum(F.col("value").cast("decimal(19,6)") * dur).cast("double")
+    return seq.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        wsum.alias("weighted_sum_us"),
+        F.sum(dur).alias("span_us"),
+        (wsum / F.sum(dur)).alias("twap"),
     )
