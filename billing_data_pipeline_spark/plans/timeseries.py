@@ -366,3 +366,61 @@ def user_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dur).alias("span_us"),
         (wsum / F.sum(dur)).alias("twap"),
     )
+
+
+@register(
+    "user_value_ewma",
+    tags=("ext", "timeseries", "ewma", "recurrence"),
+    oracle="""
+WITH ordered AS (
+    SELECT user_id,
+           list(value ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS vals
+    FROM events WHERE value IS NOT NULL
+    GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vals) AS BIGINT) AS n_obs,
+       list_reduce(vals, (acc, x) -> x * 0.5 + acc * 0.5) AS ewma
+FROM ordered
+""",
+)
+def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 0.5) per user — a
+    LINEAR RECURRENCE (y_t = a*x_t + (1-a)*y_{t-1}), the class of
+    computation neither a window frame nor a grouped aggregate can
+    express. Here it runs as an in-row sequential fold: collect the
+    user's values in event order (sort_array fixes the order inside the
+    row), seed with the first value, fold the rest left-to-right — the
+    exact association DuckDB's list_reduce performs, term order pinned by
+    the same (epoch-µs, event_id) sort key, so the recursively-built
+    double is bit-identical. alpha = 0.5 keeps each step at two exact
+    halvings + one IEEE add.
+
+    Scale shape: one user-keyed exchange; state = the user's own history
+    inside its row (same memory contract as user_event_transcripts). For
+    unbounded histories the streaming twin is applyInPandasWithState
+    (streaming/stateful.py) carrying (y_prev) as state — this batch form
+    is the oracle-checkable fixture of that recurrence."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ordered = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("us"),
+                    F.col("event_id").alias("eid"),
+                    F.col("value").alias("x"),
+                )
+            )
+        ).alias("seq")
+    )
+    vals = F.col("seq").getField("x")
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: x * F.lit(0.5) + acc * F.lit(0.5),
+    )
+    return ordered.select(
+        "user_id",
+        F.size(vals).cast("long").alias("n_obs"),
+        ewma.alias("ewma"),
+    )
