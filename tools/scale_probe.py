@@ -40,6 +40,8 @@ PROBE_QUERIES = (
     "discounted_revenue",
     "usage_percentiles",
     "shipping_priority",
+    "price_quantity_regression",  # power sums: pure map-side combine
+    "returnflag_multiset_ops",    # EXCEPT/INTERSECT ALL rewrite
 )
 
 
