@@ -381,3 +381,28 @@ def test_catalog_hygiene():
                 or "sketch" in blob
                 or "blas" in blob
             ), f"rows-only query {name} doesn't explain why"
+
+
+def test_hash_bucket_negative_keys_stay_in_range(spark):
+    """ADVICE r1: SQL % keeps the dividend's sign, so a negative key used
+    to land in a negative bucket that `bucket < pct` kept at ANY rate —
+    including rate 0. With pmod, buckets stay in [0,100) for arbitrary
+    keys and a rate-0 stratum drops every row, negative ids included."""
+    from billing_data_pipeline_spark.operators.sampling import (
+        hash_bucket,
+        stratified_sample,
+    )
+
+    df = spark.range(-500, 500).withColumnRenamed("id", "doc_id")
+    buckets = [
+        r["b"]
+        for r in df.select(hash_bucket(F.col("doc_id")).alias("b")).collect()
+    ]
+    assert min(buckets) >= 0 and max(buckets) < 100
+
+    g = df.withColumn(
+        "grp", F.when(F.col("doc_id") < 0, "neg").otherwise("pos")
+    )
+    kept = stratified_sample(g, "doc_id", "grp", {"neg": 0, "pos": 100}).collect()
+    assert all(r["doc_id"] >= 0 for r in kept)
+    assert len(kept) == 500
