@@ -1383,3 +1383,92 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 4)
         .select("key_a", "key_b", "edit_dist")
     )
+
+
+@register(
+    "weekly_cohort_retention",
+    tags=("ext", "events", "cohort", "retention"),
+    oracle="""
+WITH activity AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS BIGINT) AS week_idx
+    FROM events
+),
+cohorts AS (
+    SELECT user_id, MIN(week_idx) AS cohort_week FROM activity GROUP BY user_id
+)
+SELECT c.cohort_week,
+       CAST(a.week_idx - c.cohort_week AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+FROM activity a
+JOIN cohorts c ON c.user_id = a.user_id
+GROUP BY c.cohort_week, week_offset
+""",
+)
+def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the canonical product-analytics rollup the
+    reference's per-user MIN(timestamp) 'first activity' column
+    (aggregates.py:110) gestures at: users bucketed by first-active week,
+    counted distinct per (cohort, weeks-since-cohort). Week index is exact
+    integer epoch-µs arithmetic, so offsets are engine-portable. Plan: the
+    (user, week) distinct and the per-user min share the user-keyed
+    exchange; cohorts re-join activity broadcast (|users| rows), and the
+    final group is cohort×offset-sized — at 100 TB only the first
+    distinct touches event volume."""
+    ev = t(spark, sf_dir, "events")
+    week_idx = F.floor(F.unix_micros("ts") / F.lit(604_800_000_000)).cast("long")
+    activity = ev.select("user_id", week_idx.alias("week_idx")).distinct()
+    cohorts = activity.groupBy("user_id").agg(
+        F.min("week_idx").alias("cohort_week")
+    )
+    return (
+        activity.join(F.broadcast(cohorts), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@register(
+    "frequently_copurchased_parts",
+    tags=("join", "self-join", "affinity", "topk"),
+    oracle="""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a,
+       b.l_partkey AS part_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM items a
+JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY part_a, part_b
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 50
+""",
+)
+def frequently_copurchased_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: the top part pairs appearing in the same
+    order. The self-join on the basket key is the canonical co-occurrence
+    shape — pair volume is sum-of-basket-size-squares, bounded by small
+    baskets (per-order item counts), NOT by table size, and the per-order
+    distinct collapses duplicate part lines before pairs form. One
+    orderkey exchange feeds both join sides (self-join reuse), the pair
+    count is map-side combined, and TakeOrderedAndProject keeps top-50 a
+    heap merge with a full deterministic tiebreak."""
+    items = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(
+            F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+        )
+        .limit(50)
+    )
