@@ -1472,3 +1472,51 @@ def frequently_copurchased_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@register(
+    "copurchase_triangles",
+    tags=("graph", "self-join", "triangles"),
+    oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v
+    FROM items a
+    JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY u, v HAVING COUNT(*) >= 2
+)
+SELECT e1.u AS part_a, e1.v AS part_b, e2.v AS part_c
+FROM edges e1
+JOIN edges e2 ON e2.u = e1.v
+JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+""",
+)
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration on the co-purchase graph (parts co-ordered in
+    >= 2 orders): graph analytics over DERIVED edges, all relational. The
+    id-ordered edge orientation (u < v everywhere) is the standard
+    distributed-triangle trick — each triangle matches exactly once (no
+    /6 dedup pass) and the join fan-out is bounded by forward-degree
+    sums, not total-degree squares, which is what keeps the shape alive
+    on power-law graphs. The edge list builds once and feeds all three
+    join roles (Catalyst reuses the aggregate subtree); wedges form on
+    the e1.v = e2.u exchange and close against a (u,v)-keyed edge probe."""
+    items = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    e1 = edges.select(F.col("u").alias("part_a"), F.col("v").alias("part_b"))
+    e2 = edges.select(F.col("u").alias("part_b"), F.col("v").alias("part_c"))
+    e3 = edges.select(F.col("u").alias("part_a"), F.col("v").alias("part_c"))
+    return e1.join(e2, "part_b").join(e3, ["part_a", "part_c"]).select(
+        "part_a", "part_b", "part_c"
+    )
