@@ -504,3 +504,35 @@ def streaming_sliding_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sdf = sliding_volume_stream(_stream_events(spark, sf_dir))
     return run_to_memory(sdf, f"slide_catchup_{uuid.uuid4().hex[:8]}", "complete")
+
+
+@register(
+    "streaming_ohlc_catchup",
+    tags=("streaming", "ohlc", "argminmax", "true-stream"),
+    oracle=f"""
+SELECT user_id,
+       ({TS_US} // 86400000000) * 86400 AS window_start_sec,
+       arg_min(value, CAST({TS_US} AS HUGEINT) * 10000000000 + event_id) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, CAST({TS_US} AS HUGEINT) * 10000000000 + event_id) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+WHERE value IS NOT NULL
+GROUP BY user_id, window_start_sec
+""",
+)
+def streaming_ohlc_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming OHLC bars: the argmin-in-aggregate candlestick
+    compaction (batch twin: daily_value_ohlc) running as a watermarked
+    Structured Streaming aggregate, drained with AvailableNow in complete
+    mode. min_by/max_by state merges incrementally across micro-batches —
+    first/last-by-event-time per bar WITHOUT buffering the bar's events —
+    and the (epoch-µs, event_id) order key keeps the merge total-ordered,
+    so the drained table hash-matches the batch oracle exactly."""
+    import uuid
+
+    from ..streaming.event_windows import ohlc_stream, run_to_memory
+
+    sdf = ohlc_stream(_stream_events(spark, sf_dir))
+    return run_to_memory(sdf, f"ohlc_{uuid.uuid4().hex[:8]}", "complete")

@@ -209,3 +209,37 @@ def run_to_memory(
     )
     q.awaitTermination()
     return sdf.sparkSession.table(name)
+
+
+def ohlc_stream(
+    events: DataFrame, window: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming OHLC bars per (user, event-time window): open/close via
+    min_by/max_by over a (epoch-µs, event_id) order key INSIDE the
+    streaming aggregate — the same argmin-in-hash-agg shape as the batch
+    twin (plans/timeseries.daily_value_ohlc), running incrementally under
+    a watermark. Each bar's state is one running tuple per group, merged
+    as micro-batches arrive; no sort, no per-window buffering of events."""
+    us = F.unix_micros(F.col("ts"))
+    order = F.struct(us.alias("us"), F.col("event_id"))
+    return (
+        events.filter(F.col("value").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "user_id")
+        .agg(
+            F.min_by("value", order).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("window.start")).alias("window_start_sec"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
