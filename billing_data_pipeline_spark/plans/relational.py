@@ -1520,3 +1520,37 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e1.join(e2, "part_b").join(e3, ["part_a", "part_c"]).select(
         "part_a", "part_b", "part_c"
     )
+
+
+@register(
+    "region_nation_roster",
+    tags=("agg", "string-agg", "listagg"),
+    oracle="""
+SELECT r.r_name AS region,
+       CAST(COUNT(*) AS BIGINT) AS n_nations,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+GROUP BY region
+""",
+)
+def region_nation_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL LISTAGG / string_agg): the roster
+    column every report eventually wants. Spark has no ordered string_agg
+    aggregate, so the portable form is array_join(sort_array(collect_list))
+    — collect order is nondeterministic but the in-row sort fixes it, the
+    same determinism move as user_event_transcripts. One dim-sized groupBy;
+    at scale the caution is that the string grows with group size (keep it
+    for dim-cardinality groups, not fact rollups)."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+        )
+    )
