@@ -1554,3 +1554,46 @@ def region_nation_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "monthly_revenue_growth",
+    tags=("agg", "window", "period-over-period"),
+    oracle=f"""
+WITH m AS (
+    SELECT CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT) AS month_idx,
+           {dsum_sql(REVENUE_SQL)} AS revenue
+    FROM lineitem GROUP BY month_idx
+)
+SELECT month_idx, revenue,
+       lag(revenue) OVER (ORDER BY month_idx) AS prev_revenue,
+       (revenue - lag(revenue) OVER (ORDER BY month_idx))
+           / lag(revenue) OVER (ORDER BY month_idx) AS mom_growth
+FROM m
+""",
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth — the period-over-period report shape: the
+    fact table collapses to one exact-decimal revenue row per month
+    FIRST, then a lag window over that tiny aggregate computes the delta
+    ratio. The global (unpartitioned) window is safe precisely because it
+    runs on |months| rows, not the fact table — the single-partition sort
+    that would be a scale bug on raw data is free on the rollup; the
+    growth ratio is one subtraction + one division of identical doubles
+    on both engines."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1)
+        .cast("long")
+        .alias("month_idx")
+    ).agg(exact_sum(revenue()).cast("double").alias("revenue"))
+    w = Window.orderBy("month_idx")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month_idx",
+        "revenue",
+        prev.alias("prev_revenue"),
+        ((F.col("revenue") - prev) / prev).alias("mom_growth"),
+    )
