@@ -577,3 +577,76 @@ packed AS (
 )
 SELECT {id_col}, chunk_idx, n_chunk_tokens, bin FROM packed
 """
+
+
+# Literal unigram language model (log-probabilities precomputed in Python,
+# so NO libm call happens at query time on either engine — the lambda only
+# looks up shared double literals). The lexicon is a fixed model artifact,
+# like model_quality_score's weights; out-of-vocabulary tokens get the
+# floor probability. Scores are comparable across engines bit-for-bit
+# because every addend is a shared literal and the per-doc sum is an
+# in-row left fold.
+import math as _math
+
+UNIGRAM_LOGP = {
+    w: _math.log(p)
+    for w, p in {
+        "join": 0.035, "hash": 0.034, "row": 0.034, "batch": 0.034,
+        "scan": 0.034, "customer": 0.034, "column": 0.034, "filter": 0.034,
+        "small": 0.033, "merge": 0.033, "slow": 0.033, "order": 0.033,
+        "vector": 0.033, "line": 0.033, "data": 0.033, "table": 0.05,
+        "value": 0.045, "part": 0.04, "a": 0.06, "the": 0.05,
+    }.items()
+}
+OOV_LOGP = _math.log(1e-6)
+
+
+def unigram_logprob(text: Column) -> Column:
+    """Mean unigram log-probability of a document under the literal
+    lexicon — the statistical-LM tier of quality scoring (the shape of a
+    KenLM perplexity filter, reduced to unigrams so the model rides the
+    plan as literals). Per doc: tokenize in-row, map each token to its
+    literal log-prob (OOV floor), left-fold the sum, divide by the token
+    count — one scan-side projection, zero exchanges, zero libm calls at
+    query time."""
+    toks = F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda x: x != "")
+    branches = None
+    logp = None
+
+    def lookup(tok: Column) -> Column:
+        expr = F.lit(OOV_LOGP)
+        # build a CASE chain in fixed lexicon order (same order as the SQL)
+        for w in reversed(list(UNIGRAM_LOGP)):
+            expr = F.when(tok == w, F.lit(UNIGRAM_LOGP[w])).otherwise(expr)
+        return expr
+
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda acc, tok: acc + lookup(tok)
+    )
+    return F.when(
+        F.size(toks) > 0, total / F.size(toks)
+    ).otherwise(F.lit(None).cast("double"))
+
+
+def unigram_logprob_sql(text_expr: str) -> str:
+    """DuckDB twin: identical literal log-probs (repr round-trips the exact
+    doubles), identical CASE order, identical left fold."""
+    # CAST every literal FROM A STRING: a bare 17-digit numeric literal
+    # parses as DECIMAL first, and DuckDB's decimal->double conversion
+    # is 1 ulp off for some values (same trap as PLANS.md's dsum note);
+    # the string->double parse is correctly rounded
+    cases = " ".join(
+        f"WHEN t = '{w}' THEN CAST('{UNIGRAM_LOGP[w]!r}' AS DOUBLE)"
+        for w in UNIGRAM_LOGP
+    )
+    toks = (
+        f"list_filter(string_split_regex(lower({text_expr}), '{TOKEN_SPLIT_RE}'), "
+        "x -> x <> '')"
+    )
+    return (
+        f"CASE WHEN len({toks}) > 0 THEN "
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({toks}, t -> CASE {cases} ELSE CAST('{OOV_LOGP!r}' AS DOUBLE) END)), "
+        f"(acc, x) -> acc + x) / len({toks}) "
+        "ELSE NULL END"
+    )

@@ -946,3 +946,27 @@ def per_lang_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         25,
     )
+
+
+@register(
+    "doc_unigram_logprob",
+    tags=("ext", "text", "quality", "model", "lm"),
+    oracle=f"""
+SELECT doc_id,
+       lang,
+       {X.unigram_logprob_sql('text')} AS avg_logprob
+FROM documents
+""",
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring (the KenLM-perplexity shape, unigram
+    tier): mean log-probability per document under a literal lexicon with
+    an OOV floor — low scores flag gibberish/OOV-heavy documents for the
+    curation pipeline. All log values are Python-precomputed literals, so
+    no libm runs at query time on either engine; the per-doc sum is an
+    in-row left fold and the whole operator is one scan-side projection
+    with zero exchanges."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", X.unigram_logprob(F.col("text")).alias("avg_logprob")
+    )
