@@ -14,6 +14,12 @@ Scale notes (100 TB / unbounded):
   forever — every function here REQUIRES a watermark argument on purpose.
 - ``dropDuplicatesWithinWatermark`` keeps only in-horizon keys, which is
   the streaming analogue of the reference's anti-join idempotency (J1).
+- State store: the default provider keeps state on the JVM heap, which is
+  fine for these tests but caps state at executor memory. In production
+  set ``spark.sql.streaming.stateStore.providerClass`` to the
+  ``RocksDBStateStoreProvider`` — state spills to local disk with
+  changelog checkpointing, so join/session state is bounded by disk, not
+  heap (matters most for the stream-stream joins below).
 """
 
 from __future__ import annotations
