@@ -1597,3 +1597,35 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         ((F.col("revenue") - prev) / prev).alias("mom_growth"),
     )
+
+
+@register(
+    "json_props_typed_rollup",
+    tags=("json", "from_json", "typed"),
+    oracle=f"""
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       COUNT(*) AS n,
+       {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY 1
+""",
+)
+def json_props_typed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TYPED-schema JSON tier (completing get_json_object ->
+    from_json -> variant): props parsed with an explicit struct schema —
+    the production path, because the declared schema moves type errors to
+    parse time (malformed rows yield NULL fields instead of silently
+    stringly-typed data) and Catalyst prunes unneeded struct fields out of
+    the parse itself. Same rollup and oracle as the sibling tiers, so the
+    three parsing strategies are provably value-identical."""
+    ev = t(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.from_json("props", "k INT").alias("p"), "value"
+    )
+    return (
+        parsed.groupBy(F.col("p.k").alias("k_val"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("value").cast("double").alias("total_value"),
+        )
+    )
