@@ -59,6 +59,49 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
+def stride_seed_rows(
+    df: DataFrame, id_col: str, vec_col: str, n_seeds: int
+) -> list:
+    """Distributed stride seeding shared by the IVF / PQ / k-means tiers:
+    pick every (N // n_seeds)-th row by sorted id — positions 0, stride,
+    2*stride, ... (first ``n_seeds`` picks) — WITHOUT materializing the
+    corpus on the driver.
+
+    Plan shape: the rank pass projects the id column alone through one
+    ``row_number`` window (a single exchange of ~8 bytes/row — the only
+    O(N) movement, and of ids only, never vectors); the <= n_seeds picked
+    ids broadcast back as a semi-join, so seed vectors reach the driver via
+    a broadcast-pruned scan. Driver materialization is exactly the seed
+    rows (asserted by ``test_scale_patterns``). For corpora where even the
+    id column through one task is too much (>~10^10 rows), the same picks
+    fall out of a range-repartitioned two-phase rank (per-partition counts
+    -> offsets); not needed at current scales.
+
+    Identical picks to the previous driver-side ``ids[::stride][:n_seeds]``
+    (and to the oracle's row_number-stride CTE), so downstream results are
+    hash-stable."""
+    from pyspark.sql import Window
+
+    n = df.count()
+    stride = max(1, n // n_seeds)
+    rn = F.row_number().over(Window.orderBy(id_col)) - F.lit(1)
+    picked = (
+        df.select(id_col)
+        .withColumn("_rn", rn)
+        .filter(
+            (F.col("_rn") % F.lit(stride) == F.lit(0))
+            & (F.col("_rn") < F.lit(stride * n_seeds))
+        )
+        .select(id_col)
+    )
+    return (
+        df.join(F.broadcast(picked), [id_col], "left_semi")
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -363,16 +406,10 @@ def ivf_topk(
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
-    # deterministic centroids: every stride-th corpus vector by sorted id
-    ids = [r[0] for r in corpus.select(id_col).orderBy(id_col).collect()]
-    stride = max(1, len(ids) // n_lists)
-    centroid_ids = set(ids[::stride][:n_lists])
-    cent_rows = (
-        corpus.filter(F.col(id_col).isin(centroid_ids))
-        .select(id_col, vec_col)
-        .orderBy(id_col)
-        .collect()
-    )
+    # deterministic centroids: every stride-th corpus vector by sorted id,
+    # picked distributed (ids-only rank + broadcast semi-join — no O(N)
+    # driver materialization; see stride_seed_rows)
+    cent_rows = stride_seed_rows(corpus, id_col, vec_col, n_lists)
     Cm = np.array([[float(x) for x in r[1]] for r in cent_rows], dtype=np.float64)
     Cn = _seq_norms(Cm)
 
@@ -884,20 +921,13 @@ def lsh_bucketed_topk(
 def _pq_codebook(corpus: DataFrame, id_col: str, vec_col: str, m: int, k_codes: int):
     """Deterministic, training-free PQ codebook: the ``k_codes``
     stride-selected corpus vectors (every (|corpus|/k_codes)-th by sorted
-    id — the same data-seeded sampling as ivf_topk's centroids), L2-
+    id — the same data-seeded sampling as ivf_topk's centroids, picked
+    distributed via stride_seed_rows: no O(N) driver materialization), L2-
     normalized with the sequential fold, then sliced into ``m`` subspaces.
     Returns (norm_samples ndarray [k_codes, dim], sub_dim)."""
     import numpy as np
 
-    ids = [r[0] for r in corpus.select(id_col).orderBy(id_col).collect()]
-    stride = max(1, len(ids) // k_codes)
-    sample_ids = set(ids[::stride][:k_codes])
-    rows = (
-        corpus.filter(F.col(id_col).isin(sample_ids))
-        .select(id_col, vec_col)
-        .orderBy(id_col)
-        .collect()
-    )
+    rows = stride_seed_rows(corpus, id_col, vec_col, k_codes)
     S = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
     S = S / _seq_norms(S)[:, None]
     dim = S.shape[1]

@@ -153,16 +153,10 @@ def _assign_update(emb: DataFrame, cells: list[int], cvs: list[list[float]]) -> 
 
 def _seed_centroids(emb: DataFrame) -> list[list[float]]:
     """Stride-seeded centroids, identical to the oracle's row_number stride
-    (and to ivf_topk's seeding). Driver-side collect is O(k x dim)."""
-    ids = [r[0] for r in emb.select("vec_id").orderBy("vec_id").collect()]
-    stride = max(1, len(ids) // K_LISTS)
-    centroid_ids = set(ids[::stride][:K_LISTS])
-    cent_rows = (
-        emb.filter(F.col("vec_id").isin(centroid_ids))
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
-    )
+    (and to ivf_topk's seeding). Picked distributed via
+    ``similarity.stride_seed_rows`` (ids-only rank + broadcast semi-join);
+    driver-side materialization is exactly the K_LISTS seed rows."""
+    cent_rows = S.stride_seed_rows(emb, "vec_id", "embedding", K_LISTS)
     return [[float(x) for x in r[1]] for r in cent_rows]
 
 

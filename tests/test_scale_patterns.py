@@ -517,3 +517,40 @@ def test_aqe_splits_skewed_join_partition(spark):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_stride_seeding_never_collects_the_corpus(spark, monkeypatch):
+    """The ANN/k-means seeding contract (VERDICT r2 #1): centroid/codebook
+    seeding must materialize only the seed rows on the driver, never the
+    corpus. Wrap DataFrame.collect to record every driver materialization
+    during seeding and assert each one is <= n_seeds, on a corpus 100x
+    bigger than the seed count."""
+    from billing_data_pipeline_spark.operators.similarity import (
+        stride_seed_rows,
+    )
+
+    corpus = spark.range(0, 3200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"), (F.col("id") % 11).cast("double")
+        ).alias("embedding"),
+    )
+
+    sizes: list[int] = []
+    # patch the concrete class (pyspark.sql.classic), not the abstract base
+    df_cls = type(corpus)
+    real_collect = df_cls.collect
+
+    def counting_collect(self):
+        rows = real_collect(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(df_cls, "collect", counting_collect)
+    seeds = stride_seed_rows(corpus, "vec_id", "embedding", 16)
+    monkeypatch.undo()
+
+    assert len(seeds) == 16
+    # every stride-th id by sort order: 0, 200, 400, ...
+    assert [r["vec_id"] for r in seeds] == [i * 200 for i in range(16)]
+    assert sizes and max(sizes) <= 16, f"driver collects of sizes {sizes}"
