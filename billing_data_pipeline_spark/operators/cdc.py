@@ -37,13 +37,20 @@ def diff_snapshots(
     ('insert' | 'delete' | 'update'), then ``old_<c>``/``new_<c>`` for every
     compared column."""
     cols = compare_cols or [c for c in new.columns if c not in keys]
+    # Per-side presence markers: classification must NOT key off key-column
+    # nullness — a NULL-keyed row never matches the non-null-safe join, and
+    # judging its side by `_ok_k0 IS NULL` would misread an old-only
+    # NULL-keyed row as an 'insert'. A literal TRUE is NULL after the full
+    # outer join exactly when the side is absent, regardless of key values.
     o = old.select(
         *[F.col(k).alias(f"_ok_{k}") for k in keys],
         *[F.col(c).alias(f"old_{c}") for c in cols],
+        F.lit(True).alias("_o_present"),
     )
     n = new.select(
         *[F.col(k).alias(f"_nk_{k}") for k in keys],
         *[F.col(c).alias(f"new_{c}") for c in cols],
+        F.lit(True).alias("_n_present"),
     )
     cond = None
     for k in keys:
@@ -56,8 +63,8 @@ def diff_snapshots(
         # null-safe inequality: engine-neutral, no hashing/formatting
         changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
     change = (
-        F.when(F.col(f"_ok_{keys[0]}").isNull(), F.lit("insert"))
-        .when(F.col(f"_nk_{keys[0]}").isNull(), F.lit("delete"))
+        F.when(F.col("_o_present").isNull(), F.lit("insert"))
+        .when(F.col("_n_present").isNull(), F.lit("delete"))
         .when(changed, F.lit("update"))
     )
     return (
@@ -84,16 +91,17 @@ def diff_snapshots_oracle_sql(
     diff = " OR ".join(f"(o.{c} IS DISTINCT FROM n.{c})" for c in cols)
     old_out = ", ".join(f"o.{c} AS old_{c}" for c in cols)
     new_out = ", ".join(f"n.{c} AS new_{c}" for c in cols)
-    k0 = keys[0]
+    # presence markers mirror diff_snapshots: side-absence, not key nullness
     return f"""
-WITH o AS ({old_sql}), n AS ({new_sql})
+WITH o AS (SELECT *, TRUE AS _o_present FROM ({old_sql})),
+     n AS (SELECT *, TRUE AS _n_present FROM ({new_sql}))
 SELECT {key_out},
-       CASE WHEN o.{k0} IS NULL THEN 'insert'
-            WHEN n.{k0} IS NULL THEN 'delete'
+       CASE WHEN o._o_present IS NULL THEN 'insert'
+            WHEN n._n_present IS NULL THEN 'delete'
             WHEN {diff} THEN 'update' END AS change,
        {old_out}, {new_out}
 FROM o FULL OUTER JOIN n ON {key_join}
-WHERE (o.{k0} IS NULL) OR (n.{k0} IS NULL) OR ({diff})
+WHERE (o._o_present IS NULL) OR (n._n_present IS NULL) OR ({diff})
 """
 
 

@@ -228,45 +228,112 @@ def vocabulary_stats(df, id_col: str = "doc_id", text_col: str = "text"):
 def doc_top_terms(df, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
     """Per-document top-k terms by tf-idf (deterministic tiebreak on term).
 
-    Shape: tf = one explode + groupBy(doc, term) whose exchange carries
-    only compact (doc, term, count) rows — raw text never shuffles;
-    doc_freq is a vocab-sized grouped aggregate over a second pass of the
-    same subtree (map-side partials make its exchange rows = |vocab| x
-    partitions, and the extra pass is scan-parallel) broadcast back into
-    the tf stream; the per-doc rank window shuffles the same compact rows
-    once more. The earlier window-count-over-term formulation was one
-    corpus pass fewer but partitioned the FULL (doc, term) set by term:
-    with a small/skewed vocabulary that collapses onto a handful of
-    reducers at scale (31 terms = 31 live tasks at any cluster size),
-    while this plan's term-keyed traffic is only aggregated vocab rows.
-    (A doc-keyed repartition before the explode — making tf + the window
-    exchange-free — measured the same warm but shuffles full document
-    text, exactly the wrong byte profile at 100 TB.) Measured at sf0.1:
-    1.06 s -> 0.85 s warm, and no skewable stage remains."""
-    from pyspark.sql import Window
+    Two-pass shape exploiting that a document's tokens live in ONE row, so
+    tf and the per-doc rank need no cross-row data movement at all:
 
-    tf = (
-        explode_terms(df, id_col, text_col)
-        .groupBy(id_col, "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    per_term = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
-    n_docs = df.agg(F.count("*").alias("n_docs"))
-    scored = (
-        tf.join(F.broadcast(per_term), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            id_col,
-            "term",
-            (F.col("tf") * _idf(F.col("doc_freq"), F.col("n_docs"))).alias("tfidf"),
+    1. **Vocab pass (JVM)**: per-doc distinct terms in-row
+       (array_distinct), explode, vocab-sized groupBy(term) -> doc_freq;
+       idf computed in the same JVM projection (bit-parity with the
+       oracle's ln — Python's libm log differs by ulps, measured) and
+       collected. Driver residency is |vocab| rows — identical to what a
+       broadcast-hash build would pin on the driver, minus two broadcast-
+       build jobs.
+    2. **Score pass (Arrow kernel, zero exchanges)**: one mapInPandas over
+       (id, text) with the idf dict in the task closure — tokenize,
+       Counter tf, score, per-doc top-k — emitting k rows per doc. No
+       (doc, term) shuffle, no rank window, no joins.
+
+    Earlier formulations, all measured at sf0.1 warm: explode +
+    groupBy(doc,term) + broadcast idf + rank window = 0.80 s (3 exchanges
+    + 2 broadcast builds; the exchanges carry compact rows but each stage
+    boundary costs ~50-100 ms at this size); window-count-over-term = one
+    pass fewer but partitions the full (doc,term) set by term — a skew
+    trap at scale (31 terms = 31 live tasks on any cluster); pure in-row
+    HOF scoring (transform/filter lambdas) = 2.57 s — higher-order
+    lambdas evaluate interpreted, not codegen. This two-pass kernel form:
+    ~0.55 s and exactly one vocab-sized exchange in the whole query.
+
+    At 100 TB: pass 1 exchanges only |vocab| x partitions rows; pass 2 is
+    embarrassingly parallel over scan partitions. The closure dict scales
+    to the same vocab sizes a broadcast join would (both are
+    driver-materialized); for corpora whose vocabulary exceeds driver
+    memory, cap it (hash-bucket the long tail) before this operator —
+    same contract as any broadcast dimension."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    per_term = (
+        df.select(
+            F.explode(
+                F.array_distinct(
+                    F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)
+                )
+            ).alias("term")
         )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(id_col, "term", "rank", "tfidf")
+    # metadata-only count (parquet row groups), ~80 ms; folding it into the
+    # vocab job as a unioned sentinel row measured SLOWER (the union's two
+    # scan subtrees serialize: 0.60 s vs 0.28 + 0.09 split)
+    n_docs = df.count()
+    # idf computed in the JVM projection (Catalyst's ln), never in Python —
+    # libm log differs from Math.log by ulps and would break the oracle hash
+    idf_rows = per_term.select(
+        "term", _idf(F.col("doc_freq"), F.lit(float(n_docs))).alias("idf")
+    ).collect()
+    idf = {r["term"]: r["idf"] for r in idf_rows}
+
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("term", T.StringType()),
+            T.StructField("rank", T.LongType()),
+            T.StructField("tfidf", T.DoubleType()),
+        ]
     )
+    pat = _re.compile(TOKEN_SPLIT_RE)
+
+    def score(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_term, out_rank, out_score = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [t for t in pat.split(text.lower()) if t]
+                if not toks:
+                    continue
+                top = sorted(
+                    ((tf * idf[t], t) for t, tf in Counter(toks).items()),
+                    key=lambda p: (-p[0], p[1]),
+                )[:k]
+                for i, (s, t) in enumerate(top):
+                    out_id.append(did)
+                    out_term.append(t)
+                    out_rank.append(i + 1)
+                    out_score.append(s)
+            yield pd.DataFrame(
+                {
+                    id_col: out_id,
+                    "term": out_term,
+                    "rank": out_rank,
+                    "tfidf": out_score,
+                }
+            )
+
+    src = df.select(id_col, text_col)
+    # A tiny input may arrive as fewer scan partitions than cores (locally:
+    # one file -> one task -> single-core Python). Fan the kernel out; at
+    # scale natural partitioning already exceeds cores and this is a no-op.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism // 4:
+        src = src.repartition(parallelism // 4)
+    return src.mapInPandas(score, schema)
 
 
 def vocabulary_stats_oracle_sql(table: str, id_col: str, text_col: str) -> str:
@@ -610,8 +677,6 @@ def unigram_logprob(text: Column) -> Column:
     count — one scan-side projection, zero exchanges, zero libm calls at
     query time."""
     toks = F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda x: x != "")
-    branches = None
-    logp = None
 
     def lookup(tok: Column) -> Column:
         expr = F.lit(OOV_LOGP)

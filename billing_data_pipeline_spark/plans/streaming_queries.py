@@ -215,7 +215,18 @@ def _stream_events_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0][0]
     )
     stream_dir = tempfile.mkdtemp(prefix="events_stream_flush_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    # COPY (not symlink) so the events file's mtime is ours to pin: the
+    # file source orders files by mtime, and a freshly regenerated
+    # events.parquet (mtime within ~20 s of now) would otherwise sort
+    # AFTER the past-dated sentinels — the sentinels then advance the
+    # watermark past max_ts+1h before any real event is read and the join
+    # drops every real row as late (ADVICE r2). Pinning all three mtimes
+    # relative to each other makes ordering environment-independent.
+    import shutil
+
+    shutil.copyfile(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    now = time.time()
+    os.utime(f"{stream_dir}/events.parquet", (now - 30, now - 30))
     ts_field = (
         pa.field("ts", pa.int64())
         if stored_long
@@ -231,7 +242,6 @@ def _stream_events_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
             pa.field("props", pa.string()),
         ]
     )
-    now = time.time()
     for i, hours in enumerate((3, 4)):
         us = max_us + hours * 3600 * 1_000_000
         ts_vals = [us * 1000] * 2 if stored_long else pa.array([us] * 2, pa.timestamp("us"))

@@ -28,6 +28,14 @@ without requiring a table format:
 At 100 TB the commit cost is the data write itself — the publish step is
 one metadata rename regardless of table size, and readers pay one
 small-file read to resolve the version.
+
+Concurrency contract: **single writer** (any number of readers). Commit and
+vacuum do an unlocked read-modify-write of the manifest, so two concurrent
+mutators can lose a commit record (last writer wins — data dirs are still
+protected by ``errorifexists``, but the orphaned commit becomes invisible).
+That matches the reference's single Dagster run-queue writer; a multi-writer
+deployment needs a lock (or conditional-PUT manifest swap) around the
+mutation, exactly as Delta/Iceberg take an object-store conditional write.
 """
 
 from __future__ import annotations
@@ -146,14 +154,18 @@ class SnapshotTable:
         oldest_retained = max(0, latest - keep + 1)
         needed_from = self._base_of(oldest_retained)
         published = {c["v"] for c in man["commits"]}
-        removed = []
-        for v in self.versions():
-            if v < needed_from or v not in published:
-                shutil.rmtree(self._vdir(v))
-                removed.append(v)
+        removed = [
+            v for v in self.versions() if v < needed_from or v not in published
+        ]
+        # Publish the pruned manifest BEFORE deleting data: a crash between
+        # the two steps then leaves only unreferenced orphan directories
+        # (harmless, re-collected by the next vacuum) — never manifest
+        # entries pointing at deleted dirs, which would break time travel.
         man["commits"] = [c for c in man["commits"] if c["v"] not in removed]
         fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_manifest_")
         with os.fdopen(fd, "w") as f:
             json.dump(man, f)
         os.replace(tmp, self._manifest)
+        for v in removed:
+            shutil.rmtree(self._vdir(v))
         return sorted(removed)

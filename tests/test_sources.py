@@ -358,6 +358,37 @@ def test_diff_snapshots_classifies_changes(spark):
     }  # k=3 unchanged -> absent
 
 
+def test_diff_snapshots_null_keys_classified_by_side(spark):
+    """NULL join keys never match (SQL join semantics), so a NULL-keyed row
+    appears once per side it exists on — and classification must follow the
+    SIDE (presence marker), not key nullness: old-only NULL-keyed rows are
+    deletes, new-only ones inserts. change_deltas then debits/credits the
+    right groups. (ADVICE r2: key-nullness classification read an old-only
+    NULL-keyed row as an 'insert' with NULL new columns.)"""
+    from billing_data_pipeline_spark.operators.cdc import (
+        change_deltas,
+        diff_snapshots,
+    )
+
+    old = spark.createDataFrame(
+        [(None, "g1", 5.0), (1, "g1", 1.0)], "k int, g string, x double"
+    )
+    new = spark.createDataFrame(
+        [(None, "g2", 7.0), (1, "g1", 1.0)], "k int, g string, x double"
+    )
+    changes = diff_snapshots(old, new, ["k"])
+    got = sorted(
+        (r["change"], r["old_x"], r["new_x"]) for r in changes.collect()
+    )
+    assert got == [("delete", 5.0, None), ("insert", None, 7.0)]
+
+    deltas = {
+        (r["g"], r["d_count"], r["d_measure"])
+        for r in change_deltas(changes, "g", "x").collect()
+    }
+    assert deltas == {("g1", -1, -5.0), ("g2", 1, 7.0)}
+
+
 def test_snapshot_schema_evolution_across_versions(spark, tmp_path):
     """Schema evolution across snapshot versions: a later commit may add
     columns; time travel returns each version's own schema, and a merged
