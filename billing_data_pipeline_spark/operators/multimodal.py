@@ -5,11 +5,14 @@ with typed metadata structs; decode / feature-extract / resize / frame-
 sample run as Arrow-batched ``mapInPandas`` stages so bytes never leave the
 executors and Python sees whole record batches, not rows.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so the
-decode kernel is gated: ``decode_media(..., fake=True)`` substitutes a
-deterministic metadata parser over our synthetic header layout, keeping the
-Spark-side plumbing — schema, batch iteration, partitioning — fully real
-and testable. Real codecs drop into ``_decode_real`` untouched.
+Pixel/sample-level codecs (PIL/ffmpeg/torchaudio) are NOT in this
+container, so the kernels are tiered: ``decode_media(..., fake=True)``
+parses our synthetic header layout (deterministic test fixture), while
+``fake=False`` runs REAL dependency-free decoders — BMP, PNG, and WAV
+header+layout parsing in ``_decode_real`` — over genuine format bytes.
+Heavier codecs drop into the same sniff table untouched. Either way the
+Spark-side plumbing — schema, Arrow batch iteration, partitioning — is
+identical and fully tested.
 
 Synthetic media header (16 bytes, big-endian): magic ``MM01`` + u32 width +
 u32 height + u32 n_frames, then payload bytes.
@@ -80,11 +83,77 @@ def _decode_fake(batch: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def _parse_bmp(content: bytes) -> tuple[int, int, int] | None:
+    """BMP (Windows DIB): 'BM' file header (14 B) + BITMAPINFOHEADER.
+    Width/height are little-endian i32 at offsets 18/22; height may be
+    negative for top-down rows. Single image -> n_frames=1."""
+    if len(content) < 26 or content[:2] != b"BM":
+        return None
+    dib_size = struct.unpack_from("<I", content, 14)[0]
+    if dib_size < 40 or len(content) < 14 + dib_size:
+        return None
+    w, h = struct.unpack_from("<ii", content, 18)
+    if w <= 0 or h == 0:
+        return None
+    return w, abs(h), 1
+
+
+def _parse_png(content: bytes) -> tuple[int, int, int] | None:
+    """PNG: 8-byte signature, then the IHDR chunk (must be first) carries
+    big-endian u32 width/height at offsets 16/20."""
+    if len(content) < 24 or content[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    if content[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack_from(">II", content, 16)
+    if not w or not h:
+        return None
+    return w, h, 1
+
+
+def _parse_wav(content: bytes) -> tuple[int, int, int] | None:
+    """WAV (RIFF): walk chunks for 'fmt ' (channels, sample rate, bits) and
+    'data' (payload size). Mapped into the decoded schema as width=sample
+    rate, height=channels, n_frames=samples per channel (audio 'frames')."""
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    pos, channels, rate, bits, data_len = 12, None, None, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        clen = struct.unpack_from("<I", content, pos + 4)[0]
+        if cid == b"fmt " and clen >= 16 and pos + 8 + 16 <= len(content):
+            channels, rate = struct.unpack_from("<HI", content, pos + 10)
+            bits = struct.unpack_from("<H", content, pos + 22)[0]
+        elif cid == b"data":
+            data_len = min(clen, len(content) - pos - 8)
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if not channels or not rate or not bits or data_len is None:
+        return None
+    n_frames = data_len // (channels * (bits // 8)) if bits >= 8 else 0
+    return rate, channels, n_frames
+
+
 def _decode_real(batch: pd.DataFrame) -> pd.DataFrame:
-    raise NotImplementedError(
-        "real media codecs (PIL/ffmpeg) are not available in this environment; "
-        "wire them here — same (pdf in) -> (pdf out) contract as _decode_fake"
-    )
+    """Dependency-free real decoders: BMP / PNG / WAV header+layout parsing
+    (pure byte arithmetic — no PIL/ffmpeg, which this container lacks).
+    Formats beyond these would slot into the same sniff table; unknown or
+    malformed blobs yield valid=false, never a job failure."""
+    rows = []
+    for _, r in batch.iterrows():
+        content = bytes(r["content"])
+        parsed = _parse_bmp(content) or _parse_png(content) or _parse_wav(content)
+        rows.append(
+            {
+                "media_id": r["media_id"],
+                "kind": r["kind"],
+                "n_bytes": len(content),
+                "width": parsed[0] if parsed else None,
+                "height": parsed[1] if parsed else None,
+                "n_frames": parsed[2] if parsed else None,
+                "valid": parsed is not None,
+            }
+        )
+    return pd.DataFrame(rows)
 
 
 def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:

