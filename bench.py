@@ -81,17 +81,52 @@ def main() -> None:
         total += best
         print(f"# {name}: {best:.3f}s ({rows} rows)", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # DuckDB co-measure (same parquet, same warm-session footing): per-query
+    # oracle seconds, so the round artifact carries a machine-readable
+    # Spark/DuckDB ratio instead of depending on PLANS.md prose. Disable
+    # with SPARK_GRAFT_NO_BASELINE=1.
+    baseline: dict[str, float] = {}
+    if not os.environ.get("SPARK_GRAFT_NO_BASELINE"):
+        try:
+            import duckdb
+
+            from billing_data_pipeline_spark.sources.tables import TABLES
+
+            con = duckdb.connect()
+            for tname in TABLES:
+                con.execute(
+                    f"CREATE VIEW {tname} AS"
+                    f" SELECT * FROM '{sf_dir}/{tname}.parquet'"
+                )
+            for name, spec in bench_specs.items():
+                if not spec.oracle:
+                    continue
+                try:
+                    con.execute(spec.oracle).fetchall()  # warm run
+                    best = float("inf")
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        con.execute(spec.oracle).fetchall()
+                        best = min(best, time.perf_counter() - t0)
+                    baseline[name] = round(best, 4)
+                except Exception:
+                    pass
+            con.close()
+        except Exception:
+            baseline = {}
+
+    out = {
+        "metric": "bench_total_sec",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if baseline:
+        out["baseline_engine"] = "duckdb"
+        out["baseline_queries"] = baseline
+        out["baseline_total_sec"] = round(sum(baseline.values()), 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -9,19 +9,17 @@ cluster split); transitive closure is the principled answer and needs an
 iterative fixpoint — the one genuinely non-single-pass operator in the
 dedup stack.
 
-Implementation: min-label propagation. Every node starts labeled with its
-own id; each round every node takes the min of its own label and its
-neighbors' labels; fixpoint = every node labeled with the min id of its
-component. Rounds = graph diameter — near-dup clusters are shallow (a
-handful of hops), so this converges in 2-4 rounds in practice. Each round
-is one join (labels into edges, shuffle on the node key) + one groupBy
-min; `localCheckpoint` truncates the growing lineage so round N's plan
-does not replay rounds 1..N-1. At 100 TB-with-long-chains scale the
-standard upgrade is alternating large-star/small-star (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14), which squares
-the label-jump distance per round (O(log n) rounds); the row-level
-operators (join + min-agg) are identical, so this module is the same plan
-shape with more rounds.
+Implementation: alternating large-star/small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14). Each round
+rewires edges toward neighborhood minima — large-star hangs every
+larger-than-center neighbor off the neighborhood min, small-star collapses
+the smaller neighbors — which squares the label-jump distance per round:
+O(log n) rounds on any topology, vs O(diameter) for plain min-label
+propagation (a 64-node chain converges in ~8 alternations instead of 63
+label hops — regression-tested). Each half-round is one groupBy(min) +
+one co-partitioned join on the node key over the CURRENT edge set (which
+only shrinks toward stars); `localCheckpoint` truncates the growing
+lineage so round N's plan does not replay rounds 1..N-1.
 
 Convergence detection is driver-side but O(1) data: labels only ever
 decrease, so SUM(label) is strictly decreasing until fixpoint and equal
@@ -38,32 +36,71 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _star_contract(edges: DataFrame, max_rounds: int) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star contraction. ``edges`` must be
+    canonical (a > b, no self-loops, distinct). Returns (star_edges,
+    rounds): star_edges is (a, b) with b = the component min for every
+    non-min node a. Empty input returns immediately."""
+    e = edges.localCheckpoint(eager=True)
+    prev_sig = None
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        # large-star: every neighbor v > u hangs off m = min(Γ(u) ∪ {u})
+        bidir = e.selectExpr("a AS u", "b AS v").unionByName(
+            e.selectExpr("b AS u", "a AS v")
+        )
+        m = bidir.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        e = (
+            bidir.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        # small-star: smaller neighbors (and u itself) collapse onto m
+        dm = e.groupBy("a").agg(F.min("b").alias("m"))
+        pairs = e.join(dm, "a")
+        e = (
+            pairs.filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(dm.select(F.col("a"), F.col("m").alias("b")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # edge set stable => star fixpoint; one scalar action per round
+        sig = tuple(
+            e.agg(
+                F.count(F.lit(1)), F.sum("a"), F.sum("b")
+            ).collect()[0]
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return e, rounds
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, id_col: str = "id", max_rounds: int = 25
 ) -> DataFrame:
     """(id) + undirected (src, dst) edges -> (id, component_id) where
     component_id = min node id reachable from id. Deterministic; singleton
-    nodes keep their own id."""
-    bidir = edges.selectExpr("src", "dst").unionByName(
-        edges.selectExpr("dst AS src", "src AS dst")
+    nodes keep their own id. O(log n) rounds via alternating stars (module
+    docstring)."""
+    canon = (
+        edges.select(
+            F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
     )
-    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    prev_sum = None
-    for _ in range(max_rounds):
-        msgs = bidir.join(labels, bidir.src == labels.id).select(
-            F.col("dst").alias("id"), "label"
-        )
-        labels = (
-            labels.unionByName(msgs)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return labels.select("id", F.col("label").alias("component_id"))
+    stars, _rounds = _star_contract(canon, max_rounds)
+    centers = stars.groupBy("a").agg(F.min("b").alias("component_id"))
+    return nodes.select(F.col(id_col).alias("id")).join(
+        centers, F.col("id") == F.col("a"), "left"
+    ).select(
+        "id", F.coalesce("component_id", F.col("id")).alias("component_id")
+    )
 
 
 def components_oracle_sql(nodes_sql: str, pairs_sql: str, id_col: str) -> str:

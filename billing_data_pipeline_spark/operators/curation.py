@@ -309,8 +309,20 @@ def decontaminate(
     never shuffled. The per-doc distinct() before the join dedups n-grams
     within a doc map-side, bounding join output at (doc, distinct-gram).
     """
-    ev = eval_set
-    ev_grams = _ngrams(ev, id_col, text_col, n).select("ngram").distinct()
+    ev_grams = (
+        _ngrams(eval_set, id_col, text_col, n).select("ngram").distinct()
+    )
+    # Gram generation is CPU-bound relative to input bytes (one interpreted
+    # HOF gram build per token): if the scan arrives in fewer partitions
+    # than cores (locally: one small file -> one task), fan out first so
+    # the gram pass parallelizes. At scale natural partitioning already
+    # exceeds cores and this is a no-op. (An explode_outer single-pass
+    # form that skips the rejoin measured 2x SLOWER here: outer generate
+    # drops out of whole-stage codegen and the per-doc agg then consumes
+    # every gram row instead of only the matches.)
+    parallelism = train.sparkSession.sparkContext.defaultParallelism
+    if train.rdd.getNumPartitions() < parallelism // 2:
+        train = train.repartition(parallelism // 2)
     tr_grams = _ngrams(train, id_col, text_col, n)
     hits = (
         tr_grams.join(F.broadcast(ev_grams), on="ngram", how="inner")

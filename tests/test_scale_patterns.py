@@ -268,12 +268,15 @@ def test_round2_plan_properties(spark):
     def plan_of(name):
         return cat[name].fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
 
-    # doc_freq comes from a broadcast grouped aggregate; the ONLY window
-    # is the per-doc rank (partitioned on the doc key)
+    # r3 two-pass form: the returned plan is the score pass — one Arrow
+    # kernel, NO windows, NO joins, NO hash exchange (the vocab pass ran
+    # as its own vocab-sized job at build time); the term-partition window
+    # skew trap must never come back
     p = plan_of("doc_top_terms_tfidf")
-    assert p.count("Window [") == 1  # WindowGroupLimit pushdown rides along
+    assert "MapInPandas" in p
+    assert "Window" not in p
     assert "windowspecdefinition(term" not in p
-    assert "BroadcastExchange" in p
+    assert "Exchange hashpartitioning" not in p
 
     # per-row HOF stats: zero exchanges of any kind
     p = plan_of("doc_repetition_stats")
@@ -554,3 +557,37 @@ def test_stride_seeding_never_collects_the_corpus(spark, monkeypatch):
     # every stride-th id by sort order: 0, 200, 400, ...
     assert [r["vec_id"] for r in seeds] == [i * 200 for i in range(16)]
     assert sizes and max(sizes) <= 16, f"driver collects of sizes {sizes}"
+
+
+def test_text_neardup_recall_floors(spark):
+    """Text near-dup tiers vs the EXACT 3-gram Jaccard truth
+    (ngram_jaccard_pairs, >= 0.5) at sf0.01 — the text twin of the ANN
+    recall floors. MinHash-LSH approximates exactly this measure, so its
+    floor is tight (measured 1.0 on both hash tiers). SimHash targets a
+    different, much stricter criterion (Hamming<=3 of 64 bit-votes ~
+    near-identical token multisets), so against the Jaccard truth it
+    legitimately recalls only the closest pairs (measured 0.24/0.16);
+    its floor here guards collapse, while its banding-vs-brute exactness
+    is asserted in test_operators (pigeonhole recall 1.0 on its own
+    criterion)."""
+    from billing_data_pipeline_spark.registry import load_catalog
+
+    cat = load_catalog()
+    sf = "/root/testdata/sf0.01"
+
+    def pairset(name):
+        return {
+            (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+            for r in cat[name].fn(spark, sf).collect()
+        }
+
+    truth = pairset("ngram_jaccard_pairs")
+    assert truth
+    for name, floor in (
+        ("minhash_neardup_pairs_portable", 0.9),
+        ("minhash_neardup_pairs", 0.9),
+        ("simhash_neardup_pairs_portable", 0.12),
+        ("simhash_neardup_pairs", 0.1),
+    ):
+        recall = len(truth & pairset(name)) / len(truth)
+        assert recall >= floor, f"{name} recall {recall:.2f} < {floor}"
