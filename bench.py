@@ -66,13 +66,13 @@ def main() -> None:
                 spec.fn(spark, warm_dir).count()
             except Exception:
                 pass
-        # best-of-2 timed runs: single-shot numbers at these (sub-second)
-        # magnitudes carry ±0.2 s of GC/JIT/scheduler noise per query,
-        # which dominates round-over-round comparisons; the min of two
+        # best-of-3 timed runs: single-shot numbers at these (sub-second)
+        # magnitudes carry ±0.2-0.5 s of GC/JIT/scheduler noise per query,
+        # which dominates round-over-round comparisons; the min of three
         # warm runs measures the plan, not the jitter.
         best = float("inf")
         rows = 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             rows = df.count()

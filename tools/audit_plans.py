@@ -84,16 +84,22 @@ def bench_compare(sf_dir: str) -> None:
     for name, spec in sorted(cat.items()):
         if not spec.bench:
             continue
+        # min-of-3 warm runs on BOTH engines: single-shot sub-second
+        # numbers carry ±0.2-0.5 s of scheduler/GC noise
         spec.fn(spark, sf_dir).count()
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).count()
-        s = time.perf_counter() - t0
+        s = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).count()
+            s = min(s, time.perf_counter() - t0)
         tot_s += s
         if spec.oracle:
             con.execute(spec.oracle).fetchall()
-            t0 = time.perf_counter()
-            con.execute(spec.oracle).fetchall()
-            d = time.perf_counter() - t0
+            d = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(spec.oracle).fetchall()
+                d = min(d, time.perf_counter() - t0)
             tot_d += d
             print(f"| `{name}` | {s:.2f} | {d:.2f} | {s / d:.1f}× |")
         else:

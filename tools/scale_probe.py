@@ -42,6 +42,8 @@ PROBE_QUERIES = (
     "shipping_priority",
     "price_quantity_regression",  # power sums: pure map-side combine
     "returnflag_multiset_ops",    # EXCEPT/INTERSECT ALL rewrite
+    "doc_top_terms_tfidf",        # vocab job + exchange-free Arrow kernel
+    "decontaminate_ngram",        # broadcast eval grams, train never shuffled
 )
 
 
@@ -50,19 +52,21 @@ def build_scaled_dir(spark, mult: int, base: str, root: str) -> str:
     symlinked to the originals."""
     out = os.path.join(root, f"x{mult}")
     os.makedirs(out, exist_ok=True)
+    scale_keys = {"lineitem": "l_orderkey", "documents": "doc_id"}
     for t in TABLES:
-        if t != "lineitem":
+        if t not in scale_keys:
             os.symlink(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
-    li = spark.read.parquet(f"{base}/lineitem.parquet")
-    max_key = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
-    copies = [
-        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * max_key))
-        for i in range(mult)
-    ]
-    scaled = copies[0]
-    for c in copies[1:]:
-        scaled = scaled.unionByName(c)
-    scaled.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    for t, key in scale_keys.items():
+        df = spark.read.parquet(f"{base}/{t}.parquet")
+        max_key = df.agg(F.max(key)).collect()[0][0] + 1
+        copies = [
+            df.withColumn(key, F.col(key) + F.lit(i * max_key))
+            for i in range(mult)
+        ]
+        scaled = copies[0]
+        for c in copies[1:]:
+            scaled = scaled.unionByName(c)
+        scaled.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
     return out
 
 
