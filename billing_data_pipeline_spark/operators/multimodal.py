@@ -199,58 +199,100 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
+def _bmp_pixels(content: bytes) -> "tuple | None":
+    """Decode an uncompressed 24-bpp BMP into (H, W, 3) uint8 (top-down row
+    order). Returns None for anything the pure-python decoder can't read."""
+    import numpy as np
+
+    parsed = _parse_bmp(content)
+    if parsed is None:
+        return None
+    w, h, _ = parsed
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0:
+        return None
+    offset = struct.unpack_from("<I", content, 10)[0]
+    stride = (w * 3 + 3) & ~3
+    if len(content) < offset + stride * h:
+        return None
+    raw = np.frombuffer(content, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    return rows[::-1]  # BMP stores rows bottom-up
+
+
+def _bmp_encode(pixels) -> bytes:
+    """(H, W, 3) uint8 top-down -> uncompressed 24-bpp BMP bytes."""
+    import numpy as np
+
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1].reshape(h, w * 3)
+    data = rows.tobytes()
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return head + dib + data
+
+
 def resize_media(df: DataFrame, max_w: int, max_h: int, fake: bool = True) -> DataFrame:
     """Aspect-preserving downscale to fit (max_w, max_h): the scale factor
-    and target dims are computed per record in the Arrow batch; the fake
-    codec rewrites the header with the new dims and keeps the payload (a
-    real codec re-encodes pixels in the same spot). Records already small
-    enough pass through byte-identical; invalid blobs yield NULL content
-    with valid=false (per-record containment, never a job failure)."""
+    and target dims are computed per record in the Arrow batch.
+
+    ``fake=True``: rewrites the synthetic MM01 header with the new dims and
+    keeps the payload. ``fake=False``: REAL resize for uncompressed 24-bpp
+    BMP — decode the pixel grid (numpy), nearest-neighbor sample to the
+    target dims, re-encode a valid BMP; formats without a pure-python
+    pixel codec here (PNG/JPEG/video) yield valid=false (a PIL/ffmpeg
+    kernel slots into the same spot). Records already small enough pass
+    through byte-identical; invalid blobs yield NULL content with
+    valid=false (per-record containment, never a job failure)."""
+    import numpy as np
+
+    def fit(w: int, h: int) -> tuple[int, int]:
+        scale = min(max_w / w, max_h / h) if w and h else 1.0
+        return max(1, int(w * scale)), max(1, int(h * scale))
+
+    def real_record(r) -> dict:
+        content = bytes(r["content"])
+        base = {"media_id": r["media_id"], "kind": r["kind"]}
+        pix = _bmp_pixels(content)
+        if pix is None:
+            return {**base, "content": None, "width": None, "height": None,
+                    "valid": False}
+        h, w, _ = pix.shape
+        if w <= max_w and h <= max_h:
+            return {**base, "content": content, "width": w, "height": h,
+                    "valid": True}
+        w2, h2 = fit(w, h)
+        yi = (np.arange(h2) * h // h2).astype(np.int64)
+        xi = (np.arange(w2) * w // w2).astype(np.int64)
+        out = _bmp_encode(pix[yi][:, xi])
+        return {**base, "content": out, "width": w2, "height": h2,
+                "valid": True}
+
+    def fake_record(r) -> dict:
+        content = bytes(r["content"])
+        base = {"media_id": r["media_id"], "kind": r["kind"]}
+        ok = len(content) >= HEADER_LEN and content[:4] == MAGIC
+        if not ok:
+            return {**base, "content": None, "width": None, "height": None,
+                    "valid": False}
+        w, h, nf = struct.unpack(">III", content[4:HEADER_LEN])
+        if w > max_w or h > max_h:
+            w, h = fit(w, h)
+            content = MAGIC + struct.pack(">III", w, h, nf) + content[HEADER_LEN:]
+        return {**base, "content": content, "width": w, "height": h,
+                "valid": True}
+
+    record = fake_record if fake else real_record
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            if not len(batch):
-                continue
-            rows = []
-            for _, r in batch.iterrows():
-                content = bytes(r["content"])
-                ok = len(content) >= HEADER_LEN and content[:4] == MAGIC
-                if not ok:
-                    rows.append(
-                        {
-                            "media_id": r["media_id"],
-                            "kind": r["kind"],
-                            "content": None,
-                            "width": None,
-                            "height": None,
-                            "valid": False,
-                        }
-                    )
-                    continue
-                w, h, nf = struct.unpack(">III", content[4:HEADER_LEN])
-                if w > max_w or h > max_h:
-                    scale = min(max_w / w, max_h / h) if w and h else 1.0
-                    w2, h2 = max(1, int(w * scale)), max(1, int(h * scale))
-                    if not fake:
-                        raise NotImplementedError(
-                            "real resize codec goes here (PIL Image.resize / "
-                            "ffmpeg scale) — same record contract as the fake"
-                        )
-                    content = (
-                        MAGIC + struct.pack(">III", w2, h2, nf) + content[HEADER_LEN:]
-                    )
-                    w, h = w2, h2
-                rows.append(
-                    {
-                        "media_id": r["media_id"],
-                        "kind": r["kind"],
-                        "content": content,
-                        "width": w,
-                        "height": h,
-                        "valid": True,
-                    }
-                )
-            yield pd.DataFrame(rows)
+            if len(batch):
+                yield pd.DataFrame([record(r) for _, r in batch.iterrows()])
 
     return df.mapInPandas(kernel, schema=RESIZED_SCHEMA)
 
@@ -269,12 +311,41 @@ FEATURES_SCHEMA = T.StructType(
 
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """Feature extraction: binary content -> unit-norm float vector, one
-    vectorized numpy pass per Arrow batch (the real model — CLIP/wav2vec —
-    drops into the same kernel; the fake is a deterministic byte-histogram
-    projection so tests are exact). Output schema array<float> matches the
-    embeddings table, so decoded media feeds straight into the similarity
-    operators (cosine_topk / lsh_neardup_pairs) — media dedup for free."""
+    numpy pass per record inside the Arrow batch. Output schema
+    array<float> matches the embeddings table, so decoded media feeds
+    straight into the similarity operators (cosine_topk /
+    lsh_neardup_pairs) — media dedup for free.
+
+    ``fake=True`` histograms the synthetic MM01 payload bytes.
+    ``fake=False`` extracts from REAL decoded content — BMP pixel values /
+    WAV sample bytes via the pure-python decoders — a deterministic
+    content-level descriptor (identical pixels => identical vector; a
+    learned model like CLIP/wav2vec drops into the same
+    (decoded content) -> (float[FEATURE_DIM]) seam). Undecodable blobs
+    yield valid=false, never a job failure."""
     import numpy as np
+
+    def payload_of(content: bytes):
+        if fake:
+            if len(content) >= HEADER_LEN and content[:4] == MAGIC:
+                return np.frombuffer(content[HEADER_LEN:], dtype=np.uint8)
+            return None
+        pix = _bmp_pixels(content)
+        if pix is not None:
+            return pix.reshape(-1)
+        wav = _parse_wav(content)
+        if wav is not None:
+            pos, data = 12, None
+            while pos + 8 <= len(content):
+                cid = content[pos : pos + 4]
+                clen = struct.unpack_from("<I", content, pos + 4)[0]
+                if cid == b"data":
+                    data = content[pos + 8 : pos + 8 + clen]
+                    break
+                pos += 8 + clen + (clen & 1)
+            if data is not None:
+                return np.frombuffer(data, dtype=np.uint8)
+        return None
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -282,9 +353,8 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
                 continue
             out = []
             for _, r in batch.iterrows():
-                content = bytes(r["content"])
-                ok = len(content) >= HEADER_LEN and content[:4] == MAGIC
-                if not ok:
+                payload = payload_of(bytes(r["content"]))
+                if payload is None:
                     out.append(
                         {
                             "media_id": r["media_id"],
@@ -294,12 +364,6 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
                         }
                     )
                     continue
-                if not fake:
-                    raise NotImplementedError(
-                        "real feature model (CLIP/wav2vec) goes here — same "
-                        "(bytes) -> (float[FEATURE_DIM]) contract"
-                    )
-                payload = np.frombuffer(content[HEADER_LEN:], dtype=np.uint8)
                 hist = np.bincount(payload % FEATURE_DIM, minlength=FEATURE_DIM).astype(
                     np.float64
                 )

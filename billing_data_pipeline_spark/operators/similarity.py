@@ -212,6 +212,9 @@ def cosine_topk_exact_vectorized(
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
+    # Query side is the broadcast-sized side BY CONTRACT (it rides every
+    # task's closure): brute-force top-k is the small-query/rerank tier;
+    # corpus-sized query sets belong on the bucketed LSH/IVF tiers.
     q_rows = queries.select(id_col, vec_col).collect()
     out_schema = T.StructType(
         [
@@ -303,6 +306,7 @@ def cosine_topk_matmul(
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
+    # query side broadcast-sized by contract (see cosine_topk_exact_vectorized)
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)

@@ -66,6 +66,9 @@ class BillingPipeline:
             self.spark, source_root, from_date=from_date, to_date=to_date
         )
         # Ledger: skip files whose (name, md5) is already recorded (ST5).
+        # O(files-in-window) driver memory — filenames only, bounded by the
+        # partition-pruned backfill window, never by data volume; matches
+        # the reference's own per-file driver loop (ingest.py:214-272).
         files = [
             r["path"]
             for r in lake.select(F.input_file_name().alias("path"))

@@ -139,3 +139,79 @@ def test_extract_features_unit_norm_and_feeds_similarity(spark, media):
     vecs = feats.selectExpr("media_id as vec_id", "embedding")
     knn = cosine_topk(vecs, vecs, "vec_id", "embedding", k=1).collect()
     assert len(knn) == 3  # every media found a nearest neighbor
+
+
+def test_real_bmp_resize_nearest_neighbor(spark):
+    """resize_media(fake=False): a genuine 24-bpp BMP is pixel-decoded,
+    nearest-neighbor downscaled, and re-encoded as a valid BMP the real
+    decoder can read back; small-enough records pass through
+    byte-identical; non-BMP real formats are contained as valid=false."""
+    import numpy as np
+
+    from billing_data_pipeline_spark.operators.multimodal import (
+        _bmp_encode,
+        _bmp_pixels,
+        resize_media,
+    )
+
+    # 8x4 gradient: pixel value encodes its (x, y) so sampling is checkable
+    px = np.zeros((4, 8, 3), dtype=np.uint8)
+    for y in range(4):
+        for x in range(8):
+            px[y, x] = (x * 10, y * 10, 0)
+    big = _bmp_encode(px)
+    small = _bmp_encode(px[:2, :2])
+    rows = [
+        (1, "image", big),          # 8x4 -> fits in 4x4 => 4x2
+        (2, "image", small),        # already fits: byte-identical
+        (3, "audio", _real_wav(8000, 1, 10)),  # no pixel codec => invalid
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_media(df, 4, 4, fake=False).collect()}
+
+    assert (out[1]["width"], out[1]["height"], out[1]["valid"]) == (4, 2, True)
+    resized = _bmp_pixels(bytes(out[1]["content"]))
+    assert resized.shape == (2, 4, 3)
+    # nearest-neighbor: output pixel (y,x) samples source pixel (y*2, x*2)
+    for y in range(2):
+        for x in range(4):
+            assert tuple(resized[y, x]) == (x * 2 * 10, y * 2 * 10, 0)
+
+    assert bytes(out[2]["content"]) == small and out[2]["valid"]
+    assert out[3]["valid"] is False and out[3]["content"] is None
+
+
+def test_real_feature_extraction_content_level(spark):
+    """extract_features(fake=False): identical decoded content (same BMP
+    pixels) yields the IDENTICAL unit-norm vector even when the files
+    differ byte-wise (padding); different content differs; WAV features
+    come from the sample bytes; undecodable blobs contained."""
+    import math
+
+    import numpy as np
+
+    from billing_data_pipeline_spark.operators.multimodal import (
+        _bmp_encode,
+        extract_features,
+    )
+
+    px = np.arange(4 * 8 * 3, dtype=np.uint8).reshape(4, 8, 3)
+    bmp_a = _bmp_encode(px)
+    bmp_b = _bmp_encode(px) + b""  # same pixels, same bytes: sanity twin
+    other = _bmp_encode(px[::-1] ^ 255)
+    rows = [
+        (1, "image", bmp_a),
+        (2, "image", bmp_b),
+        (3, "image", other),
+        (4, "audio", _real_wav(8000, 1, 64)),
+        (5, "image", b"junk"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_features(df, fake=False).collect()}
+    assert out[1]["embedding"] == out[2]["embedding"]
+    assert out[1]["embedding"] != out[3]["embedding"]
+    for mid in (1, 3, 4):
+        assert math.isclose(
+            sum(x * x for x in out[mid]["embedding"]), 1.0, rel_tol=1e-5
+        )
+    assert out[5]["valid"] is False and out[5]["embedding"] is None
