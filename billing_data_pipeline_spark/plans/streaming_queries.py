@@ -150,6 +150,58 @@ def streaming_tumbling_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_catchup",
+    tags=("streaming", "dedup", "true-stream"),
+    oracle="""
+SELECT event_id, user_id, event_type
+FROM events
+""",
+)
+def streaming_dedup_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming dedup under re-delivery: the events file is delivered
+    TWICE (two paths, one micro-batch each via maxFilesPerTrigger=1 — the
+    at-least-once replay every file/queue source exhibits), and
+    ``dropDuplicatesWithinWatermark(event_id)`` collapses the second
+    delivery: in-horizon replays hit dedup state, out-of-horizon replays
+    are dropped as late — either way each event emits exactly once, which
+    is what the plain-SELECT oracle asserts. State is bounded by the
+    watermark horizon, never by stream length (the reference's run-key
+    idempotency ST4, as a streaming-native operator)."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from ..streaming.event_windows import run_to_memory, streaming_dedup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stored_long = isinstance(
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType,
+        T.LongType,
+    )
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_dup_")
+    for name in ("events.parquet", "events_redelivered.parquet"):
+        os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/{name}")
+    decl = _STREAM_EVENTS_SCHEMA.format(
+        ts_type="long" if stored_long else "timestamp_ntz"
+    )
+    raw = (
+        spark.readStream.schema(decl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    if stored_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = streaming_dedup(raw, ["event_id"], watermark="2 days").select(
+        "event_id", "user_id", "event_type"
+    )
+    return run_to_memory(deduped, f"sdedup_{uuid.uuid4().hex[:8]}", "append")
+
+
+@register(
     "streaming_interval_join_catchup",
     tags=("streaming", "join", "true-stream"),
     oracle=f"""

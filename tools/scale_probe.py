@@ -44,6 +44,9 @@ PROBE_QUERIES = (
     "returnflag_multiset_ops",    # EXCEPT/INTERSECT ALL rewrite
     "doc_top_terms_tfidf",        # vocab job + exchange-free Arrow kernel
     "decontaminate_ngram",        # broadcast eval grams, train never shuffled
+    "latest_event_per_user",      # QUALIFY dedup window over events
+    "purchase_last_click_asof",   # as-of join, user-key exchange
+    "exact_dedup_docs",           # md5 groupBy dedup
 )
 
 
@@ -52,7 +55,11 @@ def build_scaled_dir(spark, mult: int, base: str, root: str) -> str:
     symlinked to the originals."""
     out = os.path.join(root, f"x{mult}")
     os.makedirs(out, exist_ok=True)
-    scale_keys = {"lineitem": "l_orderkey", "documents": "doc_id"}
+    scale_keys = {
+        "lineitem": "l_orderkey",
+        "documents": "doc_id",
+        "events": "event_id",
+    }
     for t in TABLES:
         if t not in scale_keys:
             os.symlink(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
