@@ -137,6 +137,65 @@ def segment_dedup(
     return _reassemble(segs.withColumn("_kept", kept), id_col)
 
 
+def boilerplate_strip(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg: int = 10,
+    max_df: int = 1,
+) -> DataFrame:
+    """C4-style boilerplate removal: drop every segment whose corpus-wide
+    document frequency exceeds ``max_df`` — from EVERY document, including
+    the first (unlike ``segment_dedup``'s keep-first rule, which preserves
+    one canonical copy). Returns the same (id, n_segments, segments_kept,
+    clean_text) shape.
+
+    Scale shape: segment doc-frequency is a groupBy over the 16-byte hash
+    whose two-phase distinct aggregate collapses duplicates map-side (no
+    unsplittable window partition — a segment repeated billions of times
+    is pre-aggregated before the exchange, and the join-back is an
+    equi-join AQE can skew-split); then one per-doc regroup. Nothing ever
+    shuffles document text except the surviving segments themselves."""
+    segs = chunk_tokens(df, id_col, text_col, chunk=seg, stride=seg)
+    keyed = segs.withColumn("_h", F.md5(F.col("chunk_text")))
+    docfreq = keyed.groupBy("_h").agg(
+        F.count_distinct(F.col(id_col)).alias("_df")
+    )
+    flagged = keyed.join(docfreq, on="_h", how="inner").withColumn(
+        "_kept", F.col("_df") <= max_df
+    )
+    return _reassemble(flagged, id_col)
+
+
+def boilerplate_strip_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg: int = 10,
+    max_df: int = 1,
+) -> str:
+    """DuckDB twin of boilerplate_strip."""
+    segs = chunk_tokens_oracle_sql(table, id_col, text_col, seg, seg)
+    return f"""
+WITH segs AS ({segs}),
+dfreq AS (
+    SELECT md5(chunk_text) AS h, COUNT(DISTINCT {id_col}) AS d
+    FROM segs GROUP BY 1
+),
+flagged AS (
+    SELECT s.{id_col}, s.chunk_idx, s.chunk_text, f.d <= {max_df} AS kept
+    FROM segs s JOIN dfreq f ON md5(s.chunk_text) = f.h
+)
+SELECT {id_col},
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS segments_kept,
+       COALESCE(string_agg(CASE WHEN kept THEN chunk_text END, ' '
+                           ORDER BY chunk_idx), '') AS clean_text
+FROM flagged
+GROUP BY {id_col}
+"""
+
+
 def _reassemble(flagged: DataFrame, id_col: str) -> DataFrame:
     """Per-doc rollup shared by both segment_dedup forms."""
     return (

@@ -376,6 +376,102 @@ def _seq_cosine_matrix(V, Vn, C, Cn):
     return S / (Vn[:, None] * Cn[None, :])
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-space decontamination: flag every corpus vector whose max
+    cosine similarity to ANY eval-set vector reaches ``threshold`` — the
+    semantic twin of the n-gram `decontaminate` (catches paraphrased /
+    reformatted benchmark leakage that exact n-grams miss).
+
+    Scale shape: the eval matrix rides the task closure (benchmarks are
+    KBs–MBs against a 100 TB corpus — same contract as the broadcast
+    n-gram set), so the whole pass is ONE exchange-free corpus-linear
+    mapInPandas scan; each Arrow batch does a vectorized (batch × eval)
+    similarity block. max() over doubles is order-independent, and every
+    dot uses the dim-sequential fold, so the result is bit-identical to
+    the DuckDB cross-join oracle."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    e_rows = eval_set.select(id_col, vec_col).orderBy(id_col).collect()
+    E = np.array([[float(x) for x in r[1]] for r in e_rows], dtype=np.float64)
+    En = _seq_norms(E) if len(e_rows) else None
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("max_eval_sim", T.DoubleType()),
+            T.StructField("contaminated", T.BooleanType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            if En is None:
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "max_eval_sim": np.full(len(ids), np.nan),
+                        "contaminated": np.zeros(len(ids), dtype=bool),
+                    }
+                )
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            S = _seq_cosine_matrix(V, _seq_norms(V), E, En)
+            mx = S.max(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "max_eval_sim": mx,
+                    "contaminated": mx >= threshold,
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
+def semantic_decontaminate_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    eval_pred: str,
+    threshold: str,
+) -> str:
+    """DuckDB twin: cross join corpus × eval, dim-sequential cosine fold,
+    MAX per corpus id. ``threshold`` must be passed as a string literal to
+    be CAST AS DOUBLE (a bare decimal would compare as DECIMAL)."""
+    dot = (
+        "list_reduce(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+    d_tc = dot.format(a="tr.v", b="ev.v")
+    d_tt = dot.format(a="tr.v", b="tr.v")
+    d_cc = dot.format(a="ev.v", b="ev.v")
+    return f"""
+WITH ev AS (SELECT {vec_col} AS v FROM {table} WHERE {eval_pred}),
+tr AS (SELECT {id_col}, {vec_col} AS v FROM {table} WHERE NOT ({eval_pred}))
+SELECT tr.{id_col},
+       MAX({d_tc} / (sqrt({d_tt}) * sqrt({d_cc}))) AS max_eval_sim,
+       MAX({d_tc} / (sqrt({d_tt}) * sqrt({d_cc}))) >= CAST('{threshold}' AS DOUBLE)
+           AS contaminated
+FROM tr, ev
+GROUP BY tr.{id_col}
+"""
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

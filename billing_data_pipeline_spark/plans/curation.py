@@ -75,6 +75,21 @@ def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.segment_dedup(t(spark, sf_dir, "documents"), "doc_id", "text", seg=10)
 
 
+@register(
+    "boilerplate_strip_docs",
+    tags=("ext", "curation", "dedup"),
+    oracle=C.boilerplate_strip_sql("documents", "doc_id", "text", 10, 1),
+)
+def boilerplate_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal: 10-token segments whose corpus
+    document-frequency exceeds 1 are stripped from EVERY document
+    (segment_dedup keeps one canonical copy; this keeps none). Map-side
+    pre-aggregated doc-frequency — no unsplittable hot-segment window."""
+    return C.boilerplate_strip(
+        t(spark, sf_dir, "documents"), "doc_id", "text", seg=10, max_df=1
+    )
+
+
 _DECON_N = 5
 
 

@@ -233,6 +233,25 @@ def simhash_neardup_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "decontaminate_embedding",
+    tags=("ext", "curation", "dedup", "similarity"),
+    oracle=S.semantic_decontaminate_oracle_sql(
+        "embeddings", "vec_id", "embedding", "vec_id % 20 = 0", "0.4"
+    ),
+)
+def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: flag corpus vectors within cosine 0.4 of
+    any held-out eval vector (vec_id % 20 == 0) — catches paraphrased
+    benchmark leakage that exact n-gram decontamination misses. Eval
+    matrix rides the closure; one exchange-free corpus-linear Arrow pass,
+    bit-identical to the cross-join oracle via the dim-sequential fold."""
+    emb = t(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 20 == 0)
+    tr = emb.filter(F.col("vec_id") % 20 != 0)
+    return S.semantic_decontaminate(tr, ev, "vec_id", "embedding", 0.4)
+
+
+@register(
     "embedding_neardup_pairs",
     tags=("ext", "dedup", "similarity"),
     oracle=S.neardup_pairs_oracle_sql("embeddings", "vec_id", "embedding", 0.4),
