@@ -235,6 +235,7 @@ def simhash_neardup_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "decontaminate_embedding",
     tags=("ext", "curation", "dedup", "similarity"),
+    bench=True,
     oracle=S.semantic_decontaminate_oracle_sql(
         "embeddings", "vec_id", "embedding", "vec_id % 20 = 0", "0.4"
     ),
