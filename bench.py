@@ -86,6 +86,7 @@ def main() -> None:
     # Spark/DuckDB ratio instead of depending on PLANS.md prose. Disable
     # with SPARK_GRAFT_NO_BASELINE=1.
     baseline: dict[str, float] = {}
+    baseline_errors: list[str] = []
     if not os.environ.get("SPARK_GRAFT_NO_BASELINE"):
         try:
             import duckdb
@@ -110,7 +111,9 @@ def main() -> None:
                         best = min(best, time.perf_counter() - t0)
                     baseline[name] = round(best, 4)
                 except Exception:
-                    pass
+                    # surfaced in the artifact: a dropped query must not
+                    # silently shrink the baseline the totals compare against
+                    baseline_errors.append(name)
             con.close()
         except Exception:
             baseline = {}
@@ -126,6 +129,8 @@ def main() -> None:
         out["baseline_engine"] = "duckdb"
         out["baseline_queries"] = baseline
         out["baseline_total_sec"] = round(sum(baseline.values()), 4)
+        if baseline_errors:
+            out["baseline_errors"] = baseline_errors
     print(json.dumps(out))
 
 

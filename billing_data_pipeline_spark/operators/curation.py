@@ -153,16 +153,21 @@ def boilerplate_strip(
     Scale shape: segment doc-frequency is a groupBy over the 16-byte hash
     whose two-phase distinct aggregate collapses duplicates map-side (no
     unsplittable window partition — a segment repeated billions of times
-    is pre-aggregated before the exchange, and the join-back is an
-    equi-join AQE can skew-split); then one per-doc regroup. Nothing ever
-    shuffles document text except the surviving segments themselves."""
+    is pre-aggregated before the exchange). The join-back carries ONLY
+    the boilerplate hashes (docfreq filtered to _df > max_df BEFORE the
+    join — the offending set, typically tiny and broadcastable; kept =
+    no match), so document text never shuffles for the dedup decision;
+    then one per-doc regroup."""
     segs = chunk_tokens(df, id_col, text_col, chunk=seg, stride=seg)
     keyed = segs.withColumn("_h", F.md5(F.col("chunk_text")))
-    docfreq = keyed.groupBy("_h").agg(
-        F.count_distinct(F.col(id_col)).alias("_df")
+    boiler = (
+        keyed.groupBy("_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("_h", F.lit(True).alias("_boiler"))
     )
-    flagged = keyed.join(docfreq, on="_h", how="inner").withColumn(
-        "_kept", F.col("_df") <= max_df
+    flagged = keyed.join(boiler, on="_h", how="left").withColumn(
+        "_kept", F.col("_boiler").isNull()
     )
     return _reassemble(flagged, id_col)
 
@@ -379,9 +384,9 @@ def decontaminate(
     # form that skips the rejoin measured 2x SLOWER here: outer generate
     # drops out of whole-stage codegen and the per-doc agg then consumes
     # every gram row instead of only the matches.)
-    parallelism = train.sparkSession.sparkContext.defaultParallelism
-    if train.rdd.getNumPartitions() < parallelism // 2:
-        train = train.repartition(parallelism // 2)
+    from ..session import fan_out
+
+    train = fan_out(train, divisor=2)
     tr_grams = _ngrams(train, id_col, text_col, n)
     hits = (
         tr_grams.join(F.broadcast(ev_grams), on="ngram", how="inner")

@@ -218,7 +218,9 @@ def _bmp_pixels(content: bytes) -> "tuple | None":
         return None
     raw = np.frombuffer(content, dtype=np.uint8, count=stride * h, offset=offset)
     rows = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-    return rows[::-1]  # BMP stores rows bottom-up
+    # positive stored height = bottom-up rows; negative = already top-down
+    raw_h = struct.unpack_from("<i", content, 22)[0]
+    return rows[::-1] if raw_h > 0 else rows
 
 
 def _bmp_encode(pixels) -> bytes:
@@ -244,10 +246,11 @@ def resize_media(df: DataFrame, max_w: int, max_h: int, fake: bool = True) -> Da
     ``fake=True``: rewrites the synthetic MM01 header with the new dims and
     keeps the payload. ``fake=False``: REAL resize for uncompressed 24-bpp
     BMP — decode the pixel grid (numpy), nearest-neighbor sample to the
-    target dims, re-encode a valid BMP; formats without a pure-python
-    pixel codec here (PNG/JPEG/video) yield valid=false (a PIL/ffmpeg
-    kernel slots into the same spot). Records already small enough pass
-    through byte-identical; invalid blobs yield NULL content with
+    target dims, re-encode a valid BMP. Records already small enough pass
+    through byte-identical, including decodable-but-not-resizable formats
+    (an in-bounds PNG; audio, which has no pixel grid to bound); ONLY a
+    required resize without a pixel codec (oversized PNG/JPEG/video — the
+    PIL/ffmpeg seam) or an undecodable blob yields NULL content with
     valid=false (per-record containment, never a job failure)."""
     import numpy as np
 
@@ -259,19 +262,33 @@ def resize_media(df: DataFrame, max_w: int, max_h: int, fake: bool = True) -> Da
         content = bytes(r["content"])
         base = {"media_id": r["media_id"], "kind": r["kind"]}
         pix = _bmp_pixels(content)
-        if pix is None:
+        if pix is not None:
+            h, w, _ = pix.shape
+            if w <= max_w and h <= max_h:
+                return {**base, "content": content, "width": w, "height": h,
+                        "valid": True}
+            w2, h2 = fit(w, h)
+            yi = (np.arange(h2) * h // h2).astype(np.int64)
+            xi = (np.arange(w2) * w // w2).astype(np.int64)
+            out = _bmp_encode(pix[yi][:, xi])
+            return {**base, "content": out, "width": w2, "height": h2,
+                    "valid": True}
+        # Decodable-but-not-resizable formats: pass through when no resize
+        # is needed (PNG within bounds; audio has no pixel grid to bound);
+        # only a REQUIRED resize without a pixel codec is a failure.
+        png = _parse_png(content)
+        if png is not None:
+            w, h, _ = png
+            if w <= max_w and h <= max_h:
+                return {**base, "content": content, "width": w, "height": h,
+                        "valid": True}
             return {**base, "content": None, "width": None, "height": None,
                     "valid": False}
-        h, w, _ = pix.shape
-        if w <= max_w and h <= max_h:
-            return {**base, "content": content, "width": w, "height": h,
+        if _parse_wav(content) is not None:
+            return {**base, "content": content, "width": None, "height": None,
                     "valid": True}
-        w2, h2 = fit(w, h)
-        yi = (np.arange(h2) * h // h2).astype(np.int64)
-        xi = (np.arange(w2) * w // w2).astype(np.int64)
-        out = _bmp_encode(pix[yi][:, xi])
-        return {**base, "content": out, "width": w2, "height": h2,
-                "valid": True}
+        return {**base, "content": None, "width": None, "height": None,
+                "valid": False}
 
     def fake_record(r) -> dict:
         content = bytes(r["content"])

@@ -403,31 +403,26 @@ def semantic_decontaminate(
     from pyspark.sql import types as T
 
     e_rows = eval_set.select(id_col, vec_col).orderBy(id_col).collect()
-    E = np.array([[float(x) for x in r[1]] for r in e_rows], dtype=np.float64)
-    En = _seq_norms(E) if len(e_rows) else None
-
     schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            T.StructField(id_col, corpus.schema[id_col].dataType),
             T.StructField("max_eval_sim", T.DoubleType()),
             T.StructField("contaminated", T.BooleanType()),
         ]
     )
+    spark = corpus.sparkSession
+    if not e_rows:
+        # no eval vectors => no (corpus x eval) pairs: empty result, the
+        # same semantics as the oracle's cross join over an empty side
+        return spark.createDataFrame([], schema)
+    E = np.array([[float(x) for x in r[1]] for r in e_rows], dtype=np.float64)
+    En = _seq_norms(E)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy()
-            if En is None:
-                yield pd.DataFrame(
-                    {
-                        id_col: ids,
-                        "max_eval_sim": np.full(len(ids), np.nan),
-                        "contaminated": np.zeros(len(ids), dtype=bool),
-                    }
-                )
-                continue
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
             S = _seq_cosine_matrix(V, _seq_norms(V), E, En)
             mx = S.max(axis=1)

@@ -305,6 +305,10 @@ def doc_top_terms(df, id_col: str = "doc_id", text_col: str = "text", k: int = 3
         for pdf in batches:
             out_id, out_term, out_rank, out_score = [], [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
+                # NULL text produced no rows in the JVM form (split of NULL
+                # explodes to nothing) — preserve that, don't crash the task
+                if not isinstance(text, str):
+                    continue
                 toks = [t for t in pat.split(text.lower()) if t]
                 if not toks:
                     continue
@@ -326,14 +330,9 @@ def doc_top_terms(df, id_col: str = "doc_id", text_col: str = "text", k: int = 3
                 }
             )
 
-    src = df.select(id_col, text_col)
-    # A tiny input may arrive as fewer scan partitions than cores (locally:
-    # one file -> one task -> single-core Python). Fan the kernel out; at
-    # scale natural partitioning already exceeds cores and this is a no-op.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < parallelism // 4:
-        src = src.repartition(parallelism // 4)
-    return src.mapInPandas(score, schema)
+    from ..session import fan_out
+
+    return fan_out(df.select(id_col, text_col)).mapInPandas(score, schema)
 
 
 def vocabulary_stats_oracle_sql(table: str, id_col: str, text_col: str) -> str:

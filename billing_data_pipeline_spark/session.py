@@ -119,3 +119,16 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def fan_out(df, divisor: int = 4):
+    """Round-robin repartition a DataFrame whose scan arrived in fewer
+    partitions than cores/divisor — a tiny single-file input would
+    otherwise serialize CPU-heavy per-row work (regex/HOF/Arrow kernels)
+    on one core. At scale natural partitioning exceeds the threshold and
+    this is a no-op (shared by doc_top_terms, decontaminate)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    target = max(1, parallelism // divisor)
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -164,7 +164,10 @@ def test_real_bmp_resize_nearest_neighbor(spark):
     rows = [
         (1, "image", big),          # 8x4 -> fits in 4x4 => 4x2
         (2, "image", small),        # already fits: byte-identical
-        (3, "audio", _real_wav(8000, 1, 10)),  # no pixel codec => invalid
+        (3, "audio", _real_wav(8000, 1, 10)),   # no pixel grid: pass-through
+        (4, "image", _real_png(2, 2)),          # in-bounds PNG: pass-through
+        (5, "image", _real_png(99, 99)),        # PNG NEEDS resize: no codec
+        (6, "image", b"junk"),                  # undecodable
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {r["media_id"]: r for r in resize_media(df, 4, 4, fake=False).collect()}
@@ -178,7 +181,10 @@ def test_real_bmp_resize_nearest_neighbor(spark):
             assert tuple(resized[y, x]) == (x * 2 * 10, y * 2 * 10, 0)
 
     assert bytes(out[2]["content"]) == small and out[2]["valid"]
-    assert out[3]["valid"] is False and out[3]["content"] is None
+    assert out[3]["valid"] and bytes(out[3]["content"]) == rows[2][2]
+    assert out[4]["valid"] and (out[4]["width"], out[4]["height"]) == (2, 2)
+    assert out[5]["valid"] is False and out[5]["content"] is None
+    assert out[6]["valid"] is False and out[6]["content"] is None
 
 
 def test_real_feature_extraction_content_level(spark):
@@ -215,3 +221,32 @@ def test_real_feature_extraction_content_level(spark):
             sum(x * x for x in out[mid]["embedding"]), 1.0, rel_tol=1e-5
         )
     assert out[5]["valid"] is False and out[5]["embedding"] is None
+
+
+def test_topdown_bmp_decodes_unflipped(spark):
+    """A legal top-down BMP (negative height) must decode to the same pixel
+    grid as its bottom-up twin — orientation comes from the height sign,
+    not an unconditional row flip (code-review r3 finding)."""
+    import struct
+
+    import numpy as np
+
+    from billing_data_pipeline_spark.operators.multimodal import (
+        _bmp_encode,
+        _bmp_pixels,
+    )
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    bottom_up = _bmp_encode(px)
+    # top-down twin: height := -h, pixel rows stored in display order
+    stride = (3 * 3 + 3) & ~3
+    rows = np.zeros((2, stride), dtype=np.uint8)
+    rows[:, : 3 * 3] = px.reshape(2, 9)
+    top_down = (
+        bottom_up[:22]
+        + struct.pack("<i", -2)
+        + bottom_up[26:54]
+        + rows.tobytes()
+    )
+    assert np.array_equal(_bmp_pixels(bottom_up), px)
+    assert np.array_equal(_bmp_pixels(top_down), px)

@@ -435,3 +435,16 @@ def test_hash_bucket_negative_keys_stay_in_range(spark):
     kept = stratified_sample(g, "doc_id", "grp", {"neg": 0, "pos": 100}).collect()
     assert all(r["doc_id"] >= 0 for r in kept)
     assert len(kept) == 500
+
+
+def test_doc_top_terms_null_text_contained(spark):
+    """A NULL text row must produce no output rows — not crash the Arrow
+    kernel (code-review r3 finding; the JVM form silently dropped NULLs)."""
+    from billing_data_pipeline_spark.operators.text import doc_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = doc_top_terms(df, "doc_id", "text", k=2).collect()
+    assert {r["doc_id"] for r in rows} == {1}
