@@ -86,9 +86,12 @@ def read_partition_root(
     )
     if permissive:
         # Per-file/row error containment (reference: ingest.py:131-135 —
-        # continue past bad partitions; here PERMISSIVE + ignore options).
-        reader = reader.option("mode", "PERMISSIVE")
-        spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+        # continue past bad partitions). Both as PER-READ datasource
+        # options: a session-wide conf.set would silently make every
+        # later, unrelated read tolerate vanished files (review r3).
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "ignoreMissingFiles", "true"
+        )
     df = reader.csv(f"{root}/year=*/month=*/day=*")
     if from_date or to_date:
         d = F.make_date("year", "month", "day")
@@ -102,13 +105,23 @@ def read_partition_root(
 def latest_partition_date(spark: SparkSession, root: str) -> date | None:
     """Max (year, month, day) across discovered partitions (parity: S6).
 
-    Metadata-only: scans partition *values*, zero data columns read.
-    """
-    df = read_partition_root(spark, root)
-    row = df.select(
-        F.max(F.make_date("year", "month", "day")).alias("latest")
-    ).first()
-    return row["latest"] if row else None
+    GENUINELY metadata-only: the max comes from the file index's paths
+    (``inputFiles`` — the same listing the scan planner does), parsed as
+    ``key=value`` segments. The previous ``max()`` over the partition
+    columns executed a full scan of every CSV in the lake — CSV has no
+    row-group stats and Spark's metadata-only aggregate rule is off by
+    default, so "read a date" cost O(lake) (review r3)."""
+    files = read_partition_root(spark, root).inputFiles()
+    latest: date | None = None
+    for path in files:
+        keys = parse_hive_partition_keys(path)
+        try:
+            d = date(int(keys["year"]), int(keys["month"]), int(keys["day"]))
+        except (KeyError, ValueError):
+            continue
+        if latest is None or d > latest:
+            latest = d
+    return latest
 
 
 # ---------------------------------------------------------------------------
@@ -132,8 +145,8 @@ def parse_url(url: str) -> UrlParts:
     protocol, sep, rest = url.partition("://")
     if not sep:
         protocol, rest = "https", url
-    domain, slash, path = rest.partition("/")
-    return UrlParts(protocol, domain, path if slash == "" else path)
+    domain, _slash, path = rest.partition("/")
+    return UrlParts(protocol, domain, path)
 
 
 def parse_hive_partition_keys(path: str) -> dict[str, str]:

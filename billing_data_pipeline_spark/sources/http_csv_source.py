@@ -98,7 +98,9 @@ class HttpCsvReader(DataSourceReader):
         from urllib.request import urlopen
 
         last = None
-        for attempt in range(self.retries):
+        # retries = total attempts; floor at one so retries=0 still makes
+        # a single attempt instead of `raise None` (review r3)
+        for attempt in range(max(1, self.retries)):
             try:
                 return urlopen(url)  # noqa: S310 (scheme comes from config)
             except Exception as e:  # pragma: no cover - network flake path

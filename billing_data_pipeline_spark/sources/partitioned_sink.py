@@ -100,14 +100,18 @@ def compact_partitions(
     (AQE-sized) file, preserving the sorted layout if requested. The
     streaming ingest path appends a file per micro-batch; at 100 TB a
     periodic compaction pass is what keeps scan task counts (and the
-    driver's file index) sane. Rewrite goes through a staging read so the
-    dynamic-overwrite write replaces each partition atomically."""
-    df = spark.read.parquet(path).cache()
-    df.count()  # materialize before overwriting the files being read
-    try:
-        if sort_cols:
-            write_hive_partitioned_sorted(df, path, partition_cols, sort_cols)
-        else:
-            write_hive_partitioned(df, path, partition_cols)
-    finally:
-        df.unpersist()
+    driver's file index) sane.
+
+    Self-overwrite safety: the input is ``localCheckpoint``ed, which
+    MATERIALIZES the rows and TRUNCATES lineage before any source file is
+    replaced. A plain cache() is not enough — a lost cache block (executor
+    death, eviction) would recompute its partition from the scan, whose
+    files the overwrite has already deleted, silently mixing old and new
+    rows. With truncated lineage a lost block fails the job cleanly
+    instead (re-run the compaction); durable-checkpoint to reliable
+    storage if even that retry is unacceptable."""
+    df = spark.read.parquet(path).localCheckpoint(eager=True)
+    if sort_cols:
+        write_hive_partitioned_sorted(df, path, partition_cols, sort_cols)
+    else:
+        write_hive_partitioned(df, path, partition_cols)

@@ -99,7 +99,18 @@ class SnapshotTable:
                 if c.get("epoch") == epoch:
                     return c["v"]  # replay: already committed
         version = 0 if man["version"] is None else man["version"] + 1
-        df.write.mode("errorifexists").parquet(self._vdir(version))
+        # Self-heal a crash between data write and publish: an existing
+        # v=N dir that the manifest does not reference is an unpublished
+        # orphan from a failed attempt — remove it, or the errorifexists
+        # write would fail this (and every replayed) commit forever.
+        vdir = self._vdir(version)
+        if os.path.exists(vdir) and not any(
+            c["v"] == version for c in man["commits"]
+        ):
+            import shutil
+
+            shutil.rmtree(vdir)
+        df.write.mode("errorifexists").parquet(vdir)
         man["version"] = version
         man["commits"].append({"v": version, "mode": mode, "epoch": epoch})
         fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_manifest_")
@@ -108,11 +119,13 @@ class SnapshotTable:
         os.replace(tmp, self._manifest)  # the atomic publish
         return version
 
-    def _base_of(self, version: int) -> int:
+    def _base_of(self, version: int, man: dict | None = None) -> int:
         """Last overwrite commit at or before ``version`` (0 if the log
-        starts with appends)."""
+        starts with appends). Pass the already-loaded manifest when the
+        caller holds one — re-loading here could see a concurrently
+        vacuumed log and resolve a torn view."""
         base = 0
-        for c in self._load()["commits"]:
+        for c in (man or self._load())["commits"]:
             if c["v"] <= version and c["mode"] == "overwrite":
                 base = c["v"]
         return base
@@ -126,7 +139,7 @@ class SnapshotTable:
         v = man["version"] if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.path}")
-        base = self._base_of(v)
+        base = self._base_of(v, man)
         dirs = [
             self._vdir(c["v"])
             for c in man["commits"]
@@ -152,7 +165,7 @@ class SnapshotTable:
         if latest is None:
             return []
         oldest_retained = max(0, latest - keep + 1)
-        needed_from = self._base_of(oldest_retained)
+        needed_from = self._base_of(oldest_retained, man)
         published = {c["v"] for c in man["commits"]}
         removed = [
             v for v in self.versions() if v < needed_from or v not in published

@@ -66,9 +66,16 @@ def replay_safe_append(batch: DataFrame, table_path: str, keys: list[str]) -> No
         )
     except Exception:
         new_nulls = hashed
-    out = new_nulls.drop("_row_hash")
-    if out.take(1):
-        out.write.mode("append").parquet(table_path)
+    # Persist across the emptiness probe + write: without it the take(1)
+    # guard executed the whole anti-join plan (including the existing-table
+    # scan) twice per micro-batch (review r3; same pattern as
+    # operators/ingest.append_new_rows).
+    out = new_nulls.drop("_row_hash").persist()
+    try:
+        if out.take(1):
+            out.write.mode("append").parquet(table_path)
+    finally:
+        out.unpersist()
 
 
 def stream_ingest_csv(

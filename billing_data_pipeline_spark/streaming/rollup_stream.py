@@ -5,20 +5,33 @@ The reference recomputes its aggregate tables from ALL raw data on every
 sensor tick (O(history) per run). Here each micro-batch folds into the
 rollup in O(batch + groups): the batch becomes a mergeable partial
 aggregate (decimal sums + HLL sketches, operators/incremental.py) that is
-merged with the stored partial state and overwritten atomically. The stored
-table IS partial state — `finalize_rollup` renders it to presentation
-columns on read.
+merged with the stored partial state. The stored table IS partial state —
+`finalize_rollup` renders it to presentation columns on read.
 
-Exactly-once: foreachBatch may replay a batch after failure, so the merge
-must be idempotent per batch id — the rollup write records the last merged
-batch id and skips replays (the transactional-sink pattern for
-non-transactional storage).
+Crash safety (the whole point of the layout): state versions are immutable
+``v={batch_id}`` directories published by an atomically-renamed pointer
+file — the same publish discipline as ``sources/versioned_sink``. A crash
+anywhere leaves either the old pointer (old state intact, batch replays
+into a fresh dir) or the new pointer (batch complete, replay skipped);
+there is NO window where the live state is torn. The previous
+overwrite-in-place design could lose the entire rollup: a crash mid-
+overwrite left a torn directory that read back as "no state", and the
+replayed batch became the whole history (caught in round-3 review).
+
+Exactly-once: foreachBatch may replay a batch after failure; the pointer
+records the last merged batch id and replays are skipped. An orphan
+``v=N`` dir from a crash-before-publish is overwritten on replay — the
+pointer, not the directory listing, is the truth.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..operators.incremental import finalize_profile, merge_partials, partial_profile
 
@@ -33,20 +46,35 @@ class StreamingRollup:
         group_cols: list[str],
         measure: str,
         distinct_cols: dict[str, str] | None = None,
+        keep_versions: int = 2,
     ):
         self.spark = spark
         self.path = path
         self.group_cols = group_cols
         self.measure = measure
         self.distinct_cols = distinct_cols or {}
+        self.keep_versions = max(1, keep_versions)
+        os.makedirs(path, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "_latest")
+
+    def _last_batch_id(self) -> int:
+        try:
+            with open(self._pointer) as f:
+                return json.load(f)["v"]
+        except (OSError, ValueError, KeyError):
+            return -1
+
+    def _vdir(self, batch_id: int) -> str:
+        return os.path.join(self.path, f"v={batch_id}")
 
     def _load_state(self) -> tuple[DataFrame | None, int]:
-        try:
-            state = self.spark.read.parquet(self.path)
-            last = state.agg(F.max("_last_batch_id")).first()[0]
-            return state.drop("_last_batch_id"), (last if last is not None else -1)
-        except Exception:
+        last = self._last_batch_id()
+        if last < 0:
             return None, -1
+        return self.spark.read.parquet(self._vdir(last)), last
 
     def merge_batch(self, batch: DataFrame, batch_id: int) -> None:
         """foreachBatch sink: fold one micro-batch into the rollup."""
@@ -63,12 +91,21 @@ class StreamingRollup:
             if state is not None
             else partial
         )
-        out = merged.withColumn("_last_batch_id", F.lit(batch_id))
-        # Atomic swap: write to a staging dir, then overwrite the live one
-        # (same recompute-and-overwrite contract as the batch aggregates).
-        staging = self.path + "._staging"
-        out.write.mode("overwrite").parquet(staging)
-        self.spark.read.parquet(staging).write.mode("overwrite").parquet(self.path)
+        vdir = self._vdir(batch_id)
+        if os.path.exists(vdir):
+            shutil.rmtree(vdir)  # unpublished orphan from a crashed attempt
+        merged.write.mode("errorifexists").parquet(vdir)
+        fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_latest_")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"v": batch_id}, f)
+        os.replace(tmp, self._pointer)  # the atomic publish
+        # prune versions no reader can need (published state + grace copy)
+        keep = {batch_id, last_id} if self.keep_versions > 1 else {batch_id}
+        for name in os.listdir(self.path):
+            if name.startswith("v=") and name[2:].lstrip("-").isdigit():
+                v = int(name[2:])
+                if v not in keep and v < batch_id:
+                    shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
 
     def attach(self, stream: DataFrame, checkpoint_dir: str, available_now: bool = True):
         """Wire the rollup as a foreachBatch sink on a streaming DataFrame."""

@@ -48,8 +48,12 @@ def _update_user_totals(
         n += len(pdf)
         # Deterministic left-to-right fold (math.fsum would be more accurate
         # but engines can't reproduce it; sequential sum is the contract).
+        # NULL values arrive as NaN through Arrow — skip them exactly as
+        # the batch twin's F.sum does; one NaN would otherwise poison the
+        # running total for the lifetime of the stream.
         for v in pdf["value"]:
-            total += float(v)
+            if pd.notna(v):
+                total += float(v)
     state.update((n, total))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value": [total]}

@@ -502,3 +502,56 @@ def test_snapshot_cdc_drives_incremental_rollup(spark):
         maintained = maintained.select(
             "g", "n", F.col("total").cast("decimal(30,6)").alias("total")
         )
+
+
+def test_snapshot_commit_self_heals_orphan_dir(spark, tmp_path):
+    """A crash between the v=N data write and the manifest publish leaves
+    an unpublished orphan dir; the next commit (e.g. a replayed epoch)
+    must overwrite it instead of failing errorifexists forever
+    (review r3)."""
+    from billing_data_pipeline_spark.sources.versioned_sink import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "heal"))
+    t.commit(spark.createDataFrame([(1, "a")], "k int, s string"))
+    # simulate the crashed attempt at version 1
+    spark.createDataFrame([(99, "junk")], "k int, s string").write.parquet(
+        f"{t.path}/v=1"
+    )
+    v = t.commit(spark.createDataFrame([(2, "b")], "k int, s string"))
+    assert v == 1
+    assert {r["k"] for r in t.read().collect()} == {2}
+    assert {r["k"] for r in t.read(version=0).collect()} == {1}
+
+
+def test_streaming_rollup_survives_torn_state_attempt(spark, tmp_path):
+    """Rollup state is versioned + pointer-published: a junk/partial v-dir
+    from a crashed merge attempt must not break or reset the rollup on
+    replay (review r3: the old overwrite-in-place design lost all history
+    on a torn live dir)."""
+    from billing_data_pipeline_spark.streaming.rollup_stream import StreamingRollup
+
+    ev = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 2.0, 2), ("b", 3.0, 3)],
+        "event_type string, value double, user_id long",
+    )
+    r = StreamingRollup(
+        spark, str(tmp_path / "roll"), ["event_type"], "value",
+        {"unique_users": "user_id"},
+    )
+    r.merge_batch(ev, 0)
+    before = {row["event_type"]: row["total_usage"]
+              for row in r.read_finalized().collect()}
+    # crashed attempt at batch 1: unpublished garbage dir
+    (tmp_path / "roll" / "v=1").mkdir()
+    (tmp_path / "roll" / "v=1" / "part-junk.parquet").write_bytes(b"torn")
+    # state still reads fine (pointer is the truth)
+    assert {row["event_type"]: row["total_usage"]
+            for row in r.read_finalized().collect()} == before
+    r.merge_batch(ev, 1)  # replaces the orphan, merges on top of batch 0
+    after = {row["event_type"]: row["total_usage"]
+             for row in r.read_finalized().collect()}
+    assert after == {k: v * 2 for k, v in before.items()}
+    # replayed batch id: no-op
+    r.merge_batch(ev, 1)
+    assert {row["event_type"]: row["total_usage"]
+            for row in r.read_finalized().collect()} == after
