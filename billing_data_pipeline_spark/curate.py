@@ -50,16 +50,25 @@ def curate_corpus(
     )
     if lang is not None:
         scrubbed = scrubbed.filter(F.col("lang") == lang)
+    from pyspark.sql import Observation
+
+    obs = Observation("curate_kept")
     kept = scrubbed.filter(
         (F.length("text") > 0) & (X.quality_score(F.col("text")) > min_quality)
-    )
+    ).observe(obs, F.count(F.lit(1)).alias("n"))
     chunks = X.chunk_tokens(kept.select("doc_id", "text"), "doc_id", "text", chunk, stride)
     keyed = chunks.select(
         "doc_id",
         "chunk_idx",
         "n_chunk_tokens",
         "chunk_text",
-        (F.col("doc_id") * 100000 + F.col("chunk_idx")).alias("chunk_key"),
+        # 2^32 shift: collision-free for doc_id < 2^30 and any realistic
+        # chunk count (the old *100000 aliased doc N's chunk 100000 onto
+        # doc N+1's chunk 0, which could defeat keep-first dedup and share
+        # sampling fate; review r3)
+        (F.col("doc_id") * F.lit(4294967296) + F.col("chunk_idx")).alias(
+            "chunk_key"
+        ),
         F.md5("chunk_text").alias("chunk_hash"),
     )
     survivors = keyed.withColumn(
@@ -108,11 +117,16 @@ def curate_corpus(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    # docs_kept rides the write job via the Observation API (the
+    # build_aggregates pattern) and chunk/token totals are exact sums of
+    # the per-shard manifest — the previous block re-executed the full
+    # scrub+filter lineage twice and re-scanned the output twice for
+    # numbers already in hand (review r3).
     return {
         "docs_in": docs.count(),
-        "docs_kept": kept.count(),
-        "chunks_written": written.count(),
-        "tokens_written": written.agg(F.sum("n_chunk_tokens")).collect()[0][0],
+        "docs_kept": obs.get["n"],
+        "chunks_written": sum(r["n_chunks"] for r in manifest),
+        "tokens_written": sum(r["n_tokens"] for r in manifest),
         "shards": {
             int(r["shard_id"]): {"n_chunks": r["n_chunks"], "n_tokens": r["n_tokens"]}
             for r in manifest

@@ -577,7 +577,14 @@ def epoch_shard_manifest(
         "source",
         "_id",
         "_tokens",
-        F.explode(F.sequence(F.lit(1), F.col("_epochs"))).alias("epoch"),
+        # sequence(1, 0) is DESCENDING [1, 0] in Spark (step defaults -1) —
+        # an epochs<=0 source must contribute ZERO replicas, like the
+        # oracle's empty range(1, e+1) (review r3)
+        F.explode(
+            F.when(
+                F.col("_epochs") >= 1, F.sequence(F.lit(1), F.col("_epochs"))
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("epoch"),
     )
     key = F.col("_id") * 31 + F.col("epoch") + F.lit(salt)
     rank = F.pmod(F.pmod(key, MIX_PRIME) * F.lit(MIX_MULT), MIX_PRIME)

@@ -347,6 +347,9 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     def simhash_from_hashes(hashes: pd.Series) -> pd.Series:
         out = np.empty(len(hashes), dtype=np.int64)
         for i, hs in enumerate(hashes):
+            if hs is None:  # NULL text -> NULL hash array; zero-signature
+                out[i] = 0
+                continue
             arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
             if arr.size == 0:
                 out[i] = 0

@@ -79,7 +79,7 @@ def minhash_portable_pairs(
     word-3-gram shingles (string tier, same construction as the exact
     Jaccard oracle) -> one md5 per shingle -> k affine-modular component
     hashes (a_i*h + b_i mod P) -> per-doc min per component -> band keys
-    packing ``band_size`` components into one BIGINT -> self-equi-join on
+    ('-'-joined component strings, any band_size) -> self-equi-join on
     (band, key) -> estimated Jaccard = agreeing-component share.
 
     Same scale shape as the xxhash64 tier (candidate generation is linear
@@ -92,6 +92,9 @@ def minhash_portable_pairs(
     # fast tier, where an unmaterialized cache recomputed shingling per
     # branch (see dedup.minhash_neardup_pairs). One md5 pass per shingle;
     # the k component passes run over 31-bit longs, not strings.
+    # Cache lifetime: session LRU (MEMORY_AND_DISK) — the returned frame is
+    # lazy, so the operator can't unpersist; long-lived sessions running
+    # many dedups should spark.catalog.clearCache() between corpora.
     sigs = _minhash_sigs(df, id_col, text_col, k).persist()
     sigs.count()
 
@@ -151,6 +154,11 @@ def _minhash_sigs(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
 
 
 def _band_keys(sigs: DataFrame, k: int, band_size: int) -> DataFrame:
+    """Band bucket keys: '-'-joined decimal components of each band slice.
+    The string join is engine-portable for ANY band_size (the earlier
+    2^31-packing hardcoded exactly two components — a band_size other than
+    2 silently dropped or mis-read components; review r3) and collision-
+    free: distinct component tuples always render distinct strings."""
     n_bands = k // band_size
     return sigs.select(
         "doc",
@@ -159,10 +167,8 @@ def _band_keys(sigs: DataFrame, k: int, band_size: int) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        (
-                            F.element_at("sig", b * band_size + 1)
-                            * F.lit(2_147_483_648)
-                            + F.element_at("sig", b * band_size + 2)
+                        F.array_join(
+                            F.slice("sig", b * band_size + 1, band_size), "-"
                         ).alias("key"),
                     )
                     for b in range(n_bands)
@@ -260,7 +266,7 @@ comps AS (
 sigs AS (SELECT doc, list(comp ORDER BY i) AS sig FROM comps GROUP BY doc),
 bands AS (
     SELECT doc, b.b AS band,
-           sig[{band_size}*b.b + 1] * 2147483648 + sig[{band_size}*b.b + 2] AS key
+           array_to_string(sig[{band_size}*b.b + 1 : {band_size}*b.b + {band_size}], '-') AS key
     FROM sigs CROSS JOIN (SELECT unnest(range({n_bands})) AS b) b
 ),
 cand AS (
@@ -319,7 +325,7 @@ comps AS (
 sigs AS (SELECT doc, list(comp ORDER BY i) AS sig FROM comps GROUP BY doc),
 bands AS (
     SELECT doc, b.b AS band,
-           sig[{band_size}*b.b + 1] * 2147483648 + sig[{band_size}*b.b + 2] AS key
+           array_to_string(sig[{band_size}*b.b + 1 : {band_size}*b.b + {band_size}], '-') AS key
     FROM sigs CROSS JOIN (SELECT unnest(range({n_bands})) AS b) b
 ),
 cand AS (
@@ -354,6 +360,9 @@ def simhash_portable_signatures(df: DataFrame, id_col: str, text_col: str) -> Da
     def simhash60(hashes: pd.Series) -> pd.Series:
         out = np.empty(len(hashes), dtype=np.int64)
         for i, hs in enumerate(hashes):
+            if hs is None:  # NULL text -> NULL hash array; zero-signature
+                out[i] = 0
+                continue
             arr = np.asarray(hs, dtype=np.int64)
             if arr.size == 0:
                 out[i] = 0

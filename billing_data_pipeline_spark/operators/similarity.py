@@ -310,7 +310,8 @@ def cosine_topk_matmul(
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_norms = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / np.where(q_norms == 0, 1.0, q_norms)  # zero-norm: no NaN column
 
     out_schema = T.StructType(
         [
@@ -326,8 +327,13 @@ def cosine_topk_matmul(
                 continue
             cand_ids = pdf[id_col].to_numpy(dtype=np.int64)
             C = np.array(list(pdf[vec_col]), dtype=np.float64)
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            norms = np.linalg.norm(C, axis=1, keepdims=True)
+            Cn = C / np.where(norms == 0, 1.0, norms)
             S = Cn @ Qn.T  # (n_corpus_batch, n_queries)
+            # zero-norm candidates: cosine undefined; NaN would sort ABOVE
+            # every real score in Spark's desc order and steal rank 1 for
+            # all queries (review r3) — exclude like the JVM path's NULL
+            S[(norms == 0).ravel(), :] = -np.inf
             S[cand_ids[:, None] == q_ids[None, :]] = -np.inf  # self-match
             kk = min(k, S.shape[0])
             top = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, n_queries)

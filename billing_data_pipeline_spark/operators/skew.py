@@ -25,8 +25,20 @@ def salted_join(
 
     Deterministic: the salt is a hash of the big side's full row, not a
     random number — identical inputs give identical physical row routing.
-    Result is exactly ``big.join(small, on, how)``.
+    Result is exactly ``big.join(small, on, how)`` for ``inner`` and
+    ``left``/``left_outer``/``left_semi``/``left_anti`` joins. Right/full
+    outer joins are rejected: the small side is replicated once per salt,
+    so its UNMATCHED rows would surface ``n_salts`` times (review r3) —
+    salt the other side instead (swap the arguments).
     """
+    if how.lower().replace("outer", "").strip("_") not in (
+        "inner", "left", "leftsemi", "leftanti", "semi", "anti", "cross",
+    ):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got how={how!r}: "
+            "the replicated small side would duplicate unmatched rows in "
+            "right/full outer results — swap the sides instead"
+        )
     big_s = big.withColumn(
         "_salt",
         F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in big.columns])), F.lit(n_salts)),

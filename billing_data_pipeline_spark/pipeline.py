@@ -69,12 +69,12 @@ class BillingPipeline:
         # O(files-in-window) driver memory — filenames only, bounded by the
         # partition-pruned backfill window, never by data volume; matches
         # the reference's own per-file driver loop (ingest.py:214-272).
-        files = [
-            r["path"]
-            for r in lake.select(F.input_file_name().alias("path"))
-            .distinct()
-            .collect()
-        ]
+        # inputFiles() lists from the (pruned) file index — metadata only.
+        # The previous input_file_name().distinct().collect() scanned and
+        # shuffled the window's DATA to learn its paths, and a header-only
+        # (0-row) file never surfaced, so it was re-hashed every run
+        # (review r3).
+        files = sorted(lake.inputFiles())
         ledger = FileLedger(self.spark, self.table_path("processed_files"))
         metrics = {"files_discovered": len(files), "rows_appended": 0}
         if not files:
@@ -188,7 +188,18 @@ class BillingPipeline:
         to_date: date | None = None,
     ) -> dict:
         """Topological materialization of the whole asset graph."""
+        import os
+
         metrics = {"ingest": self.ingest(source_root, from_date, to_date)}
+        if not os.path.exists(self.table_path("raw_billing")):
+            # First-ever run over an empty window: nothing ingested, no
+            # raw table yet — report empty metrics instead of crashing the
+            # downstream reads (review r3; mirrors the reference's
+            # continue-on-empty sensors).
+            metrics["aggregates"] = {}
+            metrics["insights"] = {}
+            metrics["report_markdown"] = ""
+            return metrics
         metrics["aggregates"] = self.build_aggregates()
         report, report_metrics = self.insights()
         metrics["insights"] = report_metrics

@@ -448,3 +448,71 @@ def test_doc_top_terms_null_text_contained(spark):
     )
     rows = doc_top_terms(df, "doc_id", "text", k=2).collect()
     assert {r["doc_id"] for r in rows} == {1}
+
+
+def test_epoch_shard_zero_weight_source_contributes_nothing(spark):
+    """epochs<=0 must yield ZERO replicas — Spark's sequence(1, 0) is the
+    DESCENDING [1, 0] (two replicas!) without the guard (review r3); the
+    oracle's range(1, 1) is empty."""
+    from billing_data_pipeline_spark.operators.curation import epoch_shard_manifest
+
+    docs = spark.createDataFrame(
+        [(1, "keep", 10, 2), (2, "drop", 10, 0), (3, "neg", 10, -3)],
+        "doc_id long, source string, n_tok long, w int",
+    )
+    out = epoch_shard_manifest(
+        docs, "source", "doc_id", F.col("n_tok"), F.col("w"), n_shards=4
+    ).collect()
+    # only doc 1 (w=2) contributes: exactly 2 replica rows corpus-wide
+    assert sum(r["n_rows"] for r in out) == 2
+    assert sum(r["total_tokens"] for r in out) == 20
+
+
+def test_simhash_tiers_contain_null_text(spark):
+    """NULL text must not crash the bit-vote Pandas UDFs (review r3)."""
+    from billing_data_pipeline_spark.operators.dedup import simhash_signatures
+    from billing_data_pipeline_spark.operators.portable_dedup import (
+        simhash_portable_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None)], "doc_id long, text string"
+    )
+    for fn in (simhash_signatures, simhash_portable_signatures):
+        rows = {r["doc"]: r["simhash"] for r in fn(df, "doc_id", "text").collect()}
+        assert rows[2] == 0 and rows[1] != 0
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    """Right/full outer would surface unmatched small-side rows once per
+    salt replica (review r3) — must raise, not silently duplicate."""
+    import pytest as _pytest
+
+    big = spark.createDataFrame([(1, "x")], "k long, v string")
+    small = spark.createDataFrame([(2, "unmatched")], "k long, w string")
+    for how in ("full", "full_outer", "right", "right_outer"):
+        with _pytest.raises(ValueError):
+            salted_join(big, small, ["k"], n_salts=4, how=how)
+
+
+def test_minhash_portable_band3_subset_of_band2(spark):
+    """band_size honors its parameter (the old key packed exactly two
+    components regardless; review r3): every 3-component band contains a
+    full 2-component band, so band3 candidates (and hence pairs) are a
+    subset of band2's."""
+    from billing_data_pipeline_spark.operators.portable_dedup import (
+        minhash_portable_pairs,
+    )
+    from billing_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    p2 = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_portable_pairs(docs, "doc_id", "text", 12, 2).collect()
+    }
+    p3 = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_portable_pairs(docs, "doc_id", "text", 12, 3).collect()
+    }
+    assert p2  # sanity: the corpus has near-dups
+    assert p3 <= p2
