@@ -443,7 +443,14 @@ def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("quality", "constraints", "reference:1.3"),
     oracle="""
 SELECT COUNT(*) AS n_rows,
-       COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS dup_natural_keys,
+       -- dup count over FULLY-KEYED rows on both engines: Spark's
+       -- multi-arg count_distinct drops NULL-component rows while
+       -- DuckDB's row-struct DISTINCT would count them (review r3)
+       COUNT(CASE WHEN l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+                  THEN 1 END)
+         - COUNT(DISTINCT (l_orderkey, l_linenumber))
+             FILTER (WHERE l_orderkey IS NOT NULL
+                       AND l_linenumber IS NOT NULL) AS dup_natural_keys,
        COUNT(*) - COUNT(l_shipdate) AS null_shipdates,
        CAST(SUM(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
            AS negative_prices,
@@ -466,7 +473,13 @@ def lineitem_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         (
-            F.count(F.lit(1))
+            F.count(
+                F.when(
+                    F.col("l_orderkey").isNotNull()
+                    & F.col("l_linenumber").isNotNull(),
+                    1,
+                )
+            )
             - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
         ).alias("dup_natural_keys"),
         (F.count(F.lit(1)) - F.count("l_shipdate")).alias("null_shipdates"),

@@ -31,6 +31,7 @@ from ..operators import sampling as SMP
 from ..operators import similarity as S
 from ..operators import text as X
 from ..operators import udf_surface as U
+from ..operators.aggregates import exact_sum
 from ..registry import register
 from ._util import davg_sql, dsum_sql, t
 
@@ -456,7 +457,7 @@ def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(X.bpe_ish_token_count(text)).alias("total_bpe_tokens"),
         F.sum(X.punct_count(text)).alias("total_punct"),
         (
-            F.sum(X.quality_score(text).cast("decimal(30,6)")).cast("double")
+            exact_sum(X.quality_score(text)).cast("double")
             / F.count(X.quality_score(text))
         ).alias("avg_quality"),
     )

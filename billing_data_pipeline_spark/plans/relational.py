@@ -389,7 +389,7 @@ def user_hourly_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double").alias("hour_sum"),
+        exact_sum("value").over(w).cast("double").alias("hour_sum"),
     )
 
 
@@ -435,7 +435,12 @@ def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = li.join(
         F.broadcast(o),
         (li.l_orderkey == o.o_orderkey)
-        & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        # type-preserving +60d: F.date_add would TRUNCATE a timestamp
+        # o_orderdate to its date before adding, silently shifting the
+        # cutoff to midnight while the oracle's INTERVAL keeps time-of-day
+        # (review r3; the testdata currently ships midnight-aligned dates,
+        # but the loader doesn't guarantee that across regenerations)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
     )
     return (
         hits.select("o_orderkey", "o_orderpriority")
@@ -579,7 +584,7 @@ WITH r AS (
     SELECT l_partkey, {dsum_sql(REVENUE_SQL)} AS part_revenue
     FROM lineitem GROUP BY l_partkey
 ),
-total AS (SELECT CAST(SUM(CAST(part_revenue AS DECIMAL(30,6))) AS DOUBLE) AS tv FROM r)
+total AS (SELECT CAST(CAST(SUM(CAST(part_revenue AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS tv FROM r)
 SELECT r.l_partkey, r.part_revenue
 FROM r, total
 WHERE r.part_revenue > 0.0005 * total.tv
@@ -698,7 +703,7 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH m AS (
     SELECT o_orderstatus,
            CAST(COUNT(*) AS DOUBLE) AS order_count,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS total_price
     FROM orders GROUP BY o_orderstatus
 )
 SELECT o_orderstatus, 'order_count' AS metric, order_count AS value FROM m
@@ -714,7 +719,7 @@ def order_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     m = o.groupBy("o_orderstatus").agg(
         F.count("*").cast("double").alias("order_count"),
-        F.sum(F.col("o_totalprice").cast("decimal(30,6)"))
+        exact_sum("o_totalprice")
         .cast("double")
         .alias("total_price"),
     )
@@ -1218,6 +1223,28 @@ def returnflag_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _order_snapshots(spark: SparkSession, sf_dir: str):
+    """Shared old/new order-book snapshots for the CDC pair of queries:
+    order_snapshot_diff AND incremental_status_rollup_cdc must see
+    byte-identical snapshots (same window bounds, same +10% repricing) or
+    the maintenance-equals-recompute proof silently breaks — one
+    definition, not two copies (review r3)."""
+    orders = t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") < "1997-01-01").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderdate") >= "1996-01-01").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderstatus") == "O", F.col("o_totalprice") * F.lit(1.1)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return old, new
+
+
 @register(
     "order_snapshot_diff",
     tags=("cdc", "join", "full-outer", "snapshot"),
@@ -1241,19 +1268,7 @@ def order_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     no row hashing, so the same semantics reproduce on any engine. The
     companion write path is sources/versioned_sink.SnapshotTable (atomic
     manifest publish + time travel), tested in test_sources.py."""
-    orders = t(spark, sf_dir, "orders")
-    old = orders.filter(F.col("o_orderdate") < "1997-01-01").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    new = orders.filter(F.col("o_orderdate") >= "1996-01-01").select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.when(
-            F.col("o_orderstatus") == "O", F.col("o_totalprice") * F.lit(1.1)
-        )
-        .otherwise(F.col("o_totalprice"))
-        .alias("o_totalprice"),
-    )
+    old, new = _order_snapshots(spark, sf_dir)
     return _cdc.diff_snapshots(
         old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
     )
@@ -1283,19 +1298,7 @@ def incremental_status_rollup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame
     they carry exact distincts; for the mergeable count/sum/avg core this
     is the O(|changes| + |groups|) alternative — at 100 TB, maintenance
     cost is independent of base-table size."""
-    orders = t(spark, sf_dir, "orders")
-    old = orders.filter(F.col("o_orderdate") < "1997-01-01").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    new = orders.filter(F.col("o_orderdate") >= "1996-01-01").select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.when(
-            F.col("o_orderstatus") == "O", F.col("o_totalprice") * F.lit(1.1)
-        )
-        .otherwise(F.col("o_totalprice"))
-        .alias("o_totalprice"),
-    )
+    old, new = _order_snapshots(spark, sf_dir)
     base = old.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
         exact_sum("o_totalprice").alias("total_price"),  # decimal — no cast

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.aggregates import exact_sum
 from ..registry import register
 from ._util import t
 
@@ -90,7 +91,7 @@ HIST_WIDTH = 5000.0
     oracle=f"""
 SELECT CAST(floor(l_extendedprice / {HIST_WIDTH}) AS BIGINT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS total
 FROM lineitem
 GROUP BY bucket
 ORDER BY bucket
@@ -111,7 +112,7 @@ def usage_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("l_extendedprice").cast("decimal(30,6)"))
+            exact_sum("l_extendedprice")
             .cast("double")
             .alias("total"),
         )
@@ -130,7 +131,7 @@ WITH ranked AS (
 )
 SELECT decile,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS total
 FROM ranked GROUP BY decile ORDER BY decile
 """,
 )
@@ -149,7 +150,7 @@ def event_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total"),
+            exact_sum("value").cast("double").alias("total"),
         )
         .orderBy("decile")
     )
@@ -185,7 +186,7 @@ def event_value_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total"),
+            exact_sum("value").cast("double").alias("total"),
         )
         .orderBy("decile")
     )
@@ -198,11 +199,11 @@ def event_value_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH s AS (
     SELECT l_returnflag,
            COUNT(*) AS n,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sx,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sy,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxy,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxx,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS syy
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sx,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sy,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS STRING) AS DOUBLE) AS sxy,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS STRING) AS DOUBLE) AS sxx,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS STRING) AS DOUBLE) AS syy
     FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,

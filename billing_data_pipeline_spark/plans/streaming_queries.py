@@ -91,37 +91,64 @@ _STREAM_EVENTS_SCHEMA = (
     "value double, props string"
 )
 
+# Scratch dirs from PRIOR stream builds: every catalog streaming query
+# builds its source dir and drains it synchronously (run_to_memory awaits
+# termination), so by the time the NEXT query builds, earlier dirs — and
+# the copied events file in the flushed variant — are dead weight. Sweeping
+# them here bounds /tmp usage over a long bench/test session (review r3).
+_SCRATCH_DIRS: list[str] = []
 
-def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source STREAM over the events table. The driver's parquet has
-    shipped ``ts`` as either INT64 TIMESTAMP(NANOS) or TIMESTAMP(MICROS)
-    across rounds, so probe the footer via the batch loader and declare the
-    matching stream schema — same µs-floor convention as
-    sources/tables.load_table either way."""
-    import os
+
+def _stream_scratch_dir(prefix: str) -> str:
+    import shutil
     import tempfile
 
-    from pyspark.sql import types as T
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), ignore_errors=True)
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(d)
+    return d
 
-    from ..sources.tables import load_table
+
+def _declare_event_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    stream_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Declare the events file-source STREAM over ``stream_dir``. The
+    driver's parquet has shipped ``ts`` as either INT64 TIMESTAMP(NANOS)
+    or TIMESTAMP(MICROS) across rounds, so probe the footer and declare
+    the matching schema — same µs-floor convention as
+    sources/tables.load_table (one shared helper; this probe used to be
+    triplicated across the stream builders)."""
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stored_long = isinstance(
         spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType,
         T.LongType,
     )
-    # The file-stream source wants a DIRECTORY (it derives basePath from the
-    # input path); the driver's layout is one bare file per table, so expose
-    # it through a symlink directory.
-    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
-    schema = _STREAM_EVENTS_SCHEMA.format(
+    decl = _STREAM_EVENTS_SCHEMA.format(
         ts_type="long" if stored_long else "timestamp_ntz"
     )
-    raw = spark.readStream.schema(schema).parquet(stream_dir)
+    reader = spark.readStream.schema(decl)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(stream_dir)
     if stored_long:
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source STREAM over the events table (symlink directory — the
+    file source wants a directory and derives basePath from it)."""
+    import os
+
+    stream_dir = _stream_scratch_dir("events_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    return _declare_event_stream(spark, sf_dir, stream_dir)
 
 
 @register(
@@ -168,33 +195,14 @@ def streaming_dedup_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark horizon, never by stream length (the reference's run-key
     idempotency ST4, as a streaming-native operator)."""
     import os
-    import tempfile
     import uuid
-
-    from pyspark.sql import types as T
 
     from ..streaming.event_windows import run_to_memory, streaming_dedup
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stored_long = isinstance(
-        spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType,
-        T.LongType,
-    )
-    stream_dir = tempfile.mkdtemp(prefix="events_stream_dup_")
+    stream_dir = _stream_scratch_dir("events_stream_dup_")
     for name in ("events.parquet", "events_redelivered.parquet"):
         os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/{name}")
-    decl = _STREAM_EVENTS_SCHEMA.format(
-        ts_type="long" if stored_long else "timestamp_ntz"
-    )
-    raw = (
-        spark.readStream.schema(decl)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stream_dir)
-    )
-    if stored_long:
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    else:
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    raw = _declare_event_stream(spark, sf_dir, stream_dir, max_files_per_trigger=1)
     deduped = streaming_dedup(raw, ["event_id"], watermark="2 days").select(
         "event_id", "user_id", "event_type"
     )
@@ -246,7 +254,6 @@ def _stream_events_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
     real event's horizon — so ALL real-row state flushes by end of drain.
     Callers must filter ``user_id >= 0``."""
     import os
-    import tempfile
     import time
 
     import pyarrow as pa
@@ -266,7 +273,7 @@ def _stream_events_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.unix_micros("ts")))
         .collect()[0][0]
     )
-    stream_dir = tempfile.mkdtemp(prefix="events_stream_flush_")
+    stream_dir = _stream_scratch_dir("events_stream_flush_")
     # COPY (not symlink) so the events file's mtime is ours to pin: the
     # file source orders files by mtime, and a freshly regenerated
     # events.parquet (mtime within ~20 s of now) would otherwise sort
@@ -313,17 +320,7 @@ def _stream_events_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # distinct ascending mtimes => file-source processes sentinels last;
         # keep them in the PAST — future-dated files are not served
         os.utime(path, (now - 20 + 10 * i, now - 20 + 10 * i))
-    decl = _STREAM_EVENTS_SCHEMA.format(
-        ts_type="long" if stored_long else "timestamp_ntz"
-    )
-    raw = (
-        spark.readStream.schema(decl)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stream_dir)
-    )
-    if stored_long:
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return _declare_event_stream(spark, sf_dir, stream_dir, max_files_per_trigger=1)
 
 
 @register(
@@ -414,18 +411,11 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes it engine-private."""
     import uuid
 
+    from ..streaming.event_windows import run_to_memory
     from ..streaming.stateful import stateful_user_totals
 
     sdf = stateful_user_totals(_stream_events(spark, sf_dir))
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(f"stateful_{uuid.uuid4().hex[:8]}")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    sink = spark.table(q.name)
+    sink = run_to_memory(sdf, f"stateful_{uuid.uuid4().hex[:8]}", "update")
     return sink.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
@@ -461,20 +451,20 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "session"),
     oracle=f"""
 WITH seq AS (
-    SELECT user_id, {TS_US} AS ts_us,
+    SELECT user_id, event_id, {TS_US} AS ts_us,
            lag({TS_US}) OVER (PARTITION BY user_id
                               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
     FROM events
 ),
 marks AS (
-    SELECT user_id, ts_us,
+    SELECT user_id, event_id, ts_us,
            CASE WHEN prev_us IS NULL OR ts_us - prev_us <= 1800 * 1000000
                 THEN 0 ELSE 1 END AS new_session
     FROM seq
 ),
 sessions AS (
     SELECT user_id, ts_us,
-           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                                   ROWS UNBOUNDED PRECEDING) AS session_id
     FROM marks
 )
@@ -507,20 +497,20 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "session", "true-stream"),
     oracle=f"""
 WITH seq AS (
-    SELECT user_id, {TS_US} AS ts_us,
+    SELECT user_id, event_id, {TS_US} AS ts_us,
            lag({TS_US}) OVER (PARTITION BY user_id
                               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
     FROM events
 ),
 marks AS (
-    SELECT user_id, ts_us,
+    SELECT user_id, event_id, ts_us,
            CASE WHEN prev_us IS NULL OR ts_us - prev_us <= 1800 * 1000000
                 THEN 0 ELSE 1 END AS new_session
     FROM seq
 ),
 sessions AS (
     SELECT user_id, ts_us,
-           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                                   ROWS UNBOUNDED PRECEDING) AS session_id
     FROM marks
 )

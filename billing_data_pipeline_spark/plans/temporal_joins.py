@@ -17,6 +17,21 @@ from ..registry import register
 from ._util import t
 
 
+def _dedup_clicks(ev: DataFrame) -> DataFrame:
+    """Clicks deduped on (user_id, ts), keeping the max event_id row — the
+    caller-side tie resolution asof_join_backward's contract requires
+    (right-side timestamps must be unique per entity; struct-max == the
+    oracle's arg_max over globally-unique event ids). Map-side partials
+    collapse ties before the exchange."""
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.struct("event_id", "value")).alias("_c"))
+        .select("user_id", "ts", F.col("_c.event_id").alias("event_id"),
+                F.col("_c.value").alias("value"))
+    )
+
+
 @register(
     "purchase_last_click_asof",
     tags=("ext", "join", "asof"),
@@ -25,12 +40,22 @@ from ._util import t
 WITH ev AS (
     SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type
     FROM events
+),
+-- clicks deduped on (user, ts) keeping max event_id: as-of is only
+-- well-defined with unique right timestamps, and ASOF JOIN's own tie pick
+-- is engine-private (review r3)
+r AS (
+    SELECT user_id, ts,
+           arg_max(event_id, event_id) AS event_id,
+           arg_max(value, event_id) AS value
+    FROM ev WHERE event_type = 'click'
+    GROUP BY user_id, ts
 )
 SELECT l.event_id, l.user_id,
        r.event_id AS asof_event_id,
        r.value AS asof_value
 FROM (SELECT * FROM ev WHERE event_type = 'purchase') l
-ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') r
+ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 """,
 )
@@ -43,9 +68,7 @@ def purchase_last_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts", "value"
-    )
+    clicks = _dedup_clicks(ev)
     joined = asof_join_backward(
         purchases, clicks, "user_id", "ts", ["event_id", "value"]
     )
@@ -64,12 +87,22 @@ def purchase_last_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ev AS (
     SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type
     FROM events
+),
+-- clicks deduped on (user, ts) keeping max event_id: as-of is only
+-- well-defined with unique right timestamps, and ASOF JOIN's own tie pick
+-- is engine-private (review r3)
+r AS (
+    SELECT user_id, ts,
+           arg_max(event_id, event_id) AS event_id,
+           arg_max(value, event_id) AS value
+    FROM ev WHERE event_type = 'click'
+    GROUP BY user_id, ts
 )
 SELECT l.event_id, l.user_id,
        r.event_id AS asof_event_id,
        r.value AS asof_value
 FROM (SELECT * FROM ev WHERE event_type = 'purchase') l
-ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') r
+ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 """,
 )
@@ -83,9 +116,7 @@ def purchase_last_click_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFr
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", "user_id", "ts", "value"
-    )
+    clicks = _dedup_clicks(ev)
     joined = asof_join_backward_cogrouped(
         purchases, clicks, "user_id", "ts", ["event_id", "value"]
     )

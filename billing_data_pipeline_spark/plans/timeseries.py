@@ -39,7 +39,7 @@ US_7D = 7 * US_PER_DAY
     oracle=f"""
 SELECT event_id, user_id, ts,
        CAST(COUNT(*) OVER w AS BIGINT) AS roll_events,
-       CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS roll_value
+       CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS STRING) AS DOUBLE) AS roll_value
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN {US_7D} PRECEDING AND CURRENT ROW)
@@ -65,7 +65,7 @@ def user_rolling_usage_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.count(F.lit(1)).over(w).alias("roll_events"),
-        F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double").alias("roll_value"),
+        exact_sum("value").over(w).cast("double").alias("roll_value"),
     )
 
 
@@ -121,7 +121,7 @@ def purchase_gap_filled_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     daily = p.groupBy("user_id", "day").agg(
-        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("day_value"),
+        exact_sum("value").cast("double").alias("day_value"),
         F.count(F.lit(1)).alias("day_events"),
     )
     bounds = p.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
@@ -329,9 +329,9 @@ WITH seq AS (
 )
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_intervals,
-       CAST(CAST(SUM(CAST(value AS DECIMAL(19,6)) * (next_us - us)) AS VARCHAR) AS DOUBLE) AS weighted_sum_us,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(19,6)) * (next_us - us)) AS STRING) AS DOUBLE) AS weighted_sum_us,
        CAST(SUM(next_us - us) AS BIGINT) AS span_us,
-       (CAST(CAST(SUM(CAST(value AS DECIMAL(19,6)) * (next_us - us)) AS VARCHAR) AS DOUBLE)
+       (CAST(CAST(SUM(CAST(value AS DECIMAL(19,6)) * (next_us - us)) AS STRING) AS DOUBLE)
         / CAST(SUM(next_us - us) AS BIGINT)) AS twap
 FROM seq
 WHERE next_us IS NOT NULL AND next_us > us

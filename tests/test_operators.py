@@ -516,3 +516,52 @@ def test_minhash_portable_band3_subset_of_band2(spark):
     }
     assert p2  # sanity: the corpus has near-dups
     assert p3 <= p2
+
+
+def test_asof_plans_resolve_right_side_ties_deterministically(spark, tmp_path):
+    """Duplicate (user, ts) clicks must resolve to the SAME pick (max
+    event_id) in both as-of forms — ASOF's tie pick is engine-private, so
+    the plans dedup the right side first (review r3)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from billing_data_pipeline_spark.registry import load_catalog
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    t0 = 1_700_000_000_000_000  # µs
+    rows = {
+        "event_id": [1, 2, 3, 10],
+        "ts": [t0, t0, t0 + 60_000_000, t0 + 120_000_000],
+        "user_id": [7, 7, 7, 7],
+        "event_type": ["click", "click", "click", "purchase"],
+        "value": [1.0, 2.0, 3.0, 0.0],
+        "props": [None] * 4,
+    }
+    schema = pa.schema(
+        [
+            pa.field("event_id", pa.int64()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("user_id", pa.int64()),
+            pa.field("event_type", pa.string()),
+            pa.field("value", pa.float64()),
+            pa.field("props", pa.string()),
+        ]
+    )
+    pq.write_table(pa.table(rows, schema=schema), str(d / "events.parquet"))
+    cat = load_catalog()
+    for name in ("purchase_last_click_asof", "purchase_last_click_asof_cogroup"):
+        got = cat[name].fn(spark, str(d)).collect()
+        assert len(got) == 1
+        # latest click is event 3; ties at t0 (events 1, 2) are irrelevant
+        # here, but re-run with only tied clicks below
+        assert got[0]["asof_event_id"] == 3
+
+    # only tied clicks: the pick must be the max event_id (=2), both forms
+    rows2 = dict(rows)
+    rows2["event_id"] = [1, 2, 99, 10]
+    rows2["event_type"] = ["click", "click", "other", "purchase"]
+    pq.write_table(pa.table(rows2, schema=schema), str(d / "events.parquet"))
+    for name in ("purchase_last_click_asof", "purchase_last_click_asof_cogroup"):
+        got = cat[name].fn(spark, str(d)).collect()
+        assert got[0]["asof_event_id"] == 2 and got[0]["asof_value"] == 2.0
