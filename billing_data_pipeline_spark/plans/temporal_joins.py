@@ -237,3 +237,35 @@ def error_burst_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("l_event_id").alias("event_id")).agg(
         F.count(F.lit(1)).alias("n_recent")
     )
+
+
+@register(
+    "bloom_prefiltered_dedup_ingest",
+    tags=("ingest", "dedup", "bloom", "reference:J1"),
+    oracle="""
+WITH existing AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 5 <> 0),
+batch AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 5 = 0)
+SELECT b.doc_id, b.h AS content_hash
+FROM batch b
+LEFT JOIN (SELECT DISTINCT h FROM existing) e ON b.h = e.h
+WHERE e.h IS NULL
+""",
+)
+def bloom_prefiltered_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's anti-join dedup insert (J1) with a bloom-pruned
+    probe (operators/ingest.bloom_prefiltered_new_rows): the existing
+    corpus's content hashes fold into a 1 MB bitmap (per-partition numpy
+    partials OR'd on the driver — bounded by bitmap bytes, never key
+    count), batch rows that the bloom proves unseen skip the anti-join,
+    and only "maybe" rows verify exactly. Result is EXACTLY the plain
+    anti-join (the oracle), because blooms have no false negatives."""
+    from ..operators.ingest import bloom_prefiltered_new_rows
+
+    docs = t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.md5("text").alias("content_hash")
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    return bloom_prefiltered_new_rows(batch, existing, "content_hash")

@@ -160,3 +160,35 @@ def test_strict_dedup_append_replicates_unique_violation(spark):
         [(None, 1), (None, 2), ("b", 3)], "k string, v int"
     )
     assert dedup_append(null_batch, existing, ["k"], strict=True).count() == 3
+
+
+def test_bloom_prefilter_exactness_and_pruning(spark):
+    """bloom_prefiltered_new_rows == the plain anti-join on adversarial
+    overlap, and the bloom actually prunes: the definitely-new branch
+    carries most of a mostly-new batch past the join."""
+    from pyspark.sql import functions as F
+
+    from billing_data_pipeline_spark.operators.ingest import (
+        bloom_prefiltered_new_rows,
+    )
+
+    existing = spark.range(0, 2000).select(
+        F.concat(F.lit("k"), (F.col("id") * 3).cast("string")).alias("key")
+    )
+    batch = spark.range(0, 3000).select(
+        F.col("id").alias("row_id"),
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("key"),
+    )
+    got = {
+        r["row_id"]
+        for r in bloom_prefiltered_new_rows(batch, existing, "key").collect()
+    }
+    expect = {
+        r["row_id"]
+        for r in batch.join(
+            existing.withColumnRenamed("key", "ek"),
+            F.col("key") == F.col("ek"),
+            "left_anti",
+        ).collect()
+    }
+    assert got == expect and 0 < len(got) < 3000
