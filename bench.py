@@ -59,6 +59,7 @@ def main() -> None:
     warm = os.path.isdir(warm_dir)
 
     timings: dict[str, float] = {}
+    query_errors: dict[str, str] = {}
     total = 0.0
     for name, spec in bench_specs.items():
         if warm:
@@ -72,11 +73,16 @@ def main() -> None:
         # warm runs measures the plan, not the jitter.
         best = float("inf")
         rows = 0
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            rows = df.count()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df = spec.fn(spark, sf_dir)
+                rows = df.count()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # report per-query, keep the artifact
+            query_errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"# {name}: FAILED {query_errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 4)
         total += best
         print(f"# {name}: {best:.3f}s ({rows} rows)", file=sys.stderr)
@@ -89,16 +95,9 @@ def main() -> None:
     baseline_errors: list[str] = []
     if not os.environ.get("SPARK_GRAFT_NO_BASELINE"):
         try:
-            import duckdb
+            from billing_data_pipeline_spark.sources.tables import duckdb_connect
 
-            from billing_data_pipeline_spark.sources.tables import TABLES
-
-            con = duckdb.connect()
-            for tname in TABLES:
-                con.execute(
-                    f"CREATE VIEW {tname} AS"
-                    f" SELECT * FROM '{sf_dir}/{tname}.parquet'"
-                )
+            con = duckdb_connect(sf_dir)
             for name, spec in bench_specs.items():
                 if not spec.oracle:
                     continue
@@ -125,12 +124,16 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if query_errors:
+        out["query_errors"] = query_errors
     if baseline:
         out["baseline_engine"] = "duckdb"
         out["baseline_queries"] = baseline
         out["baseline_total_sec"] = round(sum(baseline.values()), 4)
-        if baseline_errors:
-            out["baseline_errors"] = baseline_errors
+    if baseline_errors:
+        # emitted even when EVERY oracle failed — a silently-empty
+        # baseline must be distinguishable from a disabled one
+        out["baseline_errors"] = baseline_errors
     print(json.dumps(out))
 
 

@@ -294,8 +294,10 @@ def bloom_prefiltered_new_rows(
 
     probed = b.mapInPandas(probe_rows, out_schema)
     definitely_new = probed.filter(~F.col("_maybe"))
+    # no distinct() on the existing keys: LEFT ANTI never multiplies rows,
+    # and a distinct would hash-exchange the full corpus key set
     maybe_seen = probed.filter(F.col("_maybe")).join(
-        existing.select(k.alias("_ek")).distinct(),
+        existing.select(k.alias("_ek")),
         F.col("_bk") == F.col("_ek"),
         "left_anti",
     )

@@ -103,3 +103,21 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL entry points."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def duckdb_connect(sf_dir: str, threads: int | None = None):
+    """One DuckDB connection with every testdata table registered as a
+    view — the single definition shared by the oracle-parity tests, the
+    driver-contract simulation, bench.py's co-measure and the plan-audit
+    tool (they had drifted: only one of four copies pinned threads)."""
+    import duckdb
+
+    from ..session import default_parallelism
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {threads or default_parallelism()}")
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    return con

@@ -17,9 +17,9 @@ import sys
 import time
 from datetime import date, datetime
 
-import duckdb
+import os
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _cell(v) -> str:
@@ -30,7 +30,11 @@ def _cell(v) -> str:
             return "NaN"
         return repr(v)
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
+        if v.tzinfo is not None:  # convert to UTC BEFORE dropping tz
+            from datetime import timezone
+
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, date):
         return v.isoformat()
     if isinstance(v, bool):
@@ -53,19 +57,17 @@ def main() -> int:
 
     import __spark_entry__ as e
     from billing_data_pipeline_spark.session import get_spark
-    from billing_data_pipeline_spark.sources.tables import TABLES
+    from billing_data_pipeline_spark.sources.tables import duckdb_connect
 
     spark = get_spark(shuffle_partitions=8)
 
     smoke = e.entry(spark)
     n = len(smoke.collect())
-    assert n >= 0 and len(smoke.schema.fields) > 0
+    assert n > 0 and len(smoke.schema.fields) > 0
     print(f"entry(): {n} rows OK")
 
     oracles = e.oracle_sql()
-    con = duckdb.connect()
-    for name in TABLES:
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    con = duckdb_connect(sf_dir)
 
     failures = []
     for name, fn in sorted(e.queries().items()):

@@ -10,16 +10,14 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 
-from billing_data_pipeline_spark.sources.tables import TABLES
 
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    con = duckdb.connect()
-    for name in TABLES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
-        )
-    return con
+    from billing_data_pipeline_spark.sources.tables import (
+        duckdb_connect as _connect,
+    )
+
+    return _connect(sf_dir)
 
 
 def _canonical(df: pd.DataFrame) -> pd.DataFrame:
@@ -44,7 +42,16 @@ def _canonical(df: pd.DataFrame) -> pd.DataFrame:
                 col = col.dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = col.astype("datetime64[us]")
     if len(df.columns):
-        df = df.sort_values(by=list(df.columns), kind="mergesort")
+        # sort on ROUNDED float keys: a last-ulp cross-engine difference on
+        # a tied row must not swap the positional alignment the rtol-based
+        # compare depends on (values themselves stay unrounded)
+        keyed = df.copy()
+        for c in keyed.columns:
+            if pd.api.types.is_float_dtype(keyed[c]):
+                keyed[c] = keyed[c].round(9)
+        df = df.loc[
+            keyed.sort_values(by=list(keyed.columns), kind="mergesort").index
+        ]
     return df.reset_index(drop=True)
 
 

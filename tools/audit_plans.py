@@ -53,17 +53,15 @@ def audit(names: list[str], sf_dir: str) -> None:
         ]
         print(f"{name} | {', '.join(feats)}")
         for p in sorted(set(re.findall(r"PushedFilters: \[[^\]]*\]", plan))):
-            if len(p) > 30:
+            if "PushedFilters: []" not in p and "PushedFilters" in p:
                 print(f"    {p[:160]}")
         for p in sorted(set(re.findall(r"ReadSchema: struct<[^>]{0,120}", plan))):
             print(f"    {p[:160]}")
 
 
 def bench_compare(sf_dir: str) -> None:
-    import duckdb
-
     from billing_data_pipeline_spark.session import dir_input_bytes, input_sized_conf
-    from billing_data_pipeline_spark.sources.tables import TABLES
+    from billing_data_pipeline_spark.sources.tables import duckdb_connect
 
     spark = get_spark(
         app_name="bdp-plan-audit",
@@ -74,10 +72,7 @@ def bench_compare(sf_dir: str) -> None:
 
     cache_dimension_tables(spark, sf_dir)
     cat = load_catalog()
-    con = duckdb.connect()
-    con.execute(f"SET threads TO {os.cpu_count()}")
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con = duckdb_connect(sf_dir)  # threads = Spark's parallelism — fair ratio
     print("| Query | Spark s | DuckDB s | ratio |")
     print("|---|---|---|---|")
     tot_s = tot_d = 0.0

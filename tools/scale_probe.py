@@ -32,7 +32,9 @@ from billing_data_pipeline_spark.session import (
 )
 from billing_data_pipeline_spark.sources.tables import TABLES, load_table
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF_DIR = os.path.abspath(
+    os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+)  # symlinks below must not resolve relative to the temp dir
 # lineitem-dominated queries: two pure scans/agg, one percentile, one
 # dim-broadcast join — the shapes whose scaling matters.
 PROBE_QUERIES = (
