@@ -52,8 +52,10 @@ def audit(names: list[str], sf_dir: str) -> None:
             f"{p}x{n}" for p in FEATURES if (n := len(re.findall(p, plan)))
         ]
         print(f"{name} | {', '.join(feats)}")
-        for p in sorted(set(re.findall(r"PushedFilters: \[[^\]]*\]", plan))):
-            if "PushedFilters: []" not in p and "PushedFilters" in p:
+        # toString() truncates long scan lines mid-bracket: accept an
+        # unterminated filter list too, or real pushdown goes unreported
+        for p in sorted(set(re.findall(r"PushedFilters: \[[^\]\n]*\]?", plan))):
+            if p != "PushedFilters: []":
                 print(f"    {p[:160]}")
         for p in sorted(set(re.findall(r"ReadSchema: struct<[^>]{0,120}", plan))):
             print(f"    {p[:160]}")
