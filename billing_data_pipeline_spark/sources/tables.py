@@ -114,10 +114,13 @@ def duckdb_connect(sf_dir: str, threads: int | None = None):
 
     from ..session import default_parallelism
 
+    import os
+
     con = duckdb.connect()
     con.execute(f"SET threads TO {threads or default_parallelism()}")
     for name in TABLES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
-        )
+        if os.path.exists(f"{sf_dir}/{name}.parquet"):  # partial fixture dirs
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+            )
     return con

@@ -42,3 +42,76 @@ def test_driver_sample_priority_front_loads_oracle_flagships():
     )
     for name in DRIVER_SAMPLE_PRIORITY:
         assert cat[name].oracle, f"{name} has no oracle"
+
+
+def _write_events(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            pa.field("event_id", pa.int64()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("user_id", pa.int64()),
+            pa.field("event_type", pa.string()),
+            pa.field("value", pa.float64()),
+            pa.field("props", pa.string()),
+        ]
+    )
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(pa.table(rows, schema=schema), str(d / "events.parquet"))
+    return str(d)
+
+
+def test_session_oracle_holds_under_duplicate_timestamps(spark, tmp_path):
+    """The r3 hardening claim, exercised: duplicate (user, ts) events where
+    one dup row is a session boundary must still hash-match the oracle
+    (whose cumsum now tiebreaks on event_id like its lag does)."""
+    t0 = 1_700_000_000_000_000
+    h2 = 2 * 3600 * 1_000_000  # > the 30-min gap
+    rows = {
+        # user 7: event at t0, then a DUPLICATE-ts pair at t0+2h where the
+        # lower event_id carries the new-session mark
+        "event_id": [1, 2, 3, 4],
+        "ts": [t0, t0 + h2, t0 + h2, t0 + h2 + 60_000_000],
+        "user_id": [7, 7, 7, 7],
+        "event_type": ["click"] * 4,
+        "value": [1.0] * 4,
+        "props": [None] * 4,
+    }
+    sf = _write_events(tmp_path, rows)
+    spec = CATALOG["session_window_stats"]
+    assert_matches_oracle(spec.fn(spark, sf), spec.oracle, sf)
+
+
+def test_quality_checks_oracle_holds_under_null_keys(spark, tmp_path):
+    """The r3 hardening claim, exercised: NULL natural-key components must
+    not split the engines' dup counts (Spark's count_distinct drops them,
+    DuckDB's row-struct DISTINCT counts them — both sides now count dups
+    over fully-keyed rows only)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            pa.field("l_orderkey", pa.int64()),
+            pa.field("l_linenumber", pa.int64()),
+            pa.field("l_shipdate", pa.timestamp("us")),
+            pa.field("l_extendedprice", pa.float64()),
+            pa.field("l_discount", pa.float64()),
+        ]
+    )
+    t0 = 800_000_000_000_000
+    rows = {
+        "l_orderkey": [1, 1, 2, None, None],
+        "l_linenumber": [1, 1, 1, 1, 1],  # (1,1) duplicated; two NULL keys
+        "l_shipdate": [t0, t0, t0, t0, None],
+        "l_extendedprice": [10.0, 10.0, -5.0, 1.0, 1.0],
+        "l_discount": [0.1, 0.1, 0.5, 2.0, 0.0],
+    }
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(pa.table(rows, schema=schema), str(d / "lineitem.parquet"))
+    spec = CATALOG["lineitem_quality_checks"]
+    assert_matches_oracle(spec.fn(spark, str(d)), spec.oracle, str(d))
