@@ -714,3 +714,117 @@ def unigram_logprob_sql(text_expr: str) -> str:
         f"(acc, x) -> acc + x) / len({toks}) "
         "ELSE NULL END"
     )
+
+
+def heavy_hitter_terms(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_ppm: int = 2000,
+    slack: int = 4,
+):
+    """EXACT corpus heavy hitters — every term whose occurrence count
+    exceeds ``threshold_ppm`` parts-per-million of all tokens — with
+    memory bounded by the THRESHOLD, not the vocabulary.
+
+    The unbounded-vocab scale path next to ``vocabulary_stats`` (whose
+    groupBy(term) is vocab-sized — fine for bounded vocabularies, not for
+    open web text):
+
+    1. **Candidate pass** (one scan, mapInPandas): each partition runs a
+       Misra–Gries summary with ``slack/threshold`` counters; MG
+       guarantees any item with global frequency > N*threshold survives
+       in at least one partition's summary, so the union of partition
+       candidates is a SUPERSET of the true heavy hitters. Emitted rows
+       per partition <= counter count — exchange size is threshold-bound.
+    2. **Verify pass** (one scan): exact counts for candidate terms only
+       (broadcast semi filter), plus the exact total token count in the
+       same aggregate via a sentinel row — then the exact HAVING cut.
+
+    The result is EXACT (MG has no false negatives; false candidates die
+    in the verify pass), so the oracle is the plain GROUP BY ... HAVING
+    twin. Deterministic: counters are dicts keyed by term, no sampling."""
+    import re as _re
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    n_counters = max(1, slack * 1_000_000 // threshold_ppm)
+    pat = _re.compile(TOKEN_SPLIT_RE)
+
+    cand_schema = T.StructType([T.StructField("term", T.StringType())])
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf[text_col]:
+                if not isinstance(text, str):
+                    continue
+                for tok in pat.split(text.lower()):
+                    if not tok:
+                        continue
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < n_counters:
+                        counters[tok] = 1
+                    else:  # decrement-all step
+                        dead = []
+                        for k in counters:
+                            counters[k] -= 1
+                            if counters[k] == 0:
+                                dead.append(k)
+                        for k in dead:
+                            del counters[k]
+        if counters:
+            yield pd.DataFrame({"term": list(counters)})
+
+    candidates = [
+        r["term"]
+        for r in df.select(text_col)
+        .mapInPandas(mg, cand_schema)
+        .distinct()
+        .collect()
+    ]
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda x: x != "")
+    exploded = df.select(F.explode(toks).alias("term"))
+    # exact candidate counts + exact total in ONE aggregate: non-candidates
+    # fold into a sentinel bucket ('\x00' can never be an [a-z]+ token)
+    bucketed = exploded.select(
+        F.when(F.col("term").isin(candidates), F.col("term"))
+        .otherwise(F.lit("\x00other"))
+        .alias("term")
+    )
+    counts = bucketed.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("total_tokens"))
+    return (
+        counts.filter(F.col("term") != "\x00other")
+        .crossJoin(F.broadcast(total))
+        .filter(
+            F.col("n") * F.lit(1_000_000)
+            > F.col("total_tokens") * F.lit(threshold_ppm)
+        )
+        .select("term", "n", "total_tokens")
+    )
+
+
+def heavy_hitter_terms_oracle_sql(
+    table: str, text_col: str, threshold_ppm: int
+) -> str:
+    """DuckDB twin: plain explode + GROUP BY + HAVING over the exact total."""
+    return f"""
+WITH toks AS (
+    SELECT unnest(string_split_regex(lower({text_col}), '[^a-z]+')) AS term
+    FROM {table}
+),
+clean AS (SELECT term FROM toks WHERE term <> ''),
+tot AS (SELECT COUNT(*) AS total_tokens FROM clean)
+SELECT term, COUNT(*) AS n, tot.total_tokens
+FROM clean, tot
+GROUP BY term, tot.total_tokens
+HAVING COUNT(*) * 1000000 > tot.total_tokens * {threshold_ppm}
+"""

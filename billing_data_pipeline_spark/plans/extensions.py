@@ -1049,3 +1049,20 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", "lang", X.unigram_logprob(F.col("text")).alias("avg_logprob")
     )
+
+
+@register(
+    "heavy_hitter_terms",
+    tags=("ext", "text", "sketch", "heavy-hitters"),
+    oracle=X.heavy_hitter_terms_oracle_sql("documents", "text", 2000),
+)
+def heavy_hitter_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (terms above 2000 ppm of all tokens) with
+    vocabulary-independent memory: per-partition Misra-Gries candidate
+    summaries (threshold-bounded counters, superset guaranteed) + one
+    exact verify pass — the unbounded-vocab scale tier next to
+    vocabulary_tfidf's vocab-sized groupBy. Oracle = the plain
+    GROUP BY/HAVING recompute, so exactness is hash-proven."""
+    return X.heavy_hitter_terms(
+        t(spark, sf_dir, "documents"), "doc_id", "text", threshold_ppm=2000
+    )

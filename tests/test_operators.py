@@ -565,3 +565,37 @@ def test_asof_plans_resolve_right_side_ties_deterministically(spark, tmp_path):
     for name in ("purchase_last_click_asof", "purchase_last_click_asof_cogroup"):
         got = cat[name].fn(spark, str(d)).collect()
         assert got[0]["asof_event_id"] == 2 and got[0]["asof_value"] == 2.0
+
+
+def test_heavy_hitters_exact_on_skewed_synthetic(spark):
+    """Misra-Gries candidates + exact verify must equal the brute-force
+    heavy-hitter set on adversarially skewed data (many partitions, a
+    long unique tail that overflows the per-partition counters)."""
+    from billing_data_pipeline_spark.operators.text import heavy_hitter_terms
+
+    docs = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") % 2 == 0, F.lit("hot ")).otherwise(F.lit("")),
+            F.when(F.col("id") % 10 == 0, F.lit("warm ")).otherwise(F.lit("")),
+            F.concat(F.lit("tail"), F.col("id").cast("string")),
+        ).alias("text"),
+    ).repartition(16)
+    got = {
+        (r["term"], r["n"])
+        for r in heavy_hitter_terms(
+            docs, "doc_id", "text", threshold_ppm=50_000
+        ).collect()
+    }
+    # brute force truth
+    from billing_data_pipeline_spark.operators.text import explode_terms
+
+    counts = explode_terms(docs, "doc_id", "text").groupBy("term").count()
+    total = counts.agg(F.sum("count")).collect()[0][0]
+    truth = {
+        (r["term"], r["count"])
+        for r in counts.collect()
+        if r["count"] * 1_000_000 > total * 50_000
+    }
+    assert got == {(t, n) for t, n in truth}
+    assert ("hot", 2000) in got
