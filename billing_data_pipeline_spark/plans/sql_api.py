@@ -138,3 +138,30 @@ def sql_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame-side latest_event_per_user/QUALIFY pattern, here proven at
     the raw-SQL entry point."""
     return _sql_query(LATERAL_TOP_ORDERS_SQL)(spark, sf_dir)
+
+
+CUBE_ROLLUP_SQL = """
+SELECT GROUPING(l_returnflag) AS g_flag,
+       GROUPING(l_linestatus) AS g_status,
+       l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS STRING) AS DOUBLE)
+           AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "sql_cube_quantities",
+    tags=("sql-api", "cube", "shared-text"),
+    oracle=CUBE_ROLLUP_SQL,
+)
+def sql_cube_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) from shared SQL text — all four
+    grouping arrangements (full, per-flag, per-status, grand total) in ONE
+    Expand + aggregate pass; GROUPING() flags disambiguate NULL labels
+    identically on both engines, and the exact-decimal sums keep every
+    subtotal bit-identical across the 4x row expansion."""
+    return _sql_query(CUBE_ROLLUP_SQL)(spark, sf_dir)
