@@ -822,6 +822,8 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT event_id, user_id,
        percent_rank() OVER w AS pr,
        cume_dist() OVER w AS cd,
+       dense_rank() OVER w AS dr,
+       ntile(4) OVER w AS quartile,
        first_value(value) OVER w AS first_v,
        last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING
@@ -849,6 +851,8 @@ def window_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.percent_rank().over(running).alias("pr"),
         F.cume_dist().over(running).alias("cd"),
+        F.dense_rank().over(running).alias("dr"),
+        F.ntile(4).over(running).alias("quartile"),
         F.first("value").over(running).alias("first_v"),
         F.last("value").over(full).alias("last_v"),
         F.nth_value("value", 2).over(full).alias("second_v"),
