@@ -87,23 +87,27 @@ QUALITY_MODEL_WEIGHTS: tuple[tuple[str, float], ...] = (
     ("bias", -0.25),
     ("word_density", 4.0),
     ("punct_ratio", -6.0),
-    ("log_len", 0.03),
+    ("root_len", 0.01),
     ("distinct_ratio", 0.5),
 )
 
 
 def model_quality_features(text: Column) -> dict[str, Column]:
-    """The classifier's feature map — cheap deterministic per-row exprs
-    (each an IEEE division / libm ln of identical operands on both
-    engines; ln is already hash-proven cross-engine by the tf-idf
-    oracles)."""
+    """The classifier's feature map — cheap deterministic per-row exprs:
+    only IEEE-correctly-rounded ops (divisions, sqrt) of identical
+    operands. No runtime transcendentals — Spark 4's Catalyst ln is
+    StrictMath.log, 1 ulp off libm (DuckDB/Python) on ~1% of inputs."""
     n_chars = F.length(text)
     words = token_count(text)
     toks = F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda x: x != "")
     return {
         "word_density": words.cast("double") / n_chars,
         "punct_ratio": punct_count(text).cast("double") / n_chars,
-        "log_len": F.log(F.lit(1.0) + n_chars),
+        # sqrt, NOT ln: +,-,*,/,sqrt are IEEE-correctly-rounded on
+        # every engine, while Spark 4's Catalyst ln is StrictMath.log —
+        # 1 ulp off libm (DuckDB/Python) on ~1% of inputs (found via a
+        # sf0.001 full-catalog sweep; ln(74) differs)
+        "root_len": F.sqrt(F.lit(1.0) + n_chars),
         "distinct_ratio": F.size(F.array_distinct(toks)).cast("double")
         / F.size(toks),
     }
@@ -134,7 +138,7 @@ def model_quality_score_sql(text_expr: str) -> str:
     feats = {
         "word_density": f"(CAST({words} AS DOUBLE) / length({text_expr}))",
         "punct_ratio": f"(CAST({puncts} AS DOUBLE) / length({text_expr}))",
-        "log_len": f"ln(1.0 + length({text_expr}))",
+        "root_len": f"sqrt(1.0 + length({text_expr}))",
         "distinct_ratio": (
             f"(CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks}))"
         ),
@@ -185,21 +189,32 @@ def explode_terms(df, id_col: str, text_col: str):
     ).filter(F.col("term") != "")
 
 
-def _idf(doc_freq: Column, n_docs: Column) -> Column:
-    """Smoothed idf = ln((N+1)/(df+1)) + 1 (sklearn's 'smooth' variant) —
-    one double division + libm ln, bit-stable across engines."""
-    return F.log((n_docs + F.lit(1.0)) / (doc_freq + F.lit(1.0))) + F.lit(1.0)
+def _idf_py(doc_freq: int, n_docs: float) -> float:
+    """Smoothed idf = ln((N+1)/(df+1)) + 1 (sklearn's 'smooth' variant),
+    computed with PYTHON's libm log — which is bit-identical to DuckDB's
+    ln (both call the platform libm), while Spark 4's Catalyst ln is
+    StrictMath.log, 1 ulp off on ~1% of inputs. idf therefore must be
+    computed on the driver and injected (literal/closure/broadcast),
+    never in a runtime JVM projection."""
+    import math as _math
+
+    return _math.log((n_docs + 1.0) / (doc_freq + 1.0)) + 1.0
 
 
 def vocabulary_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     """Corpus vocabulary profile: per term, document frequency, total term
     frequency, smoothed idf, and tf-idf mass. One groupBy(term) shuffle
-    (vocab-sized, i.e. tiny next to the corpus); the doc count joins in as
-    a broadcast one-row aggregate, so nothing ever single-partitions."""
+    (vocab-sized, i.e. tiny next to the corpus) does the corpus-scale
+    work; the final vocab-sized projection (idf = libm ln) happens on the
+    driver, because Spark's runtime ln (StrictMath) is 1 ulp off the
+    libm DuckDB/Python use — the collected rows are exactly the rows a
+    broadcast build would have pinned anyway."""
     # One explode pass: aggregate to (doc, term) first, then derive BOTH
     # term stats from that — doc_freq is the (doc,term) row count and
     # term_freq the tf sum, so the corpus-sized explode runs once and the
     # expensive countDistinct disappears entirely.
+    from pyspark.sql import types as T
+
     tf = (
         explode_terms(df, id_col, text_col)
         .groupBy(id_col, "term")
@@ -209,20 +224,29 @@ def vocabulary_stats(df, id_col: str = "doc_id", text_col: str = "text"):
         F.count("*").alias("doc_freq"),
         F.sum("tf").alias("term_freq"),
     )
-    n_docs = df.agg(F.count("*").alias("n_docs"))
-    return (
-        per_term.crossJoin(F.broadcast(n_docs))
-        .select(
-            "term",
-            "doc_freq",
-            "term_freq",
-            _idf(F.col("doc_freq"), F.col("n_docs")).alias("idf"),
-            (F.col("term_freq") * _idf(F.col("doc_freq"), F.col("n_docs"))).alias(
-                "tfidf_mass"
-            ),
-        )
-        .orderBy("term")
+    n_docs = float(df.count())
+    rows = per_term.collect()
+    schema = T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField("doc_freq", T.LongType()),
+            T.StructField("term_freq", T.LongType()),
+            T.StructField("idf", T.DoubleType()),
+            T.StructField("tfidf_mass", T.DoubleType()),
+        ]
     )
+    data = [
+        (
+            r["term"],
+            r["doc_freq"],
+            r["term_freq"],
+            _idf_py(r["doc_freq"], n_docs),
+            r["term_freq"] * _idf_py(r["doc_freq"], n_docs),
+        )
+        for r in rows
+    ]
+    spark = df.sparkSession
+    return spark.createDataFrame(data, schema).orderBy("term")
 
 
 def doc_top_terms(df, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
@@ -278,13 +302,14 @@ def doc_top_terms(df, id_col: str = "doc_id", text_col: str = "text", k: int = 3
     # metadata-only count (parquet row groups), ~80 ms; folding it into the
     # vocab job as a unioned sentinel row measured SLOWER (the union's two
     # scan subtrees serialize: 0.60 s vs 0.28 + 0.09 split)
-    n_docs = df.count()
-    # idf computed in the JVM projection (Catalyst's ln), never in Python —
-    # libm log differs from Math.log by ulps and would break the oracle hash
-    idf_rows = per_term.select(
-        "term", _idf(F.col("doc_freq"), F.lit(float(n_docs))).alias("idf")
-    ).collect()
-    idf = {r["term"]: r["idf"] for r in idf_rows}
+    n_docs = float(df.count())
+    # idf computed DRIVER-side with Python's libm log == DuckDB's ln;
+    # Spark's runtime ln is StrictMath.log — 1 ulp off libm on ~1% of
+    # inputs (caught by the sf0.001 full-catalog sweep), so a JVM
+    # projection here is a latent hash break under testdata regeneration
+    idf = {
+        r["term"]: _idf_py(r["doc_freq"], n_docs) for r in per_term.collect()
+    }
 
     id_type = df.schema[id_col].dataType
     schema = T.StructType(

@@ -115,3 +115,21 @@ def test_quality_checks_oracle_holds_under_null_keys(spark, tmp_path):
     pq.write_table(pa.table(rows, schema=schema), str(d / "lineitem.parquet"))
     spec = CATALOG["lineitem_quality_checks"]
     assert_matches_oracle(spec.fn(spark, str(d)), spec.oracle, str(d))
+
+
+SWEEP_SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["doc_model_quality_scores", "vocabulary_tfidf", "doc_top_terms_tfidf",
+     "best_survivor_dedup_docs", "quality_quantile_filter"],
+)
+def test_ln_free_queries_hold_at_alternate_sf(spark, name):
+    """Regression for the StrictMath-vs-libm ln divergence: these queries
+    failed the hash gate at sf0.001 (while passing at sf0.01 by luck of
+    the inputs) when idf / the model's length feature used Spark's
+    runtime ln. The fix removes runtime transcendentals (sqrt feature;
+    driver-side libm idf) — assert at the SF that exposed it."""
+    spec = CATALOG[name]
+    assert_matches_oracle(spec.fn(spark, SWEEP_SF), spec.oracle, SWEEP_SF)
