@@ -54,14 +54,16 @@ def asof_join_backward(
     left_tag = 1 - right_tag
 
     l_tagged = left.withColumn("_side", F.lit(left_tag))
-    r_tagged = (
-        right.select(
-            entity_col,
-            ts_col,
-            *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-        )
-        .withColumn("_side", F.lit(right_tag))
-    )
+    # ALL right value columns ride in ONE struct: the struct is non-null
+    # exactly when a right ROW exists, so last(ignorenulls) tracks row
+    # presence — per-column last() would skip a genuine NULL value and
+    # reach back to an OLDER right row (and different columns could even
+    # come from different rows). Found by the NULL-injection sweep.
+    r_tagged = right.select(
+        entity_col,
+        ts_col,
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_rv"),
+    ).withColumn("_side", F.lit(right_tag))
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
     w = (
@@ -69,18 +71,13 @@ def asof_join_backward(
         .orderBy(F.col(ts_col), F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in value_cols
-        ],
+    filled = unioned.withColumn(
+        "_asof_rv", F.last("_rv", ignorenulls=True).over(w)
     )
-    out = filled.filter(F.col("_side") == left_tag).drop(
-        "_side", *[f"_r_{c}" for c in value_cols]
+    out = filled.filter(F.col("_side") == left_tag).select(
+        *[c for c in left.columns],
+        *[F.col("_asof_rv")[c].alias(f"asof_{c}") for c in value_cols],
     )
-    for c in value_cols:
-        out = out.withColumnRenamed(f"_asof_{c}", f"asof_{c}")
     return out
 
 

@@ -309,9 +309,21 @@ def ml_minhash_neardup_pairs(
     built-in pipeline above, kept for API parity."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    docs = df.select(
-        F.col(id_col).alias("doc"), word_shingles(text_col, 3).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    # NULL/short text must be gone BEFORE the ML UDFs can see it: Catalyst
+    # freely reorders deterministic predicates, so the LSH hash / TF UDFs
+    # evaluate ahead of the null/size filters and NPE on a NULL shingle
+    # array (found by the NULL-injection sweep — a scan-level IS NOT NULL
+    # was still not enough). The persist() is a plan barrier the optimizer
+    # cannot push UDF predicates through, and the fit + self-join read the
+    # cleaned relation twice anyway.
+    docs = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc"), word_shingles(text_col, 3).alias("shingles")
+        )
+        .filter(F.size("shingles") > 0)
+        .persist()
+    )
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True
     )
@@ -366,7 +378,10 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), "\\s+"))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    return df.select(
+    # NULL text is DROPPED, not zero-signed: a shared zero signature would
+    # band-join every null doc with every other (and with real zero-sig
+    # docs) — the oracles exclude null text too (NULL-injection sweep)
+    return df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc"), simhash_from_hashes(hashes).alias("simhash")
     )
 

@@ -374,7 +374,10 @@ def simhash_portable_signatures(df: DataFrame, id_col: str, text_col: str) -> Da
 
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
     hashes = F.transform(toks, lambda t: portable_hash60(t))
-    return df.select(F.col(id_col).alias("doc"), simhash60(hashes).alias("simhash"))
+    # NULL text dropped (not zero-signed) — see dedup.simhash_signatures
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc"), simhash60(hashes).alias("simhash")
+    )
 
 
 def simhash_portable_pairs(

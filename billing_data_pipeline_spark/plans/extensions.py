@@ -681,8 +681,10 @@ def doc_model_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id,
        COUNT(*) AS n_events,
-       string_agg(event_type || '@' || epoch_us(CAST(ts AS TIMESTAMP)), '|'
-                  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_type, event_id)
+       string_agg(COALESCE(event_type, '') || '@' ||
+                  epoch_us(CAST(ts AS TIMESTAMP)), '|'
+                  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                           COALESCE(event_type, ''), event_id)
            AS transcript
 FROM events
 GROUP BY user_id
@@ -699,9 +701,13 @@ def user_event_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     seq = ev.select(
         "user_id",
+        # coalesce NULL type to '' on BOTH engines: Spark's concat_ws
+        # silently skips NULL elements while DuckDB's || nulls the whole
+        # string (string_agg then drops it) — and struct-sort NULL
+        # ordering differs too (NULL-injection sweep)
         F.struct(
             F.unix_micros("ts").alias("ts_us"),
-            F.col("event_type").alias("et"),
+            F.coalesce(F.col("event_type"), F.lit("")).alias("et"),
             F.col("event_id").alias("eid"),
         ).alias("e"),
     )

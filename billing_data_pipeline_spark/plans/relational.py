@@ -1573,9 +1573,9 @@ WITH m AS (
     FROM lineitem GROUP BY month_idx
 )
 SELECT month_idx, revenue,
-       lag(revenue) OVER (ORDER BY month_idx) AS prev_revenue,
-       (revenue - lag(revenue) OVER (ORDER BY month_idx))
-           / lag(revenue) OVER (ORDER BY month_idx) AS mom_growth
+       lag(revenue) OVER (ORDER BY month_idx NULLS LAST) AS prev_revenue,
+       (revenue - lag(revenue) OVER (ORDER BY month_idx NULLS LAST))
+           / lag(revenue) OVER (ORDER BY month_idx NULLS LAST) AS mom_growth
 FROM m
 """,
 )
@@ -1596,7 +1596,10 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("month_idx")
     ).agg(exact_sum(revenue()).cast("double").alias("revenue"))
-    w = Window.orderBy("month_idx")
+    # NULLS LAST explicitly on BOTH engines: Spark's asc default is
+    # NULLS FIRST, DuckDB's is NULLS LAST — a NULL month (null shipdate
+    # group) would shift the whole lag chain (NULL-injection sweep)
+    w = Window.orderBy(F.col("month_idx").asc_nulls_last())
     prev = F.lag("revenue").over(w)
     return m.select(
         "month_idx",

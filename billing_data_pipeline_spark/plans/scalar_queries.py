@@ -94,7 +94,8 @@ SELECT doc_id,
        split_part(url, '/', -1) AS fname
 FROM (
     SELECT doc_id,
-           'https://' || source || '.example.com/docs/source=' || source ||
+           'https://' || COALESCE(source, 'unknown') ||
+           '.example.com/docs/source=' || COALESCE(source, 'unknown') ||
            '/doc-' || CAST(doc_id AS VARCHAR) || '.txt' AS url
     FROM documents
     WHERE doc_id % 25 = 0
@@ -105,11 +106,14 @@ def url_and_path_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL decomposition (F6, parse_url built-in), key=value extraction from
     a path (F5), and basename (F8) over synthesized per-doc URLs."""
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    # coalesce NULL source on BOTH engines so a null row yields a parseable
+    # URL instead of engine-specific NULL propagation (NULL-injection sweep)
+    src = F.coalesce(F.col("source"), F.lit("unknown"))
     with_url = docs.select(
         "doc_id",
         F.concat(
-            F.lit("https://"), F.col("source"), F.lit(".example.com/docs/source="),
-            F.col("source"), F.lit("/doc-"), F.col("doc_id").cast("string"),
+            F.lit("https://"), src, F.lit(".example.com/docs/source="),
+            src, F.lit("/doc-"), F.col("doc_id").cast("string"),
             F.lit(".txt"),
         ).alias("url"),
     )
@@ -171,7 +175,8 @@ def array_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH per AS (
     SELECT user_id, event_type, COUNT(*) AS c
-    FROM events GROUP BY user_id, event_type
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY user_id, event_type
 )
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_types,
@@ -194,7 +199,13 @@ def map_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes sense). Plan: one (user, type) groupBy, one user groupBy — the
     map lives entirely inside the second aggregate's projection."""
     ev = t(spark, sf_dir, "events")
-    per = ev.groupBy("user_id", "event_type").count()
+    # NULL event_type cannot be a map key (Spark raises NULL_MAP_KEY);
+    # exclude it on BOTH engines — found by the NULL-injection sweep
+    per = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("user_id", "event_type")
+        .count()
+    )
     m = per.groupBy("user_id").agg(
         F.map_from_entries(
             F.collect_list(F.struct("event_type", "count"))
