@@ -1,9 +1,16 @@
 #!/usr/bin/env python
-"""Build a NULL-injected copy of a testdata dir and (optionally) sweep it.
+"""Build adversarial copies of a testdata dir for full-catalog sweeps.
 
 Usage:
-    python tools/null_fixture.py [src_dir] [dst_dir]
-    python tests/driver_sim.py <dst_dir>     # the sweep
+    python tools/null_fixture.py [src_dir] [dst_dir]         # NULL injection
+    python tools/null_fixture.py --dups [src_dir] [dst_dir]  # duplicate keys/ts
+    python tests/driver_sim.py <dst_dir>                     # the sweep
+
+--dups duplicates ~10% of events at the SAME (user_id, ts) under new
+event ids (double-fire) and re-appends some lineitem natural-key rows —
+the class that breaks any window ordered by ts without an id tiebreak
+and any ASOF with unresolved right-side ties (165/165 green round 3
+after the tiebreak hardening).
 
 Injects NULLs into ~10% of rows of every non-key column (keys and join
 columns stay intact), then the driver-contract simulation hash-compares
@@ -69,7 +76,46 @@ def build(src: str, dst: str) -> str:
     return dst
 
 
+def build_dups(src: str, dst: str) -> str:
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "events":
+            con.execute(
+                f"""COPY (
+                  SELECT event_id, ts, user_id, event_type, value, props
+                  FROM '{src}/events.parquet'
+                  UNION ALL
+                  SELECT event_id + 1000000, ts, user_id,
+                         CASE WHEN event_id % 3 = 0 THEN 'click'
+                              ELSE event_type END,
+                         value + 1.0, props
+                  FROM '{src}/events.parquet' WHERE event_id % 10 = 0
+                ) TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "lineitem":
+            con.execute(
+                f"""COPY (
+                  SELECT * FROM '{src}/lineitem.parquet'
+                  UNION ALL
+                  SELECT * FROM '{src}/lineitem.parquet'
+                  WHERE l_orderkey % 50 = 0
+                ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    return dst
+
+
 if __name__ == "__main__":
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/nulltest_sf"
-    print("wrote", build(src, dst))
+    args = [a for a in sys.argv[1:] if a != "--dups"]
+    dups = "--dups" in sys.argv[1:]
+    src = args[0] if args else "/root/testdata/sf0.001"
+    dst = args[1] if len(args) > 1 else (
+        "/tmp/duptest_sf" if dups else "/tmp/nulltest_sf"
+    )
+    print("wrote", build_dups(src, dst) if dups else build(src, dst))
