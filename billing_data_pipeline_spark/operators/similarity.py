@@ -102,6 +102,23 @@ def stride_seed_rows(
     )
 
 
+def _empty_topk(df: DataFrame, id_col: str, score_col: str = "cosine_sim") -> DataFrame:
+    """Empty top-k result with the standard (query_id, candidate_id, rank,
+    score) schema — graceful degradation for empty corpora/queries."""
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("candidate_id", id_type),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField(score_col, T.DoubleType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame([], schema)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -216,6 +233,8 @@ def cosine_topk_exact_vectorized(
     # task's closure): brute-force top-k is the small-query/rerank tier;
     # corpus-sized query sets belong on the bucketed LSH/IVF tiers.
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return _empty_topk(corpus, id_col)
     out_schema = T.StructType(
         [
             T.StructField("query_id", T.LongType()),
@@ -308,6 +327,8 @@ def cosine_topk_matmul(
 
     # query side broadcast-sized by contract (see cosine_topk_exact_vectorized)
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        return _empty_topk(corpus, id_col)
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norms = np.linalg.norm(Q, axis=1, keepdims=True)
@@ -511,6 +532,8 @@ def ivf_topk(
     # picked distributed (ids-only rank + broadcast semi-join — no O(N)
     # driver materialization; see stride_seed_rows)
     cent_rows = stride_seed_rows(corpus, id_col, vec_col, n_lists)
+    if not cent_rows:  # empty corpus: no cells, no candidates
+        return _empty_topk(corpus, id_col)
     Cm = np.array([[float(x) for x in r[1]] for r in cent_rows], dtype=np.float64)
     Cn = _seq_norms(Cm)
 
@@ -1029,6 +1052,8 @@ def _pq_codebook(corpus: DataFrame, id_col: str, vec_col: str, m: int, k_codes: 
     import numpy as np
 
     rows = stride_seed_rows(corpus, id_col, vec_col, k_codes)
+    if not rows:
+        return None, 0  # empty corpus — pq_topk returns empty
     S = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
     S = S / _seq_norms(S)[:, None]
     dim = S.shape[1]
@@ -1077,6 +1102,8 @@ def pq_topk(
     from pyspark.sql import types as T
 
     S, sub = _pq_codebook(corpus, id_col, vec_col, m, k_codes)
+    if S is None:  # empty corpus
+        return _empty_topk(corpus, id_col, "adc_score")
     k_codes = S.shape[0]  # tiny corpora yield fewer samples than requested
 
     def _norm_rows(pdf: "pd.DataFrame") -> "np.ndarray":

@@ -117,6 +117,24 @@ def sum_seq(xs: list[float]) -> float:
     return acc
 
 
+def _empty_kmeans(spark: SparkSession) -> DataFrame:
+    """Empty centroid-update result (graceful degradation: no vectors =>
+    no cells), matching _assign_update's output schema."""
+    from pyspark.sql import types as T
+
+    return spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("cell", T.IntegerType()),
+                T.StructField("dim", T.IntegerType()),
+                T.StructField("centroid_component", T.DoubleType()),
+                T.StructField("n_members", T.LongType()),
+            ]
+        ),
+    )
+
+
 def _assign_update(emb: DataFrame, cells: list[int], cvs: list[list[float]]) -> DataFrame:
     """One k-means round: scan-side nearest-centroid argmax against literal
     centroid vectors (``cells``-ascending order = the oracle's cidx ASC tie
@@ -174,6 +192,8 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (sim DESC, cidx ASC == first-max argmax)."""
     emb = t(spark, sf_dir, "embeddings")
     cvs = _seed_centroids(emb)
+    if not cvs:  # empty corpus
+        return _empty_kmeans(spark)
     return _assign_update(emb, list(range(len(cvs))), cvs)
 
 
@@ -193,6 +213,8 @@ def embedding_kmeans_fit2(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one scan + one k x dim-row exchange at any corpus size."""
     emb = t(spark, sf_dir, "embeddings")
     cvs = _seed_centroids(emb)
+    if not cvs:  # empty corpus
+        return _empty_kmeans(spark)
     r1 = _assign_update(emb, list(range(len(cvs))), cvs).collect()
     byc: dict[int, dict[int, float]] = {}
     for row in r1:

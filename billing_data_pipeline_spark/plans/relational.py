@@ -328,15 +328,24 @@ SELECT l_returnflag, l_linestatus,
        {dsum_sql('l_quantity')} AS total_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+HAVING COUNT(*) > 0
 """,
 )
 def status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets (subtotals + grand total; NULL-filled grouping
     columns match ANSI semantics on both engines)."""
     li = t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        exact_sum("l_quantity").cast("double").alias("total_qty"),
+    # HAVING n > 0 on both engines: on EMPTY input DuckDB (per the SQL
+    # standard) still emits the grand-total grouping as one zero row while
+    # Spark emits none — the filter is a no-op on any non-empty input and
+    # aligns the empty case to Spark (empty-tables sweep)
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("l_quantity").cast("double").alias("total_qty"),
+        )
+        .filter(F.col("n") > 0)
     )
 
 
@@ -349,15 +358,20 @@ SELECT o_orderpriority, o_orderstatus,
        {dsum_sql('o_totalprice')} AS total_price
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
+HAVING COUNT(*) > 0
 """,
 )
 def priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping sets — all 2^k grouping combinations in one pass
     (Catalyst Expand), ANSI NULL-filling on both engines."""
     o = t(spark, sf_dir, "orders")
-    return o.cube("o_orderpriority", "o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        exact_sum("o_totalprice").cast("double").alias("total_price"),
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("o_totalprice").cast("double").alias("total_price"),
+        )
+        .filter(F.col("n") > 0)  # empty-input alignment, see status_rollup
     )
 
 

@@ -92,6 +92,7 @@ SELECT o_orderstatus,
        CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+HAVING COUNT(*) > 0
 ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
 """
 
@@ -149,6 +150,7 @@ SELECT GROUPING(l_returnflag) AS g_flag,
            AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+HAVING COUNT(*) > 0
 ORDER BY g_flag, g_status, l_returnflag, l_linestatus
 """
 

@@ -273,6 +273,8 @@ def _stream_events_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(F.unix_micros("ts")))
         .collect()[0][0]
     )
+    if max_us is None:  # empty events table: sentinels anchor at epoch
+        max_us = 0
     stream_dir = _stream_scratch_dir("events_stream_flush_")
     # COPY (not symlink) so the events file's mtime is ours to pin: the
     # file source orders files by mtime, and a freshly regenerated

@@ -4,6 +4,7 @@
 Usage:
     python tools/null_fixture.py [src_dir] [dst_dir]         # NULL injection
     python tools/null_fixture.py --dups [src_dir] [dst_dir]  # duplicate keys/ts
+    python tools/null_fixture.py --empty [src_dir] [dst_dir] # zero-row tables
     python tests/driver_sim.py <dst_dir>                     # the sweep
 
 --dups duplicates ~10% of events at the SAME (user_id, ts) under new
@@ -76,6 +77,23 @@ def build(src: str, dst: str) -> str:
     return dst
 
 
+def build_empty(src: str, dst: str) -> str:
+    """Schema-preserving ZERO-ROW copies of every table — the graceful-
+    degradation sweep (165/165 green round 3 after empty guards in the
+    ANN/k-means seeding, the stream-flush sentinel anchor, and HAVING
+    n > 0 on the grouping-set queries — on empty input DuckDB emits the
+    standard's grand-total row while Spark emits none)."""
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet' WHERE 1=0) "
+            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    return dst
+
+
 def build_dups(src: str, dst: str) -> str:
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst)
@@ -112,10 +130,14 @@ def build_dups(src: str, dst: str) -> str:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--dups"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     dups = "--dups" in sys.argv[1:]
+    empty = "--empty" in sys.argv[1:]
     src = args[0] if args else "/root/testdata/sf0.001"
-    dst = args[1] if len(args) > 1 else (
-        "/tmp/duptest_sf" if dups else "/tmp/nulltest_sf"
+    default_dst = (
+        "/tmp/duptest_sf" if dups else
+        "/tmp/emptytest_sf" if empty else "/tmp/nulltest_sf"
     )
-    print("wrote", build_dups(src, dst) if dups else build(src, dst))
+    dst = args[1] if len(args) > 1 else default_dst
+    builder = build_dups if dups else build_empty if empty else build
+    print("wrote", builder(src, dst))
