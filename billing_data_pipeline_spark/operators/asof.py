@@ -53,6 +53,11 @@ def asof_join_backward(
     right_tag = 1 if strict else 0
     left_tag = 1 - right_tag
 
+    # NULL timestamps: a right row with unknown time can never be proven
+    # at-or-before anything (asc NULLS FIRST would otherwise sort it ahead
+    # of every left row and match it); left rows with NULL ts likewise get
+    # NULL asof values (they sort first, before any right row).
+    right = right.filter(F.col(ts_col).isNotNull())
     l_tagged = left.withColumn("_side", F.lit(left_tag))
     # ALL right value columns ride in ONE struct: the struct is non-null
     # exactly when a right ROW exists, so last(ignorenulls) tracks row
@@ -121,7 +126,9 @@ def asof_join_backward_cogrouped(
         ]
     )
     l_cols = list(left.columns)
-    right_renamed = right.select(
+    # NULL right timestamps can never match (same rule as the window form;
+    # merge_asof would also reject NaT keys)
+    right_renamed = right.filter(F.col(ts_col).isNotNull()).select(
         F.col(entity_col),
         F.col(ts_col).alias("_r_ts"),
         *[F.col(c).alias(f"asof_{c}") for c in value_cols],
@@ -130,6 +137,14 @@ def asof_join_backward_cogrouped(
     def merge_group(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         if not len(l):
             return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        # NULL-ts left rows get NULL asof values (window-form semantics);
+        # they must not reach merge_asof, which rejects NaT keys
+        null_l = l[l[ts_col].isna()].copy()
+        for c in value_cols:
+            null_l[f"asof_{c}"] = None
+        l = l[l[ts_col].notna()]
+        if not len(l):
+            return null_l[l_cols + [f"asof_{c}" for c in value_cols]]
         l = l.sort_values(ts_col, kind="stable")
         rr = (
             r[["_r_ts", *[f"asof_{c}" for c in value_cols]]]
@@ -142,6 +157,8 @@ def asof_join_backward_cogrouped(
         for c in value_cols:
             col = out[f"asof_{c}"]
             out[f"asof_{c}"] = col.astype(object).where(col.notna(), None)
+        if len(null_l):
+            out = pd.concat([out, null_l], ignore_index=True)
         return out[l_cols + [f"asof_{c}" for c in value_cols]]
 
     return (

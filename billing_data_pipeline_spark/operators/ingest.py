@@ -262,15 +262,40 @@ def bloom_prefiltered_new_rows(
         if any_rows:
             yield pd.DataFrame({"bits": [bits.tobytes()]})
 
-    partials = (
+    # key dtypes must agree: xxhash64 hashes e.g. STRING '5' and INT 5 to
+    # different values, so a dtype drift would silently break the bloom's
+    # no-false-negative guarantee (review r3) — align batch to existing
+    if isinstance(key, str):
+        e_type = existing.schema[key].dataType
+        b_type = batch.schema[key].dataType
+        if e_type != b_type:
+            k = F.col(key).cast(e_type)
+
+    partial_df = (
         hashed(existing.select(k.alias("_k")), F.col("_k"))
         .select("_h1", "_h2")
         .mapInPandas(build, bitmap_schema)
-        .collect()
     )
+
+    def or_fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = None
+        for pdf in batches:
+            for b in pdf["bits"]:
+                a = np.frombuffer(b, dtype=np.uint8)
+                acc = a.copy() if acc is None else (acc | a)
+        if acc is not None:
+            yield pd.DataFrame({"bits": [acc.tobytes()]})
+
+    # two-level OR: executors fold their partials first, so the driver
+    # collects at most ~sqrt-ish many bitmaps instead of one per scan
+    # partition (10k partitions x 1 MB would be 10 GB driver-side;
+    # review r3)
+    partials = partial_df.coalesce(32).mapInPandas(or_fold, bitmap_schema).collect()
     bitmap = np.zeros(m // 8, dtype=np.uint8)
     for r in partials:
         bitmap |= np.frombuffer(r["bits"], dtype=np.uint8)
+    # ship ONCE per executor as a real broadcast, not per-task closure
+    bc = batch.sparkSession.sparkContext.broadcast(bitmap.tobytes())
 
     b = hashed(batch.withColumn("_bk", k), F.col("_bk"))
     out_schema = T.StructType(
@@ -278,6 +303,7 @@ def bloom_prefiltered_new_rows(
     )
 
     def probe_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -285,7 +311,7 @@ def bloom_prefiltered_new_rows(
                 pdf["_h1"].to_numpy(np.int64), pdf["_h2"].to_numpy(np.int64)
             )
             hit = (
-                bitmap[(pos >> np.uint64(3)).astype(np.int64)]
+                bm[(pos >> np.uint64(3)).astype(np.int64)]
                 >> (pos & np.uint64(7)).astype(np.uint8)
             ) & 1
             pdf = pdf.copy()

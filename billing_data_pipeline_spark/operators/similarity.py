@@ -103,15 +103,16 @@ def stride_seed_rows(
 
 
 def _empty_topk(df: DataFrame, id_col: str, score_col: str = "cosine_sim") -> DataFrame:
-    """Empty top-k result with the standard (query_id, candidate_id, rank,
-    score) schema — graceful degradation for empty corpora/queries."""
+    """Empty top-k result — graceful degradation for empty corpora/queries.
+    Ids are LongType to MATCH the non-empty output of the kernels that use
+    this guard (their Arrow schemas hardcode long ids); a type that varied
+    with emptiness would break unions across calls."""
     from pyspark.sql import types as T
 
-    id_type = df.schema[id_col].dataType
     schema = T.StructType(
         [
-            T.StructField("query_id", id_type),
-            T.StructField("candidate_id", id_type),
+            T.StructField("query_id", T.LongType()),
+            T.StructField("candidate_id", T.LongType()),
             T.StructField("rank", T.IntegerType()),
             T.StructField(score_col, T.DoubleType()),
         ]
@@ -243,11 +244,6 @@ def cosine_topk_exact_vectorized(
         ]
     )
     spark = corpus.sparkSession
-    if not q_rows:
-        empty = spark.createDataFrame([], out_schema)
-        return empty.withColumn("rank", F.lit(1)).limit(0).select(
-            "query_id", "candidate_id", "rank", "cosine_sim"
-        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
     dim = Q.shape[1]

@@ -13,6 +13,8 @@ Cross-engine determinism notes (verified against DuckDB):
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves PEP-563 string hints
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -205,10 +207,10 @@ def vocabulary_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     """Corpus vocabulary profile: per term, document frequency, total term
     frequency, smoothed idf, and tf-idf mass. One groupBy(term) shuffle
     (vocab-sized, i.e. tiny next to the corpus) does the corpus-scale
-    work; the final vocab-sized projection (idf = libm ln) happens on the
-    driver, because Spark's runtime ln (StrictMath) is 1 ulp off the
-    libm DuckDB/Python use — the collected rows are exactly the rows a
-    broadcast build would have pinned anyway."""
+    work; idf is computed in a vectorized-transfer pandas UDF calling
+    libm's log per element — Spark's runtime ln (StrictMath) is 1 ulp off
+    the libm DuckDB uses, and numpy's SIMD log differs again, so
+    element-wise math.log is the only bit-stable distributed option."""
     # One explode pass: aggregate to (doc, term) first, then derive BOTH
     # term stats from that — doc_freq is the (doc,term) row count and
     # term_freq the tf sum, so the corpus-sized explode runs once and the
@@ -225,28 +227,31 @@ def vocabulary_stats(df, id_col: str = "doc_id", text_col: str = "text"):
         F.sum("tf").alias("term_freq"),
     )
     n_docs = float(df.count())
-    rows = per_term.collect()
-    schema = T.StructType(
-        [
-            T.StructField("term", T.StringType()),
-            T.StructField("doc_freq", T.LongType()),
-            T.StructField("term_freq", T.LongType()),
-            T.StructField("idf", T.DoubleType()),
-            T.StructField("tfidf_mass", T.DoubleType()),
-        ]
-    )
-    data = [
-        (
-            r["term"],
-            r["doc_freq"],
-            r["term_freq"],
-            _idf_py(r["doc_freq"], n_docs),
-            r["term_freq"] * _idf_py(r["doc_freq"], n_docs),
+
+    @F.pandas_udf(T.DoubleType())
+    def libm_idf(doc_freq: pd.Series) -> pd.Series:
+        import math as _math
+
+        # per-element math.log (platform libm — bit-identical to DuckDB's
+        # ln), NOT numpy.log: numpy ships its own SIMD log that differs by
+        # ulps on the same inputs where Catalyst's StrictMath does
+        # (measured: ln(3)). The Python loop is fine — this column is
+        # vocab-sized, and idf stays DISTRIBUTED (no driver round-trip).
+        return pd.Series(
+            [_math.log((n_docs + 1.0) / (x + 1.0)) + 1.0 for x in doc_freq]
         )
-        for r in rows
-    ]
-    spark = df.sparkSession
-    return spark.createDataFrame(data, schema).orderBy("term")
+
+    return (
+        per_term.withColumn("idf", libm_idf(F.col("doc_freq")))
+        .select(
+            "term",
+            "doc_freq",
+            "term_freq",
+            "idf",
+            (F.col("term_freq") * F.col("idf")).alias("tfidf_mass"),
+        )
+        .orderBy("term")
+    )
 
 
 def doc_top_terms(df, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
@@ -816,11 +821,22 @@ def heavy_hitter_terms(
     toks = F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda x: x != "")
     exploded = df.select(F.explode(toks).alias("term"))
     # exact candidate counts + exact total in ONE aggregate: non-candidates
-    # fold into a sentinel bucket ('\x00' can never be an [a-z]+ token)
-    bucketed = exploded.select(
-        F.when(F.col("term").isin(candidates), F.col("term"))
-        .otherwise(F.lit("\x00other"))
-        .alias("term")
+    # fold into a sentinel bucket ('\x00' can never be an [a-z]+ token).
+    # Candidate membership via a BROADCAST join marker, not an isin literal
+    # list — partitions x counters candidates would otherwise embed up to
+    # ~10^5 string literals in the plan (review r3)
+    spark = df.sparkSession
+    cand_df = F.broadcast(
+        spark.createDataFrame([(c,) for c in candidates], "term string")
+        .withColumn("_cand", F.lit(True))
+    )
+    bucketed = (
+        exploded.join(cand_df, on="term", how="left")
+        .select(
+            F.when(F.col("_cand"), F.col("term"))
+            .otherwise(F.lit("\x00other"))
+            .alias("term")
+        )
     )
     counts = bucketed.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")

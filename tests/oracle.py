@@ -48,7 +48,11 @@ def _canonical(df: pd.DataFrame) -> pd.DataFrame:
         keyed = df.copy()
         for c in keyed.columns:
             if pd.api.types.is_float_dtype(keyed[c]):
-                keyed[c] = keyed[c].round(9)
+                # round to 9 SIGNIFICANT digits (absolute round(9) still
+                # swaps last-ulp ties above ~4e6 where 1 ulp > 1e-9)
+                keyed[c] = keyed[c].map(
+                    lambda x: x if pd.isna(x) else float(f"{x:.9e}")
+                )
         df = df.loc[
             keyed.sort_values(by=list(keyed.columns), kind="mergesort").index
         ]

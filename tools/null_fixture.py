@@ -30,6 +30,10 @@ import sys
 
 import duckdb
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from billing_data_pipeline_spark.sources.tables import TABLES  # noqa: E402
+
 NULLABLE = {
     "events": ["value", "props", "event_type"],
     "documents": ["text", "lang", "source"],
@@ -42,10 +46,7 @@ NULLABLE = {
     "region": ["r_comment"],
     "embeddings": ["label"],
 }
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+
 
 
 def build(src: str, dst: str) -> str:
