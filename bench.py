@@ -103,8 +103,10 @@ def main() -> None:
                     continue
                 try:
                     con.execute(spec.oracle).fetchall()  # warm run
+                    # min-of-3, matching the Spark loop above and the
+                    # documented protocol (PLANS.md / tools/audit_plans.py)
                     best = float("inf")
-                    for _ in range(2):
+                    for _ in range(3):
                         t0 = time.perf_counter()
                         con.execute(spec.oracle).fetchall()
                         best = min(best, time.perf_counter() - t0)

@@ -24,6 +24,13 @@ lineage so round N's plan does not replay rounds 1..N-1.
 Convergence detection is driver-side but O(1) data: labels only ever
 decrease, so SUM(label) is strictly decreasing until fixpoint and equal
 exactly at it — one scalar action per round, no row-level diff join.
+Because a (count, sum, sum) signature can in principle collide between two
+DIFFERENT edge sets (review r4), a signature match is only a CANDIDATE
+fixpoint: it is confirmed with an exact ``exceptAll(...).isEmpty()`` set
+comparison on the two checkpointed frames, which runs once at the end of
+contraction instead of every round. Exhausting ``max_rounds`` without a
+confirmed fixpoint raises rather than returning a partially contracted
+(wrong) result.
 
 Oracle: DuckDB expresses the same fixpoint declaratively as a recursive
 CTE (reachability, then MIN over reached ids per node) — so even this
@@ -42,8 +49,10 @@ def _star_contract(edges: DataFrame, max_rounds: int) -> tuple[DataFrame, int]:
     rounds): star_edges is (a, b) with b = the component min for every
     non-min node a. Empty input returns immediately."""
     e = edges.localCheckpoint(eager=True)
+    prev = None
     prev_sig = None
     rounds = 0
+    converged = False
     for rounds in range(1, max_rounds + 1):
         # large-star: every neighbor v > u hangs off m = min(Γ(u) ∪ {u})
         bidir = e.selectExpr("a AS u", "b AS v").unionByName(
@@ -68,15 +77,29 @@ def _star_contract(edges: DataFrame, max_rounds: int) -> tuple[DataFrame, int]:
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # edge set stable => star fixpoint; one scalar action per round
+        # edge set stable => star fixpoint; one scalar action per round.
+        # The signature is a fast-path filter only — a match is confirmed
+        # with an exact set comparison (both frames are distinct and
+        # checkpointed, so exceptAll is one cheap join at the fixpoint).
         sig = tuple(
             e.agg(
                 F.count(F.lit(1)), F.sum("a"), F.sum("b")
             ).collect()[0]
         )
-        if sig == prev_sig:
+        if sig == prev_sig and prev is not None and e.exceptAll(prev).isEmpty():
+            converged = True
             break
         prev_sig = sig
+        prev = e
+    if not converged and prev is not None:
+        # last chance: max_rounds landed exactly on the fixpoint
+        converged = e.exceptAll(prev).isEmpty() and prev.exceptAll(e).isEmpty()
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not converge in {rounds} rounds "
+            f"(max_rounds={max_rounds}) — raise max_rounds; returning a "
+            "partially contracted result would mislabel components"
+        )
     return e, rounds
 
 

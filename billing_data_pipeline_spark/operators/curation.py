@@ -367,11 +367,20 @@ def decontaminate(
     set (the standard pre-training decontamination pass). Returns every
     train doc with its distinct-shared-n-gram count and a contaminated flag.
 
-    Scale shape: the eval set's distinct n-grams are broadcast (eval
-    benchmarks are MBs against a 100 TB corpus), so the overlap check is a
-    scan-side broadcast hash join on the train side — the train corpus is
-    never shuffled. The per-doc distinct() before the join dedups n-grams
-    within a doc map-side, bounding join output at (doc, distinct-gram).
+    Scale shape (single corpus pass, r4): the eval set's distinct n-grams
+    are broadcast (eval benchmarks are MBs against a 100 TB corpus); the
+    train side is ONE scan — per-doc distinct grams built in-row
+    (array_distinct, no shuffle), docs shorter than n tokens emit a single
+    NULL gram (a when/otherwise array, NOT explode_outer — outer generate
+    drops out of whole-stage codegen, measured 2x slower in r2), so every
+    doc survives the explode with >= 1 row. The broadcast LEFT join marks
+    matches; NULL grams never equi-join, so short/NULL-text docs count 0.
+    The per-doc groupBy partial-aggregates map-side — the one exchange
+    carries ~1 row per (doc x map partition). The r3 two-scan form
+    (inner-join hits + rejoin on train ids) cost a second corpus scan and
+    a second exchange for identical output; at sf0.1 the two time the
+    same (both floor-bound at broadcast-build + main job), at 100 TB one
+    scan wins outright.
     """
     ev_grams = (
         _ngrams(eval_set, id_col, text_col, n).select("ngram").distinct()
@@ -380,26 +389,37 @@ def decontaminate(
     # HOF gram build per token): if the scan arrives in fewer partitions
     # than cores (locally: one small file -> one task), fan out first so
     # the gram pass parallelizes. At scale natural partitioning already
-    # exceeds cores and this is a no-op. (An explode_outer single-pass
-    # form that skips the rejoin measured 2x SLOWER here: outer generate
-    # drops out of whole-stage codegen and the per-doc agg then consumes
-    # every gram row instead of only the matches.)
+    # exceeds cores and this is a no-op.
     from ..session import fan_out
 
     train = fan_out(train, divisor=2)
-    tr_grams = _ngrams(train, id_col, text_col, n)
-    hits = (
-        tr_grams.join(F.broadcast(ev_grams), on="ngram", how="inner")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_ngrams"))
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_tk") - (n - 1)),
+            lambda i: F.array_join(F.slice("_tk", i, n), " "),
+        )
+    )
+    with_grams = train.select(F.col(id_col), toks.alias("_tk")).select(
+        id_col,
+        F.explode(
+            F.when(F.size("_tk") >= n, grams).otherwise(
+                F.array(F.lit(None).cast("string"))
+            )
+        ).alias("ngram"),
     )
     return (
-        train.select(id_col)
-        .join(hits, on=id_col, how="left")
+        with_grams.join(
+            F.broadcast(ev_grams.withColumn("_m", F.lit(1))),
+            on="ngram",
+            how="left",
+        )
+        .groupBy(id_col)
+        .agg(F.count("_m").cast("bigint").alias("n_hit_ngrams"))
         .select(
             id_col,
-            F.coalesce("n_hit_ngrams", F.lit(0)).cast("bigint").alias("n_hit_ngrams"),
-            (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
+            F.col("n_hit_ngrams"),
+            (F.col("n_hit_ngrams") > 0).alias("contaminated"),
         )
     )
 

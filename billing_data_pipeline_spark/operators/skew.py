@@ -31,7 +31,7 @@ def salted_join(
     so its UNMATCHED rows would surface ``n_salts`` times (review r3) —
     salt the other side instead (swap the arguments).
     """
-    if how.lower().replace("outer", "").strip("_") not in (
+    if how.lower().replace("outer", "").replace("_", "") not in (
         "inner", "left", "leftsemi", "leftanti", "semi", "anti", "cross",
     ):
         raise ValueError(

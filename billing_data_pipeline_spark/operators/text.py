@@ -254,67 +254,116 @@ def vocabulary_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
-def doc_top_terms(df, id_col: str = "doc_id", text_col: str = "text", k: int = 3):
+# A token can only contain [a-z] after the TOKEN_SPLIT_RE split, so "\x00"
+# can never collide with a real term — safe as an in-array per-doc sentinel.
+_NDOC_SENTINEL = "\x00"
+
+
+def doc_top_terms(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_broadcast_terms: int = 5_000_000,
+    stats_fallback_bytes: int = 8 << 30,
+):
     """Per-document top-k terms by tf-idf (deterministic tiebreak on term).
 
     Two-pass shape exploiting that a document's tokens live in ONE row, so
     tf and the per-doc rank need no cross-row data movement at all:
 
-    1. **Vocab pass (JVM)**: per-doc distinct terms in-row
-       (array_distinct), explode, vocab-sized groupBy(term) -> doc_freq;
-       idf computed in the same JVM projection (bit-parity with the
-       oracle's ln — Python's libm log differs by ulps, measured) and
-       collected. Driver residency is |vocab| rows — identical to what a
-       broadcast-hash build would pin on the driver, minus two broadcast-
-       build jobs.
-    2. **Score pass (Arrow kernel, zero exchanges)**: one mapInPandas over
-       (id, text) with the idf dict in the task closure — tokenize,
-       Counter tf, score, per-doc top-k — emitting k rows per doc. No
-       (doc, term) shuffle, no rank window, no joins.
+    1. **Vocab pass (JVM, ONE job)**: per-doc distinct terms in-row
+       (array_distinct) plus a per-doc sentinel element, explode,
+       vocab-sized groupBy(term) -> doc_freq; the sentinel's doc_freq IS
+       n_docs, so the corpus count rides the same aggregate instead of a
+       second df.count() job (a UNIONED sentinel row was measured slower —
+       0.60 s vs 0.28 + 0.09 — because the union's two scan subtrees
+       serialize; the in-array sentinel shares the single scan). idf is
+       then computed DRIVER-side with Python's libm log, which is
+       bit-identical to DuckDB's ln (both call the platform libm), while
+       Spark 4's Catalyst ln is StrictMath.log — 1 ulp off on ~1% of
+       inputs (caught by the sf0.001 full-catalog sweep). See _idf_py.
+    2. **Score pass (Arrow kernel, zero exchanges)**: one mapInArrow over
+       (id, text) with the idf dict shipped as a real
+       ``sparkContext.broadcast`` (serialized once per executor, not once
+       per task as closure capture would). The kernel is fully
+       vectorized: pyarrow C tokenization (utf8_lower +
+       split_pattern_regex + list_flatten/list_parent_indices), pandas
+       groupby tf, stable mergesort rank, head(k) — measured 2.2x faster
+       than the per-doc Python Counter loop it replaced (0.50 -> 0.23 s
+       at sf0.1). No (doc, term) shuffle, no rank window, no joins.
+       Unknown tokens (possible only if the Arrow and JVM tokenizers ever
+       diverge on exotic Unicode) are dropped per-token instead of
+       failing the job.
 
     Earlier formulations, all measured at sf0.1 warm: explode +
     groupBy(doc,term) + broadcast idf + rank window = 0.80 s (3 exchanges
-    + 2 broadcast builds; the exchanges carry compact rows but each stage
-    boundary costs ~50-100 ms at this size); window-count-over-term = one
-    pass fewer but partitions the full (doc,term) set by term — a skew
-    trap at scale (31 terms = 31 live tasks on any cluster); pure in-row
-    HOF scoring (transform/filter lambdas) = 2.57 s — higher-order
-    lambdas evaluate interpreted, not codegen. This two-pass kernel form:
-    ~0.55 s and exactly one vocab-sized exchange in the whole query.
+    + 2 broadcast builds); window-count-over-term = one pass fewer but
+    partitions the full (doc,term) set by term — a skew trap at scale;
+    pure in-row HOF scoring (transform/filter lambdas) = 2.57 s —
+    higher-order lambdas evaluate interpreted, not codegen; a
+    limit(cap)-guarded vocab collect = +0.2 s (CollectLimit's executeTake
+    re-runs the aggregate over partition ramp-up rounds — measured 0.23 s
+    vs 0.03 s for the plain collect, initialNumPartitions notwithstanding).
 
     At 100 TB: pass 1 exchanges only |vocab| x partitions rows; pass 2 is
-    embarrassingly parallel over scan partitions. The closure dict scales
-    to the same vocab sizes a broadcast join would (both are
-    driver-materialized); for corpora whose vocabulary exceeds driver
-    memory, cap it (hash-bucket the long tail) before this operator —
-    same contract as any broadcast dimension."""
-    import re as _re
-
+    embarrassingly parallel over scan partitions. Broadcast residency is
+    CAPPED at ``max_broadcast_terms`` by two tiers, mirroring how Spark
+    itself plans broadcast joins: (a) a statistics-based pre-route (no
+    job) — when Catalyst's sizeInBytes estimate for the input exceeds
+    ``stats_fallback_bytes``, the vocabulary is presumed broadcast-
+    hostile and the operator goes straight to the distributed join form;
+    (b) a post-collect hard cap — if the collected vocabulary still
+    exceeds ``max_broadcast_terms``, it is discarded and the join form
+    takes over (the transient driver copy is bounded by
+    spark.driver.maxResultSize, which errors cleanly rather than OOMs —
+    the cap protects the broadcast + executor side). The join form —
+    groupBy(doc,term) tf + vocab join + per-doc rank window — never
+    materializes the vocabulary anywhere and produces bit-identical
+    results (idf via the same libm-log pandas UDF as vocabulary_stats;
+    tf*idf is a single IEEE multiply in both paths)."""
     from pyspark.sql import types as T
 
+    # Tier (a): statistics-based route, the same signal Catalyst's own
+    # broadcast-join planning uses — no job, no collect.
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est = 0
+    if est > stats_fallback_bytes:
+        return _doc_top_terms_join(df, id_col, text_col, k)
+
+    terms = F.array_distinct(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE))
     per_term = (
         df.select(
             F.explode(
-                F.array_distinct(
-                    F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)
-                )
+                # NULL text tokenizes to nothing but still counts toward
+                # n_docs (oracle: COUNT(*) over the table) — sentinel-only
+                F.when(
+                    F.col(text_col).isNull(), F.array(F.lit(_NDOC_SENTINEL))
+                ).otherwise(F.array_append(terms, F.lit(_NDOC_SENTINEL)))
             ).alias("term")
         )
         .filter(F.col("term") != "")
         .groupBy("term")
         .agg(F.count("*").alias("doc_freq"))
     )
-    # metadata-only count (parquet row groups), ~80 ms; folding it into the
-    # vocab job as a unioned sentinel row measured SLOWER (the union's two
-    # scan subtrees serialize: 0.60 s vs 0.28 + 0.09 split)
-    n_docs = float(df.count())
-    # idf computed DRIVER-side with Python's libm log == DuckDB's ln;
-    # Spark's runtime ln is StrictMath.log — 1 ulp off libm on ~1% of
-    # inputs (caught by the sf0.001 full-catalog sweep), so a JVM
-    # projection here is a latent hash break under testdata regeneration
-    idf = {
-        r["term"]: _idf_py(r["doc_freq"], n_docs) for r in per_term.collect()
-    }
+    # Tier (b): hard cap enforced post-collect (a limit() guard was
+    # measured 7x slower — see docstring); the transient driver copy is
+    # bounded by spark.driver.maxResultSize.
+    vocab_rows = per_term.collect()
+    if len(vocab_rows) > max_broadcast_terms + 1:  # +1: the sentinel row
+        return _doc_top_terms_join(df, id_col, text_col, k)
+
+    n_docs = 0.0
+    raw: dict[str, int] = {}
+    for r in vocab_rows:
+        if r["term"] == _NDOC_SENTINEL:
+            n_docs = float(r["doc_freq"])
+        else:
+            raw[r["term"]] = r["doc_freq"]
+    idf = {t: _idf_py(dfreq, n_docs) for t, dfreq in raw.items()}
+    bc_idf = df.sparkSession.sparkContext.broadcast(idf)
 
     id_type = df.schema[id_col].dataType
     schema = T.StructType(
@@ -325,44 +374,118 @@ def doc_top_terms(df, id_col: str = "doc_id", text_col: str = "text", k: int = 3
             T.StructField("tfidf", T.DoubleType()),
         ]
     )
-    pat = _re.compile(TOKEN_SPLIT_RE)
 
     def score(batches):
-        from collections import Counter
-
         import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        for pdf in batches:
-            out_id, out_term, out_rank, out_score = [], [], [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                # NULL text produced no rows in the JVM form (split of NULL
-                # explodes to nothing) — preserve that, don't crash the task
-                if not isinstance(text, str):
-                    continue
-                toks = [t for t in pat.split(text.lower()) if t]
-                if not toks:
-                    continue
-                top = sorted(
-                    ((tf * idf[t], t) for t, tf in Counter(toks).items()),
-                    key=lambda p: (-p[0], p[1]),
-                )[:k]
-                for i, (s, t) in enumerate(top):
-                    out_id.append(did)
-                    out_term.append(t)
-                    out_rank.append(i + 1)
-                    out_score.append(s)
-            yield pd.DataFrame(
+        out_schema = None
+        idf_map = bc_idf.value
+        for batch in batches:
+            tb = pa.Table.from_batches([batch])
+            if out_schema is None:
+                out_schema = pa.schema(
+                    [
+                        pa.field(id_col, tb.schema.field(id_col).type),
+                        pa.field("term", pa.string()),
+                        pa.field("rank", pa.int64()),
+                        pa.field("tfidf", pa.float64()),
+                    ]
+                )
+            # C-side tokenization: NULL text lowers/splits to a null list,
+            # which flatten/parent_indices skip — same rows as the JVM form
+            toks = pc.split_pattern_regex(
+                pc.utf8_lower(tb.column(text_col)), TOKEN_SPLIT_RE
+            )
+            idx = pc.list_parent_indices(toks)
+            flat = pc.list_flatten(toks)
+            keep = pc.not_equal(flat, "")
+            tf = pd.DataFrame(
                 {
-                    id_col: out_id,
-                    "term": out_term,
-                    "rank": out_rank,
-                    "tfidf": out_score,
+                    "i": pc.filter(idx, keep).to_numpy(zero_copy_only=False),
+                    "term": pc.filter(flat, keep).to_pandas(),
                 }
+            )
+            if len(tf) == 0:
+                yield pa.RecordBatch.from_pydict(
+                    {f.name: [] for f in out_schema}, schema=out_schema
+                )
+                continue
+            tf = tf.groupby(["i", "term"], sort=False).size().reset_index(name="tf")
+            # drop tokens the JVM tokenizer never produced (tokenizer
+            # drift degrades per-token, not per-job)
+            w = tf["term"].map(idf_map)
+            tf = tf[w.notna()]
+            tf["tfidf"] = tf["tf"].to_numpy() * w[w.notna()].to_numpy()
+            # stable mergesort == Python sorted((-score, term)) tiebreak
+            tf = tf.sort_values(
+                ["i", "tfidf", "term"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            top = tf.groupby("i", sort=False).head(k).copy()
+            top["rank"] = top.groupby("i", sort=False).cumcount() + 1
+            ids = tb.column(id_col).to_pandas()
+            out = pd.DataFrame(
+                {
+                    id_col: ids.iloc[top["i"].to_numpy()].to_numpy(),
+                    "term": top["term"].to_numpy(),
+                    "rank": top["rank"].astype("int64").to_numpy(),
+                    "tfidf": top["tfidf"].to_numpy(),
+                }
+            )
+            yield pa.RecordBatch.from_pandas(
+                out, schema=out_schema, preserve_index=False
             )
 
     from ..session import fan_out
 
-    return fan_out(df.select(id_col, text_col)).mapInPandas(score, schema)
+    return fan_out(df.select(id_col, text_col)).mapInArrow(score, schema)
+
+
+def _doc_top_terms_join(df, id_col: str, text_col: str, k: int):
+    """Fully-distributed fallback for vocabularies above the broadcast cap:
+    groupBy(doc,term) tf, vocab-sized doc_freq aggregate (reusing the tf
+    frame, so the corpus explodes once), idf in a libm-log pandas UDF
+    (same bit-contract as vocabulary_stats), shuffle join on term, per-doc
+    row_number window. Nothing vocabulary-sized ever reaches the driver.
+    ~2 more exchanges than the kernel path — the price of unbounded
+    vocabularies; results are bit-identical (same libm idf, same IEEE
+    tf*idf multiply, same (-tfidf, term) order)."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    tf = (
+        explode_terms(df, id_col, text_col)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # one metadata-sized count job; the kernel path's sentinel trick does
+    # not apply here because tf is reused for doc_freq
+    n_docs = float(df.count())
+
+    @F.pandas_udf(T.DoubleType())
+    def libm_idf(doc_freq: pd.Series) -> pd.Series:
+        import math as _math
+
+        return pd.Series(
+            [_math.log((n_docs + 1.0) / (x + 1.0)) + 1.0 for x in doc_freq]
+        )
+
+    per_term = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+        .select("term", libm_idf(F.col("doc_freq")).alias("idf"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.join(per_term, "term")
+        .withColumn("tfidf", F.col("tf") * F.col("idf"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "rank", "tfidf")
+    )
 
 
 def vocabulary_stats_oracle_sql(table: str, id_col: str, text_col: str) -> str:

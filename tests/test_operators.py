@@ -450,6 +450,35 @@ def test_doc_top_terms_null_text_contained(spark):
     assert {r["doc_id"] for r in rows} == {1}
 
 
+def test_doc_top_terms_vocab_cap_falls_back_to_join_form(spark):
+    """Vocabulary above max_broadcast_terms must route to the distributed
+    join form (nothing vocab-sized broadcast) and return bit-identical
+    rows; same for the statistics pre-route (VERDICT r3 #1: residency
+    capped IN the operator, not by a docstring)."""
+    from billing_data_pipeline_spark.operators.text import doc_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta beta gamma"),
+            (2, "beta gamma gamma delta"),
+            (3, None),
+            (4, "epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    kernel = doc_top_terms(df, "doc_id", "text", k=2)
+    capped = doc_top_terms(df, "doc_id", "text", k=2, max_broadcast_terms=2)
+    stats_routed = doc_top_terms(
+        df, "doc_id", "text", k=2, stats_fallback_bytes=0
+    )
+    for fb in (capped, stats_routed):
+        plan = fb._jdf.queryExecution().executedPlan().toString()
+        assert "Window" in plan  # join form = rank window, no broadcast dict
+        assert sorted(map(tuple, fb.collect())) == sorted(
+            map(tuple, kernel.collect())
+        )
+
+
 def test_epoch_shard_zero_weight_source_contributes_nothing(spark):
     """epochs<=0 must yield ZERO replicas — Spark's sequence(1, 0) is the
     DESCENDING [1, 0] (two replicas!) without the guard (review r3); the
@@ -495,6 +524,9 @@ def test_salted_join_rejects_right_and_full_outer(spark):
     for how in ("full", "full_outer", "right", "right_outer"):
         with _pytest.raises(ValueError):
             salted_join(big, small, ["k"], n_salts=4, how=how)
+    # underscore spellings Spark accepts must pass validation (review r4)
+    for how in ("left_semi", "left_anti", "left_outer", "leftsemi", "semi"):
+        salted_join(big, small, ["k"], n_salts=4, how=how).collect()
 
 
 def test_minhash_portable_band3_subset_of_band2(spark):

@@ -268,12 +268,12 @@ def test_round2_plan_properties(spark):
     def plan_of(name):
         return cat[name].fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
 
-    # r3 two-pass form: the returned plan is the score pass — one Arrow
-    # kernel, NO windows, NO joins, NO hash exchange (the vocab pass ran
-    # as its own vocab-sized job at build time); the term-partition window
-    # skew trap must never come back
+    # r4 two-pass form: the returned plan is the score pass — one Arrow
+    # kernel (mapInArrow since r4), NO windows, NO joins, NO hash exchange
+    # (the vocab pass ran as its own vocab-sized job at build time); the
+    # term-partition window skew trap must never come back
     p = plan_of("doc_top_terms_tfidf")
-    assert "MapInPandas" in p
+    assert "MapInArrow" in p or "PythonMapInArrow" in p
     assert "Window" not in p
     assert "windowspecdefinition(term" not in p
     assert "Exchange hashpartitioning" not in p
