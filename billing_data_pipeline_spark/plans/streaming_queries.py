@@ -154,6 +154,7 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_tumbling_catchup",
     tags=("streaming", "window", "true-stream"),
+    bench=True,  # r4: the perf gate sees one TRUE-stream family member
     oracle=f"""
 SELECT ({TS_US} // 600000000) * 600 AS window_start_sec,
        event_type,

@@ -302,6 +302,67 @@ def test_orc_roundtrip_preserves_schema_and_rows(spark, tmp_path):
     assert "PushedFilters" in plan and "event_id" in plan
 
 
+def test_snapshot_table_concurrent_commits_lose_nothing(spark, tmp_path):
+    """Two threads appending concurrently must not lose a commit record:
+    the _lock file serializes the manifest read-modify-write (VERDICT r3
+    #5 — pre-lock, last-writer-wins dropped commits from the log)."""
+    import threading
+
+    from billing_data_pipeline_spark.sources.versioned_sink import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "snap_mt"))
+    t.commit(spark.range(1).withColumnRenamed("id", "k"))  # base overwrite
+    per_thread, errors = 4, []
+
+    def writer(tag: int):
+        try:
+            for i in range(per_thread):
+                t.commit(
+                    spark.range(tag * 100 + i, tag * 100 + i + 1)
+                    .withColumnRenamed("id", "k"),
+                    mode="append",
+                    epoch=f"w{tag}-{i}",
+                )
+        except Exception as exc:  # pragma: no cover - failure detail
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(tag,)) for tag in (1, 2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    man_epochs = t.epochs()
+    assert man_epochs == {f"w{tag}-{i}" for tag in (1, 2) for i in range(per_thread)}
+    assert t.latest_version() == 2 * per_thread  # base + 8 appends, none lost
+    # every appended row is readable from the latest snapshot
+    got = sorted(r["k"] for r in t.read().collect())
+    want = sorted(
+        [0] + [tag * 100 + i for tag in (1, 2) for i in range(per_thread)]
+    )
+    assert got == want
+    # lock is released afterwards: an immediate commit must not block
+    t.commit(spark.range(1).withColumnRenamed("id", "k"), mode="append")
+
+
+def test_snapshot_table_stale_lock_is_broken(spark, tmp_path):
+    """A lock file left by a crashed writer (old mtime) must be broken
+    rather than deadlocking every future commit."""
+    import os
+    import time as _time
+
+    from billing_data_pipeline_spark.sources.versioned_sink import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "snap_stale"))
+    lock = os.path.join(t.path, "_lock")
+    with open(lock, "w") as f:
+        f.write("99999")
+    old = _time.time() - 10_000
+    os.utime(lock, (old, old))
+    v = t.commit(spark.range(2).withColumnRenamed("id", "k"))
+    assert v == 0 and not os.path.exists(lock)
+
+
 def test_snapshot_table_commit_time_travel_vacuum(spark, tmp_path):
     """SnapshotTable: atomic manifest publish, version monotonicity, time
     travel to any retained version, vacuum pruning, and crash-orphan

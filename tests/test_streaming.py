@@ -228,6 +228,63 @@ def test_stateful_user_totals_accumulates_across_batches(spark, tmp_path):
     assert list(last["n_events"]) == list(expected["n_events"])
 
 
+def test_typed_stateful_user_totals_twin(spark, tmp_path):
+    """transformWithStateInPandas twin of the applyInPandasWithState test —
+    skipped until the environment provides google.protobuf (the typed-state
+    Python worker's transport dependency; LIMITATIONS.md env-gated APIs).
+    When available, both APIs must produce identical final totals."""
+    import pytest as _pytest
+
+    from billing_data_pipeline_spark.streaming.typed_state import (
+        TYPED_STATE_AVAILABLE,
+        typed_stateful_user_totals,
+    )
+
+    if not TYPED_STATE_AVAILABLE:
+        with _pytest.raises(RuntimeError, match="google.protobuf"):
+            typed_stateful_user_totals(
+                read_event_stream(spark, str(tmp_path) + "/*")
+            )
+        _pytest.skip("google.protobuf unavailable in this container")
+
+    src = tmp_path / "ev_tws"
+    src.mkdir()
+    ev = load_table(spark, SF_SMOKE, "events").limit(300)
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f1"))
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f2"))
+    stream = read_event_stream(spark, str(src) + "/*", max_files_per_trigger=1)
+    q = (
+        typed_stateful_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_typed_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.table("t_typed_stateful")
+    last = (
+        sink.toPandas()
+        .groupby("user_id", as_index=False)["n_events"]
+        .max()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    expected = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert list(last["user_id"]) == list(expected["user_id"])
+    assert list(last["n_events"]) == list(expected["n_events"])
+
+
 def test_interval_join_matches_across_micro_batches(spark, tmp_path):
     """Stream-stream join state persists across micro-batches: clicks and
     purchases arrive in SEPARATE files processed one per trigger, and

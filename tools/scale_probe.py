@@ -49,6 +49,11 @@ PROBE_QUERIES = (
     "latest_event_per_user",      # QUALIFY dedup window over events
     "purchase_last_click_asof",   # as-of join, user-key exchange
     "exact_dedup_docs",           # md5 groupBy dedup
+    # r4 (VERDICT r3 #6): the ANN/k-means family gets a growth curve too —
+    # recall floors guard quality, these guard the runtime shape.
+    "embedding_ivf_topk",         # stride seed + bucketed IVF probe join
+    "embedding_lsh_neardup_pairs",  # hyperplane-LSH band join
+    "embedding_kmeans_step",      # one assign+recenter Lloyd round
 )
 
 
@@ -61,6 +66,7 @@ def build_scaled_dir(spark, mult: int, base: str, root: str) -> str:
         "lineitem": "l_orderkey",
         "documents": "doc_id",
         "events": "event_id",
+        "embeddings": "vec_id",
     }
     for t in TABLES:
         if t not in scale_keys:
