@@ -99,16 +99,21 @@ def main() -> None:
 
             con = duckdb_connect(sf_dir)
             for name, spec in bench_specs.items():
-                if not spec.oracle:
+                # bench_baseline_sql: same-ALGORITHM DuckDB twin for queries
+                # whose correctness oracle deliberately recomputes from
+                # scratch (see registry.QuerySpec) — result-identical,
+                # asserted in tests/test_oracle_parity.py
+                baseline_sql = spec.bench_baseline_sql or spec.oracle
+                if not baseline_sql:
                     continue
                 try:
-                    con.execute(spec.oracle).fetchall()  # warm run
+                    con.execute(baseline_sql).fetchall()  # warm run
                     # min-of-3, matching the Spark loop above and the
                     # documented protocol (PLANS.md / tools/audit_plans.py)
                     best = float("inf")
                     for _ in range(3):
                         t0 = time.perf_counter()
-                        con.execute(spec.oracle).fetchall()
+                        con.execute(baseline_sql).fetchall()
                         best = min(best, time.perf_counter() - t0)
                     baseline[name] = round(best, 4)
                 except Exception:

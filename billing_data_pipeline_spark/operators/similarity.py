@@ -946,53 +946,159 @@ def lsh_neardup_pairs(
     Recall for a pair at cosine c: per-bit collision p = 1 - acos(c)/pi,
     per-table p^n_bits, overall 1 - (1 - p^n_bits)^n_tables — tune
     n_bits down / n_tables up for looser thresholds. Approximate =>
-    rows-only check; `cosine_neardup_pairs` is the exact baseline."""
+    rows-only check; `cosine_neardup_pairs` is the exact baseline.
+
+    Plan shape (r4 rework — the r3 form carried BOTH full vectors through
+    the bucket self-join and scored candidates with the interpreted HOF
+    fold, which at sf0.1 meant a ~1 KB/row shuffle of hundreds of
+    thousands of candidate rows and 9+ s of interpreted eval; measured
+    13x DuckDB): one Arrow pass computes ALL table buckets + the
+    sequential norm per vector (`_seq_*` kernels — bit-identical to the
+    oracle's list_reduce fold, same as the IVF/PQ/decontaminate tiers);
+    the candidate self-join moves (id, tbl, bucket) rows ONLY (~24
+    B/row); surviving deduped pairs re-fetch their two vectors by id
+    (broadcast at small corpora, shuffle-on-id at scale) and a second
+    Arrow kernel reranks with the same dim-sequential pair dot. NULL
+    vectors keep their engine-shared semantics: every sign CASE falls to
+    ELSE 0 (bucket 0) and the rerank emits NULL cosine, which the
+    threshold filter drops on both engines."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
     all_planes = _lsh_tables_planes(n_tables, n_bits, dim, seed)
+    # (n_tables*n_bits, dim) plane matrix; np.float64(python float) is exact
+    PF = np.array(all_planes, dtype=np.float64).reshape(n_tables * n_bits, dim)
 
-    def signature(vec: Column, planes: list[list[float]]) -> Column:
-        bits = [
-            F.when(
-                dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit(1 << i)
-            ).otherwise(F.lit(0))
-            for i, plane in enumerate(planes)
+    id_type = df.schema[id_col].dataType
+    vec_type = df.schema[vec_col].dataType
+    sig_schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("v", vec_type),
+            T.StructField("n", T.DoubleType()),
+            T.StructField("buckets", T.ArrayType(T.IntegerType())),
         ]
-        total = bits[0]
-        for b in bits[1:]:
-            total = total + b
-        return total
+    )
 
-    s = (
-        df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
-        .withColumn("n", norm(F.col("v")))
-        .select(
-            "id",
-            "v",
-            "n",
-            F.posexplode(
-                F.array(*[signature(F.col("v"), p) for p in all_planes])
-            ).alias("tbl", "bucket"),
-        )
-    )
-    a = s.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"),
-        F.col("n").alias("na"), "tbl", "bucket",
-    )
-    b = s.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"),
-        F.col("n").alias("nb"), "tbl", "bucket",
-    )
+    def sig_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = list(pdf[vec_col])
+            valid = np.array([v is not None for v in vecs])
+            n_out = [None] * len(vecs)
+            b_out = [[0] * n_tables] * len(vecs)
+            if valid.any():
+                V = np.array(
+                    [v for v, ok in zip(vecs, valid) if ok], dtype=np.float64
+                )
+                # dim-sequential fold against every plane at once: one
+                # rank-1 update per dim == the oracle's left-to-right sum
+                S = np.zeros((V.shape[0], PF.shape[0]))
+                for i in range(V.shape[1]):
+                    S += V[:, i][:, None] * PF[None, :, i]
+                bits = S >= 0
+                Vn = _seq_norms(V)
+                j = 0
+                for row, ok in enumerate(valid):
+                    if not ok:
+                        continue
+                    n_out[row] = float(Vn[j])
+                    b_out[row] = [
+                        int(
+                            sum(
+                                1 << i
+                                for i in range(n_bits)
+                                if bits[j, t * n_bits + i]
+                            )
+                        )
+                        for t in range(n_tables)
+                    ]
+                    j += 1
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "v": pdf[vec_col],
+                    "n": pd.Series(n_out, dtype=object),
+                    "buckets": pd.Series(b_out, dtype=object),
+                }
+            )
+
+    sig = df.select(id_col, vec_col).mapInPandas(sig_kernel, sig_schema).persist()
+
+    cand = sig.select("id", F.posexplode("buckets").alias("tbl", "bucket"))
     pairs = (
-        a.join(b, ["tbl", "bucket"])
+        cand.select(F.col("id").alias("id_a"), "tbl", "bucket")
+        .join(cand.select(F.col("id").alias("id_b"), "tbl", "bucket"),
+              ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs.select(
+    scored_in = pairs.join(
+        sig.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                   F.col("n").alias("na")),
         "id_a",
+    ).join(
+        sig.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                   F.col("n").alias("nb")),
         "id_b",
-        (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
-            "cosine_sim"
-        ),
-    ).filter(F.col("cosine_sim") >= threshold)
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+    def rerank_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            na = pdf["na"].to_numpy(dtype=object)
+            nb = pdf["nb"].to_numpy(dtype=object)
+            valid = np.array(
+                [x is not None and y is not None for x, y in zip(na, nb)]
+            )
+            cos_out = [None] * len(pdf)
+            if valid.any():
+                A = np.array(
+                    [v for v, ok in zip(pdf["va"], valid) if ok],
+                    dtype=np.float64,
+                )
+                B = np.array(
+                    [v for v, ok in zip(pdf["vb"], valid) if ok],
+                    dtype=np.float64,
+                )
+                acc = np.zeros(A.shape[0])
+                for i in range(A.shape[1]):  # dim-sequential pair dot
+                    acc += A[:, i] * B[:, i]
+                cos = acc / (
+                    np.array([x for x, ok in zip(na, valid) if ok], dtype=np.float64)
+                    * np.array([x for x, ok in zip(nb, valid) if ok], dtype=np.float64)
+                )
+                j = 0
+                for row, ok in enumerate(valid):
+                    if ok:
+                        cos_out[row] = float(cos[j])
+                        j += 1
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"],
+                    "id_b": pdf["id_b"],
+                    "cosine_sim": pd.Series(cos_out, dtype=object),
+                }
+            )
+
+    return (
+        scored_in.mapInPandas(rerank_kernel, out_schema)
+        .filter(F.col("cosine_sim") >= threshold)
+    )
 
 
 def lsh_bucketed_topk(

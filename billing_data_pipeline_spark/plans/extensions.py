@@ -153,10 +153,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("minhash_neardup_pairs", tags=("ext", "dedup", "approx"), bench=True)
+@register("minhash_neardup_pairs", tags=("ext", "dedup", "approx"))
 def minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH near-dup candidates (seeded; approximate => rows-only).
-    The 100 TB path: banded hash buckets generate candidates linearly."""
+    The 100 TB path: banded hash buckets generate candidates linearly.
+    Bench slot moved to the portable twin (r4): the xxhash64 tier has no
+    DuckDB twin to co-measure, and every bench row should carry a
+    baseline; the portable pipeline is the same banded plan shape."""
     return D.minhash_neardup_pairs(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
@@ -174,6 +177,7 @@ def ml_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minhash_neardup_pairs_portable",
     tags=("ext", "dedup", "portable"),
+    bench=True,  # r4: the co-measurable MinHash tier carries the bench slot
     oracle=PD.minhash_portable_oracle_sql("documents", "doc_id", "text"),
 )
 def minhash_neardup_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,14 +352,17 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "embedding_matmul_topk", tags=("ext", "similarity", "fast-path"), bench=True
+    "embedding_matmul_topk", tags=("ext", "similarity", "fast-path")
 )
 def embedding_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 on the Arrow+BLAS fast path (mapInPandas
     matmul per partition + global window merge) — same query set as
     embedding_cosine_topk; last-ulp score association differs from the
     sequential fold => rows-only, with the HOF query as the bit-exact
-    oracle twin."""
+    oracle twin. Bench slot dropped in r4 (no DuckDB twin to co-measure;
+    the brute-force family keeps embedding_cosine_topk, and the
+    quantized tier keeps embedding_pq_topk — both baselined); timings
+    live in PLANS.md's matmul-vs-fold table."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 40 == 0)
     return S.cosine_topk_matmul(emb, queries, "vec_id", "embedding", k=5)
@@ -382,6 +389,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_pq_topk",
     tags=("ext", "similarity", "approx", "pq"),
+    bench=True,  # r4: the quantized-ANN tier joins the headline set
     oracle=S.pq_topk_oracle_sql(
         "embeddings", "vec_id", "embedding", k=5, query_pred="q.id % 40 = 0"
     ),

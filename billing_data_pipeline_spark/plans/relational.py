@@ -1304,6 +1304,49 @@ FROM orders
 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
 GROUP BY o_orderstatus
 """,
+    # The correctness oracle above deliberately RECOMPUTES from the new
+    # snapshot — that asymmetry is the query's proof that the maintenance
+    # algebra lands bit-identical to a rescan. For the perf co-measure it
+    # would time maintenance-vs-recompute (different algorithms, and the
+    # recompute is trivially cheaper at bench SFs where |changes| ~
+    # |table|), so bench.py times this result-identical DuckDB twin of the
+    # SAME maintenance pipeline instead (diff -> signed deltas -> fold);
+    # parity with the recompute oracle is asserted in
+    # tests/test_oracle_parity.py.
+    bench_baseline_sql="""
+WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice, TRUE AS _o
+           FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+     n AS (SELECT o_orderkey, o_orderstatus,
+                  CASE WHEN o_orderstatus = 'O'
+                       THEN o_totalprice * CAST(1.1 AS DOUBLE)
+                       ELSE o_totalprice END AS o_totalprice, TRUE AS _n
+           FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+     j AS (SELECT o.o_orderstatus AS old_s, o.o_totalprice AS old_p,
+                  n.o_orderstatus AS new_s, n.o_totalprice AS new_p, o._o, n._n
+           FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey),
+     base AS (SELECT old_s AS g, COUNT(*) AS n_orders,
+                     SUM(CAST(old_p AS DECIMAL(38,6))) AS total_price
+              FROM j WHERE _o GROUP BY 1),
+     ch AS (SELECT *, CASE WHEN _o IS NULL THEN 'insert'
+                           WHEN _n IS NULL THEN 'delete'
+                           WHEN old_s IS DISTINCT FROM new_s
+                                OR old_p IS DISTINCT FROM new_p
+                           THEN 'update' END AS change
+            FROM j),
+     contrib AS (
+       SELECT old_s AS g, -1 AS dc, CAST(-old_p AS DECIMAL(38,6)) AS dm
+       FROM ch WHERE change IN ('delete', 'update')
+       UNION ALL
+       SELECT new_s, 1, CAST(new_p AS DECIMAL(38,6))
+       FROM ch WHERE change IN ('insert', 'update')),
+     deltas AS (SELECT g, SUM(dc) AS dc, SUM(dm) AS ds FROM contrib GROUP BY g)
+SELECT COALESCE(base.g, deltas.g) AS o_orderstatus,
+       COALESCE(n_orders, 0) + COALESCE(dc, 0) AS n_orders,
+       CAST(CAST(COALESCE(total_price, 0) + COALESCE(ds, 0) AS VARCHAR) AS DOUBLE)
+           AS total_price
+FROM base FULL OUTER JOIN deltas ON base.g IS NOT DISTINCT FROM deltas.g
+WHERE COALESCE(n_orders, 0) + COALESCE(dc, 0) > 0
+""",
 )
 def incremental_status_rollup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance: the per-status order

@@ -31,6 +31,14 @@ class QuerySpec:
     oracle: str | None = None  # None => driver records rows-only check
     tags: tuple[str, ...] = field(default_factory=tuple)
     bench: bool = False  # include in bench.py headline run
+    # DuckDB SQL bench.py times INSTEAD of `oracle` when the correctness
+    # oracle deliberately runs a DIFFERENT algorithm than the Spark side
+    # (e.g. incremental_status_rollup_cdc's oracle is a full recompute to
+    # PROVE the maintenance algebra, while the query performs incremental
+    # maintenance — timing recompute vs maintenance compares algorithms,
+    # not engines). Must produce the identical result set as `oracle`
+    # (asserted in tests) so the co-measure stays an honest same-task run.
+    bench_baseline_sql: str | None = None
     doc: str = ""
 
 
@@ -42,6 +50,7 @@ def register(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     bench: bool = False,
+    bench_baseline_sql: str | None = None,
 ):
     """Decorator registering a query into the catalog."""
 
@@ -54,6 +63,7 @@ def register(
             oracle=oracle,
             tags=tuple(tags),
             bench=bench,
+            bench_baseline_sql=bench_baseline_sql,
             doc=(fn.__doc__ or "").strip(),
         )
         return fn

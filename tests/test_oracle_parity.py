@@ -30,6 +30,31 @@ def test_rows_only_queries_run(spark, name):
     assert len(df.schema.fields) > 0
 
 
+WITH_BENCH_BASELINE = sorted(
+    n for n, s in CATALOG.items() if s.bench_baseline_sql
+)
+
+
+@pytest.mark.parametrize("name", WITH_BENCH_BASELINE)
+def test_bench_baseline_sql_matches_oracle(name):
+    """A bench_baseline_sql times a different ALGORITHM than the
+    correctness oracle — the co-measure is only honest if both produce the
+    identical result set on the same data (registry.QuerySpec contract)."""
+    from billing_data_pipeline_spark.sources.tables import duckdb_connect
+
+    spec = CATALOG[name]
+    assert spec.oracle, f"{name}: bench_baseline_sql requires an oracle"
+    con = duckdb_connect(SF_CORRECTNESS)
+    a = con.execute(spec.oracle)
+    a_cols = [d[0].lower() for d in a.description]
+    a_rows = a.fetchall()
+    b = con.execute(spec.bench_baseline_sql)
+    b_cols = [d[0].lower() for d in b.description]
+    b_rows = b.fetchall()
+    assert a_cols == b_cols
+    assert sorted(map(str, a_rows)) == sorted(map(str, b_rows))
+
+
 def test_driver_sample_priority_front_loads_oracle_flagships():
     """The external gate samples the first 50 registry entries; every
     priority name must exist, carry an oracle, and actually lead the

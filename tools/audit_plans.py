@@ -90,12 +90,13 @@ def bench_compare(sf_dir: str) -> None:
             spec.fn(spark, sf_dir).count()
             s = min(s, time.perf_counter() - t0)
         tot_s += s
-        if spec.oracle:
-            con.execute(spec.oracle).fetchall()
+        baseline_sql = spec.bench_baseline_sql or spec.oracle
+        if baseline_sql:
+            con.execute(baseline_sql).fetchall()
             d = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                con.execute(spec.oracle).fetchall()
+                con.execute(baseline_sql).fetchall()
                 d = min(d, time.perf_counter() - t0)
             tot_d += d
             print(f"| `{name}` | {s:.2f} | {d:.2f} | {s / d:.1f}× |")
