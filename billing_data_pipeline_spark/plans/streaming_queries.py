@@ -150,13 +150,49 @@ def _declare_event_stream(
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source STREAM over the events table (symlink directory — the
-    file source wants a directory and derives basePath from it)."""
+def _table_data_files(src: str) -> list[str]:
+    """Data files of a parquet table path: the single file itself, or the
+    sorted part files when the table is a Spark-written DIRECTORY (the
+    scale probe's scaled dirs, any ``df.write.parquet`` output). The
+    file-source stream lists a flat directory and does NOT recurse into a
+    symlinked subdirectory — linking a directory as if it were a file
+    produced a silent 0-row drain (found by the r4 growth probe)."""
+    import glob
     import os
 
+    if os.path.isdir(src):
+        return sorted(glob.glob(os.path.join(src, "*.parquet")))
+    return [src]
+
+
+def _deliver(
+    src: str, dest_dir: str, prefix: str, mtime: float | None = None
+) -> int:
+    """Materialize one DELIVERY of a parquet table into the stream dir:
+    symlinks when mtime control isn't needed, copies pinned to ``mtime``
+    when it is (the file source orders files by mtime — see
+    _stream_events_flushed). Returns the file count delivered."""
+    import os
+    import shutil
+
+    files = _table_data_files(src)
+    for i, p in enumerate(files):
+        dest = os.path.join(dest_dir, f"{prefix}_{i:05d}.parquet")
+        if mtime is None:
+            os.symlink(p, dest)
+        else:
+            shutil.copyfile(p, dest)
+            os.utime(dest, (mtime, mtime))
+    return len(files)
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source STREAM over the events table (symlinks into a scratch
+    directory — the file source wants a directory and derives basePath
+    from it). No maxFilesPerTrigger => the whole table is ONE micro-batch
+    whether it ships as a single file or a directory of parts."""
     stream_dir = _stream_scratch_dir("events_stream_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    _deliver(f"{sf_dir}/events.parquet", stream_dir, "events")
     return _declare_event_stream(spark, sf_dir, stream_dir)
 
 
@@ -204,15 +240,25 @@ def streaming_dedup_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what the plain-SELECT oracle asserts. State is bounded by the
     watermark horizon, never by stream length (the reference's run-key
     idempotency ST4, as a streaming-native operator)."""
-    import os
+    import time as _time
     import uuid
 
     from ..streaming.event_windows import run_to_memory, streaming_dedup
 
+    # Each delivery must be ONE micro-batch (a per-part batch could
+    # advance the watermark past a later part's still-unseen FIRST
+    # deliveries — parts are not ts-sorted — and drop them as late), and
+    # delivery 1 must process BEFORE delivery 2: copies pinned to two
+    # ascending mtimes (the file source orders by mtime) +
+    # maxFilesPerTrigger = files-per-delivery guarantee both for single-
+    # file AND directory-shaped tables (see _table_data_files).
     stream_dir = _stream_scratch_dir("events_stream_dup_")
-    for name in ("events.parquet", "events_redelivered.parquet"):
-        os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/{name}")
-    raw = _declare_event_stream(spark, sf_dir, stream_dir, max_files_per_trigger=1)
+    now = _time.time()
+    n_files = _deliver(f"{sf_dir}/events.parquet", stream_dir, "a", mtime=now - 60)
+    _deliver(f"{sf_dir}/events.parquet", stream_dir, "b", mtime=now - 30)
+    raw = _declare_event_stream(
+        spark, sf_dir, stream_dir, max_files_per_trigger=n_files
+    )
     deduped = streaming_dedup(raw, ["event_id"], watermark="2 days").select(
         "event_id", "user_id", "event_type"
     )
@@ -295,7 +341,19 @@ def _stream_events_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relative to each other makes ordering environment-independent.
     import shutil
 
-    shutil.copyfile(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    src = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src):
+        # Directory-shaped table: the sentinel flush needs per-FILE batch
+        # granularity (maxFilesPerTrigger=1), so the real events must be
+        # ONE file — merge the parts (driver-side, bounded by the local
+        # test scale; production flushes come from the live stream, not
+        # this finite-drain shim).
+        tbl = pa.concat_tables(
+            [pq.read_table(p) for p in _table_data_files(src)]
+        )
+        pq.write_table(tbl, f"{stream_dir}/events.parquet")
+    else:
+        shutil.copyfile(src, f"{stream_dir}/events.parquet")
     now = time.time()
     os.utime(f"{stream_dir}/events.parquet", (now - 30, now - 30))
     ts_field = (

@@ -54,6 +54,11 @@ PROBE_QUERIES = (
     "embedding_ivf_topk",         # stride seed + bucketed IVF probe join
     "embedding_lsh_neardup_pairs",  # hyperplane-LSH band join
     "embedding_kmeans_step",      # one assign+recenter Lloyd round
+    # r4: the two floor-dominated bench rows (43x / 14x DuckDB ratios at
+    # sf0.1) get growth curves — the floor defense needs the curve, not
+    # just the decomposition.
+    "streaming_tumbling_catchup",  # one-micro-batch AvailableNow drain
+    "incremental_status_rollup_cdc",  # diff join + delta fold
 )
 
 
@@ -64,6 +69,7 @@ def build_scaled_dir(spark, mult: int, base: str, root: str) -> str:
     os.makedirs(out, exist_ok=True)
     scale_keys = {
         "lineitem": "l_orderkey",
+        "orders": "o_orderkey",  # r4: gives the CDC snapshot-diff a curve
         "documents": "doc_id",
         "events": "event_id",
         "embeddings": "vec_id",
