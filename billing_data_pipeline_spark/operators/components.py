@@ -49,11 +49,15 @@ def _star_contract(edges: DataFrame, max_rounds: int) -> tuple[DataFrame, int]:
     rounds): star_edges is (a, b) with b = the component min for every
     non-min node a. Empty input returns immediately."""
     e = edges.localCheckpoint(eager=True)
-    prev = None
     prev_sig = None
     rounds = 0
     converged = False
     for rounds in range(1, max_rounds + 1):
+        # the round's INPUT frame: the fixpoint test below is "did this
+        # round leave the edge set unchanged" — comparing output to input
+        # (review r4: a trailing `prev = e` made the old post-loop check
+        # compare e with itself, silently accepting non-convergence)
+        prev = e
         # large-star: every neighbor v > u hangs off m = min(Γ(u) ∪ {u})
         bidir = e.selectExpr("a AS u", "b AS v").unionByName(
             e.selectExpr("b AS u", "a AS v")
@@ -80,20 +84,21 @@ def _star_contract(edges: DataFrame, max_rounds: int) -> tuple[DataFrame, int]:
         # edge set stable => star fixpoint; one scalar action per round.
         # The signature is a fast-path filter only — a match is confirmed
         # with an exact set comparison (both frames are distinct and
-        # checkpointed, so exceptAll is one cheap join at the fixpoint).
+        # checkpointed, so exceptAll is one cheap join at the fixpoint;
+        # equal counts ride in the signature, so one-directional subset
+        # implies equality). A true fixpoint ALWAYS matches the previous
+        # round's signature (sig is a pure function of the edge set), so
+        # loop exhaustion genuinely means not-converged — no post-loop
+        # re-check needed.
         sig = tuple(
             e.agg(
                 F.count(F.lit(1)), F.sum("a"), F.sum("b")
             ).collect()[0]
         )
-        if sig == prev_sig and prev is not None and e.exceptAll(prev).isEmpty():
+        if sig == prev_sig and e.exceptAll(prev).isEmpty():
             converged = True
             break
         prev_sig = sig
-        prev = e
-    if not converged and prev is not None:
-        # last chance: max_rounds landed exactly on the fixpoint
-        converged = e.exceptAll(prev).isEmpty() and prev.exceptAll(e).isEmpty()
     if not converged:
         raise RuntimeError(
             f"star contraction did not converge in {rounds} rounds "

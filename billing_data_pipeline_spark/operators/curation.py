@@ -386,10 +386,10 @@ def decontaminate(
     corpus kernel job 0.31 (of which ~0.22 s is the bare mapInPandas
     floor — a noop Arrow pass costs that much locally) — i.e. the
     remaining DuckDB gap is TWO job floors, with no removable stage
-    left. Python/JVM tokenizer drift is not a hazard here because BOTH
-    sides of the containment test are built by the same Python
-    tokenizer; only Python-vs-DuckDB '\\s+' semantics matter, the same
-    (exercised) contract the tf-idf kernel relies on.
+    left. Python/JVM tokenizer drift is not a hazard for the CONTAINMENT
+    test (both sides are built by the same Python tokenizer), but
+    Python-vs-DuckDB '\\s' semantics are: the splitter pins re.ASCII so
+    it matches RE2's/Java's ASCII-only '\\s' (see _ws_re).
     """
     from collections.abc import Iterator
 
@@ -449,9 +449,16 @@ def decontaminate(
 
 
 def _ws_re():
+    """ASCII-only whitespace splitter: Python's ``\\s`` is Unicode-aware
+    (NBSP, U+2000–U+200A, ...) while BOTH engines this must mirror are
+    ASCII-only — Java's ``\\s`` in the replaced JVM ``F.split`` and RE2's
+    in the DuckDB oracle's regexp_split_to_array. Without re.ASCII a doc
+    containing non-ASCII whitespace (common in scraped web text)
+    tokenizes differently here than in the oracle and the hash gate
+    breaks (review r4)."""
     import re
 
-    return re.compile(r"\s+")
+    return re.compile(r"\s+", re.ASCII)
 
 
 def ngrams_sql(src: str, id_col: str, text_col: str, n: int) -> str:

@@ -926,6 +926,11 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+# persisted signature frames from prior lsh_neardup_pairs calls, swept on
+# the next call (see the persist comment inside)
+_SIG_CACHE: list[DataFrame] = []
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1028,7 +1033,18 @@ def lsh_neardup_pairs(
                 }
             )
 
+    # Persist: the signature frame feeds three consumers (candidate
+    # explode + both vector re-fetch sides) — without it the corpus scan
+    # and kernel run three times. Persisted handles from PRIOR calls are
+    # swept here (same pattern as streaming_queries._stream_scratch_dir):
+    # by the time a new pipeline is built, the previous returned frame
+    # has been consumed, and unlike broadcasts the cache manager never
+    # reclaims persisted frames on its own (review r4 — bench's
+    # min-of-3 loop leaked one corpus-sized cache entry per call).
+    while _SIG_CACHE:
+        _SIG_CACHE.pop().unpersist()
     sig = df.select(id_col, vec_col).mapInPandas(sig_kernel, sig_schema).persist()
+    _SIG_CACHE.append(sig)
 
     cand = sig.select("id", F.posexplode("buckets").alias("tbl", "bucket"))
     pairs = (

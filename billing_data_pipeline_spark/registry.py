@@ -72,11 +72,11 @@ def register(
 
 
 # The external correctness gate samples the first N (observed: 50) catalog
-# entries in registration order. Round-4 policy (VERDICT r3 #3): ~17 slots
+# entries in registration order. Round-4 policy (VERDICT r3 #3): 19 slots
 # stay PINNED — one flagship per §2 / §2.12 family plus every operator whose
-# implementation changed this round — and the remaining 33 slots ROTATE each
+# implementation changed this round — and the remaining 31 slots ROTATE each
 # round over catalog queries that have never had an external driver row
-# (93 of 165 checked through r3; the 69-query never-checked tail clears in
+# (93 of 165 checked through r3; the never-checked tail clears in
 # two rotations). Names here must exist and carry an oracle (asserted in
 # tests).
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
@@ -98,7 +98,9 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "media_real_decode_manifest",  # multimodal
     # --- pinned because the implementation changed in r4 ---
     "doc_top_terms_tfidf",  # vectorized kernel + broadcast idf + vocab cap
-    "decontaminate_ngram",  # single-scan sentinel form
+    "decontaminate_ngram",  # driver-built eval grams + Arrow corpus pass
+    "embedding_lsh_neardup_pairs",  # ids-only band join + Arrow rerank
+    "embedding_dedup_components",  # star-contract convergence rework
     # --- r4 rotation: 33 queries with no external row in r1-r3 ---
     # text / curation
     "decontaminate_embedding",
@@ -117,8 +119,9 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "streaming_sliding_catchup",
     "streaming_ohlc_catchup",
     "session_window_stats",
-    "tumbling_event_counts",
-    "sliding_window_volume",
+    # (tumbling_event_counts / sliding_window_volume yielded their r4
+    # slots to the two reworked-implementation pins above; they rotate
+    # in r5 — batch twins of already-externally-verified stream shapes.)
     # temporal / merge / ingest tiers
     "purchase_last_click_asof_cogroup",
     "error_burst_range_join",

@@ -32,13 +32,23 @@ small-file read to resolve the version.
 Concurrency contract (r4): **multi-writer safe on a shared POSIX path**.
 Commit and vacuum take an exclusive ``_lock`` file (O_CREAT|O_EXCL — the
 portable POSIX mutex) around their read-modify-write of the manifest, so
-concurrent mutators serialize instead of losing commit records; a lock
-left by a crashed writer is broken after ``stale_lock_secs`` (mtime-based).
-Writers therefore serialize their version allocation + publish; the data
-write happens under the lock too because the version number (the write
-target directory) is assigned inside the critical section. On an object
-store, swap the lock for a conditional-PUT manifest swap, exactly as
-Delta/Iceberg take an object-store conditional write.
+concurrent mutators serialize instead of losing commit records. The
+critical section is METADATA-ONLY and data-size-independent (review r4):
+the data write lands in an unreferenced ``_staging_*`` directory BEFORE
+the lock is taken, and the locked region is just rename-into-place +
+manifest append + publish (vacuum likewise publishes the pruned manifest
+under the lock and deletes the newly-unreferenced directories after
+releasing it). Because the lock is held for milliseconds regardless of
+table size, a lock older than ``stale_lock_secs`` (600 s) really is a
+crashed holder; breaking is single-winner (rename-then-unlink — a
+concurrent breaker's rename fails, it just retries) and release verifies
+the lock still carries this holder's token so a broken-then-reacquired
+lock is never unlinked by the old holder. Residual window, documented
+rather than hidden: a holder paused LONGER than ``stale_lock_secs``
+inside the millisecond critical section (a 10-minute GC pause) could be
+broken mid-mutation — the same assumption every mtime-lease lock makes.
+On an object store, swap the lock for a conditional-PUT manifest swap,
+exactly as Delta/Iceberg take an object-store conditional write.
 """
 
 from __future__ import annotations
@@ -69,22 +79,42 @@ class SnapshotTable:
         """Exclusive writer lock: O_CREAT|O_EXCL on ``_lock`` (atomic on
         POSIX), spin-wait with backoff, break locks whose mtime is older
         than ``stale_lock_secs`` (a crashed holder never unlinks). Guards
-        every manifest read-modify-write (VERDICT r3 #5)."""
+        every manifest read-modify-write (VERDICT r3 #5). The guarded
+        region must stay metadata-sized — commit/vacuum keep their data
+        I/O outside (see module docstring).
+
+        Safe-break mechanics (review r4): breaking renames the stale lock
+        to a unique name first — two concurrent breakers can't both
+        "unlink stale then create fresh" and shear each other's fresh
+        locks, because only one rename of the same source succeeds.
+        Release re-reads the lock and unlinks ONLY if it still holds this
+        acquisition's unique token, so a holder whose lock was broken
+        (and re-acquired by someone else) cannot release the new
+        holder's lock."""
+        import uuid
+
         lock = os.path.join(self.path, "_lock")
+        token = f"{os.getpid()}:{uuid.uuid4().hex}"
         deadline = time.monotonic() + timeout_secs
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                os.write(fd, token.encode())
                 os.close(fd)
                 break
             except FileExistsError:
                 try:
-                    if time.time() - os.path.getmtime(lock) > stale_lock_secs:
-                        os.unlink(lock)  # break a crashed writer's lock
-                        continue
+                    stale = time.time() - os.path.getmtime(lock) > stale_lock_secs
                 except OSError:
                     continue  # holder released between probes — retry now
+                if stale:
+                    broken = lock + f".broken.{uuid.uuid4().hex}"
+                    try:
+                        os.rename(lock, broken)  # single-winner break
+                        os.unlink(broken)
+                    except OSError:
+                        pass  # another breaker won the rename — retry
+                    continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(
                         f"could not acquire {lock} within {timeout_secs}s"
@@ -94,7 +124,9 @@ class SnapshotTable:
             yield
         finally:
             try:
-                os.unlink(lock)
+                with open(lock) as f:
+                    if f.read() == token:
+                        os.unlink(lock)
             except OSError:
                 pass
 
@@ -129,35 +161,56 @@ class SnapshotTable:
         """Write ``df`` as the next version and publish it atomically.
         ``mode='append'`` adds to the current snapshot instead of replacing
         it. A non-None ``epoch`` already in the log makes this a no-op
-        (idempotent replay). Returns the published version number."""
+        (idempotent replay). Returns the published version number.
+
+        The data write happens OUTSIDE the lock into an unreferenced
+        ``_staging_*`` directory (review r4: holding the lock across a
+        long parquet write outlives any stale-lock lease and invites a
+        concurrent writer to break it mid-write); the locked region is
+        version allocation + one directory rename + manifest publish —
+        milliseconds at any table size. A crash before the rename leaves
+        only a staging orphan (swept by vacuum); after the rename but
+        before publish, an unreferenced v=N orphan (self-healed below)."""
+        import shutil
+        import uuid
+
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
-        with self._mutate_lock():
-            man = self._load()
-            if epoch is not None:
-                for c in man["commits"]:
-                    if c.get("epoch") == epoch:
-                        return c["v"]  # replay: already committed
-            version = 0 if man["version"] is None else man["version"] + 1
-            # Self-heal a crash between data write and publish: an existing
-            # v=N dir that the manifest does not reference is an unpublished
-            # orphan from a failed attempt — remove it, or the errorifexists
-            # write would fail this (and every replayed) commit forever.
-            vdir = self._vdir(version)
-            if os.path.exists(vdir) and not any(
-                c["v"] == version for c in man["commits"]
-            ):
-                import shutil
-
-                shutil.rmtree(vdir)
-            df.write.mode("errorifexists").parquet(vdir)
-            man["version"] = version
-            man["commits"].append({"v": version, "mode": mode, "epoch": epoch})
-            fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_manifest_")
-            with os.fdopen(fd, "w") as f:
-                json.dump(man, f)
-            os.replace(tmp, self._manifest)  # the atomic publish
-            return version
+        if epoch is not None and epoch in self.epochs():
+            # dirty pre-check: epochs only ever grow, so a hit is final —
+            # skip the staging write entirely on replay
+            for c in self._load()["commits"]:
+                if c.get("epoch") == epoch:
+                    return c["v"]
+        staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
+        df.write.mode("errorifexists").parquet(staging)
+        try:
+            with self._mutate_lock():
+                man = self._load()
+                if epoch is not None:
+                    for c in man["commits"]:
+                        if c.get("epoch") == epoch:
+                            return c["v"]  # replay raced us: already in
+                version = 0 if man["version"] is None else man["version"] + 1
+                # Self-heal a crash between rename and publish: an existing
+                # v=N dir the manifest does not reference is an unpublished
+                # orphan — remove it or this version number wedges forever.
+                vdir = self._vdir(version)
+                if os.path.exists(vdir) and not any(
+                    c["v"] == version for c in man["commits"]
+                ):
+                    shutil.rmtree(vdir)
+                os.rename(staging, vdir)
+                man["version"] = version
+                man["commits"].append({"v": version, "mode": mode, "epoch": epoch})
+                fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_manifest_")
+                with os.fdopen(fd, "w") as f:
+                    json.dump(man, f)
+                os.replace(tmp, self._manifest)  # the atomic publish
+                return version
+        finally:
+            if os.path.exists(staging):  # replay-raced or failed commit
+                shutil.rmtree(staging, ignore_errors=True)
 
     def _base_of(self, version: int, man: dict | None = None) -> int:
         """Last overwrite commit at or before ``version`` (0 if the log
@@ -221,6 +274,21 @@ class SnapshotTable:
             with os.fdopen(fd, "w") as f:
                 json.dump(man, f)
             os.replace(tmp, self._manifest)
-            for v in removed:
-                shutil.rmtree(self._vdir(v))
-            return sorted(removed)
+        # Data deletion happens OUTSIDE the lock (review r4: rmtree of a
+        # large version is data-sized work and must not extend the lease).
+        # Every removed dir is already unreferenced by the published
+        # manifest: invisible to readers, and no collision with concurrent
+        # commits (version numbers only grow past `latest`).
+        for v in removed:
+            shutil.rmtree(self._vdir(v), ignore_errors=True)
+        # Staging orphans from crashed commits are unreferenced by
+        # construction — sweep any older than the stale-lock lease.
+        for name in os.listdir(self.path):
+            if name.startswith("_staging_"):
+                p = os.path.join(self.path, name)
+                try:
+                    if time.time() - os.path.getmtime(p) > 600.0:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
+        return sorted(removed)

@@ -98,6 +98,32 @@ def test_decontaminate_flags_only_overlapping_docs(spark):
     assert set(out) == {1, 2, 3}  # every train doc present
 
 
+def test_decontaminate_nonascii_whitespace_matches_engines(spark):
+    """Python's Unicode-aware \\s must NOT be used as the tokenizer: both
+    the replaced JVM F.split and the DuckDB oracle treat NBSP as a TOKEN
+    character, not whitespace (ASCII-only \\s). A doc where NBSP-joined
+    words straddle an n-gram must tokenize the engine way (review r4)."""
+    import duckdb
+
+    # "alpha<NBSP>beta" is ONE token to Java/RE2; 5 space-separated tokens
+    # follow so the doc has exactly one 5-gram under engine semantics.
+    text = "alpha\xa0beta one two three four"
+    train = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    eval_set = spark.createDataFrame([(2, text)], "doc_id long, text string")
+    row = C.decontaminate(train, eval_set, "doc_id", "text", n=5).collect()[0]
+    n_grams_duck = duckdb.sql(
+        "SELECT count(DISTINCT g) FROM ("
+        "  SELECT array_to_string(tk[i : i + 4], ' ') AS g FROM ("
+        f"    SELECT list_filter(regexp_split_to_array('{text}', '\\s+'),"
+        "          x -> x <> '') AS tk"
+        "  ) s, unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS u(i))"
+    ).fetchone()[0]
+    # engine tokenization: ["alpha\xa0beta","one","two","three","four"] ->
+    # exactly ONE 5-gram; a Unicode-aware splitter would see 6 tokens and
+    # report 2 shared grams.
+    assert row["n_hit_ngrams"] == n_grams_duck == 1
+
+
 def test_mix_to_budget_coarse_form_identical(spark):
     # Two-level prefix sum (coarse buckets) must produce the identical
     # keep-set/summary as the row-level cumsum, across sources whose

@@ -389,6 +389,15 @@ def test_connected_components_long_chain_logarithmic_rounds(spark):
     _stars, rounds = _star_contract(canon, max_rounds=25)
     assert rounds <= 12, f"expected O(log n) rounds on a 64-chain, got {rounds}"
 
+    # Exhausting max_rounds without reaching the fixpoint must RAISE, not
+    # silently return partial labels (review r4: a trailing `prev = e`
+    # made the old post-loop check compare a frame with itself, so
+    # non-convergence was unreachable-by-construction).
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        _star_contract(canon, max_rounds=1)
+
 
 def test_catalog_hygiene():
     """Registry guardrails: every query has a docstring and tags; every

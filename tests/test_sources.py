@@ -363,6 +363,50 @@ def test_snapshot_table_stale_lock_is_broken(spark, tmp_path):
     assert v == 0 and not os.path.exists(lock)
 
 
+def test_snapshot_table_release_respects_other_holders_lock(spark, tmp_path):
+    """A holder whose lock was broken (stale lease) and re-acquired by a
+    NEWER writer must not unlink the new holder's lock on release — the
+    release path verifies the acquisition token (review r4: a bare
+    finally-unlink sheared whoever held the lock at exit time)."""
+    import os
+
+    from billing_data_pipeline_spark.sources.versioned_sink import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "snap_tok"))
+    lock = os.path.join(t.path, "_lock")
+    with t._mutate_lock():
+        # simulate a break + re-acquire happening while we hold the lock
+        os.unlink(lock)
+        with open(lock, "w") as f:
+            f.write("someone-else's-token")
+    # our release must have left the new holder's lock in place
+    with open(lock) as f:
+        assert f.read() == "someone-else's-token"
+    os.unlink(lock)
+
+
+def test_snapshot_table_vacuum_sweeps_stale_staging_orphans(spark, tmp_path):
+    """A _staging_* dir from a crashed commit (older than the lock lease)
+    is unreferenced by construction and must be swept by vacuum; a FRESH
+    staging dir (possible in-flight commit) must be left alone."""
+    import os
+    import time as _time
+
+    from billing_data_pipeline_spark.sources.versioned_sink import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "snap_stage"))
+    t.commit(spark.range(1).withColumnRenamed("id", "k"))
+    stale = os.path.join(t.path, "_staging_deadbeef")
+    fresh = os.path.join(t.path, "_staging_cafebabe")
+    os.makedirs(stale)
+    os.makedirs(fresh)
+    old = _time.time() - 10_000
+    os.utime(stale, (old, old))
+    t.vacuum(keep=1)
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)
+
+
 def test_snapshot_table_commit_time_travel_vacuum(spark, tmp_path):
     """SnapshotTable: atomic manifest publish, version monotonicity, time
     travel to any retained version, vacuum pruning, and crash-orphan
