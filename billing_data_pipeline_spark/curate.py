@@ -44,13 +44,20 @@ def curate_corpus(
 ) -> dict:
     """Run the curation flow over ``docs`` (doc_id, text, lang, ...) and
     write ``{out_dir}/shard_id=*/...`` plus return a metrics dict."""
+    from pyspark.sql import Observation
+
     keep = ("lang",) if lang is not None else ()
     scrubbed = C.scrub_pii(docs, "doc_id", "text", keep_cols=keep).withColumnRenamed(
         "clean_text", "text"
     )
+    # docs_in rides the same write job: scrub_pii is row-1:1 with the
+    # input, so observing here (BEFORE the lang filter) counts the raw
+    # corpus without the separate full docs.count() scan the old metrics
+    # block paid (review r4).
+    obs_in = Observation("curate_in")
+    scrubbed = scrubbed.observe(obs_in, F.count(F.lit(1)).alias("n"))
     if lang is not None:
         scrubbed = scrubbed.filter(F.col("lang") == lang)
-    from pyspark.sql import Observation
 
     obs = Observation("curate_kept")
     kept = scrubbed.filter(
@@ -101,7 +108,12 @@ def curate_corpus(
         .partitionBy("shard_id")
         .parquet(out_dir)
     )
-    written = spark.read.parquet(out_dir)
+    # Explicit schema on the read-back: a run where zero chunks survive
+    # (empty corpus, everything language/quality-filtered) writes only
+    # _SUCCESS, and schema INFERENCE over that raises
+    # UNABLE_TO_INFER_SCHEMA instead of yielding the zero-count metrics
+    # this function promises (review r4; verified behavior).
+    written = spark.read.schema(sharded.schema).parquet(out_dir)
     manifest = (
         written.groupBy("shard_id")
         .agg(
@@ -117,14 +129,24 @@ def curate_corpus(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    # docs_kept rides the write job via the Observation API (the
-    # build_aggregates pattern) and chunk/token totals are exact sums of
-    # the per-shard manifest — the previous block re-executed the full
-    # scrub+filter lineage twice and re-scanned the output twice for
-    # numbers already in hand (review r3).
+    # docs_in AND docs_kept ride the write job via the Observation API
+    # (the build_aggregates pattern) and chunk/token totals are exact
+    # sums of the per-shard manifest — no lineage re-execution, no
+    # separate input scan (reviews r3/r4). One carve-out: when the kept
+    # set is EMPTY, AQE's empty-relation propagation can replace the
+    # write's whole input subtree — CollectMetrics nodes included — and
+    # the observation never materializes (measured: Observation.get
+    # raises through toPyRow). Only that corner falls back to explicit
+    # counts, paid exclusively on empty runs.
+    def _obs_n(o, fallback_df):
+        try:
+            return o.get["n"]
+        except Exception:
+            return fallback_df.count()
+
     return {
-        "docs_in": docs.count(),
-        "docs_kept": obs.get["n"],
+        "docs_in": _obs_n(obs_in, docs),
+        "docs_kept": _obs_n(obs, kept),
         "chunks_written": sum(r["n_chunks"] for r in manifest),
         "tokens_written": sum(r["n_tokens"] for r in manifest),
         "shards": {

@@ -53,9 +53,15 @@ def date_spine(
 
 def hive_partition_value(path: Column | str, key: str) -> Column:
     """Extract one ``key=value`` segment from a path (F5; the reference's
-    `([^=]+)=([^=]+)` parse, scoped to a named key)."""
+    `([^=]+)=([^=]+)` parse, scoped to a named key). The key is anchored
+    to a segment start (start-of-string, '/', '?' or '&') and
+    regex-escaped — an unanchored bare key would match inside LONGER keys
+    ('day=' inside 'birthday=05') and metachars would corrupt the pattern
+    (review r4)."""
+    import re as _re
+
     p = F.col(path) if isinstance(path, str) else path
-    return F.regexp_extract(p, rf"{key}=([^/]+)", 1)
+    return F.regexp_extract(p, rf"(?:^|[/?&]){_re.escape(key)}=([^/&]+)", 1)
 
 
 def parse_url_col(url: Column | str, part: str = "HOST") -> Column:

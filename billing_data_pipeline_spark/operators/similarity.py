@@ -926,47 +926,25 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-# persisted signature frames from prior lsh_neardup_pairs calls, swept on
-# the next call (see the persist comment inside)
+# persisted signature frames from prior LSH calls, swept on the next call
+# (see the persist comment in lsh_neardup_pairs)
 _SIG_CACHE: list[DataFrame] = []
 
 
-def lsh_neardup_pairs(
+def _lsh_sig_frame(
     df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    threshold: float = 0.4,
-    n_bits: int = 6,
-    dim: int = 64,
-    seed: int = 42,
-    n_tables: int = 4,
+    id_col: str,
+    vec_col: str,
+    all_planes: list,
+    n_tables: int,
+    n_bits: int,
 ) -> DataFrame:
-    """Scale-path near-dup: OR-of-ANDs banding over random-hyperplane
-    signatures. Each of ``n_tables`` independent signatures buckets the
-    corpus; candidate pairs form via a self-equi-join on (table, bucket)
-    (shuffle on the bucket key, linear in corpus + collisions — no n^2
-    anywhere); dropDuplicates merges pairs that collide in several tables
-    before the exact-cosine rerank so each pair is scored once.
-
-    Recall for a pair at cosine c: per-bit collision p = 1 - acos(c)/pi,
-    per-table p^n_bits, overall 1 - (1 - p^n_bits)^n_tables — tune
-    n_bits down / n_tables up for looser thresholds. Approximate =>
-    rows-only check; `cosine_neardup_pairs` is the exact baseline.
-
-    Plan shape (r4 rework — the r3 form carried BOTH full vectors through
-    the bucket self-join and scored candidates with the interpreted HOF
-    fold, which at sf0.1 meant a ~1 KB/row shuffle of hundreds of
-    thousands of candidate rows and 9+ s of interpreted eval; measured
-    13x DuckDB): one Arrow pass computes ALL table buckets + the
-    sequential norm per vector (`_seq_*` kernels — bit-identical to the
-    oracle's list_reduce fold, same as the IVF/PQ/decontaminate tiers);
-    the candidate self-join moves (id, tbl, bucket) rows ONLY (~24
-    B/row); surviving deduped pairs re-fetch their two vectors by id
-    (broadcast at small corpora, shuffle-on-id at scale) and a second
-    Arrow kernel reranks with the same dim-sequential pair dot. NULL
-    vectors keep their engine-shared semantics: every sign CASE falls to
-    ELSE 0 (bucket 0) and the rerank emits NULL cosine, which the
-    threshold filter drops on both engines."""
+    """(id, v, n, buckets) per row: ALL table bucket ids + the sequential
+    norm, computed in ONE Arrow pass (shared by lsh_neardup_pairs and
+    lsh_bucketed_topk — both previously recomputed 24-48 interpreted HOF
+    dots per row). Sign tests use the dim-sequential fold, bit-identical
+    to the oracle's list_reduce; NULL vectors get bucket 0 per table
+    (every sign CASE falls to ELSE 0 on both engines) and NULL norm."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -974,16 +952,12 @@ def lsh_neardup_pairs(
 
     from pyspark.sql import types as T
 
-    all_planes = _lsh_tables_planes(n_tables, n_bits, dim, seed)
-    # (n_tables*n_bits, dim) plane matrix; np.float64(python float) is exact
+    dim = len(all_planes[0][0])
     PF = np.array(all_planes, dtype=np.float64).reshape(n_tables * n_bits, dim)
-
-    id_type = df.schema[id_col].dataType
-    vec_type = df.schema[vec_col].dataType
     sig_schema = T.StructType(
         [
-            T.StructField("id", id_type),
-            T.StructField("v", vec_type),
+            T.StructField("id", df.schema[id_col].dataType),
+            T.StructField("v", df.schema[vec_col].dataType),
             T.StructField("n", T.DoubleType()),
             T.StructField("buckets", T.ArrayType(T.IntegerType())),
         ]
@@ -1033,41 +1007,28 @@ def lsh_neardup_pairs(
                 }
             )
 
-    # Persist: the signature frame feeds three consumers (candidate
-    # explode + both vector re-fetch sides) — without it the corpus scan
-    # and kernel run three times. Persisted handles from PRIOR calls are
-    # swept here (same pattern as streaming_queries._stream_scratch_dir):
-    # by the time a new pipeline is built, the previous returned frame
-    # has been consumed, and unlike broadcasts the cache manager never
-    # reclaims persisted frames on its own (review r4 — bench's
-    # min-of-3 loop leaked one corpus-sized cache entry per call).
-    while _SIG_CACHE:
-        _SIG_CACHE.pop().unpersist()
-    sig = df.select(id_col, vec_col).mapInPandas(sig_kernel, sig_schema).persist()
-    _SIG_CACHE.append(sig)
+    return df.select(id_col, vec_col).mapInPandas(sig_kernel, sig_schema)
 
-    cand = sig.select("id", F.posexplode("buckets").alias("tbl", "bucket"))
-    pairs = (
-        cand.select(F.col("id").alias("id_a"), "tbl", "bucket")
-        .join(cand.select(F.col("id").alias("id_b"), "tbl", "bucket"),
-              ["tbl", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    scored_in = pairs.join(
-        sig.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                   F.col("n").alias("na")),
-        "id_a",
-    ).join(
-        sig.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                   F.col("n").alias("nb")),
-        "id_b",
-    )
+
+def _cosine_rerank(
+    scored_in: DataFrame, id_a: str, id_b: str, id_a_type, id_b_type
+) -> DataFrame:
+    """(id_a, id_b, va, vb, na, nb) -> (id_a, id_b, cosine_sim) via the
+    dim-sequential pair dot divided by the precomputed sequential norms —
+    the same doubles as the oracle's fold/sqrt form, vectorized over an
+    Arrow batch. Rows with a NULL norm (NULL vector upstream) emit NULL
+    cosine."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
 
     out_schema = T.StructType(
         [
-            T.StructField("id_a", id_type),
-            T.StructField("id_b", id_type),
+            T.StructField(id_a, id_a_type),
+            T.StructField(id_b, id_b_type),
             T.StructField("cosine_sim", T.DoubleType()),
         ]
     )
@@ -1105,14 +1066,88 @@ def lsh_neardup_pairs(
                         j += 1
             yield pd.DataFrame(
                 {
-                    "id_a": pdf["id_a"],
-                    "id_b": pdf["id_b"],
+                    id_a: pdf[id_a],
+                    id_b: pdf[id_b],
                     "cosine_sim": pd.Series(cos_out, dtype=object),
                 }
             )
 
+    return scored_in.mapInPandas(rerank_kernel, out_schema)
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_bits: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Scale-path near-dup: OR-of-ANDs banding over random-hyperplane
+    signatures. Each of ``n_tables`` independent signatures buckets the
+    corpus; candidate pairs form via a self-equi-join on (table, bucket)
+    (shuffle on the bucket key, linear in corpus + collisions — no n^2
+    anywhere); dropDuplicates merges pairs that collide in several tables
+    before the exact-cosine rerank so each pair is scored once.
+
+    Recall for a pair at cosine c: per-bit collision p = 1 - acos(c)/pi,
+    per-table p^n_bits, overall 1 - (1 - p^n_bits)^n_tables — tune
+    n_bits down / n_tables up for looser thresholds. Approximate =>
+    rows-only check; `cosine_neardup_pairs` is the exact baseline.
+
+    Plan shape (r4 rework — the r3 form carried BOTH full vectors through
+    the bucket self-join and scored candidates with the interpreted HOF
+    fold, which at sf0.1 meant a ~1 KB/row shuffle of hundreds of
+    thousands of candidate rows and 9+ s of interpreted eval; measured
+    13x DuckDB): one Arrow pass computes ALL table buckets + the
+    sequential norm per vector (`_seq_*` kernels — bit-identical to the
+    oracle's list_reduce fold, same as the IVF/PQ/decontaminate tiers);
+    the candidate self-join moves (id, tbl, bucket) rows ONLY (~24
+    B/row); surviving deduped pairs re-fetch their two vectors by id
+    (broadcast at small corpora, shuffle-on-id at scale) and a second
+    Arrow kernel reranks with the same dim-sequential pair dot. NULL
+    vectors keep their engine-shared semantics: every sign CASE falls to
+    ELSE 0 (bucket 0) and the rerank emits NULL cosine, which the
+    threshold filter drops on both engines. The signature and rerank
+    kernels are the shared `_lsh_sig_frame` / `_cosine_rerank` helpers
+    (also behind lsh_bucketed_topk)."""
+    all_planes = _lsh_tables_planes(n_tables, n_bits, dim, seed)
+    id_type = df.schema[id_col].dataType
+
+    # Persist: the signature frame feeds three consumers (candidate
+    # explode + both vector re-fetch sides) — without it the corpus scan
+    # and kernel run three times. Persisted handles from PRIOR calls are
+    # swept here (same pattern as streaming_queries._stream_scratch_dir):
+    # by the time a new pipeline is built, the previous returned frame
+    # has been consumed, and unlike broadcasts the cache manager never
+    # reclaims persisted frames on its own (review r4 — bench's
+    # min-of-3 loop leaked one corpus-sized cache entry per call).
+    while _SIG_CACHE:
+        _SIG_CACHE.pop().unpersist()
+    sig = _lsh_sig_frame(df, id_col, vec_col, all_planes, n_tables, n_bits).persist()
+    _SIG_CACHE.append(sig)
+
+    cand = sig.select("id", F.posexplode("buckets").alias("tbl", "bucket"))
+    pairs = (
+        cand.select(F.col("id").alias("id_a"), "tbl", "bucket")
+        .join(cand.select(F.col("id").alias("id_b"), "tbl", "bucket"),
+              ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored_in = pairs.join(
+        sig.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                   F.col("n").alias("na")),
+        "id_a",
+    ).join(
+        sig.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                   F.col("n").alias("nb")),
+        "id_b",
+    )
     return (
-        scored_in.mapInPandas(rerank_kernel, out_schema)
+        _cosine_rerank(scored_in, "id_a", "id_b", id_type, id_type)
         .filter(F.col("cosine_sim") >= threshold)
     )
 
@@ -1139,47 +1174,55 @@ def lsh_bucketed_topk(
     tests/test_scale_patterns.py::test_ann_recall_floors).
 
     The hyperplanes are a seeded driver-side constant broadcast into the
-    plan as literals — no fit step, fully deterministic. Queries explode
-    to (table, bucket) rows and broadcast; duplicate (query, candidate)
-    collisions across tables dedupe before scoring so each pair is scored
-    once.
-    """
+    plan as literals — no fit step, fully deterministic.
+
+    Plan shape (r4 rework, mirroring lsh_neardup_pairs): one Arrow pass
+    per side computes all table buckets + the sequential norm
+    (`_lsh_sig_frame` — the old form re-evaluated 48 interpreted HOF
+    plane dots per row); the candidate join moves ids only, with the
+    exploded QUERY side broadcast; deduped (query, candidate) pairs
+    re-fetch vectors (queries via broadcast, corpus via its persisted
+    signature frame) and `_cosine_rerank` scores them; the top-k window
+    is pure JVM. Measured 6.2 s -> well under 1 s at sf0.1 with the
+    hash gate unchanged."""
     from pyspark.sql import Window
 
     all_planes = _lsh_tables_planes(n_tables, n_bits, dim, seed)
+    id_type = corpus.schema[id_col].dataType
 
-    def signature(vec: Column, planes: list[list[float]]) -> Column:
-        bits = [
-            F.when(
-                dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit(1 << i)
-            ).otherwise(F.lit(0))
-            for i, plane in enumerate(planes)
-        ]
-        total = bits[0]
-        for b in bits[1:]:
-            total = total + b
-        return total
+    while _SIG_CACHE:
+        _SIG_CACHE.pop().unpersist()
+    sig_c = _lsh_sig_frame(
+        corpus, id_col, vec_col, all_planes, n_tables, n_bits
+    ).persist()
+    _SIG_CACHE.append(sig_c)
+    sig_q = _lsh_sig_frame(queries, id_col, vec_col, all_planes, n_tables, n_bits)
 
-    def exploded(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
-        v = _as_double(F.col(vec_col))
-        return df.select(
-            F.col(id_col).alias(out_id),
-            v.alias(out_vec),
-            F.posexplode(
-                F.array(*[signature(v, p) for p in all_planes])
-            ).alias("tbl", "bucket"),
-        )
-
-    q = exploded(queries, "query_id", "qv")
-    c = exploded(corpus, "candidate_id", "cv")
+    c = sig_c.select(
+        F.col("id").alias("candidate_id"),
+        F.posexplode("buckets").alias("tbl", "bucket"),
+    )
+    q = sig_q.select(
+        F.col("id").alias("query_id"),
+        F.posexplode("buckets").alias("tbl", "bucket"),
+    )
     pairs = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("candidate_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "candidate_id"])
     )
-    scored = pairs.select(
-        "query_id", "candidate_id", cosine(F.col("qv"), F.col("cv")).alias("cosine_sim")
+    scored_in = pairs.join(
+        F.broadcast(
+            sig_q.select(F.col("id").alias("query_id"), F.col("v").alias("va"),
+                         F.col("n").alias("na"))
+        ),
+        "query_id",
+    ).join(
+        sig_c.select(F.col("id").alias("candidate_id"), F.col("v").alias("vb"),
+                     F.col("n").alias("nb")),
+        "candidate_id",
     )
+    scored = _cosine_rerank(scored_in, "query_id", "candidate_id", id_type, id_type)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("candidate_id").asc()
     )

@@ -125,19 +125,19 @@ def _declare_event_stream(
 ) -> DataFrame:
     """Declare the events file-source STREAM over ``stream_dir``. The
     driver's parquet has shipped ``ts`` as either INT64 TIMESTAMP(NANOS)
-    or TIMESTAMP(MICROS) across rounds, so probe the footer and declare
-    the matching schema — same µs-floor convention as
-    sources/tables.load_table (one shared helper; this probe used to be
-    triplicated across the stream builders)."""
-    from pyspark.sql import types as T
+    or TIMESTAMP(MICROS) across rounds, so probe the footer (pyarrow —
+    no session conf involved) and declare the matching schema — same
+    µs-floor convention as sources/tables.load_table. The legacy
+    nanosAsLong conf is set only when the table actually stores nanos,
+    where the batch reader needs it too (review r4: it was set
+    unconditionally, session-wide)."""
+    from ..sources.tables import events_ts_is_nanos
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if sf_dir not in _TS_STORED_LONG:
-        _TS_STORED_LONG[sf_dir] = isinstance(
-            spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType,
-            T.LongType,
-        )
+        _TS_STORED_LONG[sf_dir] = events_ts_is_nanos(f"{sf_dir}/events.parquet")
     stored_long = _TS_STORED_LONG[sf_dir]
+    if stored_long:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     decl = _STREAM_EVENTS_SCHEMA.format(
         ts_type="long" if stored_long else "timestamp_ntz"
     )
@@ -315,15 +315,13 @@ def _stream_events_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from pyspark.sql import types as T
+    from ..sources.tables import events_ts_is_nanos, load_table
 
-    from ..sources.tables import load_table
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stored_long = isinstance(
-        spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType,
-        T.LongType,
-    )
+    if sf_dir not in _TS_STORED_LONG:
+        _TS_STORED_LONG[sf_dir] = events_ts_is_nanos(f"{sf_dir}/events.parquet")
+    stored_long = _TS_STORED_LONG[sf_dir]
+    if stored_long:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     max_us = (
         load_table(spark, sf_dir, "events")
         .agg(F.max(F.unix_micros("ts")))

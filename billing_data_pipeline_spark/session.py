@@ -47,10 +47,18 @@ def input_sized_conf(input_bytes: int, cores: int | None = None) -> dict[str, st
     exactly when a shuffle is big enough that a misestimate hurts.
 
     The partition rule targets ~64 MB of *input* per shuffle partition
-    (shuffled intermediates are almost always narrower than the scan),
-    floored at the core count so small jobs still use every core, capped at
-    4x cores locally; on a 1000-executor cluster the same formula yields
-    thousands of partitions, which is the standard 100-200 MB/task sizing.
+    (shuffled intermediates are almost always narrower than the scan).
+    Below the AQE threshold the count is floored at max(8, cores/4) — NOT
+    the full core count: sub-GB shuffles carry so few bytes that the
+    per-task overhead of `cores` tasks costs more than the parallelism
+    buys (measured on the floor-bound bench set; 8-partition shuffles of
+    KB-scale aggregates beat 32), while CPU-heavy narrow inputs get their
+    parallelism from the SCAN side (session.fan_out), not the shuffle
+    count — and capped at 4x cores so a just-under-1-GiB input on a small
+    box cannot demand more concurrent shuffle tasks than the machine can
+    run. Above it, max(2x cores, size/64MB) with AQE coalescing downward;
+    on a 1000-executor cluster the same formula yields thousands of
+    partitions, the standard 100-200 MB/task sizing.
     """
     cores = cores or default_parallelism()
     aqe_threshold = 1 << 30  # 1 GiB: below this, runtime re-planning buys nothing
@@ -61,7 +69,9 @@ def input_sized_conf(input_bytes: int, cores: int | None = None) -> dict[str, st
             "spark.sql.adaptive.enabled": "true",
         }
     return {
-        "spark.sql.shuffle.partitions": str(max(by_size, 8, cores // 4)),
+        "spark.sql.shuffle.partitions": str(
+            min(max(by_size, 8, cores // 4), 4 * cores)
+        ),
         "spark.sql.adaptive.enabled": "false",
     }
 

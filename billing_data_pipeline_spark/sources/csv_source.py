@@ -92,7 +92,25 @@ def read_partition_root(
         reader = reader.option("mode", "PERMISSIVE").option(
             "ignoreMissingFiles", "true"
         )
-    df = reader.csv(f"{root}/year=*/month=*/day=*")
+    try:
+        df = reader.csv(f"{root}/year=*/month=*/day=*")
+    except Exception as exc:  # AnalysisException lacks a stable subclass path
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
+        # A lake with no year=*/ partitions yet (first run before the
+        # producer writes one): the glob itself raises PATH_NOT_FOUND
+        # before any downstream empty-guard can run (review r4) — the
+        # continue-on-empty contract (pipeline.run, latest_partition_date
+        # -> None) needs an empty frame with the declared schema instead.
+        empty_schema = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("year", T.IntegerType(), True),
+                T.StructField("month", T.IntegerType(), True),
+                T.StructField("day", T.IntegerType(), True),
+            ]
+        )
+        return spark.createDataFrame([], empty_schema)
     if from_date or to_date:
         d = F.make_date("year", "month", "day")
         if from_date:

@@ -56,9 +56,17 @@ class UrlPartition(InputPartition):
         self.url = url
 
 
+_BOOL_TRUE = ("true", "1", "t", "yes")
+_BOOL_FALSE = ("false", "0", "f", "no")
+
+
 def _convert(value: str, dtype):
     """CSV string -> Spark external type. Empty string => NULL (the
-    reference relied on DuckDB's read_csv_auto doing the same)."""
+    reference relied on DuckDB's read_csv_auto doing the same).
+    Unparseable values raise ValueError — the CALLER decides whether
+    that nulls the field (permissive) or fails the read (failfast);
+    boolean garbage ('flase') raises instead of silently coercing to
+    False (review r4)."""
     if value == "" or value is None:
         return None
     if isinstance(dtype, StringType):
@@ -68,7 +76,12 @@ def _convert(value: str, dtype):
     if isinstance(dtype, (DoubleType, FloatType)):
         return float(value)
     if isinstance(dtype, BooleanType):
-        return value.strip().lower() in ("true", "1", "t", "yes")
+        s = value.strip().lower()
+        if s in _BOOL_TRUE:
+            return True
+        if s in _BOOL_FALSE:
+            return False
+        raise ValueError(f"not a boolean: {value!r}")
     if isinstance(dtype, TimestampType):
         return datetime.fromisoformat(value)
     if isinstance(dtype, DateType):
@@ -85,7 +98,7 @@ class HttpCsvReader(DataSourceReader):
             raise ValueError("http_csv: provide 'urls' (comma/newline separated)")
         self.header = (options.get("header") or "true").lower() == "true"
         self.retries = int(options.get("retries") or 3)
-        self.drop_malformed = (options.get("mode") or "permissive").lower() != "failfast"
+        self.permissive = (options.get("mode") or "permissive").lower() != "failfast"
 
     def partitions(self):
         # One URL per partition: parallelism = file count, matching the
@@ -109,6 +122,14 @@ class HttpCsvReader(DataSourceReader):
         raise last
 
     def read(self, partition: UrlPartition) -> Iterator[tuple]:
+        """Permissive mode follows Spark's CSV PERMISSIVE contract (and
+        DuckDB's read_csv_auto, which the module cites as the model): a
+        malformed row is KEPT with its bad fields nulled — short rows pad
+        with NULL, extra columns are ignored, an unparseable typed field
+        nulls that field only. The previous behavior silently DROPPED the
+        whole row, which is DROPMALFORMED semantics under a permissive
+        name — silent data loss (review r4). failfast raises on any of
+        these."""
         fields = self.schema_.fields
         with self._open(partition.url) as resp:
             text = io.TextIOWrapper(resp, encoding="utf-8", newline="")
@@ -117,19 +138,23 @@ class HttpCsvReader(DataSourceReader):
                 next(rows, None)
             for rec in rows:
                 if len(rec) != len(fields):
-                    if self.drop_malformed:
-                        continue
-                    raise ValueError(
-                        f"http_csv: row has {len(rec)} columns, "
-                        f"schema has {len(fields)}: {rec!r}"
+                    if not self.permissive:
+                        raise ValueError(
+                            f"http_csv: row has {len(rec)} columns, "
+                            f"schema has {len(fields)}: {rec!r}"
+                        )
+                    rec = list(rec[: len(fields)]) + [None] * (
+                        len(fields) - len(rec)
                     )
-                try:
-                    yield tuple(
-                        _convert(v, f.dataType) for v, f in zip(rec, fields)
-                    )
-                except (ValueError, TypeError):
-                    if not self.drop_malformed:
-                        raise
+                out = []
+                for v, f in zip(rec, fields):
+                    try:
+                        out.append(_convert(v, f.dataType))
+                    except (ValueError, TypeError):
+                        if not self.permissive:
+                            raise
+                        out.append(None)
+                yield tuple(out)
 
 
 class HttpCsvStreamReader(SimpleDataSourceStreamReader):

@@ -41,6 +41,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return cached
 
 
+def events_ts_is_nanos(path: str) -> bool:
+    """True when the events table stores ``ts`` as TIMESTAMP(NANOS).
+    Probed with a pyarrow footer read — NOT by flipping
+    ``spark.sql.legacy.parquet.nanosAsLong`` session-wide and reading
+    (review r4: the conf was set unconditionally and never restored, so
+    any later, unrelated read of a nanos parquet column silently came
+    back as LongType instead of failing loudly). Handles both a single
+    file and a Spark-written directory of parts."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return False
+        p = parts[0]
+    try:
+        t = pq.ParquetFile(p).schema_arrow.field("ts").type
+    except Exception:
+        return False
+    return t == pa.timestamp("ns")
+
+
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet has shipped as either INT64 TIMESTAMP(NANOS) (which
@@ -49,17 +76,21 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # so adapt to whatever the footer declares:
         # - nanos: read as long, floor-divide to µs (integer DIV — double
         #   division would lose precision past 2^53). DuckDB's TIMESTAMP_NS
-        #   -> TIMESTAMP cast also truncates, so oracles match.
+        #   -> TIMESTAMP cast also truncates, so oracles match. Reading
+        #   nanos REQUIRES the legacy nanosAsLong conf, so it is set in
+        #   exactly (and only) that environment.
         # - micros: parquet isAdjustedToUTC=false reads as TIMESTAMP_NTZ;
         #   cast to session-TZ timestamp (UTC session => value-preserving)
-        #   so downstream plans/oracles see the same type either way.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        #   so downstream plans/oracles see the same type either way. The
+        #   conf is NOT touched on this (the common) path.
         from pyspark.sql import functions as F
-        from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        path = f"{sf_dir}/{name}.parquet"
+        if events_ts_is_nanos(path):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        df = spark.read.parquet(path)
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

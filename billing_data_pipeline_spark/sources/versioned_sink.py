@@ -106,7 +106,12 @@ class SnapshotTable:
                 try:
                     stale = time.time() - os.path.getmtime(lock) > stale_lock_secs
                 except OSError:
-                    continue  # holder released between probes — retry now
+                    # holder released between probes (ENOENT) — or a
+                    # persistent stat failure (EACCES, network FS): either
+                    # way fall through to the deadline check so a broken
+                    # environment times out instead of busy-spinning
+                    # forever (review r4)
+                    stale = False
                 if stale:
                     broken = lock + f".broken.{uuid.uuid4().hex}"
                     try:
@@ -184,6 +189,7 @@ class SnapshotTable:
                     return c["v"]
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         df.write.mode("errorifexists").parquet(staging)
+        trash = None
         try:
             with self._mutate_lock():
                 man = self._load()
@@ -194,12 +200,18 @@ class SnapshotTable:
                 version = 0 if man["version"] is None else man["version"] + 1
                 # Self-heal a crash between rename and publish: an existing
                 # v=N dir the manifest does not reference is an unpublished
-                # orphan — remove it or this version number wedges forever.
+                # orphan — shunt it aside or this version number wedges
+                # forever. The shunt is a RENAME (metadata-sized, keeps
+                # the lock lease honest); the actual delete happens after
+                # release (review r4).
                 vdir = self._vdir(version)
                 if os.path.exists(vdir) and not any(
                     c["v"] == version for c in man["commits"]
                 ):
-                    shutil.rmtree(vdir)
+                    trash = os.path.join(
+                        self.path, f"_staging_trash_{uuid.uuid4().hex}"
+                    )
+                    os.rename(vdir, trash)
                 os.rename(staging, vdir)
                 man["version"] = version
                 man["commits"].append({"v": version, "mode": mode, "epoch": epoch})
@@ -211,6 +223,8 @@ class SnapshotTable:
         finally:
             if os.path.exists(staging):  # replay-raced or failed commit
                 shutil.rmtree(staging, ignore_errors=True)
+            if trash is not None:
+                shutil.rmtree(trash, ignore_errors=True)
 
     def _base_of(self, version: int, man: dict | None = None) -> int:
         """Last overwrite commit at or before ``version`` (0 if the log
@@ -261,8 +275,15 @@ class SnapshotTable:
             oldest_retained = max(0, latest - keep + 1)
             needed_from = self._base_of(oldest_retained, man)
             published = {c["v"] for c in man["commits"]}
+            # Orphans ABOVE `latest` are excluded: vacuum's deferred
+            # (post-lock) delete could otherwise race a concurrent commit
+            # that allocates latest+1, self-heals the same orphan, and
+            # publishes — vacuum would then delete the just-published
+            # data (review r4). commit's own self-heal owns that range.
             removed = [
-                v for v in self.versions() if v < needed_from or v not in published
+                v
+                for v in self.versions()
+                if v < needed_from or (v not in published and v <= latest)
             ]
             # Publish the pruned manifest BEFORE deleting data: a crash
             # between the two steps then leaves only unreferenced orphan

@@ -34,8 +34,20 @@ def _bucket(col: Column, mn: Column, mx: Column, bits: int) -> Column:
 
 
 def zorder_key(cols: list[Column], bounds: list[tuple[Column, Column]], bits: int = 8) -> Column:
-    """Morton key: bit j of column k lands at position j*n_cols + k."""
+    """Morton key: bit j of column k lands at position j*n_cols + k.
+
+    ``n_cols * bits`` must fit the 63 value bits of a signed long: bit 63
+    is the sign (rows with it set would sort FIRST and invert the curve's
+    top) and Java shifts wrap mod 64 (>= 64 silently collides distinct
+    bucket bits) — both silent layout corruptions, so over-wide requests
+    raise instead (review r4)."""
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"zorder_key: {n} cols x {bits} bits = {n * bits} bits "
+            "exceeds the 63 value bits of a signed long — lower `bits` "
+            f"(max {63 // n} for {n} columns)"
+        )
     ranks = [_bucket(c, mn, mx, bits) for c, (mn, mx) in zip(cols, bounds)]
     parts = [
         F.shiftleft(F.shiftright(rank, j).bitwiseAND(F.lit(1)), j * n + k)

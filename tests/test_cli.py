@@ -50,6 +50,23 @@ def test_cli_curate_writes_deterministic_shards(spark, tmp_path, capsys):
     assert df1.collect() == df2.collect()
 
 
+def test_curate_corpus_survives_everything_filtered(spark, tmp_path):
+    """Zero surviving chunks (here: no docs in the requested language)
+    must yield a zero-count metrics dict, not UNABLE_TO_INFER_SCHEMA from
+    the empty partitioned write's read-back (review r4)."""
+    from billing_data_pipeline_spark.curate import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "some english text here", "en")],
+        "doc_id long, text string, lang string",
+    )
+    m = curate_corpus(spark, docs, str(tmp_path / "empty_corpus"), lang="xx")
+    assert m["docs_in"] == 1
+    assert m["docs_kept"] == 0
+    assert m["chunks_written"] == 0 and m["tokens_written"] == 0
+    assert m["shards"] == {} and m["splits"] == {}
+
+
 def test_cli_stream_drains_lake(spark, tmp_path, capsys):
     lake, n = _write_lake(tmp_path)
     wh = str(tmp_path / "swh")

@@ -20,7 +20,7 @@ def csv_urls(tmp_path):
     b.write_text(
         "ts,user_id,amount,ok\n"
         "2025-04-24T09:00:00,u3,,true\n"  # empty amount -> NULL
-        "malformed,row\n"  # wrong arity -> dropped in permissive mode
+        "malformed,row\n"  # wrong arity -> KEPT null-filled (PERMISSIVE)
     )
     return [f"file://{a}", f"file://{b}"]
 
@@ -35,9 +35,15 @@ def test_http_csv_reads_urls_in_parallel_partitions(spark, csv_urls):
     )
     assert df.rdd.getNumPartitions() == 2  # one partition per URL
     rows = {r["user_id"]: r for r in df.collect()}
-    assert set(rows) == {"u1", "u2", "u3"}
+    # PERMISSIVE keeps the malformed row null-filled (Spark's CSV
+    # contract — review r4: it was silently dropped before): 'malformed'
+    # fails the timestamp parse -> NULL ts, 'row' is the user_id, the
+    # two missing trailing fields pad with NULL.
+    assert set(rows) == {"u1", "u2", "u3", "row"}
     assert rows["u1"]["amount"] == 1.5 and rows["u2"]["ok"] is False
     assert rows["u3"]["amount"] is None
+    assert rows["row"]["ts"] is None
+    assert rows["row"]["amount"] is None and rows["row"]["ok"] is None
     assert rows["u1"]["ts"].hour == 10
 
 
@@ -65,7 +71,8 @@ def test_http_csv_stream_drains_url_log(spark, csv_urls, tmp_path):
     try:
         q.processAllAvailable()
         rows = spark.table(name).collect()
-        assert {r["user_id"] for r in rows} == {"u1", "u2", "u3"}
+        # "row" = the malformed fixture line, kept null-filled (PERMISSIVE)
+        assert {r["user_id"] for r in rows} == {"u1", "u2", "u3", "row"}
         # one URL per trigger -> the drain took at least 2 micro-batches
         fed = [p for p in q.recentProgress if p["numInputRows"] > 0]
         assert len(fed) >= 2

@@ -362,12 +362,13 @@ def test_curation_plan_properties(spark):
     assert "Exchange hashpartitioning" not in p
 
     p = plan_of("decontaminate_ngram")
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
-    # only the (tiny) eval-gram distinct and the compact per-doc hit
-    # groupBy shuffle — the train (doc, ngram) explosion never does
-    # (per-doc gram dedup is array_distinct inside the row)
-    assert p.count("Exchange hashpartitioning") == 2
+    # r4 Arrow-kernel form: the eval gram set rides a sparkContext
+    # broadcast into ONE corpus-linear mapInPandas pass — no joins and no
+    # hash exchange anywhere in the plan (the strongest possible shape;
+    # the r3 broadcast-join + groupBy form carried two exchanges)
+    assert "MapInPandas" in p
+    assert "Join" not in p
+    assert "Exchange hashpartitioning" not in p
 
     p = plan_of("segment_dedup_docs")
     assert p.count("Exchange hashpartitioning") == 2

@@ -425,13 +425,24 @@ def test_snapshot_table_commit_time_travel_vacuum(spark, tmp_path):
     assert t.read().count() == 5            # latest
     assert t.read(version=0).count() == 3   # time travel
 
-    # crash leftover: an orphan version dir newer than the manifest must
-    # not affect reads, and vacuum removes it
+    # crash leftover ABOVE latest: invisible to reads, and LEFT ALONE by
+    # vacuum (review r4: vacuum's post-lock delete of a latest+k orphan
+    # could race a concurrent commit claiming that number — orphans above
+    # latest belong to commit's self-heal); an orphan AT OR BELOW latest
+    # is vacuumed as before.
     spark.range(9).write.parquet(os.path.join(t.path, "v=7"))
     assert t.read().count() == 5
     removed = t.vacuum(keep=1)
-    assert 7 in removed and 0 in removed
+    assert 0 in removed and 7 not in removed
+    assert os.path.exists(os.path.join(t.path, "v=7"))
     assert t.read().count() == 5
+    # commit's self-heal shunts the orphan aside when its number comes up
+    for _ in range(6):
+        t.commit(spark.range(1).withColumnRenamed("id", "k"), mode="append")
+    assert t.latest_version() == 7  # reused the orphan's number safely
+    # base overwrite (5 rows) + 6 one-row appends — the 9-row orphan's
+    # data never leaks into the healed version
+    assert t.read(version=7).count() == 11
     import pytest
 
     with pytest.raises(Exception):
