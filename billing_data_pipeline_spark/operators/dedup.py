@@ -240,12 +240,17 @@ def minhash_neardup_pairs(
     # recomputes shingling+hashing per branch (measured 4 parquet scans,
     # zero ReusedExchange under AQE). Persist the tiny (doc, k longs)
     # signature table — at any scale this is the cheapest cut point.
-    sigs = hashed.select("doc", minhash_signature(F.col("h"), k).alias("sig")).persist()
     # Materialize the cache EAGERLY: the four consuming branches sit in
     # independent stages that the scheduler runs concurrently — on a cold
     # cache they'd all recompute the subtree in parallel (measured 2.3 s vs
-    # 0.8 s one-shot). One tiny count() job fills the cache first.
-    sigs.count()
+    # 0.8 s one-shot). swept_persist bounds residency to the last call
+    # (review r4: per-call persists accumulate for the whole session).
+    from ._persist import swept_persist
+
+    sigs = swept_persist(
+        hashed.select("doc", minhash_signature(F.col("h"), k).alias("sig")),
+        eager=True,
+    )
 
     bands = sigs.select(
         "doc",

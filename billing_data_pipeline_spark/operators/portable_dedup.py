@@ -92,11 +92,11 @@ def minhash_portable_pairs(
     # fast tier, where an unmaterialized cache recomputed shingling per
     # branch (see dedup.minhash_neardup_pairs). One md5 pass per shingle;
     # the k component passes run over 31-bit longs, not strings.
-    # Cache lifetime: session LRU (MEMORY_AND_DISK) — the returned frame is
-    # lazy, so the operator can't unpersist; long-lived sessions running
-    # many dedups should spark.catalog.clearCache() between corpora.
-    sigs = _minhash_sigs(df, id_col, text_col, k).persist()
-    sigs.count()
+    # Cache lifetime: bounded to the LAST operator call via swept_persist
+    # (review r4 — per-call persists previously accumulated all session).
+    from ._persist import swept_persist
+
+    sigs = swept_persist(_minhash_sigs(df, id_col, text_col, k), eager=True)
 
     bands = _band_keys(sigs, k, band_size)
     a, b = bands.alias("a"), bands.alias("b")
@@ -195,9 +195,13 @@ def minhash_portable_pairs_between(
     work scales with |batch| + collisions, not |corpus|^2 or even
     |corpus| x |batch|. Same portable hashing as the self-join tier, so
     fully oracle-checked."""
-    ex_sigs = _minhash_sigs(existing, id_col, text_col, k).persist()
-    in_sigs = _minhash_sigs(incoming, id_col, text_col, k).persist()
-    ex_sigs.count(), in_sigs.count()
+    from ._persist import swept_persist
+
+    ex_sigs = swept_persist(_minhash_sigs(existing, id_col, text_col, k), eager=True)
+    # sweep=False: the second persist of ONE call must not evict the first
+    in_sigs = swept_persist(
+        _minhash_sigs(incoming, id_col, text_col, k), eager=True, sweep=False
+    )
     a = _band_keys(ex_sigs, k, band_size).alias("a")
     b = _band_keys(in_sigs, k, band_size).alias("b")
     cand = (

@@ -721,28 +721,81 @@ def cosine_neardup_pairs(
     unordered pair (id_a < id_b) whose cosine similarity reaches the
     threshold.
 
-    The pair join is a broadcast nested-loop on ``id_a < id_b`` — O(n^2) by
-    definition of all-pairs, correct as the small-scale oracle tier and as
-    the within-bucket kernel. The 100 TB path is `lsh_neardup_pairs`, which
-    makes candidate generation an equi-join on an LSH bucket id so work
-    scales with collisions, not with n^2. Threshold comparison is safe
-    across engines because the fold order (and hence the double) is
-    bit-identical to the DuckDB oracle's list_reduce.
+    All-pairs is O(n^2) by definition — correct as the small-scale oracle
+    tier and the within-bucket kernel; the 100 TB path is
+    `lsh_neardup_pairs` (equi-join on bucket ids, work scales with
+    collisions). Threshold comparison is safe across engines because the
+    fold order (and hence the double) is bit-identical to the DuckDB
+    oracle's list_reduce.
+
+    Plan shape (r4 rework): the r3 broadcast-nested-loop + interpreted
+    HOF cosine spent ~20 s at sf0.1 evaluating 2M interpreted 64-dim
+    folds (and fed three catalog queries, so the components query paid
+    it transitively). Now ONE corpus-linear mapInPandas pass: the corpus
+    matrix rides a ``sparkContext.broadcast`` — the IDENTICAL
+    executor-memory contract as the ``F.broadcast(b)`` join side it
+    replaces (both pin the full corpus on every executor via the
+    driver) — and each Arrow batch computes a (batch x corpus)
+    dim-sequential cosine block (`_seq_cosine_matrix`, the
+    decontaminate/IVF kernels' fold — same doubles as the HOF form).
+    NaN cosines (zero-norm vectors) are kept to mirror both engines'
+    NaN-is-greatest comparison semantics; NULL vectors never pair, as
+    before.
     """
-    a = df.select(
-        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")
-    ).withColumn("na", norm(F.col("va")))
-    b = df.select(
-        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")
-    ).withColumn("nb", norm(F.col("vb")))
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-    return pairs.select(
-        "id_a",
-        "id_b",
-        (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
-            "cosine_sim"
-        ),
-    ).filter(F.col("cosine_sim") >= threshold)
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+    rows = df.select(id_col, vec_col).collect()
+    ids = [r[0] for r in rows if r[1] is not None]
+    if not ids:
+        return spark.createDataFrame([], schema)
+    B = np.array(
+        [[float(x) for x in r[1]] for r in rows if r[1] is not None],
+        dtype=np.float64,
+    )
+    bc = spark.sparkContext.broadcast((np.array(ids), B, _seq_norms(B)))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_ids, Bm, Bn = bc.value
+        for pdf in batches:
+            vecs = list(pdf[vec_col])
+            valid = [v is not None for v in vecs]
+            if not any(valid):
+                continue
+            a_ids = pdf[id_col].to_numpy()[valid]
+            V = np.array([v for v in vecs if v is not None], dtype=np.float64)
+            S = _seq_cosine_matrix(V, _seq_norms(V), Bm, Bn)
+            # id_a < id_b upper triangle; NaN kept (NaN >= t is TRUE in
+            # both engines' total ordering, FALSE in numpy — align to the
+            # engines)
+            hit = ((S >= threshold) | np.isnan(S)) & (
+                b_ids[None, :] > a_ids[:, None]
+            )
+            ri, ci = np.nonzero(hit)
+            if not len(ri):
+                continue
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ri],
+                    "id_b": b_ids[ci],
+                    "cosine_sim": S[ri, ci],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema)
 
 
 def neardup_pairs_oracle_sql(table: str, id_col: str, vec_col: str, threshold: float) -> str:
@@ -926,9 +979,7 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-# persisted signature frames from prior LSH calls, swept on the next call
-# (see the persist comment in lsh_neardup_pairs)
-_SIG_CACHE: list[DataFrame] = []
+from ._persist import swept_persist
 
 
 def _lsh_sig_frame(
@@ -1118,16 +1169,12 @@ def lsh_neardup_pairs(
 
     # Persist: the signature frame feeds three consumers (candidate
     # explode + both vector re-fetch sides) — without it the corpus scan
-    # and kernel run three times. Persisted handles from PRIOR calls are
-    # swept here (same pattern as streaming_queries._stream_scratch_dir):
-    # by the time a new pipeline is built, the previous returned frame
-    # has been consumed, and unlike broadcasts the cache manager never
-    # reclaims persisted frames on its own (review r4 — bench's
-    # min-of-3 loop leaked one corpus-sized cache entry per call).
-    while _SIG_CACHE:
-        _SIG_CACHE.pop().unpersist()
-    sig = _lsh_sig_frame(df, id_col, vec_col, all_planes, n_tables, n_bits).persist()
-    _SIG_CACHE.append(sig)
+    # and kernel run three times. swept_persist bounds cache residency to
+    # the last call (review r4 — bench's min-of-3 loop leaked one
+    # corpus-sized cache entry per call).
+    sig = swept_persist(
+        _lsh_sig_frame(df, id_col, vec_col, all_planes, n_tables, n_bits)
+    )
 
     cand = sig.select("id", F.posexplode("buckets").alias("tbl", "bucket"))
     pairs = (
@@ -1190,12 +1237,9 @@ def lsh_bucketed_topk(
     all_planes = _lsh_tables_planes(n_tables, n_bits, dim, seed)
     id_type = corpus.schema[id_col].dataType
 
-    while _SIG_CACHE:
-        _SIG_CACHE.pop().unpersist()
-    sig_c = _lsh_sig_frame(
-        corpus, id_col, vec_col, all_planes, n_tables, n_bits
-    ).persist()
-    _SIG_CACHE.append(sig_c)
+    sig_c = swept_persist(
+        _lsh_sig_frame(corpus, id_col, vec_col, all_planes, n_tables, n_bits)
+    )
     sig_q = _lsh_sig_frame(queries, id_col, vec_col, all_planes, n_tables, n_bits)
 
     c = sig_c.select(
