@@ -47,10 +47,25 @@ def punct_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(PUNCT_RE))
 
 
+def marker_pattern(lang: str) -> str:
+    """The marker regex shared VERBATIM by the Spark expression and the
+    DuckDB oracles (plans/extensions.py) — one builder so the two can't
+    drift. Latin-script langs use word boundaries; zh must NOT: ``\\b``
+    is ASCII-only in BOTH Java regex and RE2, so a word-bounded CJK
+    pattern can never match (review r4 — the zh tier was structurally
+    dead: every Chinese doc scored 0 across the board and fell to the
+    alphabetical tie default). Substring occurrence is also the correct
+    semantics for an unsegmented script."""
+    words = LANG_MARKERS[lang]
+    if lang == "zh":
+        return "(" + "|".join(words) + ")"
+    return "\\b(" + "|".join(words) + ")\\b"
+
+
 def stopword_count(text: Column, lang: str) -> Column:
-    """Occurrences of the language's marker words (word-bounded)."""
-    pat = "\\b(" + "|".join(LANG_MARKERS[lang]) + ")\\b"
-    return F.regexp_count(text, F.lit(pat))
+    """Occurrences of the language's marker words (word-bounded for
+    Latin scripts, substring for zh — see marker_pattern)."""
+    return F.regexp_count(text, F.lit(marker_pattern(lang)))
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
@@ -145,11 +160,19 @@ def model_quality_score_sql(text_expr: str) -> str:
             f"(CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks}))"
         ),
     }
-    expr = repr(dict(QUALITY_MODEL_WEIGHTS)["bias"])
+    # Weights embed as CAST('<repr>' AS DOUBLE), NEVER bare literals: a
+    # bare high-precision decimal parses as DECIMAL first in DuckDB and
+    # its decimal->double conversion is 1 ulp off (_util.dsum_sql trap;
+    # the current weights happen to convert exactly, but a retrained
+    # coefficient would silently desync the oracle — review r4).
+    def lit(w: float) -> str:
+        return f"CAST('{w!r}' AS DOUBLE)"
+
+    expr = lit(dict(QUALITY_MODEL_WEIGHTS)["bias"])
     for name, w in QUALITY_MODEL_WEIGHTS:
         if name == "bias":
             continue
-        expr = f"({expr} + {w!r} * {feats[name]})"
+        expr = f"({expr} + {lit(w)} * {feats[name]})"
     return expr
 
 
@@ -203,6 +226,24 @@ def _idf_py(doc_freq: int, n_docs: float) -> float:
     return _math.log((n_docs + 1.0) / (doc_freq + 1.0)) + 1.0
 
 
+def _libm_idf_udf(n_docs: float):
+    """The ONE distributed idf implementation (review r4: the same UDF
+    body was copied in vocabulary_stats and _doc_top_terms_join, and
+    _idf_py was a third inline copy of the formula — a smoothing change
+    to one silently breaks the cross-path bit-equality the docstrings
+    promise). Per-element math.log (platform libm — bit-identical to
+    DuckDB's ln), NOT numpy.log: numpy's SIMD log differs by ulps on the
+    same inputs where Catalyst's StrictMath does. The Python loop is
+    fine — idf columns are vocab-sized, and idf stays DISTRIBUTED."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def libm_idf(doc_freq: pd.Series) -> pd.Series:
+        return pd.Series([_idf_py(x, n_docs) for x in doc_freq])
+
+    return libm_idf
+
+
 def vocabulary_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     """Corpus vocabulary profile: per term, document frequency, total term
     frequency, smoothed idf, and tf-idf mass. One groupBy(term) shuffle
@@ -215,8 +256,6 @@ def vocabulary_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     # term stats from that — doc_freq is the (doc,term) row count and
     # term_freq the tf sum, so the corpus-sized explode runs once and the
     # expensive countDistinct disappears entirely.
-    from pyspark.sql import types as T
-
     tf = (
         explode_terms(df, id_col, text_col)
         .groupBy(id_col, "term")
@@ -228,21 +267,8 @@ def vocabulary_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     )
     n_docs = float(df.count())
 
-    @F.pandas_udf(T.DoubleType())
-    def libm_idf(doc_freq: pd.Series) -> pd.Series:
-        import math as _math
-
-        # per-element math.log (platform libm — bit-identical to DuckDB's
-        # ln), NOT numpy.log: numpy ships its own SIMD log that differs by
-        # ulps on the same inputs where Catalyst's StrictMath does
-        # (measured: ln(3)). The Python loop is fine — this column is
-        # vocab-sized, and idf stays DISTRIBUTED (no driver round-trip).
-        return pd.Series(
-            [_math.log((n_docs + 1.0) / (x + 1.0)) + 1.0 for x in doc_freq]
-        )
-
     return (
-        per_term.withColumn("idf", libm_idf(F.col("doc_freq")))
+        per_term.withColumn("idf", _libm_idf_udf(n_docs)(F.col("doc_freq")))
         .select(
             "term",
             "doc_freq",
@@ -321,7 +347,15 @@ def doc_top_terms(
     groupBy(doc,term) tf + vocab join + per-doc rank window — never
     materializes the vocabulary anywhere and produces bit-identical
     results (idf via the same libm-log pandas UDF as vocabulary_stats;
-    tf*idf is a single IEEE multiply in both paths)."""
+    tf*idf is a single IEEE multiply in both paths).
+
+    PRECONDITION (review r4): ``id_col`` must be key-unique — one row per
+    document, the documents-table contract both oracles assume. The
+    kernel path treats each physical ROW as a document (zero-exchange by
+    design: a doc's tokens live in one row), while the join fallback's
+    groupBy(doc, term) would MERGE duplicated ids — on a key-violating
+    input the two tiers (and the oracle) can disagree, and which tier
+    runs depends on the size estimate. Dedup upstream first."""
     from pyspark.sql import types as T
 
     # Tier (a): statistics-based route, the same signal Catalyst's own
@@ -464,14 +498,7 @@ def _doc_top_terms_join(df, id_col: str, text_col: str, k: int):
     # one metadata-sized count job; the kernel path's sentinel trick does
     # not apply here because tf is reused for doc_freq
     n_docs = float(df.count())
-
-    @F.pandas_udf(T.DoubleType())
-    def libm_idf(doc_freq: pd.Series) -> pd.Series:
-        import math as _math
-
-        return pd.Series(
-            [_math.log((n_docs + 1.0) / (x + 1.0)) + 1.0 for x in doc_freq]
-        )
+    libm_idf = _libm_idf_udf(n_docs)
 
     per_term = (
         tf.groupBy("term")

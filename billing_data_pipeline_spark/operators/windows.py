@@ -27,8 +27,15 @@ from .aggregates import MEASURE_DECIMAL
 
 
 def entity_window(entity_col: str, ts_col: str, tiebreak_col: str) -> Window:
-    """Deterministic per-entity event ordering (ties broken by a unique id)."""
-    return Window.partitionBy(entity_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    """Deterministic per-entity event ordering (ties broken by a unique
+    id). NULL ordering is PINNED to nulls-last: Spark's ascending default
+    is NULLS FIRST while DuckDB's (every consumer's oracle) is NULLS
+    LAST — a NULL timestamp would otherwise shift seq/lag/running-sum/
+    session numbering for the whole entity (review r4; the same class of
+    divergence the relational window matrix already pins explicitly)."""
+    return Window.partitionBy(entity_col).orderBy(
+        F.col(ts_col).asc_nulls_last(), F.col(tiebreak_col).asc_nulls_last()
+    )
 
 
 def with_sequence(
@@ -97,7 +104,9 @@ def sessionize(
         | (F.unix_micros(F.col(ts_col)) - prev_us <= gap_seconds * 1_000_000),
         0,
     ).otherwise(1)
-    cum = Window.partitionBy(entity_col).orderBy(
-        F.col(ts_col), F.col(tiebreak_col)
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # same ordering object as the lag window — ONE source of truth for the
+    # per-entity ordering contract (review r4)
+    cum = entity_window(entity_col, ts_col, tiebreak_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     return df.withColumn("session_seq", F.sum(new_session).over(cum) + 1)

@@ -272,29 +272,31 @@ def streaming_curation_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     transformations, so append mode needs no watermark and no state store.
     Drained with AvailableNow and hash-checked against the batch SQL: the
     batch/stream unification claim, proven on the curation surface."""
-    import os
     import tempfile
     import uuid
 
     from ..streaming.event_windows import run_to_memory
+    from .streaming_queries import _deliver
 
     d = tempfile.mkdtemp(prefix="docs_stream_")
-    os.symlink(f"{sf_dir}/documents.parquet", f"{d}/documents.parquet")
+    # _deliver links single-file AND Spark-written directory tables alike
+    # (review r4: a bare symlink of a dir-shaped documents.parquet listed
+    # zero files and drained empty — the same trap already fixed for the
+    # event streams)
+    _deliver(f"{sf_dir}/documents.parquet", d, "documents")
     sdf = spark.readStream.schema(
         "doc_id long, text string, lang string, source string, n_chars long"
     ).parquet(d)
     scrubbed = C.scrub_pii(_injected(sdf), "doc_id", "text")
-    from ..operators import text as XX
-
     out = scrubbed.filter(
         (F.length("clean_text") > 0)
-        & (XX.quality_score(F.col("clean_text")) > 0.05)
+        & (X.quality_score(F.col("clean_text")) > 0.05)
     ).select(
         "doc_id",
         "n_emails",
         "n_ips",
         "n_phones",
-        XX.token_count(F.col("clean_text")).cast("int").alias("n_tokens"),
+        X.token_count(F.col("clean_text")).cast("int").alias("n_tokens"),
     )
     return run_to_memory(out, f"cur_{uuid.uuid4().hex[:8]}", "append")
 

@@ -472,9 +472,11 @@ def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_id_oracle() -> str:
+    # marker_pattern is the SHARED builder — zh must not be word-bounded
+    # (\b is ASCII-only in RE2 and Java regex alike; review r4)
     scores = {
-        lang: f"len(regexp_extract_all(text, '\\b({'|'.join(words)})\\b'))"
-        for lang, words in X.LANG_MARKERS.items()
+        lang: f"len(regexp_extract_all(text, '{X.marker_pattern(lang)}'))"
+        for lang in X.LANG_MARKERS
     }
     langs = sorted(scores)
     cases = []
