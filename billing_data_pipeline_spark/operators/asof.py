@@ -57,7 +57,13 @@ def asof_join_backward(
     # at-or-before anything (asc NULLS FIRST would otherwise sort it ahead
     # of every left row and match it); left rows with NULL ts likewise get
     # NULL asof values (they sort first, before any right row).
-    right = right.filter(F.col(ts_col).isNotNull())
+    # NULL ENTITY keys: SQL equality (and the DuckDB ASOF JOIN oracle)
+    # never matches NULL = NULL, but Window.partitionBy groups NULLs
+    # together — drop NULL-entity RIGHT rows so a NULL-entity left row
+    # gets NULL asof values instead of silently matching (review r4).
+    right = right.filter(
+        F.col(ts_col).isNotNull() & F.col(entity_col).isNotNull()
+    )
     l_tagged = left.withColumn("_side", F.lit(left_tag))
     # ALL right value columns ride in ONE struct: the struct is non-null
     # exactly when a right ROW exists, so last(ignorenulls) tracks row
@@ -127,8 +133,12 @@ def asof_join_backward_cogrouped(
     )
     l_cols = list(left.columns)
     # NULL right timestamps can never match (same rule as the window form;
-    # merge_asof would also reject NaT keys)
-    right_renamed = right.filter(F.col(ts_col).isNotNull()).select(
+    # merge_asof would also reject NaT keys); NULL right ENTITY keys never
+    # match either — cogroup's groupBy would pair the NULL groups, but SQL
+    # equality (the ASOF oracle) doesn't (review r4, same as window form)
+    right_renamed = right.filter(
+        F.col(ts_col).isNotNull() & F.col(entity_col).isNotNull()
+    ).select(
         F.col(entity_col),
         F.col(ts_col).alias("_r_ts"),
         *[F.col(c).alias(f"asof_{c}") for c in value_cols],

@@ -33,6 +33,11 @@ def partial_profile(
     m = F.col(measure) if isinstance(measure, str) else measure
     aggs = [
         F.count(F.lit(1)).alias("transaction_count"),
+        # non-NULL measure count, carried separately: the exact twin's AVG
+        # divides by COUNT(measure), not COUNT(*) — with NULL measures the
+        # two differ, and the old transaction_count divisor silently
+        # diverged from grouped_profile (review r4)
+        F.count(m).alias("_measure_count"),
         F.sum(m.cast(MEASURE_DECIMAL)).alias("_sum_dec"),
     ]
     for alias, col in (distinct_cols or {}).items():
@@ -50,6 +55,7 @@ def merge_partials(
     in any order, any grouping, across any number of runs."""
     aggs = [
         F.sum("transaction_count").alias("transaction_count"),
+        F.sum("_measure_count").alias("_measure_count"),
         F.sum("_sum_dec").alias("_sum_dec"),
     ]
     for alias in (distinct_cols or {}):
@@ -64,9 +70,17 @@ def finalize_profile(
     grouped_profile: count, total, avg, distinct estimates)."""
     total = F.col("_sum_dec").cast("double")
     out = merged.withColumn("total_usage", total).withColumn(
-        "avg_usage", total / F.col("transaction_count")
+        # divide by the NON-NULL measure count — AVG semantics, matching
+        # the exact grouped_profile twin (review r4); a group whose
+        # measures are all NULL gets NULL avg, exactly as AVG does
+        "avg_usage",
+        F.when(
+            F.col("_measure_count") > 0, total / F.col("_measure_count")
+        ),
     )
     for alias in (distinct_cols or {}):
         out = out.withColumn(alias, F.hll_sketch_estimate(f"_hll_{alias}"))
-    drop = ["_sum_dec"] + [f"_hll_{a}" for a in (distinct_cols or {})]
+    drop = ["_sum_dec", "_measure_count"] + [
+        f"_hll_{a}" for a in (distinct_cols or {})
+    ]
     return out.drop(*drop)

@@ -287,10 +287,15 @@ def bloom_prefiltered_new_rows(
             yield pd.DataFrame({"bits": [acc.tobytes()]})
 
     # two-level OR: executors fold their partials first, so the driver
-    # collects at most ~sqrt-ish many bitmaps instead of one per scan
-    # partition (10k partitions x 1 MB would be 10 GB driver-side;
-    # review r3)
-    partials = partial_df.coalesce(32).mapInPandas(or_fold, bitmap_schema).collect()
+    # collects at most 32 bitmaps instead of one per scan partition
+    # (10k partitions x 1 MB would be 10 GB driver-side; review r3).
+    # repartition, NOT coalesce: coalesce propagates upstream through the
+    # narrow chain, collapsing the whole scan+hash+build stage to 32
+    # tasks (review r4 — a ~300x build-parallelism throttle at the cited
+    # scale); the shuffle moves only the 1 MB partial bitmaps.
+    partials = (
+        partial_df.repartition(32).mapInPandas(or_fold, bitmap_schema).collect()
+    )
     bitmap = np.zeros(m // 8, dtype=np.uint8)
     for r in partials:
         bitmap |= np.frombuffer(r["bits"], dtype=np.uint8)
@@ -318,7 +323,13 @@ def bloom_prefiltered_new_rows(
             pdf["_maybe"] = hit.all(axis=1).astype(bool)
             yield pdf
 
-    probed = b.mapInPandas(probe_rows, out_schema)
+    # Persist (eagerly — the two union branches execute as independent
+    # stages that would otherwise BOTH rerun the batch scan + hash +
+    # bloom probe; review r4). swept_persist bounds residency to the
+    # last operator call.
+    from ._persist import swept_persist
+
+    probed = swept_persist(b.mapInPandas(probe_rows, out_schema), eager=True)
     definitely_new = probed.filter(~F.col("_maybe"))
     # no distinct() on the existing keys: LEFT ANTI never multiplies rows,
     # and a distinct would hash-exchange the full corpus key set

@@ -19,6 +19,7 @@ modified-in-place redetection, which Spark's file source does not do
 
 from __future__ import annotations
 
+import os
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -75,11 +76,34 @@ class FileLedger:
         self.spark = spark
         self.path = ledger_path
 
-    def load(self) -> DataFrame:
+    def _versions_dir(self) -> str:
+        return self.path + "_versions"
+
+    def _pointer(self) -> str:
+        return os.path.join(self._versions_dir(), "_current")
+
+    def _current_dir(self) -> str | None:
         try:
-            return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
-        except Exception:
+            with open(self._pointer()) as f:
+                name = f.read().strip()
+        except OSError:
+            return None
+        d = os.path.join(self._versions_dir(), name)
+        return d if os.path.isdir(d) else None
+
+    def load(self) -> DataFrame:
+        """Resolve via the atomic pointer; a ledger that has never been
+        written is empty. Read failures of a POINTED-AT version RAISE —
+        the old blanket except returned empty on any torn/transient state,
+        silently discarding history and (inside record) persisting a
+        ledger containing only the newest rows (review r4)."""
+        cur = self._current_dir()
+        if cur is None:
+            # legacy single-dir layout (pre-r4) or never written
+            if os.path.exists(self.path):
+                return self.spark.read.schema(LEDGER_SCHEMA).parquet(self.path)
             return self.spark.createDataFrame([], LEDGER_SCHEMA)
+        return self.spark.read.schema(LEDGER_SCHEMA).parquet(cur)
 
     def filter_unprocessed(self, candidates: DataFrame) -> DataFrame:
         """Anti-join candidates (filename, file_hash) against the ledger.
@@ -106,9 +130,29 @@ class FileLedger:
             .join(update.select("filename"), on="filename", how="left_anti")
             .unionByName(update)
         )
-        # Small metadata table: one-file overwrite. Collect-then-rewrite is
-        # safe because the ledger is O(number of ingested files), not O(data).
+        # Small metadata table: collect-then-rewrite is safe because the
+        # ledger is O(number of ingested files), not O(data). The rewrite
+        # publishes a fresh immutable version dir and atomically renames
+        # the pointer over _current — a crash mid-write leaves the old
+        # version referenced, never a torn table (review r4: the previous
+        # in-place mode('overwrite') deleted-then-wrote, and a crash
+        # between the two lost the entire processed-files history).
+        import tempfile
+        import uuid
+
         out = merged.collect()
+        vdir_name = f"v_{uuid.uuid4().hex}"
+        vdir = os.path.join(self._versions_dir(), vdir_name)
+        os.makedirs(self._versions_dir(), exist_ok=True)
         self.spark.createDataFrame(out, LEDGER_SCHEMA).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(self.path)
+            "errorifexists"
+        ).parquet(vdir)
+        prev = self._current_dir()
+        fd, tmp = tempfile.mkstemp(dir=self._versions_dir(), prefix="_ptr_")
+        with os.fdopen(fd, "w") as f:
+            f.write(vdir_name)
+        os.replace(tmp, self._pointer())  # atomic publish
+        if prev is not None:
+            import shutil
+
+            shutil.rmtree(prev, ignore_errors=True)

@@ -106,7 +106,11 @@ def _parse_png(content: bytes) -> tuple[int, int, int] | None:
     if content[12:16] != b"IHDR":
         return None
     w, h = struct.unpack_from(">II", content, 16)
-    if not w or not h:
+    # u32 header fields above int32 max are MALFORMED here, not values:
+    # the decoded schema stores IntegerType, and letting them through
+    # would wrap negative (or crash the Arrow safe-cast) instead of the
+    # promised valid=false containment (review r4)
+    if not w or not h or w > 0x7FFFFFFF or h > 0x7FFFFFFF:
         return None
     return w, h, 1
 
@@ -130,6 +134,9 @@ def _parse_wav(content: bytes) -> tuple[int, int, int] | None:
     if not channels or not rate or not bits or data_len is None:
         return None
     n_frames = data_len // (channels * (bits // 8)) if bits >= 8 else 0
+    # same int32 containment rule as _parse_png (review r4)
+    if rate > 0x7FFFFFFF or n_frames > 0x7FFFFFFF:
+        return None
     return rate, channels, n_frames
 
 
@@ -174,13 +181,16 @@ def sample_frames(df: DataFrame, every_n: int, fake: bool = True) -> DataFrame:
     slots into the same kernel)."""
     decoded = decode_media(df, fake=fake)
     return (
-        decoded.filter(F.col("valid") & (F.col("kind") == "video"))
+        # n_frames > 0: a zero-frame (or NULL-frame-count) video has no
+        # frames to sample — the old greatest(n-1, 0) clamp emitted a
+        # phantom frame_idx=0 row pointing past the payload (review r4)
+        decoded.filter(
+            F.col("valid") & (F.col("kind") == "video") & (F.col("n_frames") > 0)
+        )
         .withColumn(
             "frame_idx",
             F.explode(
-                F.sequence(
-                    F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n)
-                )
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
             ),
         )
         .select("media_id", "frame_idx", "width", "height")
@@ -274,8 +284,20 @@ def resize_media(df: DataFrame, max_w: int, max_h: int, fake: bool = True) -> Da
             return {**base, "content": out, "width": w2, "height": h2,
                     "valid": True}
         # Decodable-but-not-resizable formats: pass through when no resize
-        # is needed (PNG within bounds; audio has no pixel grid to bound);
-        # only a REQUIRED resize without a pixel codec is a failure.
+        # is needed (a BMP whose bpp the pixel decoder doesn't cover, a
+        # PNG within bounds; audio has no pixel grid to bound); only a
+        # REQUIRED resize without a pixel codec is a failure. The BMP
+        # header fallback mirrors the PNG branch (review r4: an in-bounds
+        # 32-bpp BMP was destroyed with valid=false although no resize
+        # was needed).
+        bmp = _parse_bmp(content)
+        if bmp is not None:
+            w, h, _ = bmp
+            if w <= max_w and h <= max_h:
+                return {**base, "content": content, "width": w, "height": h,
+                        "valid": True}
+            return {**base, "content": None, "width": None, "height": None,
+                    "valid": False}
         png = _parse_png(content)
         if png is not None:
             w, h, _ = png

@@ -68,7 +68,13 @@ def billing_insights(
         "",
         "| region | total credit usage |",
         "|---|---|",
-        *[f"| {r['region']} | {r['total_usage']:.2f} |" for r in top_regions],
+        # total_usage is NULL when every measure in the region was NULL
+        # (exact_sum semantics); render 0.00 instead of crashing the
+        # whole report on None.__format__ (review r4)
+        *[
+            f"| {r['region']} | {(r['total_usage'] if r['total_usage'] is not None else 0.0):.2f} |"
+            for r in top_regions
+        ],
         "",
         "## Operation Type Distribution",
         "",

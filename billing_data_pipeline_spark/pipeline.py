@@ -50,6 +50,10 @@ class BillingPipeline:
         return os.path.join(self.warehouse, name)
 
     def read(self, name: str) -> DataFrame:
+        if name == "processed_files":
+            # the ledger publishes via a versioned dir + atomic pointer
+            # (r4 crash-safety); its own load() resolves the pointer
+            return FileLedger(self.spark, self.table_path(name)).load()
         return self.spark.read.parquet(self.table_path(name))
 
     # -- stage 1: ingest ----------------------------------------------------

@@ -47,14 +47,14 @@ def replay_safe_append(batch: DataFrame, table_path: str, keys: list[str]) -> No
     append_new_rows(batch.filter(~has_null_key), table_path, keys)
 
     null_part = batch.filter(has_null_key)
+    # Full-row hash over a JSON rendering of the row STRUCT: to_json
+    # escapes every value and OMITS null fields, so NULL vs the literal
+    # sentinel string can never collide — the previous concat_ws with a
+    # '\\x00' null marker and '\\x1f' separator hashed a row containing
+    # those literal characters identically to a different row, silently
+    # dropping a genuinely new NULL-key row as a duplicate (review r4).
     row_hash = F.md5(
-        F.concat_ws(
-            "\x1f",
-            *[
-                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                for c in batch.columns
-            ],
-        )
+        F.to_json(F.struct(*[F.col(c) for c in batch.columns]))
     )
     hashed = null_part.withColumn("_row_hash", row_hash).dropDuplicates(["_row_hash"])
     try:

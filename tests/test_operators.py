@@ -42,6 +42,31 @@ def test_asof_inclusive_and_strict(spark):
     assert strict[(1, ts(10))] is None  # equal ts excluded when strict
 
 
+def test_asof_null_entity_never_matches(spark):
+    """SQL equality (and the DuckDB ASOF JOIN oracle) never matches
+    NULL = NULL, but Window.partitionBy / cogroup group NULL keys
+    together — both asof forms must give a NULL-entity left row NULL asof
+    values even when a NULL-entity right row precedes it (review r4)."""
+    from billing_data_pipeline_spark.operators.asof import (
+        asof_join_backward_cogrouped,
+    )
+
+    left = spark.createDataFrame(
+        [(None, ts(10)), (1, ts(10))], "user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(None, ts(5), 50.0), (1, ts(5), 10.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    for fn in (asof_join_backward, asof_join_backward_cogrouped):
+        got = {
+            r["user_id"]: r["asof_value"]
+            for r in fn(left, right, "user_id", "ts", ["value"]).collect()
+        }
+        assert got[1] == 10.0
+        assert got[None] is None, f"{fn.__name__} matched NULL = NULL"
+
+
 def test_range_join_boundaries(spark):
     left = spark.createDataFrame(
         [(1, 900, ts(15))], "user_id long, event_id long, ts timestamp"

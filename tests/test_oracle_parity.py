@@ -110,6 +110,28 @@ def test_session_oracle_holds_under_duplicate_timestamps(spark, tmp_path):
     assert_matches_oracle(spec.fn(spark, sf), spec.oracle, sf)
 
 
+def test_entity_window_null_ts_matches_oracle(spark, tmp_path):
+    """A NULL event timestamp must sort the SAME on both engines: Spark's
+    ascending default is NULLS FIRST, DuckDB's is NULLS LAST —
+    entity_window pins asc_nulls_last (review r4), and this fixture locks
+    it for the whole seq/lag/session chain (the null sweep never injects
+    ts NULLs, so without this the divergence would be latent)."""
+    t0 = 1_700_000_000_000_000
+    rows = {
+        "event_id": [1, 2, 3, 4],
+        "ts": [t0, None, t0 + 60_000_000, t0 + 120_000_000],
+        "user_id": [7, 7, 7, 7],
+        "event_type": ["click", "view", "click", "purchase"],
+        "value": [1.0, 2.0, 3.0, 4.0],
+        "props": [None] * 4,
+    }
+    sf = _write_events(tmp_path, rows)
+    for name in ("user_sessions", "user_event_sequence"):
+        if name in CATALOG and CATALOG[name].oracle:
+            spec = CATALOG[name]
+            assert_matches_oracle(spec.fn(spark, sf), spec.oracle, sf)
+
+
 def test_quality_checks_oracle_holds_under_null_keys(spark, tmp_path):
     """The r3 hardening claim, exercised: NULL natural-key components must
     not split the engines' dup counts (Spark's count_distinct drops them,

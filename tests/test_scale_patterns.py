@@ -90,6 +90,33 @@ def test_incremental_merge_equals_recompute(spark):
         assert abs(m[k]["unique_suppliers"] - exact) / max(exact, 1) < 0.05
 
 
+def test_incremental_avg_matches_exact_twin_under_null_measures(spark):
+    """avg_usage must divide by the NON-NULL measure count (AVG
+    semantics, like the exact grouped_profile twin) — the old
+    transaction_count divisor silently halved the average when half the
+    measures were NULL, and an all-NULL group must yield NULL avg, not
+    0/n (review r4)."""
+    df = spark.createDataFrame(
+        [("a", 10.0), ("a", None), ("a", 30.0), ("b", None), ("b", None)],
+        "g string, v double",
+    )
+    out = {
+        r["g"]: r
+        for r in finalize_profile(
+            merge_partials(partial_profile(df, ["g"], "v"), ["g"])
+        ).collect()
+    }
+    assert out["a"]["transaction_count"] == 3
+    assert out["a"]["avg_usage"] == 20.0  # 40 / 2 non-null, NOT 40 / 3
+    assert out["b"]["avg_usage"] is None  # all-NULL group: AVG is NULL
+    # parity with the exact AVG
+    exact = {
+        r["g"]: r["avg"]
+        for r in df.groupBy("g").agg(F.avg("v").alias("avg")).collect()
+    }
+    assert out["a"]["avg_usage"] == exact["a"] and exact["b"] is None
+
+
 @pytest.mark.parametrize("how", ["inner", "left"])
 def test_bucketed_join_modes(spark, tmp_path, how):
     ev = load_table(spark, SF_SMOKE, "events").limit(500)
