@@ -198,6 +198,20 @@ def shingle_hashes(text_col: str, n: int = 3) -> F.Column:
     return grams
 
 
+def minhash_agreement_est(k: int) -> F.Column:
+    """Estimated Jaccard from two aligned ``sig_a``/``sig_b`` columns:
+    the agreeing-component share over ``k`` components. The ONE estimator
+    shared by the fast tier and both portable tiers (review r4: three
+    identical copies invited silent drift between the throughput path and
+    the oracle-checked proof-of-semantics path)."""
+    return F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("double") / F.lit(float(k))
+
+
 def minhash_signature(shingle_hashes: F.Column, k: int) -> F.Column:
     """k-component MinHash signature over PRE-HASHED shingles: component i =
     min over base hashes of xxhash64(h, i). Callers hash each shingle string
@@ -285,12 +299,7 @@ def minhash_neardup_pairs(
     )
     sa = sigs.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    ).cast("double") / F.lit(float(k))
+    est = minhash_agreement_est(k)
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -298,6 +307,10 @@ def minhash_neardup_pairs(
         .filter(F.col("est_jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", "est_jaccard")
     )
+
+
+# last ml_minhash call's plan-barrier persist (see the comment inside)
+_ML_BARRIER_CACHE: list[DataFrame] = []
 
 
 def ml_minhash_neardup_pairs(
@@ -321,6 +334,13 @@ def ml_minhash_neardup_pairs(
     # was still not enough). The persist() is a plan barrier the optimizer
     # cannot push UDF predicates through, and the fit + self-join read the
     # cleaned relation twice anyway.
+    # Cache lifetime: a DEDICATED last-call-wins registry, NOT the shared
+    # swept_persist — the barrier must survive OTHER operators' sweeps
+    # while this call's returned frame is alive; sweeping it on the next
+    # ml_minhash call keeps residency bounded under the same
+    # consumed-before-next-call contract (review r4).
+    while _ML_BARRIER_CACHE:
+        _ML_BARRIER_CACHE.pop().unpersist()
     docs = (
         df.filter(F.col(text_col).isNotNull())
         .select(
@@ -329,6 +349,7 @@ def ml_minhash_neardup_pairs(
         .filter(F.size("shingles") > 0)
         .persist()
     )
+    _ML_BARRIER_CACHE.append(docs)
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True
     )

@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .dedup import word_shingles
+from .dedup import minhash_agreement_est, word_shingles
 
 # 31-bit Mersenne prime: (a * h + b) stays < 2^62 for a, h < 2^31 — exact
 # BIGINT arithmetic in both engines, no unsigned wraparound anywhere.
@@ -112,12 +112,7 @@ def minhash_portable_pairs(
     )
     sa = sigs.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    ).cast("double") / F.lit(float(k))
+    est = minhash_agreement_est(k)
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -216,12 +211,7 @@ def minhash_portable_pairs_between(
     )
     sa = ex_sigs.select(F.col("doc").alias("existing_doc"), F.col("sig").alias("sig_a"))
     sb = in_sigs.select(F.col("doc").alias("incoming_doc"), F.col("sig").alias("sig_b"))
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    ).cast("double") / F.lit(float(k))
+    est = minhash_agreement_est(k)
     return (
         cand.join(sa, "existing_doc")
         .join(sb, "incoming_doc")

@@ -9,10 +9,14 @@ oracle-checkable, (b) stable under task retry / partition reshuffle at
 100 TB, and (c) consistent between runs (a document keeps its fate when the
 corpus around it changes — crucial for incremental re-curation).
 
-Mixer: bucket(key) = ((key mod P) * K) mod 100, P = 100000007 (prime, keeps
-the product < 2^63 so BIGINT never overflows in either engine), K =
-2654435761 (Knuth's 2^32/phi multiplier). Salt shifts the key so different
-samples decorrelate.
+Mixer: bucket(key) = (((key mod P) * K) mod P) mod 100, P = 100000007
+(prime, keeps the product < 2^63 so BIGINT never overflows in either
+engine), K = 2654435761 (Knuth's 2^32/phi multiplier). The product is
+reduced mod P BEFORE mod 100: without it, K*x mod 100 collapses to
+61*(x mod 100) mod 100 — a bijection of the key's last two decimal
+digits, zero mixing, so step-100 ids all landed in ONE bucket and a
+1% sample kept 100% of them (review r4; verified numerically). Salt
+shifts the key so different samples decorrelate.
 """
 
 from __future__ import annotations
@@ -34,15 +38,18 @@ def hash_bucket(key: Column, salt: int = 0) -> Column:
     identical to ``%`` for non-negative keys, so sample membership for
     existing non-negative key columns is unchanged.
     """
-    return F.pmod(F.pmod(key + F.lit(salt), MIX_PRIME) * F.lit(MIX_MULT), 100)
+    return F.pmod(
+        F.pmod(F.pmod(key + F.lit(salt), MIX_PRIME) * F.lit(MIX_MULT), MIX_PRIME),
+        100,
+    )
 
 
 def hash_bucket_sql(key: str, salt: int = 0) -> str:
     # DuckDB has no pmod; ((x % m) + m) % m is the portable equivalent.
-    # The inner pmod keeps the product non-negative, so the outer % needs
+    # The inner pmod keeps the product non-negative, so the later %s need
     # no second correction.
     inner = f"((({key} + {salt}) % {MIX_PRIME}) + {MIX_PRIME}) % {MIX_PRIME}"
-    return f"({inner} * {MIX_MULT}) % 100"
+    return f"(({inner} * {MIX_MULT}) % {MIX_PRIME}) % 100"
 
 
 def hash_sample(df: DataFrame, key_col: str, pct: int, salt: int = 0) -> DataFrame:
@@ -67,8 +74,11 @@ def stratified_sample(
 def stratified_sample_sql(
     table: str, key_col: str, stratum_col: str, rates: dict[str, int], salt: int = 0
 ) -> str:
+    # stratum keys are DATA values: double embedded single quotes or a
+    # key like "o'reilly" breaks the oracle SQL (review r4)
     cases = " ".join(
-        f"WHEN {stratum_col} = '{s}' THEN {p}" for s, p in sorted(rates.items())
+        f"WHEN {stratum_col} = '{s.replace(chr(39), chr(39) * 2)}' THEN {p}"
+        for s, p in sorted(rates.items())
     )
     return (
         f"SELECT * FROM {table} "
