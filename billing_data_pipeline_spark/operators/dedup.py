@@ -51,8 +51,12 @@ def normalized_text(text_col: str = "text") -> F.Column:
     whitespace variants) without any signature machinery — the standard
     tier between exact md5 and MinHash in a curation stack. Pure regexp
     built-ins; same result from DuckDB's regexp_replace(..., 'g')."""
+    # Strip-then-lower (operators/text.py ascii_folded contract): the
+    # strip leaves only [A-Za-z0-9 ], where every engine's lower() agrees
+    # — lowering FIRST diverges on non-ASCII uppercase (İ: JVM/Python
+    # full-map to 'i'+U+0307, DuckDB utf8proc simple-maps to 'i').
     return F.trim(
-        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+        F.lower(F.regexp_replace(F.col(text_col), "[^A-Za-z0-9]+", " "))
     )
 
 

@@ -62,10 +62,30 @@ def marker_pattern(lang: str) -> str:
     return "\\b(" + "|".join(words) + ")\\b"
 
 
+# Any non-ASCII codepoint -> space, applied BEFORE \b-bounded marker
+# matching: Java's \b is Unicode-aware (a combining mark CONTINUES the
+# word, so NFD 'déjà' hides its 'de') while RE2's \b is ASCII-\w-only
+# (the mark is a boundary, so the same text MATCHES 'de') — found by the
+# --extreme sweep. On all-ASCII input the fold is the identity, and on
+# the folded text both engines' \b agree exactly.
+NON_ASCII_RE = "[^\\x00-\\x7F]"
+
+
+def ascii_only(col: Column) -> Column:
+    return F.regexp_replace(col, NON_ASCII_RE, " ")
+
+
+def ascii_only_sql(expr: str) -> str:
+    return f"regexp_replace({expr}, '[^\\x00-\\x7F]', ' ', 'g')"
+
+
 def stopword_count(text: Column, lang: str) -> Column:
-    """Occurrences of the language's marker words (word-bounded for
-    Latin scripts, substring for zh — see marker_pattern)."""
-    return F.regexp_count(text, F.lit(marker_pattern(lang)))
+    """Occurrences of the language's marker words (word-bounded over
+    ASCII-folded text for Latin scripts — \\b semantics diverge across
+    engines on non-ASCII neighbors, see NON_ASCII_RE — substring over the
+    raw text for zh, see marker_pattern)."""
+    subject = text if lang == "zh" else ascii_only(text)
+    return F.regexp_count(subject, F.lit(marker_pattern(lang)))
 
 
 def lang_scores(text: Column) -> dict[str, Column]:
@@ -92,8 +112,11 @@ def quality_score(text: Column) -> Column:
     n_chars = F.length(text)
     words = token_count(text)
     puncts = punct_count(text)
-    word_density = words.cast("double") / n_chars
-    punct_ratio = puncts.cast("double") / n_chars
+    # try_divide, not /: ANSI Spark raises DIVIDE_BY_ZERO on empty text
+    # while DuckDB's x/0 is NULL — try_divide is the exact DuckDB match
+    # (and a one-bad-row-kills-the-job fix at corpus scale).
+    word_density = F.try_divide(words.cast("double"), n_chars)
+    punct_ratio = F.try_divide(puncts.cast("double"), n_chars)
     return word_density - punct_ratio
 
 
@@ -116,17 +139,23 @@ def model_quality_features(text: Column) -> dict[str, Column]:
     StrictMath.log, 1 ulp off libm (DuckDB/Python) on ~1% of inputs."""
     n_chars = F.length(text)
     words = token_count(text)
-    toks = F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda x: x != "")
+    toks = F.filter(F.split(ascii_folded(text), TOKEN_SPLIT_RE), lambda x: x != "")
+    # try_divide everywhere: ANSI Spark raises DIVIDE_BY_ZERO on empty /
+    # token-less text, DuckDB's x/0 is NULL — try_divide matches DuckDB
+    # bit-for-bit on nonzero denominators and NULLs the degenerate rows.
     return {
-        "word_density": words.cast("double") / n_chars,
-        "punct_ratio": punct_count(text).cast("double") / n_chars,
+        "word_density": F.try_divide(words.cast("double"), n_chars),
+        "punct_ratio": F.try_divide(
+            punct_count(text).cast("double"), n_chars
+        ),
         # sqrt, NOT ln: +,-,*,/,sqrt are IEEE-correctly-rounded on
         # every engine, while Spark 4's Catalyst ln is StrictMath.log —
         # 1 ulp off libm (DuckDB/Python) on ~1% of inputs (found via a
         # sf0.001 full-catalog sweep; ln(74) differs)
         "root_len": F.sqrt(F.lit(1.0) + n_chars),
-        "distinct_ratio": F.size(F.array_distinct(toks)).cast("double")
-        / F.size(toks),
+        "distinct_ratio": F.try_divide(
+            F.size(F.array_distinct(toks)).cast("double"), F.size(toks)
+        ),
     }
 
 
@@ -149,7 +178,7 @@ def model_quality_score_sql(text_expr: str) -> str:
     words = f"len(regexp_extract_all({text_expr}, '{WORD_RE}'))"
     puncts = f"len(regexp_extract_all({text_expr}, '{PUNCT_RE}'))"
     toks = (
-        f"list_filter(string_split_regex(lower({text_expr}), '{TOKEN_SPLIT_RE}'), "
+        f"list_filter(string_split_regex({ascii_folded_sql(text_expr)}, '{TOKEN_SPLIT_RE}'), "
         "x -> x <> '')"
     )
     feats = {
@@ -202,6 +231,27 @@ def fingerprint_sql(expr: str, modulus: int = 2147483647) -> str:
 
 TOKEN_SPLIT_RE = "[^a-z]+"
 
+# Unicode case mapping differs across engines on non-ASCII uppercase:
+# JVM and Python lower('İ' U+0130) is the FULL mapping 'i'+U+0307 (two
+# codepoints), DuckDB's utf8proc lower is the SIMPLE map 'i' (one) —
+# so any lower()-then-split tokenizer fragments differently per engine
+# (found by the --extreme sweep). Tokens are therefore ASCII BY
+# CONSTRUCTION: strip every non-ASCII-letter to a space FIRST, then
+# lower — lower() only ever sees [A-Za-z], where all engines agree.
+# Identical to the old lower()-first form on pure-ASCII text.
+TOKEN_STRIP_RE = "[^A-Za-z]+"
+
+
+def ascii_folded(col: Column) -> Column:
+    """Case-folded ASCII-letter text: non-ASCII-letters -> space, then
+    lower. The ONLY sanctioned input to TOKEN_SPLIT_RE tokenization."""
+    return F.lower(F.regexp_replace(col, TOKEN_STRIP_RE, " "))
+
+
+def ascii_folded_sql(expr: str) -> str:
+    """DuckDB twin of ascii_folded."""
+    return f"lower(regexp_replace({expr}, '[^A-Za-z]+', ' ', 'g'))"
+
 
 def explode_terms(df, id_col: str, text_col: str):
     """Lowercase alpha tokens, one row per (doc, occurrence): a projection +
@@ -210,7 +260,7 @@ def explode_terms(df, id_col: str, text_col: str):
     string_split_regex)."""
     return df.select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)).alias("term"),
+        F.explode(F.split(ascii_folded(F.col(text_col)), TOKEN_SPLIT_RE)).alias("term"),
     ).filter(F.col("term") != "")
 
 
@@ -367,7 +417,7 @@ def doc_top_terms(
     if est > stats_fallback_bytes:
         return _doc_top_terms_join(df, id_col, text_col, k)
 
-    terms = F.array_distinct(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE))
+    terms = F.array_distinct(F.split(ascii_folded(F.col(text_col)), TOKEN_SPLIT_RE))
     per_term = (
         df.select(
             F.explode(
@@ -428,9 +478,17 @@ def doc_top_terms(
                     ]
                 )
             # C-side tokenization: NULL text lowers/splits to a null list,
-            # which flatten/parent_indices skip — same rows as the JVM form
+            # which flatten/parent_indices skip — same rows as the JVM form.
+            # Strip-then-lower (ascii_folded contract): utf8_lower is full
+            # Unicode case mapping like the JVM, but the strip leaves only
+            # [A-Za-z ] so the mapping is engine-independent.
             toks = pc.split_pattern_regex(
-                pc.utf8_lower(tb.column(text_col)), TOKEN_SPLIT_RE
+                pc.utf8_lower(
+                    pc.replace_substring_regex(
+                        tb.column(text_col), TOKEN_STRIP_RE, " "
+                    )
+                ),
+                TOKEN_SPLIT_RE,
             )
             idx = pc.list_parent_indices(toks)
             flat = pc.list_flatten(toks)
@@ -518,7 +576,7 @@ def _doc_top_terms_join(df, id_col: str, text_col: str, k: int):
 def vocabulary_stats_oracle_sql(table: str, id_col: str, text_col: str) -> str:
     return f"""
 WITH toks AS (
-    SELECT {id_col}, unnest(string_split_regex(lower({text_col}), '[^a-z]+')) AS term
+    SELECT {id_col}, unnest(string_split_regex({ascii_folded_sql(text_col)}, '[^a-z]+')) AS term
     FROM {table}
 ),
 clean AS (SELECT * FROM toks WHERE term <> ''),
@@ -538,7 +596,7 @@ ORDER BY term
 def doc_top_terms_oracle_sql(table: str, id_col: str, text_col: str, k: int) -> str:
     return f"""
 WITH toks AS (
-    SELECT {id_col}, unnest(string_split_regex(lower({text_col}), '[^a-z]+')) AS term
+    SELECT {id_col}, unnest(string_split_regex({ascii_folded_sql(text_col)}, '[^a-z]+')) AS term
     FROM {table}
 ),
 clean AS (SELECT * FROM toks WHERE term <> ''),
@@ -672,7 +730,7 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
         "acc -> acc.best)"
     )
     toks = F.filter(
-        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda x: x != ""
+        F.split(ascii_folded(F.col(text_col)), TOKEN_SPLIT_RE), lambda x: x != ""
     )
     base = df.select(F.col(id_col), toks.alias("_toks")).filter(F.size("_toks") > 0)
     bigrams = F.expr(
@@ -712,7 +770,7 @@ def repetition_stats_oracle_sql(table: str, id_col: str, text_col: str) -> str:
     return f"""
 WITH base AS (
     SELECT {id_col},
-           list_filter(string_split_regex(lower({text_col}), '[^a-z]+'),
+           list_filter(string_split_regex({ascii_folded_sql(text_col)}, '[^a-z]+'),
                        x -> x <> '') AS tk
     FROM {table}
 ),
@@ -855,7 +913,7 @@ def unigram_logprob(text: Column) -> Column:
     literal log-prob (OOV floor), left-fold the sum, divide by the token
     count — one scan-side projection, zero exchanges, zero libm calls at
     query time."""
-    toks = F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda x: x != "")
+    toks = F.filter(F.split(ascii_folded(text), TOKEN_SPLIT_RE), lambda x: x != "")
 
     def lookup(tok: Column) -> Column:
         expr = F.lit(OOV_LOGP)
@@ -884,7 +942,7 @@ def unigram_logprob_sql(text_expr: str) -> str:
         for w in UNIGRAM_LOGP
     )
     toks = (
-        f"list_filter(string_split_regex(lower({text_expr}), '{TOKEN_SPLIT_RE}'), "
+        f"list_filter(string_split_regex({ascii_folded_sql(text_expr)}, '{TOKEN_SPLIT_RE}'), "
         "x -> x <> '')"
     )
     return (
@@ -933,6 +991,7 @@ def heavy_hitter_terms(
 
     n_counters = max(1, slack * 1_000_000 // threshold_ppm)
     pat = _re.compile(TOKEN_SPLIT_RE)
+    strip_pat = _re.compile(TOKEN_STRIP_RE)
 
     cand_schema = T.StructType([T.StructField("term", T.StringType())])
 
@@ -942,7 +1001,9 @@ def heavy_hitter_terms(
             for text in pdf[text_col]:
                 if not isinstance(text, str):
                     continue
-                for tok in pat.split(text.lower()):
+                # ascii_folded contract: strip non-ASCII-letters BEFORE
+                # lower() (Python lower is full-mapping like the JVM)
+                for tok in pat.split(strip_pat.sub(" ", text).lower()):
                     if not tok:
                         continue
                     if tok in counters:
@@ -968,7 +1029,7 @@ def heavy_hitter_terms(
         .collect()
     ]
 
-    toks = F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda x: x != "")
+    toks = F.filter(F.split(ascii_folded(F.col(text_col)), TOKEN_SPLIT_RE), lambda x: x != "")
     exploded = df.select(F.explode(toks).alias("term"))
     # exact candidate counts + exact total in ONE aggregate: non-candidates
     # fold into a sentinel bucket ('\x00' can never be an [a-z]+ token).
@@ -1009,7 +1070,7 @@ def heavy_hitter_terms_oracle_sql(
     """DuckDB twin: plain explode + GROUP BY + HAVING over the exact total."""
     return f"""
 WITH toks AS (
-    SELECT unnest(string_split_regex(lower({text_col}), '[^a-z]+')) AS term
+    SELECT unnest(string_split_regex({ascii_folded_sql(text_col)}, '[^a-z]+')) AS term
     FROM {table}
 ),
 clean AS (SELECT term FROM toks WHERE term <> ''),

@@ -29,6 +29,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
 
 TOKEN_RE = re.compile(r"[^a-z]+")
+# ascii_folded contract (operators/text.py): strip non-ASCII-letters
+# BEFORE lower() — Python lower('İ') is the full mapping ('i'+U+0307)
+# while DuckDB's utf8proc lower is the simple map, so un-stripped
+# lowering tokenizes differently per engine.
+TOKEN_STRIP = re.compile(r"[^A-Za-z]+")
 
 
 class TokenRunsUDTF:
@@ -40,7 +45,7 @@ class TokenRunsUDTF:
     def eval(self, text: str):  # noqa: D102 — UDTF contract method
         if text is None:
             return
-        toks = [t for t in TOKEN_RE.split(text.lower()) if t]
+        toks = [t for t in TOKEN_RE.split(TOKEN_STRIP.sub(" ", text).lower()) if t]
         if not toks:
             return
         run_start, run_term = 1, toks[0]
@@ -75,9 +80,9 @@ def token_runs_oracle_sql(table: str, id_col: str, text_col: str) -> str:
     return f"""
 WITH toks AS (
     SELECT {id_col},
-           unnest(list_filter(string_split_regex(lower({text_col}), '[^a-z]+'),
+           unnest(list_filter(string_split_regex(lower(regexp_replace({text_col}, '[^A-Za-z]+', ' ', 'g')), '[^a-z]+'),
                               x -> x <> '')) AS term,
-           generate_subscripts(list_filter(string_split_regex(lower({text_col}),
+           generate_subscripts(list_filter(string_split_regex(lower(regexp_replace({text_col}, '[^A-Za-z]+', ' ', 'g')),
                               '[^a-z]+'), x -> x <> ''), 1) AS pos
     FROM {table}
 ),

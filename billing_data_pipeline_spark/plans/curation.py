@@ -197,7 +197,7 @@ def dataset_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_NORM_SQL = "trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))"
 
 
 @register(

@@ -62,7 +62,7 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "normalized_dedup_docs",
     tags=("ext", "dedup"),
     oracle="""
-SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
+SELECT md5(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))) AS norm_hash,
        MIN(doc_id) AS keep_id,
        COUNT(*) AS copies
 FROM documents
@@ -85,7 +85,7 @@ def normalized_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH scored AS (
     SELECT doc_id,
-           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           md5(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))))
                AS norm_hash,
            {X.model_quality_score_sql('text')} AS s
     FROM documents
@@ -473,9 +473,16 @@ def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lang_id_oracle() -> str:
     # marker_pattern is the SHARED builder — zh must not be word-bounded
-    # (\b is ASCII-only in RE2 and Java regex alike; review r4)
+    # (\b is ASCII-only in RE2 and Java regex alike; review r4). Latin
+    # langs match over ASCII-folded text (X.ascii_only) because Java's \b
+    # is Unicode-aware around combining marks while RE2's is not — the
+    # fold makes both engines' \b agree (extreme sweep, r4).
     scores = {
-        lang: f"len(regexp_extract_all(text, '{X.marker_pattern(lang)}'))"
+        lang: (
+            f"len(regexp_extract_all("
+            f"{'text' if lang == 'zh' else X.ascii_only_sql('text')}, "
+            f"'{X.marker_pattern(lang)}'))"
+        )
         for lang in X.LANG_MARKERS
     }
     langs = sorted(scores)

@@ -72,15 +72,29 @@ def main() -> int:
     failures = []
     for name, fn in sorted(e.queries().items()):
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        rows = df.collect()
+        try:
+            df = fn(spark, sf_dir)
+            rows = df.collect()
+        except Exception as exc:  # collect every failure in one sweep pass
+            msg = str(exc).split("\n")[0][:200]
+            failures.append((name, f"ERR {type(exc).__name__}: {msg}"))
+            print(f"  {name}: ERR {type(exc).__name__}: {msg} "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
         cols = [f.name for f in df.schema.fields]
         if name not in oracles:
             print(f"  {name}: rows-only ({len(rows)} rows) [{time.time()-t0:.1f}s]")
             continue
-        res = con.execute(oracles[name])
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as exc:  # oracle-side crash: report, keep sweeping
+            msg = str(exc).split("\n")[0][:200]
+            failures.append((name, f"ORACLE-ERR {type(exc).__name__}: {msg}"))
+            print(f"  {name}: ORACLE-ERR {type(exc).__name__}: {msg} "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
         status = []
         if len(rows) != len(orows):
             status.append(f"rowcount spark={len(rows)} oracle={len(orows)}")

@@ -2,10 +2,19 @@
 """Build adversarial copies of a testdata dir for full-catalog sweeps.
 
 Usage:
-    python tools/null_fixture.py [src_dir] [dst_dir]         # NULL injection
-    python tools/null_fixture.py --dups [src_dir] [dst_dir]  # duplicate keys/ts
-    python tools/null_fixture.py --empty [src_dir] [dst_dir] # zero-row tables
-    python tests/driver_sim.py <dst_dir>                     # the sweep
+    python tools/null_fixture.py [src_dir] [dst_dir]           # NULL injection
+    python tools/null_fixture.py --dups [src_dir] [dst_dir]    # duplicate keys/ts
+    python tools/null_fixture.py --empty [src_dir] [dst_dir]   # zero-row tables
+    python tools/null_fixture.py --extreme [src_dir] [dst_dir] # extreme values
+    python tests/driver_sim.py <dst_dir>                       # the sweep
+
+--extreme injects domain-edge values a 100 TB corpus WILL contain:
+unicode case-mapping traps in document text (Turkish dotted-İ, German ß,
+final-sigma Greek, NFD combining marks, emoji/ZWJ, CJK, RTL scripts),
+empty/whitespace-only/regex-metacharacter documents, signed zeros and
+magnitude-edge doubles in event values, JSON props with unicode values
+and escaped quotes, and zero-norm / 1e-20-norm / 1e18-norm embedding
+vectors (cosine guards, float32 overflow).
 
 --dups duplicates ~10% of events at the SAME (user_id, ts) under new
 event ids (double-fire) and re-appends some lineitem natural-key rows —
@@ -130,15 +139,115 @@ def build_dups(src: str, dst: str) -> str:
     return dst
 
 
+EXTREME_TEXTS = [
+    "深度学习模型训练数据管道去重与相似检索流水线测试语料样本",
+    "rocket \U0001F680 family \U0001F469‍\U0001F469‍\U0001F467‍\U0001F466 café naïve résumé",
+    "İstanbul DİYARBAKIR Iı İİİ iiii",
+    "STRASSE Straße ß ẞ GROSS",
+    "école å français déjà vu",
+    "",
+    "   \t   ",
+    "a.b*c+d(e)f[g]h|i\\j$k^ {m,n}? end",
+    "مرحبا world שלום עולם mixed",
+    "ΟΔΟΣ ΣΟΦΟΣ οδος σοφος Σσς",
+]
+
+EXTREME_PROPS = [
+    '{"k": -0}',
+    '{"k": null}',
+    '{"k": 3, "s": "日本語"}',
+    '{"k": 7, "q": "a\\"b"}',
+    '{"k": 2147483647}',
+]
+
+
+def build_extreme(src: str, dst: str) -> str:
+    """Domain-edge values, keys intact: unicode/empty/metachar document
+    text (n_chars kept consistent), signed-zero / magnitude-edge event
+    values, unicode-and-escape JSON props, and zero-norm / tiny-norm /
+    huge-norm embedding vectors. ~10-15% of rows per table touched."""
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    con = duckdb.connect()
+    texts = "[" + ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in EXTREME_TEXTS
+    ) + "]"
+    props = "[" + ", ".join(
+        "'" + p.replace("'", "''") + "'" for p in EXTREME_PROPS
+    ) + "]"
+    for t in TABLES:
+        if t == "documents":
+            con.execute(
+                f"""COPY (
+                  SELECT doc_id,
+                         CASE WHEN hash(doc_id || 'xt') % 8 = 0 THEN
+                           {texts}[CAST(1 + hash(doc_id || 'pick') % 10 AS BIGINT)]
+                         ELSE text END AS text,
+                         lang, source,
+                         CASE WHEN hash(doc_id || 'xt') % 8 = 0 THEN
+                           length({texts}[CAST(1 + hash(doc_id || 'pick') % 10 AS BIGINT)])
+                         ELSE n_chars END AS n_chars
+                  FROM '{src}/documents.parquet'
+                ) TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "events":
+            con.execute(
+                f"""COPY (
+                  SELECT event_id, ts, user_id, event_type,
+                         CASE WHEN hash(event_id || 'xv') % 10 = 0 THEN
+                           CASE hash(event_id || 'vp') % 5
+                             WHEN 0 THEN CAST('-0.0' AS DOUBLE)
+                             WHEN 1 THEN CAST('-98765.432109' AS DOUBLE)
+                             WHEN 2 THEN CAST('999999999999.999999' AS DOUBLE)
+                             WHEN 3 THEN CAST('1e-6' AS DOUBLE)
+                             ELSE CAST('0.0' AS DOUBLE)
+                           END
+                         ELSE value END AS value,
+                         CASE WHEN hash(event_id || 'xp') % 12 = 0 THEN
+                           {props}[CAST(1 + hash(event_id || 'pp') % 5 AS BIGINT)]
+                         ELSE props END AS props
+                  FROM '{src}/events.parquet'
+                ) TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "embeddings":
+            con.execute(
+                f"""COPY (
+                  SELECT vec_id,
+                         CASE hash(vec_id || 'xe') % 20
+                           WHEN 0 THEN list_transform(
+                             embedding, x -> CAST(0.0 AS FLOAT))
+                           WHEN 1 THEN list_transform(
+                             embedding, x -> CAST(x * 1e-20 AS FLOAT))
+                           WHEN 2 THEN list_transform(
+                             embedding, x -> CAST(x * 1e18 AS FLOAT))
+                           ELSE embedding
+                         END AS embedding,
+                         label
+                  FROM '{src}/embeddings.parquet'
+                ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    return dst
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     dups = "--dups" in sys.argv[1:]
     empty = "--empty" in sys.argv[1:]
+    extreme = "--extreme" in sys.argv[1:]
     src = args[0] if args else "/root/testdata/sf0.001"
     default_dst = (
         "/tmp/duptest_sf" if dups else
-        "/tmp/emptytest_sf" if empty else "/tmp/nulltest_sf"
+        "/tmp/emptytest_sf" if empty else
+        "/tmp/extremetest_sf" if extreme else "/tmp/nulltest_sf"
     )
     dst = args[1] if len(args) > 1 else default_dst
-    builder = build_dups if dups else build_empty if empty else build
+    builder = (
+        build_dups if dups else build_empty if empty else
+        build_extreme if extreme else build
+    )
     print("wrote", builder(src, dst))
