@@ -56,7 +56,11 @@ def norm(a: Column, dim: int | None = None) -> Column:
 
 
 def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+    # try_divide: a zero-norm vector makes cosine 0/0 — ANSI Spark raises
+    # DIVIDE_BY_ZERO while DuckDB's x/0 is NULL; try_divide matches DuckDB
+    # exactly (NULL comparisons then exclude the row from thresholds and
+    # rankings on both engines).
+    return F.try_divide(dot(a, b, dim), norm(a, dim) * norm(b, dim))
 
 
 def stride_seed_rows(
@@ -483,12 +487,22 @@ def semantic_decontaminate(
             ids = pdf[id_col].to_numpy()
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
             S = _seq_cosine_matrix(V, _seq_norms(V), E, En)
-            mx = S.max(axis=1)
+            # zero-norm vectors make cosine 0/0: NaN here but NULL in the
+            # SQL engines. Mirror SQL MAX: ignore NULL (NaN) entries, and
+            # a row whose cosines are ALL NULL aggregates to NULL with a
+            # NULL threshold verdict (extreme sweep, r4).
+            nan_mask = np.isnan(S)
+            all_nan = nan_mask.all(axis=1)
+            mx = np.where(nan_mask, -np.inf, S).max(axis=1)
+            mx_out = pd.array(mx, dtype="Float64")
+            cont = pd.array(mx >= threshold, dtype="boolean")
+            mx_out[all_nan] = pd.NA
+            cont[all_nan] = pd.NA
             yield pd.DataFrame(
                 {
                     id_col: ids,
-                    "max_eval_sim": mx,
-                    "contaminated": mx >= threshold,
+                    "max_eval_sim": mx_out,
+                    "contaminated": cont,
                 }
             )
 
@@ -582,7 +596,15 @@ def ivf_topk(
                 continue
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
             S = _seq_cosine_matrix(V, _seq_norms(V), Cm, Cn)
-            cells = np.argmax(S, axis=1).astype(np.int32)  # ties: first idx
+            # NaN sims (zero-norm vector OR zero-norm seed centroid) are
+            # NULL in the oracle, which ranks NULLS LAST — np.argmax would
+            # instead return the FIRST NaN index (NaN propagates as max),
+            # sending the whole corpus to a degenerate cell. -inf = the
+            # oracle's NULLS-LAST; all-(-inf) rows argmax to index 0, the
+            # oracle's cidx-ASC tiebreak (extreme sweep, r4).
+            cells = np.argmax(np.where(np.isnan(S), -np.inf, S), axis=1).astype(
+                np.int32
+            )  # ties: first idx
             yield pd.DataFrame(
                 {"vid": pdf[id_col].to_numpy(), "cell": cells, "vec": list(V)}
             )
@@ -603,10 +625,14 @@ def ivf_topk(
                 continue
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
             S = _seq_cosine_matrix(V, _seq_norms(V), Cm, Cn)
-            # stable argsort on -sim == (sim desc, centroid idx asc)
-            order = np.argsort(-S, axis=1, kind="stable")[:, :n_probe].astype(
-                np.int32
-            )
+            # stable argsort on -sim == (sim desc, centroid idx asc);
+            # NaN -> -inf first: the oracle's NULL sims rank NULLS LAST
+            # (np.argsort happens to sort NaN last too, but only for the
+            # all-NaN-row tiebreak does the explicit -inf matter: stable
+            # argsort then yields 0,1,2,... = the oracle's cidx ASC).
+            order = np.argsort(
+                -np.where(np.isnan(S), -np.inf, S), axis=1, kind="stable"
+            )[:, :n_probe].astype(np.int32)
             yield pd.DataFrame(
                 {
                     "qid": np.repeat(pdf[id_col].to_numpy(), n_probe),
@@ -778,12 +804,14 @@ def cosine_neardup_pairs(
             a_ids = pdf[id_col].to_numpy()[valid]
             V = np.array([v for v in vecs if v is not None], dtype=np.float64)
             S = _seq_cosine_matrix(V, _seq_norms(V), Bm, Bn)
-            # id_a < id_b upper triangle; NaN kept (NaN >= t is TRUE in
-            # both engines' total ordering, FALSE in numpy — align to the
-            # engines)
-            hit = ((S >= threshold) | np.isnan(S)) & (
-                b_ids[None, :] > a_ids[:, None]
-            )
+            # id_a < id_b upper triangle. A zero-norm vector's cosine is
+            # 0/0: NaN here, but NULL in BOTH SQL engines (x/0 is NULL in
+            # DuckDB; try_divide on the JVM tier) — and NULL >= t filters
+            # the pair out. numpy's NaN >= t is already False, so the
+            # plain comparison is the aligned semantics (the old
+            # `| isnan` branch wrongly kept zero-norm pairs — extreme
+            # sweep, r4).
+            hit = (S >= threshold) & (b_ids[None, :] > a_ids[:, None])
             ri, ci = np.nonzero(hit)
             if not len(ri):
                 continue
@@ -1371,7 +1399,13 @@ def pq_topk(
                 for i in range(sub):
                     diff = Vj[:, i][:, None] - Cj[None, :, i]
                     D += diff * diff
-                codes[:, j] = np.argmin(D, axis=1)  # ties: lowest code
+                # NaN d2 (zero-norm vector or zero-norm codebook sample
+                # normalizes to NaN; the oracle's x/0 is NULL) ranks
+                # NULLS LAST in the oracle's argmin — +inf here; an
+                # all-inf row argmins to code 0, the cidx-ASC tiebreak.
+                codes[:, j] = np.argmin(
+                    np.where(np.isnan(D), np.inf, D), axis=1
+                )  # ties: lowest code
             yield pd.DataFrame({"vid": pdf[id_col].to_numpy(), "codes": list(codes)})
 
     encoded = corpus.select(id_col, vec_col).mapInPandas(encode, encode_schema)
@@ -1396,7 +1430,18 @@ def pq_topk(
                 for i in range(sub):  # sequential-fold dot, dim by dim
                     T_j += Qj[:, i][:, None] * Cj[None, :, i]
                 out[:, j * k_codes : (j + 1) * k_codes] = T_j
-            yield pd.DataFrame({"qid": pdf[id_col].to_numpy(), "tables": list(out)})
+            # NaN lookup values (zero-norm query or zero-norm codebook
+            # sample) are NULL in the oracle's qtab: ship them as Arrow
+            # nulls so the JVM ADC chain NULL-propagates exactly like
+            # DuckDB's list_reduce over NULL elements.
+            nan_mask = np.isnan(out)
+            if nan_mask.any():
+                obj = out.astype(object)
+                obj[nan_mask] = None
+                tables = list(obj)
+            else:
+                tables = list(out)
+            yield pd.DataFrame({"qid": pdf[id_col].to_numpy(), "tables": tables})
 
     qtables = queries.select(id_col, vec_col).mapInPandas(build_tables, table_schema)
 

@@ -30,8 +30,15 @@ def dsum_sql(expr: str) -> str:
     the decimal carries ~18+ significant digits (observed on a sum of
     squared prices); Spark's Decimal.toDouble (BigDecimal.doubleValue) is
     correctly rounded. Parsing the exact decimal string is correctly
-    rounded in DuckDB too, so the two engines agree at every magnitude."""
-    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)"
+    rounded in DuckDB too, so the two engines agree at every magnitude.
+
+    The double -> decimal edge goes through VARCHAR for the same reason in
+    the other direction (extreme sweep, r4): DuckDB's direct cast
+    multiplies by 10^scale in floating point (999999999999.25 ->
+    999999999999.250048) while Spark's Decimal(double) parses the
+    shortest-repr string — VARCHAR reproduces Spark's semantics exactly,
+    and is the identity wherever the direct cast was already right."""
+    return f"CAST(CAST(SUM(CAST(CAST({expr} AS STRING) AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)"
 
 
 def davg_sql(expr: str) -> str:

@@ -145,13 +145,21 @@ def _assign_update(emb: DataFrame, cells: list[int], cvs: list[list[float]]) -> 
     cnorms = [math.sqrt(sum_seq([x * x for x in cv])) for cv in cvs]
     vec = S._as_double(F.col("embedding"))
     vnorm = F.sqrt(S.dot(vec, vec))
+    # try_divide: a zero-norm vector (or a zero-norm seed centroid) makes
+    # the cosine 0/0 — NULL in DuckDB, DIVIDE_BY_ZERO under ANSI Spark.
     sims = F.array(
         *[
-            (S.dot(vec, F.array(*[F.lit(x) for x in cv])) / (vnorm * F.lit(cn)))
+            F.try_divide(
+                S.dot(vec, F.array(*[F.lit(x) for x in cv])),
+                vnorm * F.lit(cn),
+            )
             for cv, cn in zip(cvs, cnorms)
         ]
     )
-    pos = F.array_position(sims, F.array_max(sims))
+    # array_max skips NULL sims (= the oracle's NULLS-LAST rank); an
+    # all-NULL row (zero-norm vector) falls to the lowest centroid index,
+    # exactly the oracle's `ORDER BY sim DESC, cidx ASC` tiebreak.
+    pos = F.coalesce(F.array_position(sims, F.array_max(sims)), F.lit(1))
     cell_at = F.element_at(F.array(*[F.lit(c) for c in cells]), pos.cast("int"))
     assigned = emb.select(cell_at.alias("cell"), vec.alias("vec"))
     comp = assigned.select(

@@ -153,9 +153,9 @@ def user_event_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
     oracle=f"""
 SELECT event_id, user_id,
-       CAST(SUM(CAST(value AS DECIMAL(30,6)))
+       CAST(CAST(SUM(CAST(CAST(value AS STRING) AS DECIMAL(30,6)))
             OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE)
          AS running_total
 FROM events
 """,
@@ -300,8 +300,8 @@ def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("pivot",),
     oracle="""
 SELECT l_returnflag,
-       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(30,6)) END) AS DOUBLE) AS qty_open,
-       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(30,6)) END) AS DOUBLE) AS qty_finished
+       CAST(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(CAST(l_quantity AS STRING) AS DECIMAL(30,6)) END) AS STRING) AS DOUBLE) AS qty_open,
+       CAST(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(CAST(l_quantity AS STRING) AS DECIMAL(30,6)) END) AS STRING) AS DOUBLE) AS qty_finished
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -380,10 +380,10 @@ def priority_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "range-frame"),
     oracle="""
 SELECT event_id, user_id,
-       CAST(SUM(CAST(value AS DECIMAL(30,6)))
+       CAST(CAST(SUM(CAST(CAST(value AS STRING) AS DECIMAL(30,6)))
                 OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-            AS DOUBLE) AS hour_sum
+            AS STRING) AS DOUBLE) AS hour_sum
 FROM events
 """,
 )
@@ -598,7 +598,7 @@ WITH r AS (
     SELECT l_partkey, {dsum_sql(REVENUE_SQL)} AS part_revenue
     FROM lineitem GROUP BY l_partkey
 ),
-total AS (SELECT CAST(CAST(SUM(CAST(part_revenue AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS tv FROM r)
+total AS (SELECT CAST(CAST(SUM(CAST(CAST(part_revenue AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS tv FROM r)
 SELECT r.l_partkey, r.part_revenue
 FROM r, total
 WHERE r.part_revenue > 0.0005 * total.tv
@@ -717,7 +717,7 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH m AS (
     SELECT o_orderstatus,
            CAST(COUNT(*) AS DOUBLE) AS order_count,
-           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS total_price
+           CAST(CAST(SUM(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS total_price
     FROM orders GROUP BY o_orderstatus
 )
 SELECT o_orderstatus, 'order_count' AS metric, order_count AS value FROM m

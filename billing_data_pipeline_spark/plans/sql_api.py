@@ -23,12 +23,12 @@ PRICING_SUMMARY_SQL = """
 SELECT l_returnflag,
        l_linestatus,
        COUNT(*) AS count_order,
-       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_qty,
-       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_base_price,
-       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_disc_price,
-       CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_charge,
-       (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS STRING) AS DOUBLE) / COUNT(l_quantity)) AS avg_qty,
-       (CAST(CAST(SUM(CAST(l_discount AS DECIMAL(30,6))) AS STRING) AS DOUBLE) / COUNT(l_discount)) AS avg_disc
+       CAST(CAST(SUM(CAST(CAST(l_quantity AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_qty,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sum_charge,
+       (CAST(CAST(SUM(CAST(CAST(l_quantity AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) / COUNT(l_quantity)) AS avg_qty,
+       (CAST(CAST(SUM(CAST(CAST(l_discount AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) / COUNT(l_discount)) AS avg_disc
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -38,7 +38,7 @@ ORDER BY l_returnflag, l_linestatus
 RETURNED_ITEM_SQL = """
 SELECT c.c_custkey,
        c.c_name,
-       CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS revenue,
+       CAST(CAST(SUM(CAST(CAST(l.l_extendedprice * (1 - l.l_discount) AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS revenue,
        n.n_name AS nation
 FROM customer c
 JOIN orders o    ON c.c_custkey = o.o_custkey
@@ -89,7 +89,7 @@ SELECT o_orderstatus,
        GROUPING(o_orderstatus) AS g_status,
        GROUPING(o_orderpriority) AS g_priority,
        COUNT(*) AS order_count,
-       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS total_price
+       CAST(CAST(SUM(CAST(CAST(o_totalprice AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 HAVING COUNT(*) > 0
@@ -146,7 +146,7 @@ SELECT GROUPING(l_returnflag) AS g_flag,
        GROUPING(l_linestatus) AS g_status,
        l_returnflag, l_linestatus,
        COUNT(*) AS n,
-       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS STRING) AS DOUBLE)
+       CAST(CAST(SUM(CAST(CAST(l_quantity AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE)
            AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)

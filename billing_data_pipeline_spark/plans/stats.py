@@ -91,7 +91,7 @@ HIST_WIDTH = 5000.0
     oracle=f"""
 SELECT CAST(floor(l_extendedprice / {HIST_WIDTH}) AS BIGINT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS total
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS total
 FROM lineitem
 GROUP BY bucket
 ORDER BY bucket
@@ -131,7 +131,7 @@ WITH ranked AS (
 )
 SELECT decile,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS total
+       CAST(CAST(SUM(CAST(CAST(value AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS total
 FROM ranked GROUP BY decile ORDER BY decile
 """,
 )
@@ -199,8 +199,8 @@ def event_value_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH s AS (
     SELECT l_returnflag,
            COUNT(*) AS n,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sx,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sy,
+           CAST(CAST(SUM(CAST(CAST(l_quantity AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sx,
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sy,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS STRING) AS DOUBLE) AS sxy,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS STRING) AS DOUBLE) AS sxx,
            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS STRING) AS DOUBLE) AS syy

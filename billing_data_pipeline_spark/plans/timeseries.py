@@ -39,7 +39,7 @@ US_7D = 7 * US_PER_DAY
     oracle=f"""
 SELECT event_id, user_id, ts,
        CAST(COUNT(*) OVER w AS BIGINT) AS roll_events,
-       CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS STRING) AS DOUBLE) AS roll_value
+       CAST(CAST(SUM(CAST(CAST(value AS STRING) AS DECIMAL(30,6))) OVER w AS STRING) AS DOUBLE) AS roll_value
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN {US_7D} PRECEDING AND CURRENT ROW)
@@ -329,9 +329,9 @@ WITH seq AS (
 )
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_intervals,
-       CAST(CAST(SUM(CAST(value AS DECIMAL(19,6)) * (next_us - us)) AS STRING) AS DOUBLE) AS weighted_sum_us,
+       CAST(CAST(SUM(CAST(CAST(value AS STRING) AS DECIMAL(19,6)) * (next_us - us)) AS STRING) AS DOUBLE) AS weighted_sum_us,
        CAST(SUM(next_us - us) AS BIGINT) AS span_us,
-       (CAST(CAST(SUM(CAST(value AS DECIMAL(19,6)) * (next_us - us)) AS STRING) AS DOUBLE)
+       (CAST(CAST(SUM(CAST(CAST(value AS STRING) AS DECIMAL(19,6)) * (next_us - us)) AS STRING) AS DOUBLE)
         / CAST(SUM(next_us - us) AS BIGINT)) AS twap
 FROM seq
 WHERE next_us IS NOT NULL AND next_us > us

@@ -344,7 +344,7 @@ WITH per_supp AS (
     GROUP BY l.l_partkey, l.l_suppkey
 ),
 per_part AS (
-    SELECT l_partkey, CAST(CAST(SUM(CAST(supp_qty AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS part_qty
+    SELECT l_partkey, CAST(CAST(SUM(CAST(CAST(supp_qty AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS part_qty
     FROM per_supp GROUP BY l_partkey
 )
 SELECT s.s_suppkey, s.s_name

