@@ -95,6 +95,7 @@ def main() -> None:
     baseline_errors: list[str] = []
     if not os.environ.get("SPARK_GRAFT_NO_BASELINE"):
         try:
+            from billing_data_pipeline_spark.plans._util import de_instrument_sql
             from billing_data_pipeline_spark.sources.tables import duckdb_connect
 
             con = duckdb_connect(sf_dir)
@@ -102,10 +103,16 @@ def main() -> None:
                 # bench_baseline_sql: same-ALGORITHM DuckDB twin for queries
                 # whose correctness oracle deliberately recomputes from
                 # scratch (see registry.QuerySpec) — result-identical,
-                # asserted in tests/test_oracle_parity.py
+                # asserted in tests/test_oracle_parity.py. Either way the
+                # timed SQL is de-instrumented: the parity-only per-row
+                # STRING->DECIMAL route costs DuckDB 10-100x on scan-heavy
+                # sums and would inflate the co-measure in Spark's favor
+                # (result-identical on bench data, asserted in the same
+                # test module).
                 baseline_sql = spec.bench_baseline_sql or spec.oracle
                 if not baseline_sql:
                     continue
+                baseline_sql = de_instrument_sql(baseline_sql)
                 try:
                     con.execute(baseline_sql).fetchall()  # warm run
                     # min-of-3, matching the Spark loop above and the

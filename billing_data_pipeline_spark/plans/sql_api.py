@@ -54,7 +54,15 @@ LIMIT 20
 def _sql_query(sql: str):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
-        return spark.sql(sql)
+        # The shared string carries the CAST(x AS STRING)->DECIMAL shim so
+        # DuckDB reproduces Spark's shortest-repr double->decimal cast on
+        # >15-significant-digit inputs. On SPARK the shim IS the native
+        # cast (Decimal(double) goes through Double.toString) — identical
+        # results, so the executor runs the de-instrumented form and skips
+        # the per-row string round-trip the shim would cost it.
+        from ._util import de_instrument_sql
+
+        return spark.sql(de_instrument_sql(sql))
 
     return fn
 

@@ -55,6 +55,40 @@ def test_bench_baseline_sql_matches_oracle(name):
     assert sorted(map(str, a_rows)) == sorted(map(str, b_rows))
 
 
+BENCH_INSTRUMENTED = sorted(
+    n
+    for n, s in CATALOG.items()
+    if s.bench and s.oracle
+)
+
+
+@pytest.mark.parametrize("name", BENCH_INSTRUMENTED)
+def test_bench_de_instrumented_baseline_matches_oracle(name):
+    """bench.py times the DE-INSTRUMENTED oracle (the parity-only per-row
+    STRING->DECIMAL route stripped — see plans/_util.de_instrument_sql):
+    the co-measure is only honest if the natural form is result-identical
+    on the bench tables. (It diverges only on >15-significant-digit
+    doubles, which the clean testdata never contains; the extreme-values
+    fixture is exactly where the instrumented form earns its keep.)"""
+    from billing_data_pipeline_spark.plans._util import de_instrument_sql
+    from billing_data_pipeline_spark.sources.tables import duckdb_connect
+
+    spec = CATALOG[name]
+    timed_sql = de_instrument_sql(spec.bench_baseline_sql or spec.oracle)
+    reference_sql = spec.bench_baseline_sql or spec.oracle
+    if timed_sql == reference_sql:
+        pytest.skip("oracle carries no per-row string route")
+    con = duckdb_connect(SF_CORRECTNESS)
+    a = con.execute(reference_sql)
+    a_cols = [d[0].lower() for d in a.description]
+    a_rows = a.fetchall()
+    b = con.execute(timed_sql)
+    b_cols = [d[0].lower() for d in b.description]
+    b_rows = b.fetchall()
+    assert a_cols == b_cols
+    assert sorted(map(str, a_rows)) == sorted(map(str, b_rows))
+
+
 def test_driver_sample_priority_front_loads_oracle_flagships():
     """The external gate samples the first 50 registry entries; every
     priority name must exist, carry an oracle, and actually lead the

@@ -59,6 +59,10 @@ PROBE_QUERIES = (
     # just the decomposition.
     "streaming_tumbling_catchup",  # one-micro-batch AvailableNow drain
     "incremental_status_rollup_cdc",  # diff join + delta fold
+    # r4 late: the reworked portable-MinHash bench row (Arrow sig kernel +
+    # sig-through-the-band-join) — its ~3x-at-sf0.1 ratio is floor-heavy,
+    # the curve shows where the md5-for-md5 crossover lands.
+    "minhash_neardup_pairs_portable",
 )
 
 
