@@ -150,8 +150,17 @@ def duckdb_connect(sf_dir: str, threads: int | None = None):
     con = duckdb.connect()
     con.execute(f"SET threads TO {threads or default_parallelism()}")
     for name in TABLES:
-        if os.path.exists(f"{sf_dir}/{name}.parquet"):  # partial fixture dirs
+        path = f"{sf_dir}/{name}.parquet"
+        if not os.path.exists(path):  # partial fixture dirs
+            continue
+        if os.path.isdir(path):
+            # Spark writes a table as a DIRECTORY of part files — DuckDB
+            # needs the recursive glob (hive_partitioning picks up any
+            # key=value subdirs the same way Spark's reader does).
             con.execute(
-                f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+                f"CREATE VIEW {name} AS SELECT * FROM "
+                f"read_parquet('{path}/**/*.parquet', hive_partitioning=true)"
             )
+        else:
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
     return con
