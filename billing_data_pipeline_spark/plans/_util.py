@@ -47,6 +47,17 @@ def davg_sql(expr: str) -> str:
     return f"({dsum_sql(expr)} / COUNT({expr}))"
 
 
+def fdiv_sql(x: str, d: int) -> str:
+    """Oracle-side EXACT floor division of an integer expression by a
+    positive integer literal. DuckDB's ``//`` (and BIGINT casts of a
+    quotient) truncate toward ZERO, but time bucketing floors — Spark's
+    window()/floor() put epoch -1 µs in bucket -1 while ``x // d`` puts it
+    in bucket 0, merging the two buckets around 1970 (timewarp sweep, r4).
+    All-integer (no double-division ulp hazard at |x| ~ 8e15):
+    subtract the positive modulus, then the division is exact."""
+    return f"(({x}) - ((({x}) % {d}) + {d}) % {d}) // {d}"
+
+
 def de_instrument_sql(sql: str) -> str:
     """Strip the parity-only per-row DOUBLE->STRING->DECIMAL route from an
     oracle, yielding the natural DuckDB query for TIMING purposes.

@@ -17,7 +17,7 @@ from ..operators.aggregates import MEASURE_DECIMAL, exact_sum
 from ..operators import cdc as _cdc
 from ..operators.windows import running_total, sessionize, with_sequence
 from ..registry import register
-from ._util import REVENUE_SQL, dsum_sql, revenue, t
+from ._util import REVENUE_SQL, dsum_sql, fdiv_sql, revenue, t
 
 
 @register(
@@ -1158,13 +1158,13 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "outer", "full-outer", "events"),
     oracle=f"""
 WITH clicks AS (
-    SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day,
+    SELECT CAST({fdiv_sql('epoch_us(CAST(ts AS TIMESTAMP))', 86_400_000_000)} AS BIGINT) AS day,
            COUNT(*) AS n_clicks,
            {dsum_sql('value')} AS click_value
     FROM events WHERE event_type = 'click' GROUP BY 1
 ),
 purchases AS (
-    SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day,
+    SELECT CAST({fdiv_sql('epoch_us(CAST(ts AS TIMESTAMP))', 86_400_000_000)} AS BIGINT) AS day,
            COUNT(*) AS n_purchases,
            {dsum_sql('value')} AS purchase_value
     FROM events WHERE event_type = 'purchase' GROUP BY 1
@@ -1453,10 +1453,10 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "weekly_cohort_retention",
     tags=("ext", "events", "cohort", "retention"),
-    oracle="""
+    oracle=f"""
 WITH activity AS (
     SELECT DISTINCT user_id,
-           CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS BIGINT) AS week_idx
+           CAST({fdiv_sql('epoch_us(CAST(ts AS TIMESTAMP))', 604_800_000_000)} AS BIGINT) AS week_idx
     FROM events
 ),
 cohorts AS (

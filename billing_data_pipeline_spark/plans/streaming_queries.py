@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..operators.aggregates import exact_sum
 from ..registry import register
-from ._util import dsum_sql, t
+from ._util import dsum_sql, fdiv_sql, t
 
 # epoch_us(CAST(ts AS TIMESTAMP)) — DuckDB-side exact event-time in µs.
 TS_US = "epoch_us(CAST(ts AS TIMESTAMP))"
@@ -28,7 +28,7 @@ TS_US = "epoch_us(CAST(ts AS TIMESTAMP))"
     "tumbling_event_counts",
     tags=("streaming", "window"),
     oracle=f"""
-SELECT ({TS_US} // 600000000) * 600 AS window_start_sec,
+SELECT ({fdiv_sql(TS_US, 600_000_000)}) * 600 AS window_start_sec,
        event_type,
        COUNT(*) AS n,
        {dsum_sql('value')} AS total_value
@@ -60,7 +60,7 @@ def tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sliding_window_volume",
     tags=("streaming", "window"),
     oracle=f"""
-SELECT (({TS_US} // 300000000) - off.o) * 300 AS window_start_sec,
+SELECT (({fdiv_sql(TS_US, 300_000_000)}) - off.o) * 300 AS window_start_sec,
        COUNT(*) AS n,
        {dsum_sql('value')} AS total_value
 FROM events, (VALUES (0), (1)) AS off(o)
@@ -201,7 +201,7 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "window", "true-stream"),
     bench=True,  # r4: the perf gate sees one TRUE-stream family member
     oracle=f"""
-SELECT ({TS_US} // 600000000) * 600 AS window_start_sec,
+SELECT ({fdiv_sql(TS_US, 600_000_000)}) * 600 AS window_start_sec,
        event_type,
        COUNT(*) AS n
 FROM events
@@ -228,6 +228,7 @@ def streaming_tumbling_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_id, user_id, event_type
 FROM events
+WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '1970-01-01 00:00:00'
 """,
 )
 def streaming_dedup_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,7 +240,10 @@ def streaming_dedup_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are dropped as late — either way each event emits exactly once, which
     is what the plain-SELECT oracle asserts. State is bounded by the
     watermark horizon, never by stream length (the reference's run-key
-    idempotency ST4, as a streaming-native operator)."""
+    idempotency ST4, as a streaming-native operator). Event times at or below Structured Streaming's INITIAL
+    watermark (epoch 0) are dropped as late on arrival (measured:
+    ts == 0 drops, the boundary is strict) — the oracle states that
+    contract with its ts > epoch filter (timewarp sweep, r4)."""
     import time as _time
     import uuid
 
@@ -271,6 +275,7 @@ def streaming_dedup_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH ev AS (
     SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+    WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '1970-01-01 00:00:00'
 )
 SELECT c.user_id,
        c.event_id AS left_id,
@@ -288,7 +293,10 @@ def streaming_interval_join_catchup(spark: SparkSession, sf_dir: str) -> DataFra
     user), drained with Trigger.AvailableNow in append mode and checked
     against the batch interval-join oracle under the exact-hash gate.
     Watermarks on both branches + two-sided time bound keep join state
-    finite on an unbounded stream; lag is exact integer microseconds."""
+    finite on an unbounded stream; lag is exact integer microseconds. Event times at or below Structured Streaming's INITIAL
+    watermark (epoch 0) are dropped as late on arrival (measured:
+    ts == 0 drops, the boundary is strict) — the oracle states that
+    contract with its ts > epoch filter (timewarp sweep, r4)."""
     import uuid
 
     from ..streaming.event_windows import interval_join_stream, run_to_memory
@@ -397,6 +405,7 @@ def _stream_events_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH ev AS (
     SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+    WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '1970-01-01 00:00:00'
 )
 SELECT c.user_id,
        c.event_id AS left_id,
@@ -419,7 +428,10 @@ def streaming_left_outer_join_catchup(spark: SparkSession, sf_dir: str) -> DataF
     `_stream_events_flushed`'s sentinel batches. Hash-checked against the
     plain SQL LEFT JOIN, so the eviction logic must emit each unmatched
     click EXACTLY once (a dropped or duplicated outer row flips the
-    hash)."""
+    hash). Event times at or below Structured Streaming's INITIAL
+    watermark (epoch 0) are dropped as late on arrival (measured:
+    ts == 0 drops, the boundary is strict) — the oracle states that
+    contract with its ts > epoch filter (timewarp sweep, r4)."""
     import uuid
 
     from ..streaming.event_windows import interval_join_stream, run_to_memory
@@ -569,6 +581,7 @@ WITH seq AS (
            lag({TS_US}) OVER (PARTITION BY user_id
                               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
     FROM events
+    WHERE {TS_US} > -1800 * 1000000
 ),
 marks AS (
     SELECT user_id, event_id, ts_us,
@@ -594,7 +607,12 @@ def streaming_session_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_window(gap=30m) per user -> AvailableNow drain to a memory sink
     (complete mode on finite input == the oracle-checked batch twin,
     session_window_stats). Exercises Spark's merging-session state store
-    under the exact-hash gate."""
+    under the exact-hash gate. Sessions whose END (ts + gap) would sit at
+    or below Structured Streaming's INITIAL watermark (epoch 0) are
+    dropped as late on arrival — measured: a ts = -1 µs row survives
+    (its 30-min session end is past the epoch) while pre-(epoch - gap)
+    rows drop; the oracle states that contract with its
+    ts > -gap filter (timewarp sweep, r4)."""
     import uuid
 
     from ..streaming.event_windows import run_to_memory, session_stats_stream
@@ -607,7 +625,7 @@ def streaming_session_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_sliding_catchup",
     tags=("streaming", "window", "true-stream"),
     oracle=f"""
-SELECT (({TS_US} // 300000000) - off.o) * 300 AS window_start_sec,
+SELECT (({fdiv_sql(TS_US, 300_000_000)}) - off.o) * 300 AS window_start_sec,
        COUNT(*) AS n
 FROM events, (VALUES (0), (1)) AS off(o)
 GROUP BY 1
@@ -631,7 +649,7 @@ def streaming_sliding_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "ohlc", "argminmax", "true-stream"),
     oracle=f"""
 SELECT user_id,
-       ({TS_US} // 86400000000) * 86400 AS window_start_sec,
+       ({fdiv_sql(TS_US, 86_400_000_000)}) * 86400 AS window_start_sec,
        arg_min(value, CAST({TS_US} AS HUGEINT) * 10000000000 + event_id) AS open,
        MAX(value) AS high,
        MIN(value) AS low,

@@ -9,9 +9,13 @@ days a customer was silent", "when did the account change state" — so the
 engine ships them as first-class, oracle-checked operators.
 
 Portability rules (what keeps the DuckDB value-hash green):
-- all time arithmetic is integer epoch-microseconds / epoch-days (``div``
-  on BIGINT truncates identically on both engines; no interval types cross
-  the oracle boundary except as derived DATE columns);
+- all time arithmetic is integer epoch-microseconds / epoch-days, and all
+  day/week bucketing FLOORS (matching F.window): bare integer division
+  (Spark ``div``, DuckDB ``//``) truncates toward zero, which merges the
+  two buckets around 1970 on pre-epoch timestamps (timewarp sweep, r4) —
+  Spark sides use the exact pmod-subtract floor, oracles use
+  ``_util.fdiv_sql``; no interval types cross the oracle boundary except
+  as derived DATE columns;
 - RANGE window frames order by the integer timestamp, so frame membership
   is exact integer comparison on both engines;
 - rolling money sums accumulate in DECIMAL(30,6) and cast to double at the
@@ -27,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..operators.aggregates import exact_sum
 from ..registry import register
-from ._util import dsum_sql, t
+from ._util import dsum_sql, fdiv_sql, t
 
 US_PER_DAY = 86_400_000_000
 US_7D = 7 * US_PER_DAY
@@ -74,7 +78,7 @@ def user_rolling_usage_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "timeseries", "gapfill"),
     oracle=f"""
 WITH p AS (
-    SELECT user_id, epoch_us(ts) // {US_PER_DAY} AS day, value
+    SELECT user_id, {fdiv_sql('epoch_us(ts)', US_PER_DAY)} AS day, value
     FROM events WHERE event_type = 'purchase'
 ),
 daily AS (
@@ -117,7 +121,11 @@ def purchase_gap_filled_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
-        F.expr(f"unix_micros(ts) div {US_PER_DAY}").alias("day"),
+        F.expr(  # exact integer FLOOR div: bare `div` truncates, splitting
+            # pre-1970 buckets differently than the oracle (timewarp, r4)
+            f"(unix_micros(ts) - pmod(unix_micros(ts), {US_PER_DAY}))"
+            f" div {US_PER_DAY}"
+        ).alias("day"),
         "value",
     )
     daily = p.groupBy("user_id", "day").agg(
@@ -212,11 +220,11 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "timeseries", "distinct"),
     oracle=f"""
 WITH du AS (
-    SELECT DISTINCT user_id, epoch_us(ts) // {US_PER_DAY} AS day FROM events
+    SELECT DISTINCT user_id, {fdiv_sql('epoch_us(ts)', US_PER_DAY)} AS day FROM events
 ),
 b AS (
-    SELECT min(epoch_us(ts) // {US_PER_DAY}) AS d0,
-           max(epoch_us(ts) // {US_PER_DAY}) AS d1
+    SELECT min({fdiv_sql('epoch_us(ts)', US_PER_DAY)}) AS d0,
+           max({fdiv_sql('epoch_us(ts)', US_PER_DAY)}) AS d1
     FROM events
 ),
 covered AS (
@@ -245,7 +253,11 @@ def rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial windows are reported (their trailing window just starts before
     the data), bounded to the observed day range."""
     ev = t(spark, sf_dir, "events")
-    day = F.expr(f"unix_micros(ts) div {US_PER_DAY}")
+    day = F.expr(  # exact integer FLOOR div: bare `div` truncates, splitting
+            # pre-1970 buckets differently than the oracle (timewarp, r4)
+            f"(unix_micros(ts) - pmod(unix_micros(ts), {US_PER_DAY}))"
+            f" div {US_PER_DAY}"
+        )
     du = ev.select("user_id", day.alias("day")).distinct()
     bounds = ev.agg(
         F.min(day).alias("d0"), F.max(day).alias("d1")
@@ -274,7 +286,7 @@ def rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "timeseries", "ohlc", "argminmax"),
     oracle=f"""
 SELECT user_id,
-       CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT) AS day,
+       CAST({fdiv_sql('epoch_us(CAST(ts AS TIMESTAMP))', 86_400_000_000)} AS BIGINT) AS day,
        arg_min(value, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT) * 10000000000 + event_id) AS open,
        MAX(value) AS high,
        MIN(value) AS low,

@@ -6,6 +6,7 @@ Usage:
     python tools/null_fixture.py --dups [src_dir] [dst_dir]    # duplicate keys/ts
     python tools/null_fixture.py --empty [src_dir] [dst_dir]   # zero-row tables
     python tools/null_fixture.py --extreme [src_dir] [dst_dir] # extreme values
+    python tools/null_fixture.py --timewarp [src_dir] [dst_dir] # epoch-edge ts
     python tests/driver_sim.py <dst_dir>                       # the sweep
 
 --extreme injects domain-edge values a 100 TB corpus WILL contain:
@@ -167,6 +168,64 @@ EXTREME_PROPS = [
 ]
 
 
+def build_timewarp(src: str, dst: str) -> str:
+    """Epoch-edge timestamps a 100 TB archive WILL contain: ~10% of events
+    re-timed to pre-1970 (negative epoch micros), exactly epoch 0, epoch
+    -1 µs, and far-future (+200 y) instants; ~10% of orders (and their
+    date-bearing lineitem columns) shifted 60 years before 1970. Probes
+    floor-vs-truncate integer division on negative epochs (DuckDB's `//`
+    and BIGINT casts truncate toward zero; Spark's window()/floor()
+    floor), day-bucketing, session gaps, as-of ordering, range frames and
+    watermark arithmetic across the 1970 boundary. Keys intact."""
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "events":
+            con.execute(
+                f"""COPY (
+                  SELECT event_id,
+                         CASE WHEN hash(event_id || 'tw') % 10 = 0 THEN
+                           CASE hash(event_id || 'twp') % 5
+                             WHEN 0 THEN ts - INTERVAL 100 YEAR
+                             WHEN 1 THEN TIMESTAMP '1970-01-01 00:00:00'
+                             WHEN 2 THEN TIMESTAMP '1969-12-31 23:59:59.999999'
+                             WHEN 3 THEN ts + INTERVAL 200 YEAR
+                             ELSE TIMESTAMP '1969-07-20 20:17:40'
+                           END
+                         ELSE ts END AS ts,
+                         user_id, event_type, value, props
+                  FROM '{src}/events.parquet'
+                ) TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "orders":
+            con.execute(
+                f"""COPY (
+                  SELECT * REPLACE (
+                    CASE WHEN hash(o_orderkey || 'tw') % 10 = 0
+                         THEN o_orderdate - INTERVAL 60 YEAR
+                         ELSE o_orderdate END AS o_orderdate)
+                  FROM '{src}/orders.parquet'
+                ) TO '{dst}/orders.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "lineitem":
+            con.execute(
+                f"""COPY (
+                  SELECT * REPLACE (
+                    CASE WHEN hash(l_orderkey || 'tw') % 10 = 0
+                         THEN l_shipdate - INTERVAL 60 YEAR
+                         ELSE l_shipdate END AS l_shipdate)
+                  FROM '{src}/lineitem.parquet'
+                ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    return dst
+
+
 def build_extreme(src: str, dst: str) -> str:
     """Domain-edge values, keys intact: unicode/empty/metachar document
     text (n_chars kept consistent), signed-zero / magnitude-edge event
@@ -245,15 +304,18 @@ if __name__ == "__main__":
     dups = "--dups" in sys.argv[1:]
     empty = "--empty" in sys.argv[1:]
     extreme = "--extreme" in sys.argv[1:]
+    timewarp = "--timewarp" in sys.argv[1:]
     src = args[0] if args else "/root/testdata/sf0.001"
     default_dst = (
         "/tmp/duptest_sf" if dups else
         "/tmp/emptytest_sf" if empty else
-        "/tmp/extremetest_sf" if extreme else "/tmp/nulltest_sf"
+        "/tmp/extremetest_sf" if extreme else
+        "/tmp/timewarptest_sf" if timewarp else "/tmp/nulltest_sf"
     )
     dst = args[1] if len(args) > 1 else default_dst
     builder = (
         build_dups if dups else build_empty if empty else
-        build_extreme if extreme else build
+        build_extreme if extreme else
+        build_timewarp if timewarp else build
     )
     print("wrote", builder(src, dst))
