@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .sampling import MIX_MULT, MIX_PRIME
+from .text import JAVA_WS_SPLIT_SQL as WS
 from .text import chunk_tokens, chunk_tokens_oracle_sql
 
 # ---------------------------------------------------------------------------
@@ -469,7 +470,7 @@ SELECT DISTINCT {id_col},
        array_to_string(tk[i : i + {n - 1}], ' ') AS ngram
 FROM (
     SELECT {id_col},
-           list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x <> '') AS tk
+           list_filter(regexp_split_to_array({text_col}, '{WS}'), x -> x <> '') AS tk
     FROM {src}
 ) s, unnest(range(1, greatest(len(tk) - {n - 1}, 0) + 1)) AS u(i)
 """

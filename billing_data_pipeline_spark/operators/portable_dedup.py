@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .dedup import minhash_agreement_est
+from .text import JAVA_WS_SPLIT_SQL as WS
 
 # 31-bit Mersenne prime: (a * h + b) stays < 2^62 for a, h < 2^31 — exact
 # BIGINT arithmetic in both engines, no unsigned wraparound anywhere.
@@ -284,9 +285,9 @@ def minhash_portable_between_oracle_sql(
     h60 = portable_hash60_sql("shingle")
     return rf"""
 WITH toks AS (
-    SELECT {id_col} AS doc, regexp_split_to_array(trim({text_col}), '\s+') AS w
+    SELECT {id_col} AS doc, regexp_split_to_array(trim({text_col}), '{WS}') AS w
     FROM {table}
-    WHERE len(regexp_split_to_array(trim({text_col}), '\s+')) >= 3
+    WHERE len(regexp_split_to_array(trim({text_col}), '{WS}')) >= 3
 ),
 sh AS (
     SELECT DISTINCT doc,
@@ -343,9 +344,9 @@ def minhash_portable_oracle_sql(
     h60 = portable_hash60_sql("shingle")
     return rf"""
 WITH toks AS (
-    SELECT {id_col} AS doc, regexp_split_to_array(trim({text_col}), '\s+') AS w
+    SELECT {id_col} AS doc, regexp_split_to_array(trim({text_col}), '{WS}') AS w
     FROM {table}
-    WHERE len(regexp_split_to_array(trim({text_col}), '\s+')) >= 3
+    WHERE len(regexp_split_to_array(trim({text_col}), '{WS}')) >= 3
 ),
 sh AS (
     SELECT DISTINCT doc,
@@ -478,7 +479,7 @@ def simhash_portable_oracle_sql(
     return rf"""
 WITH toks AS (
     SELECT {id_col} AS doc,
-           unnest(list_distinct(regexp_split_to_array(trim({text_col}), '\s+'))) AS tok
+           unnest(list_distinct(regexp_split_to_array(trim({text_col}), '{WS}'))) AS tok
     FROM {table}
 ),
 th AS (SELECT doc, {h60} AS h FROM toks),

@@ -40,7 +40,11 @@ def token_count(text: Column) -> Column:
 def bpe_ish_token_count(text: Column) -> Column:
     """BPE-flavored token estimate: word pieces of <=4 chars + punctuation
     (a cheap, deterministic stand-in for a real tokenizer's token count)."""
-    return F.regexp_count(text, F.lit("[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]"))
+    # \s differs between Java (has \x0B) and RE2 (lacks it) — spell the
+    # Java set out so both engines negate the same six chars.
+    return F.regexp_count(
+        text, F.lit("[A-Za-z0-9]{1,4}|[^A-Za-z0-9 \t\n\u000B\f\r]")
+    )
 
 
 def punct_count(text: Column) -> Column:
@@ -230,6 +234,15 @@ def fingerprint_sql(expr: str, modulus: int = 2147483647) -> str:
 # ---------------------------------------------------------------------------
 
 TOKEN_SPLIT_RE = "[^a-z]+"
+
+# Oracle-side whitespace split matching the JVM's (and Python re.ASCII's)
+# \s exactly: RE2 — DuckDB's regex engine — has an ASCII \s of
+# [ \t\n\f\r] WITHOUT vertical tab U+000B, while Java and Python include
+# it, so a bare '\s+' oracle split diverges on documents containing \x0B
+# (code-review r4; the extreme fixture now injects one). The explicit
+# class pins all three engines to the same five-plus-one charset.
+JAVA_WS_SPLIT_SQL = r"[ \t\n\x0B\f\r]+"
+WS = JAVA_WS_SPLIT_SQL  # short alias for oracle f-strings
 
 # Unicode case mapping differs across engines on non-ASCII uppercase:
 # JVM and Python lower('İ' U+0130) is the FULL mapping 'i'+U+0307 (two
@@ -679,7 +692,7 @@ def chunk_tokens_oracle_sql(
     return f"""
 WITH toks AS (
     SELECT {id_col},
-           list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x <> '') AS tk
+           list_filter(regexp_split_to_array({text_col}, '{WS}'), x -> x <> '') AS tk
     FROM {table}
 ),
 st AS (
@@ -852,7 +865,7 @@ def pack_chunks_oracle_sql(
     return f"""
 WITH RECURSIVE toks AS (
     SELECT {id_col},
-           list_filter(regexp_split_to_array({text_col}, '\\s+'), x -> x <> '') AS tk
+           list_filter(regexp_split_to_array({text_col}, '{WS}'), x -> x <> '') AS tk
     FROM {table}
 ),
 st AS (

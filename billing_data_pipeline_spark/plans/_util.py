@@ -47,6 +47,19 @@ def davg_sql(expr: str) -> str:
     return f"({dsum_sql(expr)} / COUNT({expr}))"
 
 
+def floor_bucket_us(d: int, ts_col: str = "ts") -> Column:
+    """Spark-side twin of fdiv_sql: exact integer FLOOR division of a
+    timestamp column's epoch-µs by a positive literal — the one bucketing
+    rule (matches F.window) shared by every day/week/window site. Bare
+    ``div`` truncates toward zero (merges the two buckets around 1970) and
+    ``F.floor(us / d)`` goes through a double, which is only exact while
+    |us| < 2^53 (fails by year 9999 at 2.5e17 µs); subtracting the
+    positive pmod first keeps it all-integer and exact at any magnitude
+    (timewarp sweep + code review, r4)."""
+    us = f"unix_micros({ts_col})"
+    return F.expr(f"({us} - pmod({us}, {d})) div {d}")
+
+
 def fdiv_sql(x: str, d: int) -> str:
     """Oracle-side EXACT floor division of an integer expression by a
     positive integer literal. DuckDB's ``//`` (and BIGINT casts of a
@@ -117,4 +130,3 @@ def de_instrument_sql(sql: str) -> str:
             return out
         out = out[:i] + "CAST(" + expr + out[k + 1 : m + 1] + out[m + 1 :]
         # restart scan at the rewritten site (nested patterns shift left)
-    return out

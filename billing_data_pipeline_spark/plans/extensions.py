@@ -30,6 +30,7 @@ from ..operators import portable_dedup as PD
 from ..operators import sampling as SMP
 from ..operators import similarity as S
 from ..operators import text as X
+from ..operators.text import JAVA_WS_SPLIT_SQL as WS
 from ..operators import udf_surface as U
 from ..operators.aggregates import exact_sum
 from ..registry import register
@@ -116,11 +117,11 @@ def best_survivor_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NGRAM_JACCARD_ORACLE = r"""
+NGRAM_JACCARD_ORACLE = rf"""
 WITH toks AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    SELECT doc_id, regexp_split_to_array(trim(text), '{WS}') AS w
     FROM documents
-    WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3
+    WHERE len(regexp_split_to_array(trim(text), '{WS}')) >= 3
 ),
 sh AS (
     SELECT DISTINCT doc_id,
@@ -431,7 +432,7 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _WORDS = "len(regexp_extract_all(text, '[A-Za-z0-9]+'))"
-_BPE = r"len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]'))"
+_BPE = r"len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9 \t\n\x0B\f\r]'))"
 _PUNCT = "len(regexp_extract_all(text, '[.,!?;:]'))"
 _QUALITY = (
     f"(CAST({_WORDS} AS DOUBLE) / length(text)"
@@ -600,7 +601,7 @@ WITH kept AS (
 ),
 toks AS (
     SELECT doc_id,
-           list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+           list_filter(regexp_split_to_array(text, '{WS}'), x -> x <> '') AS tk
     FROM kept
 ),
 st AS (

@@ -17,7 +17,7 @@ from ..operators.aggregates import MEASURE_DECIMAL, exact_sum
 from ..operators import cdc as _cdc
 from ..operators.windows import running_total, sessionize, with_sequence
 from ..registry import register
-from ._util import REVENUE_SQL, dsum_sql, fdiv_sql, revenue, t
+from ._util import REVENUE_SQL, dsum_sql, fdiv_sql, floor_bucket_us, revenue, t
 
 
 @register(
@@ -1184,7 +1184,7 @@ def daily_click_purchase_reconciliation(spark: SparkSession, sf_dir: str) -> Dat
     shuffles are the two event-scans' map-side-combined groupBys, and the
     join itself moves only |days| rows per side."""
     ev = t(spark, sf_dir, "events")
-    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long")
+    day = floor_bucket_us(86_400_000_000)
 
     def side(etype: str, n_name: str, v_name: str) -> DataFrame:
         return (
@@ -1481,7 +1481,7 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     final group is cohort×offset-sized — at 100 TB only the first
     distinct touches event volume."""
     ev = t(spark, sf_dir, "events")
-    week_idx = F.floor(F.unix_micros("ts") / F.lit(604_800_000_000)).cast("long")
+    week_idx = floor_bucket_us(604_800_000_000)
     activity = ev.select("user_id", week_idx.alias("week_idx")).distinct()
     cohorts = activity.groupBy("user_id").agg(
         F.min("week_idx").alias("cohort_week")

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..operators.aggregates import exact_sum
 from ..registry import register
-from ._util import dsum_sql, fdiv_sql, t
+from ._util import dsum_sql, fdiv_sql, floor_bucket_us, t
 
 US_PER_DAY = 86_400_000_000
 US_7D = 7 * US_PER_DAY
@@ -121,11 +121,7 @@ def purchase_gap_filled_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
-        F.expr(  # exact integer FLOOR div: bare `div` truncates, splitting
-            # pre-1970 buckets differently than the oracle (timewarp, r4)
-            f"(unix_micros(ts) - pmod(unix_micros(ts), {US_PER_DAY}))"
-            f" div {US_PER_DAY}"
-        ).alias("day"),
+        floor_bucket_us(US_PER_DAY).alias("day"),
         "value",
     )
     daily = p.groupBy("user_id", "day").agg(
@@ -253,11 +249,7 @@ def rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial windows are reported (their trailing window just starts before
     the data), bounded to the observed day range."""
     ev = t(spark, sf_dir, "events")
-    day = F.expr(  # exact integer FLOOR div: bare `div` truncates, splitting
-            # pre-1970 buckets differently than the oracle (timewarp, r4)
-            f"(unix_micros(ts) - pmod(unix_micros(ts), {US_PER_DAY}))"
-            f" div {US_PER_DAY}"
-        )
+    day = floor_bucket_us(US_PER_DAY)
     du = ev.select("user_id", day.alias("day")).distinct()
     bounds = ev.agg(
         F.min(day).alias("d0"), F.max(day).alias("d1")
@@ -316,7 +308,7 @@ def daily_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = F.struct(us.alias("us"), F.col("event_id"))
     return ev.groupBy(
         "user_id",
-        F.floor(us / F.lit(86_400_000_000)).cast("long").alias("day"),
+        floor_bucket_us(US_PER_DAY).alias("day"),
     ).agg(
         F.min_by("value", order).alias("open"),
         F.max("value").alias("high"),

@@ -155,6 +155,7 @@ EXTREME_TEXTS = [
     "",
     "   \t   ",
     "a.b*c+d(e)f[g]h|i\\j$k^ {m,n}? end",
+    "vertical\x0btab and form\x0cfeed to\tkens split here paritycheck",
     "مرحبا world שלום עולם mixed",
     "ΟΔΟΣ ΣΟΦΟΣ οδος σοφος Σσς",
 ]
@@ -246,11 +247,11 @@ def build_extreme(src: str, dst: str) -> str:
                 f"""COPY (
                   SELECT doc_id,
                          CASE WHEN hash(doc_id || 'xt') % 8 = 0 THEN
-                           {texts}[CAST(1 + hash(doc_id || 'pick') % 10 AS BIGINT)]
+                           {texts}[CAST(1 + hash(doc_id || 'pick') % 11 AS BIGINT)]
                          ELSE text END AS text,
                          lang, source,
                          CASE WHEN hash(doc_id || 'xt') % 8 = 0 THEN
-                           length({texts}[CAST(1 + hash(doc_id || 'pick') % 10 AS BIGINT)])
+                           length({texts}[CAST(1 + hash(doc_id || 'pick') % 11 AS BIGINT)])
                          ELSE n_chars END AS n_chars
                   FROM '{src}/documents.parquet'
                 ) TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
