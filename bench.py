@@ -4,9 +4,14 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed as the driver would consume it — full materialization
-via a count over the result (collect of aggregates is driver-side anyway) —
-after a warm-up pass of the session on a trivial action.
+Each query is timed to FULL materialization of every result column: the
+Spark side writes to the `noop` sink (all columns computed and serialized to
+InternalRow, nothing shipped to the driver), the DuckDB side fetches the
+complete Arrow result table. A bare count() would let Catalyst prune the
+aggregate expressions and value columns out of the timed plan — measuring
+Spark doing strictly less work than the baseline — and fetchall() would
+charge DuckDB for per-row Python object construction that Spark's sink
+never pays; noop-write vs arrow-fetch is the symmetric footing (review r4).
 """
 
 from __future__ import annotations
@@ -64,7 +69,11 @@ def main() -> None:
     for name, spec in bench_specs.items():
         if warm:
             try:
-                spec.fn(spark, warm_dir).count()
+                # warm with the SAME terminal operator as the timed loop so
+                # whole-stage codegen compiles the un-pruned plan
+                spec.fn(spark, warm_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
             except Exception:
                 pass
         # best-of-3 timed runs: single-shot numbers at these (sub-second)
@@ -72,13 +81,13 @@ def main() -> None:
         # which dominates round-over-round comparisons; the min of three
         # warm runs measures the plan, not the jitter.
         best = float("inf")
-        rows = 0
         try:
             for _ in range(3):
                 t0 = time.perf_counter()
                 df = spec.fn(spark, sf_dir)
-                rows = df.count()
+                df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
+            rows = df.count()  # untimed, diagnostic only
         except Exception as exc:  # report per-query, keep the artifact
             query_errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"# {name}: FAILED {query_errors[name]}", file=sys.stderr)
@@ -93,7 +102,9 @@ def main() -> None:
     # with SPARK_GRAFT_NO_BASELINE=1.
     baseline: dict[str, float] = {}
     baseline_errors: list[str] = []
+    baseline_fatal: str | None = None
     if not os.environ.get("SPARK_GRAFT_NO_BASELINE"):
+        con = None
         try:
             from billing_data_pipeline_spark.plans._util import de_instrument_sql
             from billing_data_pipeline_spark.sources.tables import duckdb_connect
@@ -109,27 +120,35 @@ def main() -> None:
                 # sums and would inflate the co-measure in Spark's favor
                 # (result-identical on bench data, asserted in the same
                 # test module).
-                baseline_sql = spec.bench_baseline_sql or spec.oracle
-                if not baseline_sql:
+                raw_sql = spec.bench_baseline_sql or spec.oracle
+                if not raw_sql:
                     continue
-                baseline_sql = de_instrument_sql(baseline_sql)
                 try:
-                    con.execute(baseline_sql).fetchall()  # warm run
+                    baseline_sql = de_instrument_sql(raw_sql)
+                    # full-materialization fetch (Arrow table: every value
+                    # computed, no per-row Python objects — the symmetric
+                    # twin of the Spark noop write above)
+                    con.execute(baseline_sql).fetch_arrow_table()  # warm
                     # min-of-3, matching the Spark loop above and the
                     # documented protocol (PLANS.md / tools/audit_plans.py)
                     best = float("inf")
                     for _ in range(3):
                         t0 = time.perf_counter()
-                        con.execute(baseline_sql).fetchall()
+                        con.execute(baseline_sql).fetch_arrow_table()
                         best = min(best, time.perf_counter() - t0)
                     baseline[name] = round(best, 4)
                 except Exception:
                     # surfaced in the artifact: a dropped query must not
                     # silently shrink the baseline the totals compare against
                     baseline_errors.append(name)
-            con.close()
-        except Exception:
-            baseline = {}
+        except Exception as exc:
+            # loop-level failure: keep whatever was measured, record why
+            # the rest is missing (a silently-partial baseline would skew
+            # the headline ratio with no trace in the artifact)
+            baseline_fatal = f"{type(exc).__name__}: {exc}"[:200]
+        finally:
+            if con is not None:
+                con.close()
 
     out = {
         "metric": "bench_total_sec",
@@ -148,6 +167,8 @@ def main() -> None:
         # emitted even when EVERY oracle failed — a silently-empty
         # baseline must be distinguishable from a disabled one
         out["baseline_errors"] = baseline_errors
+    if baseline_fatal:
+        out["baseline_fatal"] = baseline_fatal
     print(json.dumps(out))
 
 

@@ -26,6 +26,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import fan_out
+
 # Exact-decimal accumulator for money-like measures. Double summation is
 # order-dependent (Spark's partial aggregation vs any single-node engine can
 # differ in the last ulp); summing an exact DECIMAL is associative, so the
@@ -93,6 +95,18 @@ def grouped_profile(
     if time_col:
         aggs.append(F.min(time_col).alias("first_activity"))
         aggs.append(F.max(time_col).alias("last_activity"))
+    if len(distinct_cols or {}) >= 2 and not approx:
+        # 2+ exact distinct columns compile to an Expand (one input replica
+        # per distinct column) whose partial aggregation runs in the SCAN
+        # stage — a few-file local input caps that CPU-heavy stage at
+        # file-count parallelism (row-group granularity defeats byte-range
+        # splits). Measured at sf0.1: the x3 Expand (daily_aggregates)
+        # drops 1.8 -> 1.0 s; a single-distinct x2 Expand is cheaper than
+        # the extra exchange (service_aggregates 0.65 -> 0.86 s), hence the
+        # >= 2 gate. fan_out itself is also gated: a no-op once the scan's
+        # own partition count reaches cores/divisor, i.e. everywhere but
+        # small local runs.
+        df = fan_out(df, divisor=1)
     return df.groupBy(*group_cols).agg(*aggs)
 
 

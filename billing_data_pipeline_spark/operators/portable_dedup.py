@@ -186,7 +186,13 @@ def _minhash_sigs(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
                 out_sigs.append(((A * h[None, :] + B) % MINHASH_P).min(axis=1))
             yield pd.DataFrame({"doc": out_ids, "sig": out_sigs})
 
-    return df.select(id_col, text_col).mapInPandas(kernel, schema)
+    # The md5-shingle kernel is ~80% of signature cost; a single-file local
+    # scan would run it on one core (gated no-op at real partition counts).
+    from ..session import fan_out
+
+    return fan_out(df.select(id_col, text_col), divisor=2).mapInPandas(
+        kernel, schema
+    )
 
 
 def _band_keys(sigs: DataFrame, k: int, band_size: int) -> DataFrame:

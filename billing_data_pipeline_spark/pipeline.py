@@ -170,7 +170,15 @@ class BillingPipeline:
             df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
                 "overwrite"
             ).parquet(self.table_path(name))
-            metrics[f"{name}_rows"] = obs.get["rows"]
+            try:
+                metrics[f"{name}_rows"] = obs.get["rows"]
+            except Exception:
+                # AQE empty-relation propagation can eliminate the
+                # CollectMetrics node when the input is zero rows, so the
+                # observation never materializes (same carve-out as
+                # curate._obs_n). The write above still succeeded; read the
+                # count back from the published table.
+                metrics[f"{name}_rows"] = self.read(name).count()
         return metrics
 
     # -- stage 3: insights --------------------------------------------------
@@ -192,14 +200,17 @@ class BillingPipeline:
         to_date: date | None = None,
     ) -> dict:
         """Topological materialization of the whole asset graph."""
-        import os
+        from .session import dir_input_bytes
 
         metrics = {"ingest": self.ingest(source_root, from_date, to_date)}
-        if not os.path.exists(self.table_path("raw_billing")):
+        if dir_input_bytes(self.table_path("raw_billing")) == 0:
             # First-ever run over an empty window: nothing ingested, no
             # raw table yet — report empty metrics instead of crashing the
             # downstream reads (review r3; mirrors the reference's
-            # continue-on-empty sensors).
+            # continue-on-empty sensors). Checked via data-file bytes, not
+            # bare directory existence: a crash-orphaned dir holding only
+            # committer garbage (_temporary/...) must take this branch too,
+            # or the downstream read dies on UNABLE_TO_INFER_SCHEMA.
             metrics["aggregates"] = {}
             metrics["insights"] = {}
             metrics["report_markdown"] = ""

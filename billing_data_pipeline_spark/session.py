@@ -77,10 +77,13 @@ def input_sized_conf(input_bytes: int, cores: int | None = None) -> dict[str, st
 
 
 def dir_input_bytes(path: str) -> int:
-    """Total bytes of data files under ``path`` (one os.scandir level per
-    table dir — the same listing Spark's FileIndex does at plan time)."""
+    """Total bytes of data files under ``path`` — the same listing Spark's
+    FileIndex does at plan time: hidden/underscore entries are skipped at
+    BOTH the file and directory level, so committer garbage under
+    ``_temporary/`` (whose part files have normal names) never counts."""
     total = 0
-    for root, _dirs, files in os.walk(path):
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
         for f in files:
             if not f.startswith((".", "_")):
                 try:

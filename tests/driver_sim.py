@@ -55,6 +55,17 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
+    # Pin the process timezone BEFORE the JVM starts: PySpark's non-Arrow
+    # collect() converts TimestampType through datetime.fromtimestamp() in
+    # the OS-local zone (the UTC *session* timezone doesn't apply to that
+    # conversion), while DuckDB's fetchall returns naive UTC wall times —
+    # on a non-UTC machine every timestamp hash would mismatch spuriously.
+    os.environ["TZ"] = "UTC"
+    try:
+        time.tzset()
+    except AttributeError:  # non-POSIX platform
+        pass
+
     import __spark_entry__ as e
     from billing_data_pipeline_spark.session import get_spark
     from billing_data_pipeline_spark.sources.tables import duckdb_connect
@@ -83,7 +94,16 @@ def main() -> int:
             continue
         cols = [f.name for f in df.schema.fields]
         if name not in oracles:
-            print(f"  {name}: rows-only ({len(rows)} rows) [{time.time()-t0:.1f}s]")
+            if not rows:
+                # A rows-only query that drains empty is the known silent
+                # failure shape (symlinked-dir stream listing zero files,
+                # broken seeding): every rows-only catalog entry returns
+                # >0 rows at sf0.01 by construction, so 0 is a failure.
+                failures.append((name, "ROWS-ONLY EMPTY (0 rows)"))
+                print(f"  {name}: ROWS-ONLY EMPTY [{time.time()-t0:.1f}s]")
+            else:
+                print(f"  {name}: rows-only ({len(rows)} rows) "
+                      f"[{time.time()-t0:.1f}s]")
             continue
         try:
             res = con.execute(oracles[name])
