@@ -72,9 +72,9 @@ def register(
 
 
 # The external correctness gate samples the first N (observed: 50) catalog
-# entries in registration order. Round-4 policy (VERDICT r3 #3): 19 slots
+# entries in registration order. Round-4 policy (VERDICT r3 #3): 21 slots
 # stay PINNED — one flagship per §2 / §2.12 family plus every operator whose
-# implementation changed this round — and the remaining 31 slots ROTATE each
+# implementation changed this round — and the remaining 29 slots ROTATE each
 # round over catalog queries that have never had an external driver row
 # (93 of 165 checked through r3; the never-checked tail clears in
 # two rotations). Names here must exist and carry an oracle (asserted in
@@ -101,14 +101,18 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "decontaminate_ngram",  # driver-built eval grams + Arrow corpus pass
     "embedding_lsh_neardup_pairs",  # ids-only band join + Arrow rerank
     "embedding_dedup_components",  # star-contract convergence rework
+    "usage_percentiles",  # sort-based bracketing-rank exact quantiles
+    "doc_repetition_stats",  # Counter Arrow kernel replaced HOF folds
     # --- r4 rotation: 33 queries with no external row in r1-r3 ---
     # text / curation
     "decontaminate_embedding",
     "doc_model_quality_scores",
-    "arrow_doc_stats",
     "doc_unigram_logprob",
     "heavy_hitter_terms",
     "boilerplate_strip_docs",
+    # (arrow_doc_stats / event_value_deciles yielded their r4 slots to the
+    # two operators reworked late in the round — usage_percentiles and
+    # doc_repetition_stats, pinned above; they rotate in r5.)
     # ANN / ML
     "embedding_kmeans_step",
     # streaming windows (local replica only until now)
@@ -135,7 +139,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "user_value_ewma",
     # distribution stats
     "usage_histogram",
-    "event_value_deciles",
     "price_quantity_regression",
     # SQL entry points
     "sql_pricing_summary",

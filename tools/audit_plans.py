@@ -78,25 +78,35 @@ def bench_compare(sf_dir: str) -> None:
     print("| Query | Spark s | DuckDB s | ratio |")
     print("|---|---|---|---|")
     tot_s = tot_d = 0.0
+    from billing_data_pipeline_spark.plans._util import de_instrument_sql
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
     for name, spec in sorted(cat.items()):
         if not spec.bench:
             continue
-        # min-of-3 warm runs on BOTH engines: single-shot sub-second
-        # numbers carry ±0.2-0.5 s of scheduler/GC noise
-        spec.fn(spark, sf_dir).count()
+        # bench.py's exact protocol: min-of-3 warm runs on BOTH engines
+        # (single-shot sub-second numbers carry ±0.2-0.5 s of noise), FULL
+        # materialization on both sides — Spark noop sink (count() would
+        # let Catalyst prune aggregate expressions out of the timed plan),
+        # DuckDB full Arrow fetch — and the de-instrumented natural SQL
+        # (the parity-only STRING->DECIMAL shim costs DuckDB 10-100x).
+        noop(spec.fn(spark, sf_dir))
         s = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            spec.fn(spark, sf_dir).count()
+            noop(spec.fn(spark, sf_dir))
             s = min(s, time.perf_counter() - t0)
         tot_s += s
         baseline_sql = spec.bench_baseline_sql or spec.oracle
         if baseline_sql:
-            con.execute(baseline_sql).fetchall()
+            baseline_sql = de_instrument_sql(baseline_sql)
+            con.execute(baseline_sql).fetch_arrow_table()
             d = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
-                con.execute(baseline_sql).fetchall()
+                con.execute(baseline_sql).fetch_arrow_table()
                 d = min(d, time.perf_counter() - t0)
             tot_d += d
             print(f"| `{name}` | {s:.2f} | {d:.2f} | {s / d:.1f}× |")
