@@ -26,8 +26,6 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..session import fan_out
-
 # Exact-decimal accumulator for money-like measures. Double summation is
 # order-dependent (Spark's partial aggregation vs any single-node engine can
 # differ in the last ulp); summing an exact DECIMAL is associative, so the
@@ -87,27 +85,90 @@ def grouped_profile(
     approx:        HLL approx_count_distinct for mergeable 100 TB rollups
     """
     aggs = measure_aggs(measure)
-    for alias, col in (distinct_cols or {}).items():
-        cd = F.approx_count_distinct(col) if approx else F.countDistinct(col)
-        aggs.append(cd.alias(alias))
     for alias, pred in (conditions or {}).items():
         aggs.append(conditional_count(pred, alias))
     if time_col:
         aggs.append(F.min(time_col).alias("first_activity"))
         aggs.append(F.max(time_col).alias("last_activity"))
-    if len(distinct_cols or {}) >= 2 and not approx:
-        # 2+ exact distinct columns compile to an Expand (one input replica
-        # per distinct column) whose partial aggregation runs in the SCAN
-        # stage — a few-file local input caps that CPU-heavy stage at
-        # file-count parallelism (row-group granularity defeats byte-range
-        # splits). Measured at sf0.1: the x3 Expand (daily_aggregates)
-        # drops 1.8 -> 1.0 s; a single-distinct x2 Expand is cheaper than
-        # the extra exchange (service_aggregates 0.65 -> 0.86 s), hence the
-        # >= 2 gate. fan_out itself is also gated: a no-op once the scan's
-        # own partition count reaches cores/divisor, i.e. everywhere but
-        # small local runs.
-        df = fan_out(df, divisor=1)
-    return df.groupBy(*group_cols).agg(*aggs)
+
+    def out_order() -> list[str]:
+        # canonical output column order, independent of physical strategy
+        names = [c for c in (distinct_cols or {})]
+        conds = [c for c in (conditions or {})]
+        times = ["first_activity", "last_activity"] if time_col else []
+        return (
+            ["transaction_count", "total_usage", "avg_usage"]
+            + names
+            + conds
+            + times
+        )
+
+    if not distinct_cols or approx:
+        for alias, col in (distinct_cols or {}).items():
+            aggs.insert(3, F.approx_count_distinct(col).alias(alias))
+        gnames = [
+            c for c in df.groupBy(*group_cols).agg(aggs[0]).columns[:-1]
+        ]
+        return (
+            df.groupBy(*group_cols).agg(*aggs).select(*gnames, *out_order())
+        )
+
+    # Exact COUNT(DISTINCT) strategy: ONE shuffle, ONE aggregation pass.
+    #
+    # Catalyst's native plan for k exact distincts over k >= 2 columns is
+    # an Expand (k+1 input replicas tagged with gid) whose partial
+    # aggregation emits near-row-count partials — it SHUFFLES ~(k+1)x the
+    # table on (group, distinct, gid) keys, then exchanges AGAIN on the
+    # group keys. Pre-partitioning can't help it: the distinct rewrite
+    # pins its own ENSURE_REQUIREMENTS exchanges (measured: a groupBy
+    # after repartition(group) elides its exchange at k <= 1, never at
+    # k >= 2).
+    #
+    # Instead: repartition once by the group keys, then compute every
+    # distinct count as size(collect_set(col)) IN THE SAME aggregate as
+    # the sums/counts. hashpartitioning on the group keys satisfies the
+    # aggregate's ClusteredDistribution, so the whole query is scan ->
+    # one exchange of raw (pruned) rows -> one collocated
+    # ObjectHashAggregate. collect_set drops NULLs exactly like
+    # COUNT(DISTINCT); sets are per-group-bounded. Measured at sf0.1
+    # under full materialization (daily_aggregates): native Expand 1.99 s
+    # -> 0.63 s, output identical.
+    #
+    # Scale contract: the shuffle is clustered by the GROUP keys, so (a)
+    # reduce-side parallelism is bounded by group cardinality, and (b)
+    # each group's distinct VALUES for one column must fit one executor's
+    # aggregation buffer — the right shape for time/entity rollups (days,
+    # users, services: thousands of groups, bounded sets). For a
+    # low-cardinality group over huge data (5 regions x 10^12 rows, or a
+    # distinct column with ~billions of values per group), pass
+    # approx=True: mergeable HLL sketches need no dedup state at all, and
+    # the Expand plan's finer intermediate keys — the only exact
+    # alternative — cost (k+1)x shuffle volume.
+    gnames: list[str] = []
+    tmp = df
+    for g in group_cols:
+        if isinstance(g, str):
+            gnames.append(g)
+        else:
+            # materialize the expression under its output alias via a
+            # throwaway analysis pass (no job runs)
+            nm = df.select(g).columns[0]
+            gnames.append(nm)
+            tmp = tmp.withColumn(nm, g)
+    # Explicit width: a bare repartition(*cols) lets AQE coalesce the
+    # shuffle to ~1 partition at local data sizes (64 MB advisory), which
+    # would serialize the CPU-heavy aggregation on one core. Width = the
+    # larger of cluster parallelism and the scan's own partition count, so
+    # at scale it tracks the input and locally it uses every core.
+    width = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        df.rdd.getNumPartitions(),
+    )
+    pre = tmp.repartition(width, *gnames)
+    for alias, col in distinct_cols.items():
+        # size() returns int; countDistinct is long — match it
+        aggs.append(F.size(F.collect_set(col)).cast("long").alias(alias))
+    return pre.groupBy(*gnames).agg(*aggs).select(*gnames, *out_order())
 
 
 def success_rate(

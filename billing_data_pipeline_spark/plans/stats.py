@@ -44,42 +44,56 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 def usage_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated p50/p90/p95/p99 of the price measure per group.
 
-    Sort-based formulation instead of Spark's `percentile` aggregate: the
-    built-in collects every group value into an in-memory ObjectHashAggregate
-    buffer (per percentile call, unless the array form is used) — measured
-    3.9 s at sf0.1 under full materialization, and an OOM shape for large
-    groups at 100 TB. Here the group is SORTED once (window row_number —
-    Spark's external sort, spillable), the group size arrives from a
-    count-over-partition, and each requested quantile reduces to picking the
-    two bracketing ranks: contribution (1-f)*lo at rank floor(pos) plus
-    f*hi at floor(pos)+1, summed per group. One shuffle by group key, no
-    per-group buffer, 3.6x faster locally (1.1 s).
+    One shuffle of (flag, value) pairs clustered by group key, then one
+    Arrow kernel per group: numpy sorts the group's values and reads the
+    two bracketing ranks per percentile. Two earlier formulations, each
+    measured at sf0.1 under full materialization: Spark's `percentile`
+    aggregate (per-call value buffers, 3.9 s) and a window row_number +
+    bracketing-rank sum (1.1 s — the external sort runs two window
+    passes over the group). The kernel does the same single sort in numpy
+    without the second pass or the 600k-row conditional sum: 0.68 s.
 
-    Value parity: (1-f)*lo + f*hi in IEEE double is bitwise identical to
-    both Spark `percentile` and DuckDB `quantile_cont` on this data
-    (verified across sf0.01/sf0.1); the two nonzero contributions make sum
-    order irrelevant, and a frac-0 hi term adds +0.0 which cannot change a
-    finite double. Scale note: per-group exact quantiles parallelize only
-    across groups (any exact algorithm must see the whole group);
-    usage_percentiles_approx is the mergeable 100 TB path."""
+    Value parity (hash-gated): the kernel computes (1-f)*lo + f*hi in
+    IEEE double — bitwise identical to Spark `percentile` AND DuckDB
+    `quantile_cont` (verified across sf0.01/sf0.1); numpy's sort on
+    float64 is a total order here (NULLs filtered before the kernel), and
+    a frac-0 hi term adds +0.0 which cannot change a finite double.
+
+    Scale contract: EVERY exact per-group quantile puts the whole group
+    through one task — Window.partitionBy does too (hash clustering, one
+    task per key) — so the parallelism unit is the group either way; the
+    window form trades this kernel's in-memory numpy sort for a spillable
+    external sort at ~1.7x the time. At 100 TB group sizes use
+    usage_percentiles_approx (mergeable KLL-style sketches, map-side
+    combine) — or bracket ranks over a repartitionByRange two-phase rank
+    if exactness is non-negotiable."""
+    import numpy as np
+    import pandas as pd
+
     li = t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy("v")
-    d = (
+    schema = "l_returnflag string, " + ", ".join(
+        f"p{int(p * 100)} double" for p in PCTS
+    )
+
+    def kernel(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        v = np.sort(pdf["v"].to_numpy())
+        n = len(v)
+        out = {"l_returnflag": [key[0]]}
+        for p in PCTS:
+            pos = 1.0 + (n - 1) * p
+            lo = int(np.floor(pos))
+            frac = pos - np.floor(pos)
+            hi_term = frac * v[lo] if lo < n else 0.0
+            out[f"p{int(p * 100)}"] = [(1.0 - frac) * v[lo - 1] + hi_term]
+        return pd.DataFrame(out)
+
+    return (
         li.select("l_returnflag", F.col("l_extendedprice").alias("v"))
         .where(F.col("v").isNotNull())  # quantile_cont/percentile skip NULLs
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count("*").over(Window.partitionBy("l_returnflag")))
+        .groupBy("l_returnflag")
+        .applyInPandas(kernel, schema)
+        .orderBy("l_returnflag")
     )
-    aggs = []
-    for p in PCTS:
-        pos = F.lit(1.0) + (F.col("n") - 1) * F.lit(p)
-        lo = F.floor(pos)
-        frac = pos - lo
-        contrib = F.when(
-            F.col("rn") == lo, (F.lit(1.0) - frac) * F.col("v")
-        ).when(F.col("rn") == lo + 1, frac * F.col("v"))
-        aggs.append(F.sum(contrib).alias(f"p{int(p * 100)}"))
-    return d.groupBy("l_returnflag").agg(*aggs).orderBy("l_returnflag")
 
 
 @register("usage_percentiles_approx", tags=("ext", "stats", "approx"))
