@@ -113,15 +113,28 @@ def main() -> None:
         }
         print(f"| Query | " + " | ".join(f"x{m} ({rows[m]/1e6:.1f}M rows)" for m in mults) + " |")
         print("|---|" + "---|" * len(mults))
+        # bench.py's terminal operator: full materialization via the noop
+        # sink (count() lets Catalyst prune value columns from the timed
+        # plan — the probe must measure the same work the bench does)
+        def noop(df):
+            df.write.format("noop").mode("overwrite").save()
+
+        only = {
+            q for q in os.environ.get(
+                "SPARK_GRAFT_PROBE_QUERIES", ""
+            ).split(",") if q
+        }
         for name in PROBE_QUERIES:
+            if only and name not in only:
+                continue
             fn = catalog[name].fn
             cells = []
             for m in mults:
-                fn(spark, dirs[m]).count()  # warm (codegen + page cache)
+                noop(fn(spark, dirs[m]))  # warm (codegen + page cache)
                 best = float("inf")
                 for _ in range(2):
                     t0 = time.perf_counter()
-                    fn(spark, dirs[m]).count()
+                    noop(fn(spark, dirs[m]))
                     best = min(best, time.perf_counter() - t0)
                 cells.append(f"{best:.2f}s")
             print(f"| `{name}` | " + " | ".join(cells) + " |")
