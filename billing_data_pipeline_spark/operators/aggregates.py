@@ -144,17 +144,24 @@ def grouped_profile(
     # approx=True: mergeable HLL sketches need no dedup state at all, and
     # the Expand plan's finer intermediate keys — the only exact
     # alternative — cost (k+1)x shuffle volume.
-    gnames: list[str] = []
+    gnames: list[str] = []  # output names
+    knames: list[str] = []  # physical grouping columns in `tmp`
     tmp = df
-    for g in group_cols:
+    for i, g in enumerate(group_cols):
         if isinstance(g, str):
             gnames.append(g)
+            knames.append(g)
         else:
             # materialize the expression under its output alias via a
-            # throwaway analysis pass (no job runs)
+            # throwaway analysis pass (no job runs); if the alias shadows
+            # an input column (e.g. upper(seg) AS seg with measure "seg"),
+            # keep the expression under a temp name so the measure /
+            # condition expressions still see the original column
             nm = df.select(g).columns[0]
             gnames.append(nm)
-            tmp = tmp.withColumn(nm, g)
+            k = f"_gp_key{i}" if nm in df.columns else nm
+            knames.append(k)
+            tmp = tmp.withColumn(k, g)
     # Explicit width: a bare repartition(*cols) lets AQE coalesce the
     # shuffle to ~1 partition at local data sizes (64 MB advisory), which
     # would serialize the CPU-heavy aggregation on one core. Width = the
@@ -164,11 +171,18 @@ def grouped_profile(
         df.sparkSession.sparkContext.defaultParallelism,
         df.rdd.getNumPartitions(),
     )
-    pre = tmp.repartition(width, *gnames)
+    pre = tmp.repartition(width, *knames)
     for alias, col in distinct_cols.items():
         # size() returns int; countDistinct is long — match it
         aggs.append(F.size(F.collect_set(col)).cast("long").alias(alias))
-    return pre.groupBy(*gnames).agg(*aggs).select(*gnames, *out_order())
+    return (
+        pre.groupBy(*knames)
+        .agg(*aggs)
+        .select(
+            *[F.col(k).alias(n) for k, n in zip(knames, gnames)],
+            *out_order(),
+        )
+    )
 
 
 def success_rate(

@@ -54,8 +54,15 @@ def scrub_pii(
     passes (email first, so an address's digits can't double-count as a
     phone) — the same sequential semantics the SQL oracle replays. Pure
     regexp_count/regexp_replace: whole-stage codegen, shuffle-free, scales
-    with the scan.
+    with the scan. fan_out widens a single-file local scan whose ~9
+    sequential regex passes per row would otherwise run on one core
+    (0.43 -> 0.24 s at sf0.1 under full materialization; no-op at real
+    partition counts — count() timing used to hide this stage entirely
+    by pruning the scrubbed columns out of the plan).
     """
+    from ..session import fan_out
+
+    df = fan_out(df, divisor=1)
     cur = F.col(text_col)
     counts = []
     for name, pat, repl in PII_PATTERNS:

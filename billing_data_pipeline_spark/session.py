@@ -140,6 +140,10 @@ def fan_out(df, divisor: int = 4):
     otherwise serialize CPU-heavy per-row work (regex/HOF/Arrow kernels)
     on one core. At scale natural partitioning exceeds the threshold and
     this is a no-op (shared by doc_top_terms, decontaminate)."""
+    if df.isStreaming:
+        # micro-batches already arrive pre-partitioned by the source and
+        # df.rdd (the gate below) is illegal on a streaming frame
+        return df
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     target = max(1, parallelism // divisor)
     if df.rdd.getNumPartitions() < target:

@@ -283,6 +283,44 @@ def test_cosine_topk_vectorized_bit_identical_to_hof(spark):
     assert hof == vec  # exact equality: ids, ranks, and double bits
 
 
+def test_grouped_profile_one_shuffle_and_alias_shadow(spark):
+    """r4-late grouped_profile contract: (1) exact multi-distinct plans as
+    ONE data exchange (the group-key repartition) + one collocated
+    collect_set aggregate — Catalyst's Expand rewrite (which re-exchanges
+    on (group, distinct, gid)) must not come back; (2) a group expression
+    whose alias shadows an input column must not corrupt measure /
+    distinct expressions that reference the original column."""
+    import re
+
+    from billing_data_pipeline_spark.operators.aggregates import (
+        grouped_profile,
+    )
+    from billing_data_pipeline_spark.registry import load_catalog
+
+    cat = load_catalog()
+    df = cat["daily_aggregates"].fn(spark, SF_SMOKE)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+
+    # alias-shadow: group by upper(g) AS g while counting DISTINCT raw g
+    src = spark.createDataFrame(
+        [("a", 1.0), ("A", 2.0), ("b", 3.0)], ["g", "v"]
+    )
+    out = {
+        r["g"]: r
+        for r in grouped_profile(
+            src,
+            [F.upper("g").alias("g")],
+            "v",
+            distinct_cols={"raw_gs": "g"},
+        ).collect()
+    }
+    assert out["A"]["raw_gs"] == 2  # 'a' and 'A' both survive under upper
+    assert out["B"]["raw_gs"] == 1
+    assert out["A"]["transaction_count"] == 2
+
+
 def test_round2_plan_properties(spark):
     """Round-2 plan regressions: tf-idf must not window over the term
     partition (vocab skew trap), repetition stats must be exchange-free,
