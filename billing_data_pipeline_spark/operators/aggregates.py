@@ -103,26 +103,44 @@ def grouped_profile(
             + times
         )
 
-    if not distinct_cols or approx:
-        for alias, col in (distinct_cols or {}).items():
-            aggs.insert(3, F.approx_count_distinct(col).alias(alias))
-        gnames = [
-            c for c in df.groupBy(*group_cols).agg(aggs[0]).columns[:-1]
-        ]
+    if not distinct_cols or approx or len(distinct_cols) == 1:
+        if approx:
+            for alias, col in (distinct_cols or {}).items():
+                aggs.insert(3, F.approx_count_distinct(col).alias(alias))
+        elif distinct_cols:
+            # ONE exact distinct: Catalyst's single-distinct two-phase
+            # plan partial-dedups (group, value) pairs MAP-SIDE in a
+            # spillable HashAggregate before any exchange — the right
+            # 100 TB shape for a low-cardinality group over huge data
+            # (service: 6 groups x all suppliers), which the k >= 2
+            # collocated form below would funnel into |groups| reducers.
+            # fan_out only widens a few-partition LOCAL scan (no-op at
+            # real partition counts) so the partial dedup isn't serialized
+            # on the file count (service_aggregates 0.71 -> 0.45 s at
+            # sf0.1 under full materialization).
+            alias, col = next(iter(distinct_cols.items()))
+            aggs.insert(3, F.countDistinct(col).alias(alias))
+            from ..session import fan_out
+
+            df = fan_out(df, divisor=1)
+        if all(isinstance(g, str) for g in group_cols):
+            gnames = list(group_cols)
+        else:
+            # group-output names via a throwaway analysis pass (no job)
+            gnames = df.groupBy(*group_cols).agg(aggs[0]).columns[:-1]
         return (
             df.groupBy(*group_cols).agg(*aggs).select(*gnames, *out_order())
         )
 
-    # Exact COUNT(DISTINCT) strategy: ONE shuffle, ONE aggregation pass.
+    # k >= 2 exact COUNT(DISTINCT): ONE shuffle, ONE aggregation pass.
     #
-    # Catalyst's native plan for k exact distincts over k >= 2 columns is
-    # an Expand (k+1 input replicas tagged with gid) whose partial
-    # aggregation emits near-row-count partials — it SHUFFLES ~(k+1)x the
-    # table on (group, distinct, gid) keys, then exchanges AGAIN on the
-    # group keys. Pre-partitioning can't help it: the distinct rewrite
-    # pins its own ENSURE_REQUIREMENTS exchanges (measured: a groupBy
-    # after repartition(group) elides its exchange at k <= 1, never at
-    # k >= 2).
+    # Catalyst's native plan for k >= 2 exact distincts is an Expand (k+1
+    # input replicas tagged with gid) whose partial aggregation emits
+    # near-row-count partials — it SHUFFLES ~(k+1)x the table on (group,
+    # distinct, gid) keys, then exchanges AGAIN on the group keys.
+    # Pre-partitioning can't help it: the distinct rewrite pins its own
+    # ENSURE_REQUIREMENTS exchanges (measured: a groupBy after
+    # repartition(group) elides its exchange at k <= 1, never at k >= 2).
     #
     # Instead: repartition once by the group keys, then compute every
     # distinct count as size(collect_set(col)) IN THE SAME aggregate as
@@ -137,13 +155,14 @@ def grouped_profile(
     # Scale contract: the shuffle is clustered by the GROUP keys, so (a)
     # reduce-side parallelism is bounded by group cardinality, and (b)
     # each group's distinct VALUES for one column must fit one executor's
-    # aggregation buffer — the right shape for time/entity rollups (days,
-    # users, services: thousands of groups, bounded sets). For a
-    # low-cardinality group over huge data (5 regions x 10^12 rows, or a
-    # distinct column with ~billions of values per group), pass
-    # approx=True: mergeable HLL sketches need no dedup state at all, and
-    # the Expand plan's finer intermediate keys — the only exact
-    # alternative — cost (k+1)x shuffle volume.
+    # aggregation buffer — the right shape for the catalog's multi-
+    # distinct profiles (daily: thousands of day-groups; region: 5 groups
+    # whose distinct sets are the 25 nations / 5 segments). For a
+    # low-cardinality group whose distinct VALUES are themselves huge
+    # (5 regions x ~billions of distinct users), pass approx=True:
+    # mergeable HLL sketches need no dedup state at all, and the Expand
+    # plan's finer intermediate keys — the only exact alternative — cost
+    # (k+1)x shuffle volume.
     gnames: list[str] = []  # output names
     knames: list[str] = []  # physical grouping columns in `tmp`
     tmp = df
@@ -164,13 +183,12 @@ def grouped_profile(
             tmp = tmp.withColumn(k, g)
     # Explicit width: a bare repartition(*cols) lets AQE coalesce the
     # shuffle to ~1 partition at local data sizes (64 MB advisory), which
-    # would serialize the CPU-heavy aggregation on one core. Width = the
-    # larger of cluster parallelism and the scan's own partition count, so
-    # at scale it tracks the input and locally it uses every core.
-    width = max(
-        df.sparkSession.sparkContext.defaultParallelism,
-        df.rdd.getNumPartitions(),
-    )
+    # would serialize the CPU-heavy aggregation on one core. Cluster
+    # parallelism is the width (probing the scan's own partition count
+    # would cost a full planning pass per call — inside bench-timed
+    # regions); at real scale AQE's advisory sizing never coalesces a
+    # 100 TB shuffle below the core count anyway.
+    width = df.sparkSession.sparkContext.defaultParallelism
     pre = tmp.repartition(width, *knames)
     for alias, col in distinct_cols.items():
         # size() returns int; countDistinct is long — match it
