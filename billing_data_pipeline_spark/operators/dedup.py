@@ -246,6 +246,13 @@ def minhash_neardup_pairs(
     corpus size + bucket collisions — no cross join at any scale; at 100 TB
     add a bucket-frequency cap to guard degenerate keys (boilerplate text).
     Seeded xxhash64 => deterministic; approximate => rows-only check.
+    
+
+    Cache contract (advice r4): the internal persist is swept by the NEXT
+    operator call that routes through ``swept_persist`` — materialize the
+    returned frame before invoking another such operator; a frame
+    evaluated after its persist is swept transparently recomputes its
+    (deterministic) lineage — correct, just slower.
     """
     n_bands = k // band_size
     # Arithmetic shingle hashing: one string pass (token xxhash64), then
@@ -313,10 +320,6 @@ def minhash_neardup_pairs(
     )
 
 
-# last ml_minhash call's plan-barrier persist (see the comment inside)
-_ML_BARRIER_CACHE: list[DataFrame] = []
-
-
 def ml_minhash_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -335,25 +338,24 @@ def ml_minhash_neardup_pairs(
     # freely reorders deterministic predicates, so the LSH hash / TF UDFs
     # evaluate ahead of the null/size filters and NPE on a NULL shingle
     # array (found by the NULL-injection sweep — a scan-level IS NOT NULL
-    # was still not enough). The persist() is a plan barrier the optimizer
-    # cannot push UDF predicates through, and the fit + self-join read the
-    # cleaned relation twice anyway.
-    # Cache lifetime: a DEDICATED last-call-wins registry, NOT the shared
-    # swept_persist — the barrier must survive OTHER operators' sweeps
-    # while this call's returned frame is alive; sweeping it on the next
-    # ml_minhash call keeps residency bounded under the same
-    # consumed-before-next-call contract (review r4).
-    while _ML_BARRIER_CACHE:
-        _ML_BARRIER_CACHE.pop().unpersist()
+    # was still not enough). localCheckpoint rebases the plan on a
+    # LogicalRDD — a barrier the optimizer can NEVER push UDF predicates
+    # through, with no cache-residency dependence: the r4 last-call-wins
+    # persist registry made correctness of a still-held earlier result
+    # depend on no later call having swept its barrier (advice r4). Block
+    # lifetime is the RDD's own (ContextCleaner frees it on driver GC),
+    # so residency stays bounded without a registry; the fit + self-join
+    # read the materialized relation twice anyway. Cluster note: local
+    # checkpoints die with executor loss — at that point the job retries,
+    # it never silently loses the barrier.
     docs = (
         df.filter(F.col(text_col).isNotNull())
         .select(
             F.col(id_col).alias("doc"), word_shingles(text_col, 3).alias("shingles")
         )
         .filter(F.size("shingles") > 0)
-        .persist()
+        .localCheckpoint(eager=False)
     )
-    _ML_BARRIER_CACHE.append(docs)
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True
     )

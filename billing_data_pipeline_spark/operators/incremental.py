@@ -52,7 +52,17 @@ def merge_partials(
 ) -> DataFrame:
     """Fold any number of partial rows per group into one (sum counts/sums,
     union HLL sketches) — associative and commutative, so batches can merge
-    in any order, any grouping, across any number of runs."""
+    in any order, any grouping, across any number of runs.
+
+    Schema compatibility: v1 partial tables (persisted before the r4 AVG
+    fix) carry no ``_measure_count`` column — those merge with
+    ``transaction_count`` standing in for it, which reproduces exactly the
+    COUNT(*)-divisor average v1 computed (advice r4: a hard missing-column
+    error here would brick the cross-run merge this module exists for)."""
+    if "_measure_count" not in partials.columns:
+        partials = partials.withColumn(
+            "_measure_count", F.col("transaction_count")
+        )
     aggs = [
         F.sum("transaction_count").alias("transaction_count"),
         F.sum("_measure_count").alias("_measure_count"),

@@ -88,6 +88,13 @@ def minhash_portable_pairs(
     in corpus + bucket collisions; one shuffle per band join); ~5x hash
     cost from md5 — run the fast tier in production, this tier is the
     oracle-checked proof of the pipeline's semantics.
+    
+
+    Cache contract (advice r4): the internal persist is swept by the NEXT
+    operator call that routes through ``swept_persist`` — materialize the
+    returned frame before invoking another such operator; a frame
+    evaluated after its persist is swept transparently recomputes its
+    (deterministic) lineage — correct, just slower.
     """
     # Persist + eager-materialize: the sigs subtree feeds both sides of the
     # band self-join — without it the md5 shingle pass (80% of sig cost at
@@ -238,7 +245,14 @@ def minhash_portable_pairs_between(
     bands are tiny, and the join probes corpus bands with batch bands —
     work scales with |batch| + collisions, not |corpus|^2 or even
     |corpus| x |batch|. Same portable hashing as the self-join tier, so
-    fully oracle-checked."""
+    fully oracle-checked.
+
+    Cache contract (advice r4): the internal persist is swept by the NEXT
+    operator call that routes through ``swept_persist`` — materialize the
+    returned frame before invoking another such operator; a frame
+    evaluated after its persist is swept transparently recomputes its
+    (deterministic) lineage — correct, just slower.
+    """
     from ._persist import swept_persist
 
     ex_sigs = swept_persist(_minhash_sigs(existing, id_col, text_col, k), eager=True)

@@ -764,9 +764,18 @@ def cosine_neardup_pairs(
     driver) — and each Arrow batch computes a (batch x corpus)
     dim-sequential cosine block (`_seq_cosine_matrix`, the
     decontaminate/IVF kernels' fold — same doubles as the HOF form).
-    NaN cosines (zero-norm vectors) are kept to mirror both engines'
-    NaN-is-greatest comparison semantics; NULL vectors never pair, as
-    before.
+    Zero-norm vectors produce 0/0 cosines and are EXCLUDED: both SQL
+    engines evaluate x/0 as NULL (DuckDB division, try_divide on the JVM
+    tier) and NULL >= t never passes — the kernel's NaN >= t is already
+    False, the aligned semantics (extreme sweep, r4). NULL vectors never
+    pair, as before.
+
+    Eager-evaluation contract (advice r4): building the corpus broadcast
+    runs one collect() job AT CALL TIME — unlike the other pair
+    generators this operator is not lazy, and the broadcast snapshots the
+    corpus as of the call (upstream mutations between call and
+    consumption are not observed). Callers wanting plan-time laziness use
+    `lsh_neardup_pairs`, which stays a pure plan builder.
     """
     from collections.abc import Iterator
 
@@ -1191,7 +1200,14 @@ def lsh_neardup_pairs(
     ELSE 0 (bucket 0) and the rerank emits NULL cosine, which the
     threshold filter drops on both engines. The signature and rerank
     kernels are the shared `_lsh_sig_frame` / `_cosine_rerank` helpers
-    (also behind lsh_bucketed_topk)."""
+    (also behind lsh_bucketed_topk).
+
+    Cache contract (advice r4): the internal persist is swept by the NEXT
+    operator call that routes through ``swept_persist`` — materialize the
+    returned frame before invoking another such operator; a frame
+    evaluated after its persist is swept transparently recomputes its
+    (deterministic) lineage — correct, just slower.
+    """
     all_planes = _lsh_tables_planes(n_tables, n_bits, dim, seed)
     id_type = df.schema[id_col].dataType
 
@@ -1259,7 +1275,14 @@ def lsh_bucketed_topk(
     re-fetch vectors (queries via broadcast, corpus via its persisted
     signature frame) and `_cosine_rerank` scores them; the top-k window
     is pure JVM. Measured 6.2 s -> well under 1 s at sf0.1 with the
-    hash gate unchanged."""
+    hash gate unchanged.
+
+    Cache contract (advice r4): the internal persist is swept by the NEXT
+    operator call that routes through ``swept_persist`` — materialize the
+    returned frame before invoking another such operator; a frame
+    evaluated after its persist is swept transparently recomputes its
+    (deterministic) lineage — correct, just slower.
+    """
     from pyspark.sql import Window
 
     all_planes = _lsh_tables_planes(n_tables, n_bits, dim, seed)

@@ -259,12 +259,23 @@ class SnapshotTable:
         # append chains may span additive schema evolution
         return self.spark.read.option("mergeSchema", True).parquet(*dirs)
 
-    def vacuum(self, keep: int = 1) -> list[int]:
+    def vacuum(
+        self, keep: int = 1, stale_staging_secs: float = 3600.0
+    ) -> list[int]:
         """Delete every version directory no retained read can need: reads
         of the newest ``keep`` versions resolve to their base overwrite +
         later appends, so anything older than the oldest retained base —
         and any unpublished crash orphan — goes. Returns versions
-        removed."""
+        removed.
+
+        ``stale_staging_secs`` bounds the staging-orphan sweep: a
+        ``_staging_*`` directory counts as abandoned only when NOTHING in
+        its tree (not just the top-level dir — an in-flight Spark write
+        lands task files under ``_temporary/`` without touching the
+        top-level mtime, advice r4) has been modified for this long. Set
+        it above the longest expected commit write; it is deliberately
+        independent of the metadata-lock lease, which is sized for
+        millisecond critical sections, not data-sized writes."""
         import shutil
 
         with self._mutate_lock():
@@ -303,13 +314,37 @@ class SnapshotTable:
         for v in removed:
             shutil.rmtree(self._vdir(v), ignore_errors=True)
         # Staging orphans from crashed commits are unreferenced by
-        # construction — sweep any older than the stale-lock lease.
+        # construction — but an IN-FLIGHT commit's staging dir looks
+        # identical from the top (its activity is task files appearing
+        # under _temporary/, which never touches the top-level mtime).
+        # Sweep only trees with zero write activity for
+        # `stale_staging_secs` anywhere inside (advice r4: the old
+        # top-level-mtime check could rmtree a live long write, failing
+        # the commit — or worse, racing between job success and the
+        # locked rename, publishing a version with missing part files).
+        now = time.time()
         for name in os.listdir(self.path):
             if name.startswith("_staging_"):
                 p = os.path.join(self.path, name)
-                try:
-                    if time.time() - os.path.getmtime(p) > 600.0:
-                        shutil.rmtree(p, ignore_errors=True)
-                except OSError:
-                    pass
+                if self._tree_idle_since(p, now - stale_staging_secs):
+                    shutil.rmtree(p, ignore_errors=True)
         return sorted(removed)
+
+    @staticmethod
+    def _tree_idle_since(root: str, cutoff: float) -> bool:
+        """True iff no file or directory under ``root`` has an mtime newer
+        than ``cutoff``. Walks with early exit on the first fresh entry,
+        so for a live write the scan stops almost immediately; a genuinely
+        abandoned tree is walked once before its one-time delete. Any
+        OSError (entry vanished mid-walk = concurrent activity) counts as
+        fresh — never sweep on ambiguity."""
+        try:
+            if os.path.getmtime(root) > cutoff:
+                return False
+            for dirpath, dirnames, filenames in os.walk(root):
+                for entry in dirnames + filenames:
+                    if os.path.getmtime(os.path.join(dirpath, entry)) > cutoff:
+                        return False
+        except OSError:
+            return False
+        return True

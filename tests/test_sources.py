@@ -398,12 +398,38 @@ def test_snapshot_table_vacuum_sweeps_stale_staging_orphans(spark, tmp_path):
     t.commit(spark.range(1).withColumnRenamed("id", "k"))
     stale = os.path.join(t.path, "_staging_deadbeef")
     fresh = os.path.join(t.path, "_staging_cafebabe")
+    # in-flight long write: the top-level dir mtime went stale long ago,
+    # but Spark tasks keep landing files under _temporary/ (advice r4 —
+    # the old top-level-only check swept exactly this shape mid-commit)
+    inflight = os.path.join(t.path, "_staging_12345678")
     os.makedirs(stale)
     os.makedirs(fresh)
+    os.makedirs(os.path.join(inflight, "_temporary", "0"))
     old = _time.time() - 10_000
-    os.utime(stale, (old, old))
+    with open(os.path.join(stale, "part-0.parquet"), "w") as f:
+        f.write("x")
+    task_file = os.path.join(inflight, "_temporary", "0", "part-0.parquet")
+    with open(task_file, "w") as f:
+        f.write("x")
+    for p in (
+        stale,
+        os.path.join(stale, "part-0.parquet"),
+        inflight,
+        os.path.join(inflight, "_temporary"),
+        os.path.join(inflight, "_temporary", "0"),
+    ):
+        os.utime(p, (old, old))
+    # task_file keeps its fresh mtime: ONE fresh entry anywhere in the
+    # tree must protect the whole staging dir
     t.vacuum(keep=1)
     assert not os.path.exists(stale)
+    assert os.path.exists(fresh)
+    assert os.path.exists(inflight)
+    # once the write truly dies (everything idle past the threshold) the
+    # orphan goes — with the threshold now a parameter, not the lock lease
+    os.utime(task_file, (old, old))
+    t.vacuum(keep=1, stale_staging_secs=5_000)
+    assert not os.path.exists(inflight)
     assert os.path.exists(fresh)
 
 
