@@ -72,15 +72,15 @@ def register(
 
 
 # The external correctness gate samples the first N (observed: 50) catalog
-# entries in registration order. Round-4 policy (VERDICT r3 #3): 21 slots
-# stay PINNED — one flagship per §2 / §2.12 family plus every operator whose
-# implementation changed this round — and the remaining 29 slots ROTATE each
-# round over catalog queries that have never had an external driver row
-# (93 of 165 checked through r3; the never-checked tail clears in
-# two rotations). Names here must exist and carry an oracle (asserted in
-# tests).
+# entries in registration order. Rotation policy (VERDICT r3 #3): 15 slots
+# stay PINNED — one flagship per §2 / §2.12 family, plus any operator whose
+# implementation changed in the current round — and the remaining slots
+# ROTATE each round over catalog queries that have never had an external
+# driver row (122 of 165 checked through r4; after this r5 rotation only
+# 5 oracle-backed + 3 rows-only remain, clearing in r6). Names here must
+# exist and carry an oracle (asserted in tests).
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
-    # --- pinned flagships (one per family; r1-r3 green driver rows) ---
+    # --- pinned flagships (one per family; r1-r4 green driver rows) ---
     "daily_aggregates",  # reference-core aggregate
     "dedup_anti_join",  # ingest anti-join
     "scalar_function_matrix",  # scalar surface
@@ -96,57 +96,52 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "embedding_ivf_topk",  # ANN
     "text_quality_by_lang",  # text analysis
     "media_real_decode_manifest",  # multimodal
-    # --- pinned because the implementation changed in r4 ---
-    "doc_top_terms_tfidf",  # vectorized kernel + broadcast idf + vocab cap
-    "decontaminate_ngram",  # driver-built eval grams + Arrow corpus pass
-    "embedding_lsh_neardup_pairs",  # ids-only band join + Arrow rerank
-    "embedding_dedup_components",  # star-contract convergence rework
-    "usage_percentiles",  # sort-based bracketing-rank exact quantiles
-    "doc_repetition_stats",  # Counter Arrow kernel replaced HOF folds
-    # --- r4 rotation: 33 queries with no external row in r1-r3 ---
-    # text / curation
-    "decontaminate_embedding",
-    "doc_model_quality_scores",
-    "doc_unigram_logprob",
-    "heavy_hitter_terms",
-    "boilerplate_strip_docs",
-    # (arrow_doc_stats / event_value_deciles yielded their r4 slots to the
-    # two operators reworked late in the round — usage_percentiles and
-    # doc_repetition_stats, pinned above; they rotate in r5.)
-    # ANN / ML
-    "embedding_kmeans_step",
-    # streaming windows (local replica only until now)
-    "streaming_dedup_catchup",
-    "streaming_left_outer_join_catchup",
-    "streaming_enrich_catchup",
-    "streaming_stateful_totals",
-    "streaming_sliding_catchup",
-    "streaming_ohlc_catchup",
-    "session_window_stats",
-    # (tumbling_event_counts / sliding_window_volume yielded their r4
-    # slots to the two reworked-implementation pins above; they rotate
-    # in r5 — batch twins of already-externally-verified stream shapes.)
-    # temporal / merge / ingest tiers
-    "purchase_last_click_asof_cogroup",
-    "error_burst_range_join",
-    "purchase_gap_filled_locf",
-    "user_state_scd2",
-    "bloom_prefiltered_dedup_ingest",
+    # --- r5 rotation: 35 oracle-backed queries with no external row in
+    # r1-r4 (deferred to r6: region_nation_roster, status_rollup,
+    # multi_action_users, priority_lines_by_status, large_order_customers
+    # — simple variants of already-verified shapes; rows-only queries are
+    # excluded by the oracle guard) ---
+    # events / transcripts / funnels
+    "user_event_transcripts",
+    "purchasers_without_errors",
+    "conversion_funnel",
+    "user_hourly_rolling_sum",
+    "user_top3_value_mass",
+    "tumbling_event_counts",
+    "sliding_window_volume",
+    "event_value_deciles",
+    "date_spine_coverage",
+    "url_and_path_parsing",
+    # docs
+    "arrow_doc_stats",
+    # semi-structured / function matrices
+    "json_props_rollup",
+    "variant_props_rollup",
+    "array_function_matrix",
+    "order_metrics_unpivot",
+    "returnflag_pivot",
+    # TPC-H shapes
+    "small_quantity_part_revenue",
+    "top_supplier_revenue",
+    "important_parts_share",
+    "promo_revenue_share",
+    "disjunctive_part_revenue",
+    "customer_order_distribution",
+    "part_supplier_variety",
+    "lone_failed_supplier_orders",
+    "idle_rich_customers",
+    "nation_pair_trade_volume",
+    "discounted_revenue",
+    "cheapest_supplier_per_part",
+    "nation_market_share",
+    "product_profit_by_nation",
+    "returned_revenue_customers",
+    "dominant_part_suppliers",
+    # co-purchase graph
+    "frequently_copurchased_parts",
+    "copurchase_triangles",
     # time series
-    "rolling_active_users_7d",
-    "daily_value_ohlc",
-    "user_time_weighted_value",
-    "user_value_ewma",
-    # distribution stats
-    "usage_histogram",
-    "price_quantity_regression",
-    # SQL entry points
-    "sql_pricing_summary",
-    "sql_returned_items",
-    "sql_cube_quantities",
-    # relational matrix / cube
-    "window_function_matrix",
-    "priority_status_cube",
+    "monthly_revenue_growth",
 )
 
 
