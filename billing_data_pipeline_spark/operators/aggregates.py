@@ -114,15 +114,15 @@ def grouped_profile(
             # 100 TB shape for a low-cardinality group over huge data
             # (service: 6 groups x all suppliers), which the k >= 2
             # collocated form below would funnel into |groups| reducers.
-            # fan_out only widens a few-partition LOCAL scan (no-op at
-            # real partition counts) so the partial dedup isn't serialized
-            # on the file count (service_aggregates 0.71 -> 0.45 s at
-            # sf0.1 under full materialization).
+            # No fan_out here (r5): widening the scan costs a full-row
+            # round-robin exchange whose single upstream write task
+            # outweighs the parallel dedup it buys — measured min-of-7
+            # interleaved at sf0.1 under full materialization:
+            # service 0.95 -> 0.67 s, user 0.51 -> 0.27 s without it.
+            # (fan_out stays right for CPU-heavy PER-ROW work — regex /
+            # Arrow kernels — where per-row cost dwarfs one exchange.)
             alias, col = next(iter(distinct_cols.items()))
             aggs.insert(3, F.countDistinct(col).alias(alias))
-            from ..session import fan_out
-
-            df = fan_out(df, divisor=1)
         if all(isinstance(g, str) for g in group_cols):
             gnames = list(group_cols)
         else:
