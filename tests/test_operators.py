@@ -667,3 +667,31 @@ def test_heavy_hitters_exact_on_skewed_synthetic(spark):
     }
     assert got == {(t, n) for t, n in truth}
     assert ("hot", 2000) in got
+
+
+def test_ml_minhash_barrier_survives_later_calls(spark):
+    """The NULL-shingle fence must not depend on cache residency (advice
+    r4): evaluate the FIRST call's returned frame only AFTER a second
+    call — under the old last-call-wins persist registry the second call
+    swept the first's plan barrier, letting Catalyst push the MLlib UDF
+    predicates back ahead of the null filters (NPE on NULL shingles).
+    localCheckpoint makes the barrier structural (LogicalRDD)."""
+    from billing_data_pipeline_spark.operators.dedup import (
+        ml_minhash_neardup_pairs,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again"),
+        (2, "the quick brown fox jumps over the lazy dog again"),
+        (3, None),
+        (4, "completely different text with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    first = ml_minhash_neardup_pairs(df, "doc_id", "text")
+    second = ml_minhash_neardup_pairs(df, "doc_id", "text")
+    assert second.count() >= 1
+    # first frame evaluated AFTER the later call: must not NPE, and the
+    # plan must still carry the structural barrier
+    got = {(r["doc_a"], r["doc_b"]) for r in first.collect()}
+    assert (1, 2) in got
+    assert "LogicalRDD" in first._jdf.queryExecution().optimizedPlan().toString()

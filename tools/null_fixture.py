@@ -300,23 +300,138 @@ def build_extreme(src: str, dst: str) -> str:
     return dst
 
 
+def build_skew(src: str, dst: str) -> str:
+    """Pathological KEY SKEW a 100 TB corpus WILL contain — one bot user,
+    one mega-order, one boilerplate template, one duplicated embedding:
+
+    - events: ~60% of rows retargeted to ONE hot user_id (keeps event ids
+      and values; creates duplicate (user, ts) instants inside the hot
+      user, so every per-user window/session/asof exercises its id
+      tiebreak under mass ties, and per-user aggregates see one group
+      holding most of the table);
+    - lineitem: ~40% of rows retargeted to ONE hot (l_orderkey,
+      l_suppkey, l_partkey) that already exists — the orders/part/
+      supplier joins stay referentially intact but funnel through a
+      single join key (the AQE-skew / salting shape);
+    - documents: ~50% of docs get a shared boilerplate sentence appended —
+      one white-hot shingle/minhash band bucket (LSH candidate explosion
+      is quadratic IN THE BUCKET; the exact-Jaccard oracle must still
+      agree after the flood);
+    - embeddings: ~30% of vectors replaced by ONE shared vector — ANN
+      buckets, k-means assignment ties, and near-dup components all
+      collapse onto a single centroid (argmin/argmax tie policy, giant
+      connected component);
+    - customer: ~80% of customers moved to ONE hot nation (region rollup
+      group skew through two broadcast joins).
+
+    Every oracle recomputes on the same skewed parquet, so the hash gate
+    checks CORRECTNESS under skew; runtime staying bounded is the scale
+    check (a candidate-pair or window materialization that is quadratic
+    in a key's row count shows up here as a hang, not a hash diff)."""
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    con = duckdb.connect()
+    hot = {
+        "user": con.execute(
+            f"SELECT min(user_id) FROM '{src}/events.parquet'"
+        ).fetchone()[0],
+        "order": con.execute(
+            f"SELECT min(l_orderkey) FROM '{src}/lineitem.parquet'"
+        ).fetchone()[0],
+        "supp": con.execute(
+            f"SELECT min(l_suppkey) FROM '{src}/lineitem.parquet'"
+        ).fetchone()[0],
+        "part": con.execute(
+            f"SELECT min(l_partkey) FROM '{src}/lineitem.parquet'"
+        ).fetchone()[0],
+        "nation": con.execute(
+            f"SELECT min(c_nationkey) FROM '{src}/customer.parquet'"
+        ).fetchone()[0],
+    }
+    for t in TABLES:
+        if t == "events":
+            con.execute(
+                f"""COPY (
+                  SELECT event_id, ts,
+                         CASE WHEN event_id % 5 < 3 THEN {hot['user']}
+                              ELSE user_id END AS user_id,
+                         event_type, value, props
+                  FROM '{src}/events.parquet'
+                ) TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "lineitem":
+            con.execute(
+                f"""COPY (
+                  SELECT * REPLACE (
+                    CASE WHEN l_linenumber % 5 < 2 THEN {hot['order']}
+                         ELSE l_orderkey END AS l_orderkey,
+                    CASE WHEN l_linenumber % 5 < 2 THEN {hot['supp']}
+                         ELSE l_suppkey END AS l_suppkey,
+                    CASE WHEN l_linenumber % 5 < 2 THEN {hot['part']}
+                         ELSE l_partkey END AS l_partkey)
+                  FROM '{src}/lineitem.parquet'
+                ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "documents":
+            con.execute(
+                f"""COPY (
+                  SELECT * REPLACE (
+                    CASE WHEN doc_id % 2 = 0 THEN text ||
+                      ' subscribe to our newsletter terms of service apply all rights reserved'
+                         ELSE text END AS text)
+                  FROM '{src}/documents.parquet'
+                ) TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "embeddings":
+            con.execute(
+                f"""COPY (
+                  SELECT vec_id,
+                         CASE WHEN vec_id % 10 < 3 THEN (
+                             SELECT embedding
+                             FROM '{src}/embeddings.parquet'
+                             ORDER BY vec_id LIMIT 1)
+                              ELSE embedding END AS embedding,
+                         label
+                  FROM '{src}/embeddings.parquet'
+                ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "customer":
+            con.execute(
+                f"""COPY (
+                  SELECT * REPLACE (
+                    CASE WHEN c_custkey % 5 < 4 THEN {hot['nation']}
+                         ELSE c_nationkey END AS c_nationkey)
+                  FROM '{src}/customer.parquet'
+                ) TO '{dst}/customer.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    return dst
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     dups = "--dups" in sys.argv[1:]
     empty = "--empty" in sys.argv[1:]
     extreme = "--extreme" in sys.argv[1:]
     timewarp = "--timewarp" in sys.argv[1:]
+    skew = "--skew" in sys.argv[1:]
     src = args[0] if args else "/root/testdata/sf0.001"
     default_dst = (
         "/tmp/duptest_sf" if dups else
         "/tmp/emptytest_sf" if empty else
         "/tmp/extremetest_sf" if extreme else
-        "/tmp/timewarptest_sf" if timewarp else "/tmp/nulltest_sf"
+        "/tmp/timewarptest_sf" if timewarp else
+        "/tmp/skewtest_sf" if skew else "/tmp/nulltest_sf"
     )
     dst = args[1] if len(args) > 1 else default_dst
     builder = (
         build_dups if dups else build_empty if empty else
         build_extreme if extreme else
-        build_timewarp if timewarp else build
+        build_timewarp if timewarp else
+        build_skew if skew else build
     )
     print("wrote", builder(src, dst))
