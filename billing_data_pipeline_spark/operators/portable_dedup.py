@@ -96,14 +96,18 @@ def minhash_portable_pairs(
     evaluated after its persist is swept transparently recomputes its
     (deterministic) lineage — correct, just slower.
     """
-    # Persist + eager-materialize: the sigs subtree feeds both sides of the
-    # band self-join — without it the md5 shingle pass (80% of sig cost at
-    # sf0.1) recomputes per branch (see dedup.minhash_neardup_pairs).
-    # Cache lifetime: bounded to the LAST operator call via swept_persist
-    # (review r4 — per-call persists previously accumulated all session).
+    # Persist LAZILY: the sigs subtree feeds both sides of the band
+    # self-join, so without the persist the md5 shingle pass recomputes
+    # per branch. r5 re-measure (min-of-5 interleaved, sf0.1, full
+    # materialization): eager=True's extra count() job costs MORE than
+    # the concurrent-branch race it prevents — this tier has only two
+    # consuming branches, and on an idle 32-core box the worst case (both
+    # branches compute the kernel once, in parallel) still beats
+    # serial-materialize-then-join: 0.73 s -> 0.43 s. (Contrast
+    # dedup.minhash_neardup_pairs, whose FOUR branches keep eager.)
     from ._persist import swept_persist
 
-    sigs = swept_persist(_minhash_sigs(df, id_col, text_col, k), eager=True)
+    sigs = swept_persist(_minhash_sigs(df, id_col, text_col, k))
 
     # The signature (k longs, ~100 B) rides THROUGH the band self-join so
     # the agreement estimate is computed in the join projection itself —
@@ -245,21 +249,15 @@ def minhash_portable_pairs_between(
     bands are tiny, and the join probes corpus bands with batch bands —
     work scales with |batch| + collisions, not |corpus|^2 or even
     |corpus| x |batch|. Same portable hashing as the self-join tier, so
-    fully oracle-checked.
-
-    Cache contract (advice r4): the internal persist is swept by the NEXT
-    operator call that routes through ``swept_persist`` — materialize the
-    returned frame before invoking another such operator; a frame
-    evaluated after its persist is swept transparently recomputes its
-    (deterministic) lineage — correct, just slower.
+    fully oracle-checked. (No internal persist: each signature frame
+    feeds exactly one join side, so there is no branch reuse to cache.)
     """
-    from ._persist import swept_persist
-
-    ex_sigs = swept_persist(_minhash_sigs(existing, id_col, text_col, k), eager=True)
-    # sweep=False: the second persist of ONE call must not evict the first
-    in_sigs = swept_persist(
-        _minhash_sigs(incoming, id_col, text_col, k), eager=True, sweep=False
-    )
+    # No persist here (r5): unlike the self-join tier, each signature
+    # frame feeds exactly ONE band-join side — there is no plan-branch
+    # reuse for a cache to deduplicate, so the two eager count() jobs
+    # were pure overhead.
+    ex_sigs = _minhash_sigs(existing, id_col, text_col, k)
+    in_sigs = _minhash_sigs(incoming, id_col, text_col, k)
     # Same sig-through-the-band-join fold as the self-join tier: the
     # estimate is computed in the band-join projection and the pair
     # distinct happens after thresholding — 3 exchanges, no sig rejoins

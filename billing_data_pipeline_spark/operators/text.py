@@ -722,26 +722,32 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     token, and share of the most frequent bigram. High top-shares flag
     boilerplate/repetition for training-data filtering.
 
-    Shape: ZERO shuffles — every metric is a per-row computation inside one
-    Arrow batch kernel in the scan stage (only the final presentation sort
-    exchanges, and that carries the doc-sized result). This replaced two
-    earlier formulations, each measured at sf0.1 under full
+    Shape: ZERO shuffles — every metric is a per-row computation inside
+    one Arrow batch kernel in the scan stage, and the returned relation is
+    deliberately UNORDERED (r5: the old presentation orderBy added the
+    operator's only exchange; relations are unordered, consumers sort).
+    Formulation history, each measured at sf0.1 under full
     materialization: (1) exploding unigrams AND bigrams into corpus-length
     streams with four shuffles + a join; (2) per-row sorted-run folds via
     array_sort + aggregate() HOFs — branchless SQL, but Catalyst evaluates
-    lambda HOFs INTERPRETED, and a Counter-based Python loop over Arrow
-    batches runs the same per-doc work 1.4x faster (0.84 -> 0.60 s) while
-    keeping per-doc state on the executor.
+    lambda HOFs INTERPRETED (0.84 s); (3) a per-doc Python Counter loop
+    (0.60 s); (4, current) the fully vectorized kernel — pyarrow C
+    tokenization (the doc_top_terms chain: replace_substring_regex +
+    utf8_lower + split_pattern_regex + list_flatten/parent_indices), one
+    pd.factorize over the batch's tokens, per-(doc, term) groupby counts,
+    and bigrams as the shifted-code pairs where adjacent parent indices
+    match — 0.62 -> 0.31 s with bit-identical output.
 
-    Parity contract (hash-gated): the tokenizer is the Python twin of
-    ascii_folded + TOKEN_SPLIT_RE — both regex classes are pure-ASCII
-    ([^A-Za-z]+ fold then [^a-z]+ split), where Java, RE2, and Python
-    agree; empty split tokens are dropped on every engine. Counter max ==
-    the run-max of the sorted token array. All ratios are single IEEE
-    divisions of identical integer operands. Docs with NULL text or zero
-    tokens are dropped (the oracle's unnest never produced rows for them);
-    top_bigram_share is NULL (not NaN) for one-token docs. Output verified
-    bit-identical to the HOF formulation across sf0.01/sf0.1.
+    Parity contract (hash-gated): the tokenizer strips [^A-Za-z]+ BEFORE
+    lowering, so pyarrow's full-Unicode utf8_lower only ever sees ASCII
+    letters and agrees with Java/Python/DuckDB; both regex classes are
+    pure-ASCII, where Java, RE2 (pyarrow), and Python agree; empty split
+    tokens are dropped on every engine. Group max == Counter max. All
+    ratios are single IEEE divisions of identical integer operands. Docs
+    with NULL text or zero tokens are dropped (the oracle's unnest never
+    produced rows for them); top_bigram_share is NULL (not NaN) for
+    one-token docs. Output verified bit-identical to the Counter
+    formulation across sf0.01/sf0.1.
     """
     id_dt = df.schema[id_col].dataType
     schema = T.StructType(
@@ -754,51 +760,78 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
             T.StructField("top_bigram_share", T.DoubleType()),
         ]
     )
+    out_cols = [f.name for f in schema.fields]
 
     def kernel(it):
-        import re
-        from collections import Counter
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        strip = re.compile("[^A-Za-z]+")
-        sep = re.compile(TOKEN_SPLIT_RE)
-        cols = (
-            id_col,
-            "n_tokens",
-            "distinct_tokens",
-            "type_token_ratio",
-            "top_token_share",
-            "top_bigram_share",
-        )
         for pdf in it:
-            out = {k: [] for k in cols}
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                if text is None:
-                    continue
-                toks = [t for t in sep.split(strip.sub(" ", text).lower()) if t]
-                n = len(toks)
-                if n == 0:
-                    continue
-                cnt = Counter(toks)
-                if n >= 2:
-                    top_bi = max(Counter(zip(toks, toks[1:])).values())
-                    bi_share = top_bi / float(n - 1)
-                else:
-                    bi_share = None
-                out[id_col].append(doc_id)
-                out["n_tokens"].append(n)
-                out["distinct_tokens"].append(len(cnt))
-                out["type_token_ratio"].append(len(cnt) / float(n))
-                out["top_token_share"].append(max(cnt.values()) / float(n))
-                out["top_bigram_share"].append(bi_share)
-            yield pd.DataFrame(out)
+            tb = pa.Table.from_pandas(pdf)
+            toks = pc.split_pattern_regex(
+                pc.utf8_lower(
+                    pc.replace_substring_regex(
+                        tb.column(text_col), TOKEN_STRIP_RE, " "
+                    )
+                ),
+                TOKEN_SPLIT_RE,
+            )
+            idx = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+            flat = pc.list_flatten(toks)
+            keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            idx = idx[keep]
+            if len(idx) == 0:
+                yield pd.DataFrame({c: [] for c in out_cols})
+                continue
+            terms = flat.to_pandas().to_numpy()[keep]
+            ids = pdf[id_col].to_numpy()
+            tcodes, _ = pd.factorize(terms)
+            per_pair = pd.DataFrame({"i": idx, "t": tcodes}).groupby(
+                ["i", "t"], sort=False
+            ).size()
+            per_doc = per_pair.groupby(level=0)
+            out = pd.DataFrame(
+                {
+                    "n_tokens": per_doc.sum(),
+                    "distinct_tokens": per_doc.size(),
+                    "_top": per_doc.max(),
+                }
+            )
+            # bigram (a, b) exists where two consecutive flat tokens share
+            # a parent doc; max per-doc count of the (a, b) code pair
+            same = idx[1:] == idx[:-1]
+            if same.any():
+                top_bi = (
+                    pd.DataFrame(
+                        {
+                            "i": idx[1:][same],
+                            "a": tcodes[:-1][same],
+                            "b": tcodes[1:][same],
+                        }
+                    )
+                    .groupby(["i", "a", "b"], sort=False)
+                    .size()
+                    .groupby(level=0)
+                    .max()
+                )
+            else:
+                top_bi = pd.Series(dtype="int64")
+            out["type_token_ratio"] = out["distinct_tokens"] / out["n_tokens"]
+            out["top_token_share"] = out["_top"] / out["n_tokens"]
+            nb = out["n_tokens"] - 1
+            bshare = top_bi.reindex(out.index) / nb.where(nb > 0)
+            out["top_bigram_share"] = (
+                bshare.astype(object).where(pd.notna(bshare), None)
+            )
+            out = out.reset_index(names="_row")
+            out[id_col] = ids[out["_row"].to_numpy()]
+            yield out[out_cols]
 
     # fan_out: the kernel is CPU-heavy per-row work that a single-file
     # local scan would serialize on one core; no-op at real partition
     # counts.
-    return (
-        fan_out(df.select(id_col, text_col), divisor=2)
-        .mapInPandas(kernel, schema)
-        .orderBy(id_col)
+    return fan_out(df.select(id_col, text_col), divisor=2).mapInPandas(
+        kernel, schema
     )
 
 
