@@ -117,6 +117,21 @@ def _stream_scratch_dir(prefix: str) -> str:
 _TS_STORED_LONG: dict[str, bool] = {}
 
 
+def _probe_ts_stored_long(spark: SparkSession, sf_dir: str) -> bool:
+    """Cached footer probe: does this sf_dir's events table store ts as
+    INT64 TIMESTAMP(NANOS) (=> declare ``ts long`` + nanosAsLong)? The ONE
+    place the probe-and-conf dance lives (review r5: it was copied in
+    _declare_event_stream and _stream_events_flushed, so a probe fix had
+    to land twice or the two paths diverged)."""
+    from ..sources.tables import events_ts_is_nanos
+
+    if sf_dir not in _TS_STORED_LONG:
+        _TS_STORED_LONG[sf_dir] = events_ts_is_nanos(f"{sf_dir}/events.parquet")
+    if _TS_STORED_LONG[sf_dir]:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _TS_STORED_LONG[sf_dir]
+
+
 def _declare_event_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -131,13 +146,7 @@ def _declare_event_stream(
     nanosAsLong conf is set only when the table actually stores nanos,
     where the batch reader needs it too (review r4: it was set
     unconditionally, session-wide)."""
-    from ..sources.tables import events_ts_is_nanos
-
-    if sf_dir not in _TS_STORED_LONG:
-        _TS_STORED_LONG[sf_dir] = events_ts_is_nanos(f"{sf_dir}/events.parquet")
-    stored_long = _TS_STORED_LONG[sf_dir]
-    if stored_long:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stored_long = _probe_ts_stored_long(spark, sf_dir)
     decl = _STREAM_EVENTS_SCHEMA.format(
         ts_type="long" if stored_long else "timestamp_ntz"
     )
@@ -165,21 +174,54 @@ def _table_data_files(src: str) -> list[str]:
     return [src]
 
 
+def _ts_is_int96(p: str) -> bool:
+    """True when a parquet file stores ``ts`` as INT96 — Spark's DEFAULT
+    ``outputTimestampType``, so any plain df.write.parquet events table
+    ships this way. The stream schema declares INT64 µs (timestamp_ntz),
+    which Spark's parquet reader refuses to fill from INT96 — such files
+    are rewritten µs-normalized instead of symlinked (review r5)."""
+    import pyarrow.parquet as pq
+
+    s = pq.ParquetFile(p).metadata.schema
+    return any(
+        s.column(i).name == "ts" and s.column(i).physical_type == "INT96"
+        for i in range(len(s))
+    )
+
+
 def _deliver(
     src: str, dest_dir: str, prefix: str, mtime: float | None = None
 ) -> int:
     """Materialize one DELIVERY of a parquet table into the stream dir:
     symlinks when mtime control isn't needed, copies pinned to ``mtime``
     when it is (the file source orders files by mtime — see
-    _stream_events_flushed). Returns the file count delivered."""
+    _stream_events_flushed). INT96-timestamp files (Spark's default write
+    form) are rewritten with ts cast to µs so they satisfy the declared
+    stream schema. Symlink targets are made ABSOLUTE — a relative source
+    path stored verbatim would resolve against the /tmp scratch dir and
+    either error or silently drain 0 rows (review r5). Returns the file
+    count delivered."""
     import os
     import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     files = _table_data_files(src)
     for i, p in enumerate(files):
         dest = os.path.join(dest_dir, f"{prefix}_{i:05d}.parquet")
-        if mtime is None:
-            os.symlink(p, dest)
+        if _ts_is_int96(p):
+            tbl = pq.read_table(p)
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("ts"),
+                "ts",
+                tbl.column("ts").cast(pa.timestamp("us")),
+            )
+            pq.write_table(tbl, dest)
+            if mtime is not None:
+                os.utime(dest, (mtime, mtime))
+        elif mtime is None:
+            os.symlink(os.path.abspath(p), dest)
         else:
             shutil.copyfile(p, dest)
             os.utime(dest, (mtime, mtime))
@@ -323,13 +365,9 @@ def _stream_events_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from ..sources.tables import events_ts_is_nanos, load_table
+    from ..sources.tables import load_table
 
-    if sf_dir not in _TS_STORED_LONG:
-        _TS_STORED_LONG[sf_dir] = events_ts_is_nanos(f"{sf_dir}/events.parquet")
-    stored_long = _TS_STORED_LONG[sf_dir]
-    if stored_long:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stored_long = _probe_ts_stored_long(spark, sf_dir)
     max_us = (
         load_table(spark, sf_dir, "events")
         .agg(F.max(F.unix_micros("ts")))
@@ -348,15 +386,22 @@ def _stream_events_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     src = f"{sf_dir}/events.parquet"
-    if os.path.isdir(src):
+    src_files = _table_data_files(src)
+    if os.path.isdir(src) or (src_files and _ts_is_int96(src_files[0])):
         # Directory-shaped table: the sentinel flush needs per-FILE batch
         # granularity (maxFilesPerTrigger=1), so the real events must be
         # ONE file — merge the parts (driver-side, bounded by the local
         # test scale; production flushes come from the live stream, not
-        # this finite-drain shim).
-        tbl = pa.concat_tables(
-            [pq.read_table(p) for p in _table_data_files(src)]
-        )
+        # this finite-drain shim). INT96 sources (Spark's default write
+        # form) are µs-normalized on the way so the merged file matches
+        # the declared stream schema (review r5).
+        tbl = pa.concat_tables([pq.read_table(p) for p in src_files])
+        if not stored_long:
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("ts"),
+                "ts",
+                tbl.column("ts").cast(pa.timestamp("us")),
+            )
         pq.write_table(tbl, f"{stream_dir}/events.parquet")
     else:
         shutil.copyfile(src, f"{stream_dir}/events.parquet")
@@ -442,7 +487,10 @@ def streaming_left_outer_join_catchup(spark: SparkSession, sf_dir: str) -> DataF
     # scan, where parquet min/max stats prune the sentinel FILES themselves
     # — and with them the watermark advance they exist to provide.
     out = run_to_memory(sdf, f"ssloj_{uuid.uuid4().hex[:8]}", "append")
-    return out.filter(F.col("user_id") >= 0)
+    # NULL-user clicks are legitimate unmatched outer rows the oracle's
+    # LEFT JOIN keeps — a bare >= 0 evaluates NULL and dropped them
+    # (review r5); sentinels are always user_id = -1, never NULL
+    return out.filter(F.col("user_id").isNull() | (F.col("user_id") >= 0))
 
 
 @register(

@@ -42,17 +42,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_ts_is_nanos(path: str) -> bool:
-    """True when the events table stores ``ts`` as TIMESTAMP(NANOS).
-    Probed with a pyarrow footer read — NOT by flipping
-    ``spark.sql.legacy.parquet.nanosAsLong`` session-wide and reading
-    (review r4: the conf was set unconditionally and never restored, so
-    any later, unrelated read of a nanos parquet column silently came
-    back as LongType instead of failing loudly). Handles both a single
-    file and a Spark-written directory of parts."""
+    """True when the events table stores ``ts`` as INT64 TIMESTAMP(NANOS)
+    — the one physical form Spark's reader rejects without the legacy
+    ``nanosAsLong`` conf. Probed with a pyarrow footer read — NOT by
+    flipping the conf session-wide and reading (review r4: the conf was
+    set unconditionally and never restored, so any later, unrelated read
+    of a nanos parquet column silently came back as LongType instead of
+    failing loudly). Handles both a single file and a Spark-written
+    directory of parts.
+
+    The check reads the parquet PHYSICAL type, not the arrow-mapped type
+    (review r5): Spark-written INT96 timestamps (the default
+    ``outputTimestampType``) also surface as ``timestamp[ns]`` through
+    ``schema_arrow``, but Spark reads INT96 natively — classifying them
+    as nanos declared ``ts long`` on the stream side and crashed both
+    the batch DIV-1000 projection and the file-source drain."""
     import glob
     import os
 
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
     p = path
@@ -62,10 +69,19 @@ def events_ts_is_nanos(path: str) -> bool:
             return False
         p = parts[0]
     try:
-        t = pq.ParquetFile(p).schema_arrow.field("ts").type
-    except Exception:
+        schema = pq.ParquetFile(p).metadata.schema
+        col = next(
+            schema.column(i)
+            for i in range(len(schema))
+            if schema.column(i).name == "ts"
+        )
+    except (OSError, StopIteration, KeyError):
         return False
-    return t == pa.timestamp("ns")
+    return (
+        col.physical_type == "INT64"
+        and "isAdjustedToUTC" in str(col.logical_type)
+        and "nanos" in str(col.logical_type).lower()
+    )
 
 
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

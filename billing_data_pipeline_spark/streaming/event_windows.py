@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.aggregates import exact_sum
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
@@ -129,9 +131,10 @@ def enriched_segment_stream(
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(30,6)"))
-            .cast("double")
-            .alias("total_value"),
+            # shared exact-decimal accumulator (review r5: this was an
+            # inline copy of exact_sum that would silently diverge if
+            # MEASURE_DECIMAL's precision were ever retuned)
+            exact_sum("value").cast("double").alias("total_value"),
         )
     )
 
@@ -200,12 +203,30 @@ def interval_join_stream(
     )
 
 
+# Memory-sink tables from PRIOR drains: every catalog streaming query
+# registers a uniquely-named sink holding a full result copy in driver
+# memory, and nothing else ever unregisters it — over a long bench/test
+# session dozens of materialized result sets would stay pinned in the
+# driver heap (review r5; the driver-memory twin of streaming_queries'
+# _SCRATCH_DIRS sweep). Same consumed-before-next-call contract: by the
+# time the NEXT drain starts, the previous returned table has been
+# consumed.
+_SINK_TABLES: list[tuple[SparkSession, str]] = []
+
+
 def run_to_memory(
     sdf: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:
     """Drain a finite stream with Trigger.AvailableNow into a memory sink and
     return the sink table — batch-catchup semantics (the streaming analogue
-    of the reference's backfill run, ST6)."""
+    of the reference's backfill run, ST6). The PREVIOUS drain's sink table
+    is dropped first (consumed-before-next-call — see _SINK_TABLES)."""
+    while _SINK_TABLES:
+        s, n = _SINK_TABLES.pop()
+        try:
+            s.catalog.dropTempView(n)
+        except Exception:
+            pass  # session already stopped; nothing to free
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
@@ -214,6 +235,7 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+    _SINK_TABLES.append((sdf.sparkSession, name))
     return sdf.sparkSession.table(name)
 
 

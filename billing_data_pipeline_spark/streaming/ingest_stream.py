@@ -24,6 +24,7 @@ from operator import or_
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.errors import AnalysisException
 
 from ..operators.ingest import append_new_rows
 from ..sources.csv_source import RAW_BILLING_KEYS, RAW_BILLING_SCHEMA
@@ -64,7 +65,13 @@ def replay_safe_append(batch: DataFrame, table_path: str, keys: list[str]) -> No
         new_nulls = hashed.join(
             existing.select("_row_hash"), on="_row_hash", how="left_anti"
         )
-    except Exception:
+    except AnalysisException as exc:
+        # ONLY "table does not exist yet" may skip the anti-join: a bare
+        # except here treated any transient read failure as first-write
+        # and appended the replayed NULL-key batch a second time,
+        # silently breaking exactly-once (review r5)
+        if "PATH_NOT_FOUND" not in f"{exc.getErrorClass()} {exc}":
+            raise
         new_nulls = hashed
     # Persist across the emptiness probe + write: without it the take(1)
     # guard executed the whole anti-join plan (including the existing-table

@@ -79,8 +79,21 @@ class StreamingRollup:
     def merge_batch(self, batch: DataFrame, batch_id: int) -> None:
         """foreachBatch sink: fold one micro-batch into the rollup."""
         state, last_id = self._load_state()
-        if batch_id <= last_id:
+        if batch_id == last_id:
             return  # replayed batch after failure: already merged, skip
+        if batch_id < last_id:
+            # A restart from an intact checkpoint replays only the last
+            # uncommitted batch (== last_id) or continues at last_id + 1.
+            # A LOWER id means the checkpoint was reset/relocated while
+            # the rollup state survived — silently skipping every batch
+            # here would freeze the rollup forever while appearing to run
+            # (review r5); merging would double-count. Fail loudly.
+            raise RuntimeError(
+                f"rollup at {self.path} already merged through batch"
+                f" {last_id} but the attached stream delivered batch"
+                f" {batch_id}: the stream checkpoint was reset. Point the"
+                f" rollup at a fresh path (or delete it) to reprocess."
+            )
         partial = partial_profile(
             batch, self.group_cols, self.measure, self.distinct_cols
         )
@@ -99,13 +112,21 @@ class StreamingRollup:
         with os.fdopen(fd, "w") as f:
             json.dump({"v": batch_id}, f)
         os.replace(tmp, self._pointer)  # the atomic publish
-        # prune versions no reader can need (published state + grace copy)
-        keep = {batch_id, last_id} if self.keep_versions > 1 else {batch_id}
-        for name in os.listdir(self.path):
-            if name.startswith("v=") and name[2:].lstrip("-").isdigit():
-                v = int(name[2:])
-                if v not in keep and v < batch_id:
-                    shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+        # prune versions no reader can need: keep the newest
+        # ``keep_versions`` published dirs (review r5: the old pair-wise
+        # {batch_id, last_id} keep silently ignored keep_versions > 2,
+        # deleting exactly the grace copies a slow reader paid for)
+        published = sorted(
+            int(name[2:])
+            for name in os.listdir(self.path)
+            if name.startswith("v=")
+            and name[2:].lstrip("-").isdigit()
+            and int(name[2:]) <= batch_id
+        )
+        keep = set(published[-self.keep_versions:])
+        for v in published:
+            if v not in keep:
+                shutil.rmtree(os.path.join(self.path, f"v={v}"), ignore_errors=True)
 
     def attach(self, stream: DataFrame, checkpoint_dir: str, available_now: bool = True):
         """Wire the rollup as a foreachBatch sink on a streaming DataFrame."""

@@ -79,6 +79,11 @@ def main() -> int:
 
     oracles = e.oracle_sql()
     con = duckdb_connect(sf_dir)
+    # the rows-only-EMPTY rule only applies when there is input to drain
+    input_has_rows = (
+        con.execute("SELECT count(*) FROM events").fetchone()[0]
+        + con.execute("SELECT count(*) FROM lineitem").fetchone()[0]
+    ) > 0
 
     failures = []
     for name, fn in sorted(e.queries().items()):
@@ -94,11 +99,14 @@ def main() -> int:
             continue
         cols = [f.name for f in df.schema.fields]
         if name not in oracles:
-            if not rows:
+            if not rows and input_has_rows:
                 # A rows-only query that drains empty is the known silent
                 # failure shape (symlinked-dir stream listing zero files,
                 # broken seeding): every rows-only catalog entry returns
-                # >0 rows at sf0.01 by construction, so 0 is a failure.
+                # >0 rows at sf0.01 by construction, so 0 is a failure —
+                # EXCEPT on the --empty fixture, where 0 rows is the
+                # correct aggregate of zero input (r5: the rule false-
+                # positived on usage_percentiles_approx there).
                 failures.append((name, "ROWS-ONLY EMPTY (0 rows)"))
                 print(f"  {name}: ROWS-ONLY EMPTY [{time.time()-t0:.1f}s]")
             else:

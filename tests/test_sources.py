@@ -697,3 +697,35 @@ def test_streaming_rollup_survives_torn_state_attempt(spark, tmp_path):
     r.merge_batch(ev, 1)
     assert {row["event_type"]: row["total_usage"]
             for row in r.read_finalized().collect()} == after
+
+
+def test_streaming_rollup_keep_versions_and_reset_guard(spark, tmp_path):
+    """keep_versions must be honored beyond 2 (review r5: the old prune
+    kept a hardcoded {current, prior} pair), and a batch id BELOW the
+    merged high-water mark — a reset/relocated checkpoint re-delivering
+    from 0 — must raise instead of silently freezing the rollup."""
+    import os
+
+    import pytest
+
+    from billing_data_pipeline_spark.streaming.rollup_stream import StreamingRollup
+
+    ev = spark.createDataFrame(
+        [("a", 1.0, 1)], "event_type string, value double, user_id long"
+    )
+    r = StreamingRollup(
+        spark, str(tmp_path / "roll"), ["event_type"], "value",
+        {"unique_users": "user_id"}, keep_versions=3,
+    )
+    for b in range(5):
+        r.merge_batch(ev, b)
+    vdirs = sorted(
+        int(n[2:]) for n in os.listdir(r.path) if n.startswith("v=")
+    )
+    assert vdirs == [2, 3, 4]  # newest keep_versions=3, not a pair
+    # replay of the LAST batch is the legitimate restart shape: no-op
+    r.merge_batch(ev, 4)
+    assert r.read_finalized().collect()[0]["transaction_count"] == 5
+    # a LOWER id means the checkpoint was reset: fail loudly
+    with pytest.raises(RuntimeError, match="checkpoint was reset"):
+        r.merge_batch(ev, 1)
