@@ -92,6 +92,12 @@ def read_partition_root(
         reader = reader.option("mode", "PERMISSIVE").option(
             "ignoreMissingFiles", "true"
         )
+    else:
+        # Spark's CSV default is ALREADY permissive — without an explicit
+        # FAILFAST the strict flag silently passed corrupt NULLs through
+        # (review r5): the validation caller got exactly the containment
+        # it asked to turn off.
+        reader = reader.option("mode", "FAILFAST")
     try:
         df = reader.csv(f"{root}/year=*/month=*/day=*")
     except Exception as exc:  # AnalysisException lacks a stable subclass path
@@ -215,8 +221,43 @@ def read_partition_paths(
 ) -> DataFrame:
     """Declarative union-all over enumerated partition files (replaces the
     reference's per-file Python append loop, SURVEY.md §2.7): one multi-path
-    read, partition values projected from the path."""
+    read, partition values projected from the path.
+
+    Missing enumerated files are SKIPPED (review r5): the generated range
+    routinely includes partitions not yet written — the default
+    yesterday->today window always contains today's still-open file — and
+    Spark fails the whole multi-path read at resolution time on one
+    absent path (PERMISSIVE/ignoreMissingFiles only cover row parsing and
+    post-listing vanishing). The per-path existence probe is a HEAD, not
+    a LIST — still listing-free, at one driver-side round-trip per
+    enumerated path (the same probes the reference's per-file loop made);
+    paths whose filesystem cannot be probed are kept so the read surfaces
+    the real error. An all-missing range returns an empty, fully-typed
+    frame."""
     paths = [f for p in partitions for f in p["files"]]
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+
+    def _exists(p: str) -> bool:
+        try:
+            jpath = jvm.org.apache.hadoop.fs.Path(p)
+            return jpath.getFileSystem(hconf).exists(jpath)
+        except Exception:
+            return True  # unprobeable scheme: let the read raise the truth
+
+    paths = [p for p in paths if _exists(p)]
+    if not paths:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                list(schema.fields)
+                + [
+                    T.StructField("year", T.IntegerType(), True),
+                    T.StructField("month", T.IntegerType(), True),
+                    T.StructField("day", T.IntegerType(), True),
+                ]
+            ),
+        )
     df = (
         spark.read.option("header", True)
         .schema(schema)

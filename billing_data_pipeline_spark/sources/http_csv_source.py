@@ -93,7 +93,18 @@ class HttpCsvReader(DataSourceReader):
     def __init__(self, schema: StructType, options):
         self.schema_ = schema
         raw = options.get("urls") or options.get("path") or ""
-        self.urls = [u.strip() for u in raw.replace("\n", ",").split(",") if u.strip()]
+        # Newlines always separate. Commas separate ONLY when no URL in
+        # the option carries a query string: signed/presigned URLs (the
+        # module's stated use case) legitimately contain commas in their
+        # query ('?fields=a,b&sig=...') and comma-splitting mangled them
+        # into bogus partitions (review r5).
+        lines = [u.strip() for u in raw.splitlines() if u.strip()]
+        if any("?" in u for u in lines):
+            self.urls = lines
+        else:
+            self.urls = [
+                u.strip() for part in lines for u in part.split(",") if u.strip()
+            ]
         if not self.urls:
             raise ValueError("http_csv: provide 'urls' (comma/newline separated)")
         self.header = (options.get("header") or "true").lower() == "true"
@@ -113,12 +124,17 @@ class HttpCsvReader(DataSourceReader):
         last = None
         # retries = total attempts; floor at one so retries=0 still makes
         # a single attempt instead of `raise None` (review r3)
-        for attempt in range(max(1, self.retries)):
+        attempts = max(1, self.retries)
+        for attempt in range(attempts):
             try:
-                return urlopen(url)  # noqa: S310 (scheme comes from config)
+                # bounded timeout (review r5): the default None blocks the
+                # executor task forever on a half-open connection — the
+                # retry loop only ever sees raised errors
+                return urlopen(url, timeout=60)  # noqa: S310 (scheme from config)
             except Exception as e:  # pragma: no cover - network flake path
                 last = e
-                time.sleep(min(2**attempt, 5))
+                if attempt < attempts - 1:  # no dead sleep after the last try
+                    time.sleep(min(2**attempt, 5))
         raise last
 
     def read(self, partition: UrlPartition) -> Iterator[tuple]:

@@ -39,17 +39,17 @@ def write_hive_partitioned(
     partitions present in ``df`` — the idempotent-backfill semantic; with
     ``dynamic=False`` Spark's static mode truncates the whole table first
     (the reference's full-refresh semantic, S8)."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    spark.conf.set(
-        "spark.sql.sources.partitionOverwriteMode",
-        "dynamic" if dynamic else "static",
+    # PER-WRITE writer option, not a session conf (review r5): the old
+    # set/restore around the write raced concurrent writers on the same
+    # session — another thread's static flip mid-plan turned a dynamic
+    # backfill into a whole-table truncate.
+    out = df.repartition(*partition_cols) if coalesce_per_partition else df
+    (
+        out.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic" if dynamic else "static")
+        .partitionBy(*partition_cols)
+        .parquet(path)
     )
-    try:
-        out = df.repartition(*partition_cols) if coalesce_per_partition else df
-        out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def read_hive_partitioned(spark: SparkSession, path: str) -> DataFrame:
@@ -72,22 +72,15 @@ def write_hive_partitioned_sorted(
     groups at read time (the poor man's z-order — exact for one sort key,
     which is the common case: timestamp or entity id). The sort is
     per-output-task, no extra shuffle beyond the partition routing."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-    spark.conf.set(
-        "spark.sql.sources.partitionOverwriteMode",
-        "dynamic" if dynamic else "static",
+    (
+        df.repartition(*partition_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        # per-write option, not a session conf — see write_hive_partitioned
+        .option("partitionOverwriteMode", "dynamic" if dynamic else "static")
+        .partitionBy(*partition_cols)
+        .parquet(path)
     )
-    try:
-        (
-            df.repartition(*partition_cols)
-            .sortWithinPartitions(*sort_cols)
-            .write.mode(mode)
-            .partitionBy(*partition_cols)
-            .parquet(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def compact_partitions(

@@ -37,6 +37,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (id(spark), sf_dir, name)
     cached = _HANDLES.get(key)
     if cached is None or cached.sparkSession is not spark:
+        # A miss for THIS session means older sessions' handles are dead
+        # weight: evict them, or the module-level dict pins every stopped
+        # SparkSession (and its JVM state) for the process lifetime
+        # (review r5). One live session at a time is this repo's actual
+        # shape (driver, bench, tests); a second concurrent session just
+        # re-reads — handles are cheap lazy plans.
+        for k in [k for k in _HANDLES if k[0] != id(spark)]:
+            del _HANDLES[k]
         cached = _HANDLES[key] = _read_table(spark, sf_dir, name)
     return cached
 

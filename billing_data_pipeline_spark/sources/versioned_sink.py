@@ -139,8 +139,20 @@ class SnapshotTable:
         try:
             with open(self._manifest) as f:
                 return json.load(f)
-        except (OSError, ValueError):
+        except FileNotFoundError:
+            # ONLY a missing manifest means "new table". Any other OSError
+            # (EIO/EACCES — the transient failures the lock docs already
+            # assume possible) must propagate: swallowing one inside
+            # commit's locked section reset the table to version 0, whose
+            # self-heal then renamed the REAL v=0 aside and deleted it,
+            # and an epochs() misread defeated replay idempotence
+            # (review r5 — silent-data-loss class).
             return {"version": None, "commits": []}
+        except ValueError as exc:
+            # a torn/corrupt manifest is likewise NOT an empty table
+            raise OSError(
+                f"corrupt manifest at {self._manifest}: {exc}"
+            ) from exc
 
     def latest_version(self) -> int | None:
         return self._load()["version"]
@@ -181,12 +193,12 @@ class SnapshotTable:
 
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
-        if epoch is not None and epoch in self.epochs():
+        if epoch is not None:
             # dirty pre-check: epochs only ever grow, so a hit is final —
             # skip the staging write entirely on replay
-            for c in self._load()["commits"]:
-                if c.get("epoch") == epoch:
-                    return c["v"]
+            replay = self._replay_version(self._load(), epoch)
+            if replay is not None:
+                return replay
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         df.write.mode("errorifexists").parquet(staging)
         trash = None
@@ -194,9 +206,9 @@ class SnapshotTable:
             with self._mutate_lock():
                 man = self._load()
                 if epoch is not None:
-                    for c in man["commits"]:
-                        if c.get("epoch") == epoch:
-                            return c["v"]  # replay raced us: already in
+                    replay = self._replay_version(man, epoch)
+                    if replay is not None:
+                        return replay  # replay raced us: already in
                 version = 0 if man["version"] is None else man["version"] + 1
                 # Self-heal a crash between rename and publish: an existing
                 # v=N dir the manifest does not reference is an unpublished
@@ -225,6 +237,40 @@ class SnapshotTable:
                 shutil.rmtree(staging, ignore_errors=True)
             if trash is not None:
                 shutil.rmtree(trash, ignore_errors=True)
+
+    @staticmethod
+    def _replay_version(man: dict, epoch) -> int | None:
+        """Version already recorded for ``epoch``, or None when the epoch
+        is genuinely new. Raises when the epoch ordering proves the
+        WRITER was reset rather than replayed (review r5, mirroring
+        rollup_stream): foreachBatch re-delivers only the LAST
+        uncommitted batch, so an integer epoch BELOW the log's high-water
+        mark means a reset/relocated stream checkpoint (or a second
+        stream) re-counting from 0 — treating those as replays silently
+        discarded every new batch until the counter caught up.
+        Non-integer epochs (opaque run keys) keep the plain
+        already-recorded no-op; they carry no order to check."""
+        int_epochs = [
+            c["epoch"]
+            for c in man["commits"]
+            if isinstance(c.get("epoch"), int) and not isinstance(c["epoch"], bool)
+        ]
+        if (
+            isinstance(epoch, int)
+            and not isinstance(epoch, bool)
+            and int_epochs
+            and epoch < max(int_epochs)
+        ):
+            raise RuntimeError(
+                f"snapshot table already committed epoch {max(int_epochs)}"
+                f" but the writer delivered epoch {epoch}: the stream"
+                f" checkpoint was reset. Point the stream at a fresh table"
+                f" (or vacuum+delete this one) to reprocess."
+            )
+        for c in man["commits"]:
+            if c.get("epoch") == epoch:
+                return c["v"]
+        return None
 
     def _base_of(self, version: int, man: dict | None = None) -> int:
         """Last overwrite commit at or before ``version`` (0 if the log

@@ -729,3 +729,38 @@ def test_streaming_rollup_keep_versions_and_reset_guard(spark, tmp_path):
     # a LOWER id means the checkpoint was reset: fail loudly
     with pytest.raises(RuntimeError, match="checkpoint was reset"):
         r.merge_batch(ev, 1)
+
+
+def test_strict_read_failfast_and_missing_partition_skip(spark, tmp_path):
+    """permissive=False must actually enforce FAILFAST (Spark's CSV
+    default is already permissive, so the old flag was a no-op — review
+    r5), and read_partition_paths must skip enumerated files that do not
+    exist yet (the default yesterday->today window always contains
+    today's still-open file) instead of failing the whole read."""
+    import pytest
+
+    from py4j.protocol import Py4JJavaError
+
+    root = _write_lake(tmp_path, {date(2025, 4, 22): 2})
+    bad = tmp_path / "lake" / "year=2025" / "month=04" / "day=23"
+    bad.mkdir(parents=True)
+    (bad / "billing.csv").write_text(
+        CSV_BODY + "NOT_A_TIMESTAMP,r-2,u-2,NOT_A_DOUBLE,eu,pro,inf,x,gpu,i,USD\n"
+    )
+    with pytest.raises((Py4JJavaError, Exception), match="(?i)malformed|FAILFAST"):
+        read_partition_root(spark, root, permissive=False).collect()
+
+    parts = generate_partition_paths(
+        f"file://{root}", date(2025, 4, 21), date(2025, 4, 22)
+    )  # day=21 was never written
+    df = read_partition_paths(spark, parts, RAW_BILLING_SCHEMA)
+    assert df.count() == 2
+    assert {r["day"] for r in df.select("day").distinct().collect()} == {22}
+
+    # an all-missing window returns an empty, fully-typed frame
+    none = generate_partition_paths(
+        f"file://{root}", date(2024, 1, 1), date(2024, 1, 2)
+    )
+    empty = read_partition_paths(spark, none, RAW_BILLING_SCHEMA)
+    assert empty.count() == 0
+    assert "day" in empty.columns

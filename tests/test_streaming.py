@@ -446,14 +446,28 @@ def test_stream_to_snapshots_exactly_once_and_cdc_log(spark, tmp_path):
     # time travel to the first batch boundary
     assert len(table.read(version=0).collect()) in (1, 2)
 
-    # replay an already-committed epoch: no new version, no duplicate rows
+    # replay the LAST committed epoch (the genuine foreachBatch replay
+    # shape): no new version, no duplicate rows
     seen_epochs = table.epochs()
-    replay_epoch = min(seen_epochs)
     table.commit(
-        spark.createDataFrame(batches[0], schema), mode="append", epoch=replay_epoch
+        spark.createDataFrame(batches[0], schema),
+        mode="append",
+        epoch=max(seen_epochs),
     )
     assert table.latest_version() == 2
     assert len(table.read().collect()) == 5
+
+    # an epoch BELOW the high-water mark is a reset/relocated checkpoint
+    # re-counting from 0, not a replay — it must fail loudly instead of
+    # silently discarding new batches (review r5, mirrors StreamingRollup)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="checkpoint was reset"):
+        table.commit(
+            spark.createDataFrame(batches[0], schema),
+            mode="append",
+            epoch=min(seen_epochs),
+        )
 
     # CDC log: the diff between consecutive versions is exactly one batch
     v1_minus_v0 = diff_snapshots(
