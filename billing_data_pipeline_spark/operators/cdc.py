@@ -36,7 +36,14 @@ def diff_snapshots(
     """Row-level changes old -> new. Output: key columns, ``change``
     ('insert' | 'delete' | 'update'), then ``old_<c>``/``new_<c>`` for every
     compared column."""
-    cols = compare_cols or [c for c in new.columns if c not in keys]
+    # `is not None`, not falsy-or (review r5): an explicit [] means a
+    # presence-only diff (inserts/deletes, no update detection) — the
+    # falsy idiom silently substituted every non-key column
+    cols = (
+        compare_cols
+        if compare_cols is not None
+        else [c for c in new.columns if c not in keys]
+    )
     # Per-side presence markers: classification must NOT key off key-column
     # nullness — a NULL-keyed row never matches the non-null-safe join, and
     # judging its side by `_ok_k0 IS NULL` would misread an old-only

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .sampling import MIX_MULT, MIX_PRIME
+from .sampling import MIX_PRIME, mix_rank, mix_rank_sql
 from .text import JAVA_WS_SPLIT_SQL as WS
 from .text import chunk_tokens, chunk_tokens_oracle_sql
 
@@ -532,7 +532,7 @@ def mix_to_budget(
         .distinct()
         .agg(F.sum("_w").alias("_wsum"))
     )
-    rank = F.pmod(F.pmod(F.col("_id") + F.lit(salt), MIX_PRIME) * F.lit(MIX_MULT), MIX_PRIME)
+    rank = mix_rank(F.col("_id"), salt)  # the shared mixer (review r5)
     budgeted = (
         base.withColumn("_rank", rank)
         .crossJoin(F.broadcast(totals))
@@ -652,7 +652,7 @@ def epoch_shard_manifest(
         ).alias("epoch"),
     )
     key = F.col("_id") * 31 + F.col("epoch") + F.lit(salt)
-    rank = F.pmod(F.pmod(key, MIX_PRIME) * F.lit(MIX_MULT), MIX_PRIME)
+    rank = mix_rank(key)  # salt already folded into the composite key
     return (
         base.withColumn("shard_id", F.pmod(rank, n_shards).cast("int"))
         .groupBy("shard_id")
@@ -676,7 +676,7 @@ def epoch_shard_manifest_sql(
     """DuckDB twin of epoch_shard_manifest (range() excludes its stop =>
     range(1, e+1); portable pmod chain)."""
     key = f"({id_col} * 31 + epoch + {salt})"
-    rank = f"((({key}) % {MIX_PRIME}) + {MIX_PRIME}) % {MIX_PRIME} * {MIX_MULT} % {MIX_PRIME}"
+    rank = mix_rank_sql(key)  # salt already folded into the composite key
     return f"""
 WITH rows AS (
     SELECT {source_col} AS source, {id_col},
@@ -705,10 +705,7 @@ def mix_to_budget_sql(
 ) -> str:
     """DuckDB twin of mix_to_budget (portable pmod spelled out; // is
     integer floor-div on BIGINTs, matching Spark's DIV for non-negatives)."""
-    rank = (
-        f"((({id_col} + {salt}) % {MIX_PRIME}) + {MIX_PRIME}) % {MIX_PRIME} "
-        f"* {MIX_MULT} % {MIX_PRIME}"
-    )
+    rank = mix_rank_sql(id_col, salt)
     return f"""
 WITH base AS (
     SELECT {source_col} AS source, {id_col} AS _id,

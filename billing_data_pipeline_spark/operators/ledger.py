@@ -6,10 +6,14 @@ ingest.py:164-172) and skips any file whose (filename, md5) is already
 recorded, reprocessing when the hash changed (ingest.py:217-231).
 
 Here the ledger is a small parquet table. File hashes are computed
-*distributed* via Spark's binaryFile source + ``md5()`` — executors read the
-bytes, the driver only sees (path, hash) pairs — so hashing scales with the
-cluster instead of looping on one node like the reference's hashlib loop
-(ingest.py:218-220).
+*distributed*: executors stream each file through md5 in bounded chunks
+(pyarrow filesystem streams inside a mapInPandas kernel), the driver only
+sees (path, hash) pairs — so hashing scales with the cluster instead of
+looping on one node like the reference's hashlib loop (ingest.py:218-220),
+and, unlike a ``binaryFile`` + ``md5(content)`` scan, never materializes a
+whole file as one row value (review r5: binaryFile caps a column at
+Int.MaxValue bytes, so one >=2 GiB input failed the whole ingest — the
+reference's streamed loop handled it fine).
 
 In Structured Streaming mode the checkpointed file index subsumes
 name-based skipping; this ledger remains the *content*-hash layer for
@@ -35,6 +39,8 @@ LEDGER_SCHEMA = T.StructType(
     ]
 )
 
+_SCHEME_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*:/+"
+
 
 def ledger_key(path):
     """Scheme-normalized FULL path — the ledger key.
@@ -46,31 +52,85 @@ def ledger_key(path):
     reference sidesteps this by renaming downloads to partition-qualified
     local names (reference: pipeline/s3_utils.py:189); with no download
     step here, the full path IS the partition-qualified name. The URI
-    scheme is stripped so ``binaryFile``'s ``path`` and
-    ``input_file_name()`` (which may render ``file:/`` vs ``file:///``)
-    normalize to the same key.
+    scheme is stripped so every render (``file:/`` vs ``file:///`` vs a
+    bare path) normalizes to the same key.
     """
-    return F.regexp_replace(path, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    return F.regexp_replace(path, _SCHEME_RE, "/")
 
 
 def hash_files(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """(filename, file_hash) for every input file, hashed on executors.
+    """(filename, file_hash) for every input file, hashed on executors in
+    STREAMED chunks — O(8 MB) memory per task regardless of file size.
 
     ``filename`` is the partition-qualified ``ledger_key`` of the path,
-    not the basename (see ``ledger_key``).
+    not the basename (see ``ledger_key``). Globs are expanded driver-side
+    (one listing, same as binaryFile's); the hash work distributes one
+    file per row across the cluster via pyarrow's filesystem layer
+    (local + s3/gcs where pyarrow has credentials).
     """
+    import glob as _glob
+    import re
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    expanded: list[str] = []
+    for p in paths:
+        bare = re.sub(_SCHEME_RE, "/", p) if p.startswith("file:") else p
+        if re.match(_SCHEME_RE, bare):
+            expanded.append(bare)  # remote scheme: no local glob
+        else:
+            hits = sorted(_glob.glob(bare)) if any(c in bare for c in "*?[") else [bare]
+            expanded.extend(hits)
+
+    schema = T.StructType(
+        [
+            T.StructField("filename", T.StringType(), False),
+            T.StructField("file_hash", T.StringType(), False),
+        ]
+    )
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from pyarrow import fs as pafs
+
+        for pdf in it:
+            names, hashes = [], []
+            for p in pdf["path"]:
+                filesystem, rel = pafs.FileSystem.from_uri(
+                    p if re.match(_SCHEME_RE, p) else os.path.abspath(p)
+                )
+                h = hashlib.md5()
+                with filesystem.open_input_stream(rel) as f:
+                    while True:
+                        chunk = f.read(8 << 20)
+                        if not chunk:
+                            break
+                        h.update(chunk)
+                names.append(re.sub(_SCHEME_RE, "/", p))
+                hashes.append(h.hexdigest())
+            yield pd.DataFrame({"filename": names, "file_hash": hashes})
+
+    n = max(1, len(expanded))
     return (
-        spark.read.format("binaryFile")
-        .load(paths)
-        .select(
-            ledger_key(F.col("path")).alias("filename"),
-            F.md5(F.col("content")).alias("file_hash"),
-        )
+        spark.createDataFrame([(p,) for p in expanded], "path string")
+        .repartition(min(n, spark.sparkContext.defaultParallelism))
+        .mapInPandas(kernel, schema)
     )
 
 
 class FileLedger:
-    """Parquet-backed processed-files ledger with hash-aware skip."""
+    """Parquet-backed processed-files ledger with hash-aware skip.
+
+    Versioned layout: immutable ``v_*`` dirs under ``<path>_versions`` with
+    an atomically-renamed ``_current`` pointer. ``record`` keeps the
+    PREVIOUS version on disk for one generation (outstanding lazy frames
+    from ``load()`` stay readable across one upsert — review r5: the old
+    immediate rmtree invalidated them mid-plan) and serializes concurrent
+    writers with an O_EXCL lock (two unserialized upserts both built on the
+    same base and the loser's rows vanished)."""
 
     def __init__(self, spark: SparkSession, ledger_path: str):
         self.spark = spark
@@ -83,20 +143,32 @@ class FileLedger:
         return os.path.join(self._versions_dir(), "_current")
 
     def _current_dir(self) -> str | None:
+        """Pointed-at version dir, or None for a never-written ledger.
+        ONLY a missing pointer means empty: a pointer that cannot be read
+        (EACCES/EIO) or that names a missing dir is a torn/transient state
+        and RAISES — resolving it to an empty ledger would let the next
+        record() publish a history containing only the newest batch
+        (review r5, the silent-history-loss class)."""
         try:
             with open(self._pointer()) as f:
                 name = f.read().strip()
-        except OSError:
+        except FileNotFoundError:
             return None
         d = os.path.join(self._versions_dir(), name)
-        return d if os.path.isdir(d) else None
+        if not os.path.isdir(d):
+            raise OSError(
+                f"ledger pointer {self._pointer()} names missing version"
+                f" {name!r} — torn state; restore the version dir or delete"
+                f" the pointer to reset the ledger explicitly"
+            )
+        return d
 
     def load(self) -> DataFrame:
         """Resolve via the atomic pointer; a ledger that has never been
         written is empty. Read failures of a POINTED-AT version RAISE —
-        the old blanket except returned empty on any torn/transient state,
+        a blanket except would return empty on any torn/transient state,
         silently discarding history and (inside record) persisting a
-        ledger containing only the newest rows (review r4)."""
+        ledger containing only the newest rows (reviews r4/r5)."""
         cur = self._current_dir()
         if cur is None:
             # legacy single-dir layout (pre-r4) or never written
@@ -119,40 +191,72 @@ class FileLedger:
         )
 
     def record(self, processed: list[tuple[str, str, int]]) -> None:
-        """Upsert (filename, file_hash, record_count) rows, latest wins."""
+        """Upsert (filename, file_hash, record_count) rows, latest wins.
+
+        Publishes a fresh immutable version dir and atomically renames the
+        pointer over ``_current`` — a crash mid-write leaves the old
+        version referenced, never a torn table (review r4). The merged
+        plan writes DIRECTLY to the new dir (review r5: the old
+        collect-then-createDataFrame round trip was a leftover from the
+        in-place overwrite era — immutable version dirs never read the
+        path being written). Concurrent writers serialize on a lock file;
+        versions older than {current, previous} are swept after publish.
+        """
         if not processed:
             return
+        import tempfile
+        import time
+        import uuid
+
         now = datetime.now(timezone.utc).replace(tzinfo=None)
         rows = [(f, h, now, n) for f, h, n in processed]
         update = self.spark.createDataFrame(rows, LEDGER_SCHEMA)
-        merged = (
-            self.load()
-            .join(update.select("filename"), on="filename", how="left_anti")
-            .unionByName(update)
-        )
-        # Small metadata table: collect-then-rewrite is safe because the
-        # ledger is O(number of ingested files), not O(data). The rewrite
-        # publishes a fresh immutable version dir and atomically renames
-        # the pointer over _current — a crash mid-write leaves the old
-        # version referenced, never a torn table (review r4: the previous
-        # in-place mode('overwrite') deleted-then-wrote, and a crash
-        # between the two lost the entire processed-files history).
-        import tempfile
-        import uuid
 
-        out = merged.collect()
-        vdir_name = f"v_{uuid.uuid4().hex}"
-        vdir = os.path.join(self._versions_dir(), vdir_name)
         os.makedirs(self._versions_dir(), exist_ok=True)
-        self.spark.createDataFrame(out, LEDGER_SCHEMA).coalesce(1).write.mode(
-            "errorifexists"
-        ).parquet(vdir)
-        prev = self._current_dir()
-        fd, tmp = tempfile.mkstemp(dir=self._versions_dir(), prefix="_ptr_")
-        with os.fdopen(fd, "w") as f:
-            f.write(vdir_name)
-        os.replace(tmp, self._pointer())  # atomic publish
-        if prev is not None:
+        lock = os.path.join(self._versions_dir(), "_lock")
+        deadline = time.monotonic() + 120.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > 600.0:
+                        os.unlink(lock)  # crashed holder; ledger writes are ms
+                        continue
+                except OSError:
+                    pass
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"could not acquire {lock} within 120s")
+                time.sleep(0.02)
+        try:
+            merged = (
+                self.load()
+                .join(update.select("filename"), on="filename", how="left_anti")
+                .unionByName(update)
+            )
+            vdir_name = f"v_{uuid.uuid4().hex}"
+            vdir = os.path.join(self._versions_dir(), vdir_name)
+            merged.coalesce(1).write.mode("errorifexists").parquet(vdir)
+            prev = self._current_dir()
+            fd, tmp = tempfile.mkstemp(dir=self._versions_dir(), prefix="_ptr_")
+            with os.fdopen(fd, "w") as f:
+                f.write(vdir_name)
+            os.replace(tmp, self._pointer())  # atomic publish
+            # grace sweep: keep {current, previous}; older versions are
+            # unreachable by any frame loaded after the prior publish
+            keep = {vdir_name, os.path.basename(prev) if prev else vdir_name}
             import shutil
 
-            shutil.rmtree(prev, ignore_errors=True)
+            for name in os.listdir(self._versions_dir()):
+                if name.startswith("v_") and name not in keep:
+                    shutil.rmtree(
+                        os.path.join(self._versions_dir(), name),
+                        ignore_errors=True,
+                    )
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass

@@ -28,6 +28,24 @@ MIX_PRIME = 100_000_007
 MIX_MULT = 2_654_435_761
 
 
+def mix_rank(key: Column, salt: int = 0) -> Column:
+    """The raw mixer rank in [0, MIX_PRIME): pmod(pmod(key+salt, P) * K, P).
+    THE one engine-side spelling of the mixer (review r5: curation's
+    budget/shard operators hand-copied it; the r4 mod-before-mod bug had
+    to be hunted across copies). hash_bucket is this % 100."""
+    return F.pmod(
+        F.pmod(key + F.lit(salt), MIX_PRIME) * F.lit(MIX_MULT), MIX_PRIME
+    )
+
+
+def mix_rank_sql(key: str, salt: int = 0) -> str:
+    """DuckDB twin of mix_rank (no pmod there; ((x % m) + m) % m is the
+    portable equivalent — the inner pmod keeps the product non-negative,
+    so the later % needs no second correction)."""
+    inner = f"((({key} + {salt}) % {MIX_PRIME}) + {MIX_PRIME}) % {MIX_PRIME}"
+    return f"(({inner} * {MIX_MULT}) % {MIX_PRIME})"
+
+
 def hash_bucket(key: Column, salt: int = 0) -> Column:
     """Deterministic pseudo-uniform bucket in [0, 100) from an integer key.
 
@@ -38,18 +56,11 @@ def hash_bucket(key: Column, salt: int = 0) -> Column:
     identical to ``%`` for non-negative keys, so sample membership for
     existing non-negative key columns is unchanged.
     """
-    return F.pmod(
-        F.pmod(F.pmod(key + F.lit(salt), MIX_PRIME) * F.lit(MIX_MULT), MIX_PRIME),
-        100,
-    )
+    return F.pmod(mix_rank(key, salt), 100)
 
 
 def hash_bucket_sql(key: str, salt: int = 0) -> str:
-    # DuckDB has no pmod; ((x % m) + m) % m is the portable equivalent.
-    # The inner pmod keeps the product non-negative, so the later %s need
-    # no second correction.
-    inner = f"((({key} + {salt}) % {MIX_PRIME}) + {MIX_PRIME}) % {MIX_PRIME}"
-    return f"(({inner} * {MIX_MULT}) % {MIX_PRIME}) % 100"
+    return f"{mix_rank_sql(key, salt)} % 100"
 
 
 def hash_sample(df: DataFrame, key_col: str, pct: int, salt: int = 0) -> DataFrame:
@@ -76,6 +87,10 @@ def stratified_sample_sql(
 ) -> str:
     # stratum keys are DATA values: double embedded single quotes or a
     # key like "o'reilly" breaks the oracle SQL (review r4)
+    if not rates:
+        # a WHEN-less CASE is a syntax error; the engine twin returns an
+        # empty frame, so the oracle must select nothing too (review r5)
+        return f"SELECT * FROM {table} WHERE FALSE"
     cases = " ".join(
         f"WHEN {stratum_col} = '{s.replace(chr(39), chr(39) * 2)}' THEN {p}"
         for s, p in sorted(rates.items())
@@ -108,6 +123,10 @@ def per_group_sample(
 def per_group_sample_sql(
     table: str, key_col: str, group_col: str, n: int, salt: int = 0, cols: str = "*"
 ) -> str:
+    # The engine twin drops sample_rank; with cols="*" the outer SELECT *
+    # would leak it into the oracle schema (review r5) — EXCLUDE it
+    # (DuckDB star modifier; this string is oracle-side only).
+    outer = "* EXCLUDE (sample_rank)" if cols.strip() == "*" else cols
     return f"""
 WITH ranked AS (
     SELECT {cols},
@@ -116,7 +135,7 @@ WITH ranked AS (
                                        {key_col} ASC) AS sample_rank
     FROM {table}
 )
-SELECT {cols} FROM ranked WHERE sample_rank <= {n}
+SELECT {outer} FROM ranked WHERE sample_rank <= {n}
 """
 
 
@@ -151,6 +170,9 @@ def assign_split_sql(
     salt: int = 7,
 ) -> str:
     b = hash_bucket_sql(key, salt)
+    if not boundaries:
+        # a WHEN-less CASE is a syntax error; single-label = constant
+        return f"('{labels[-1]}')"
     cases = " ".join(
         f"WHEN ({b}) < {bound} THEN '{lab}'"
         for bound, lab in zip(boundaries, labels[:-1])

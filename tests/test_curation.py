@@ -278,3 +278,41 @@ def test_leakage_safe_split_keeps_duplicate_groups_together(spark):
     assert all(len(s) == 1 for s in by_group.values())
     # and the cut still produces more than one split across groups
     assert len({next(iter(s)) for s in by_group.values()}) >= 2
+
+
+def test_sampling_sql_edges_and_shared_mixer(spark):
+    """Review r5 regressions: empty rates/boundaries must not emit a
+    WHEN-less CASE (a SQL syntax error while the engine twin succeeds),
+    per_group_sample_sql's default cols='*' must not leak sample_rank,
+    and the shared mix_rank helpers must equal the hash_bucket mixer."""
+    import duckdb
+
+    from billing_data_pipeline_spark.operators.sampling import (
+        assign_split_sql,
+        mix_rank_sql,
+        per_group_sample_sql,
+        stratified_sample,
+        stratified_sample_sql,
+        MIX_MULT,
+        MIX_PRIME,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT range AS k, range % 3 AS g FROM range(30)")
+    r = con.execute(per_group_sample_sql("t", "k", "g", 2))
+    assert [d[0] for d in r.description] == ["k", "g"]  # no sample_rank leak
+    assert len(r.fetchall()) == 6
+
+    assert con.execute(stratified_sample_sql("t", "k", "g", {})).fetchall() == []
+    df = spark.createDataFrame([(1, "a")], "k long, g string")
+    assert stratified_sample(df, "k", "g", {}).count() == 0  # engine twin agrees
+
+    assert con.execute(
+        f"SELECT DISTINCT {assign_split_sql('k', (), ('all',))} FROM t"
+    ).fetchall() == [("all",)]
+
+    # shared mixer == the documented algebra, negative keys included
+    got = con.execute(
+        f"SELECT {mix_rank_sql('k', 17)} FROM (SELECT -12345 AS k)"
+    ).fetchone()[0]
+    assert got == ((((-12345 + 17) % MIX_PRIME) + MIX_PRIME) % MIX_PRIME * MIX_MULT) % MIX_PRIME
