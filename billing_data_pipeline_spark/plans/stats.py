@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..operators.aggregates import exact_sum
 from ..registry import register
-from ._util import t
+from ._util import dsum_sql, t
 
 PCTS = (0.5, 0.9, 0.95, 0.99)
 
@@ -53,11 +53,17 @@ def usage_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes over the group). The kernel does the same single sort in numpy
     without the second pass or the 600k-row conditional sum: 0.68 s.
 
-    Value parity (hash-gated): the kernel computes (1-f)*lo + f*hi in
-    IEEE double — bitwise identical to Spark `percentile` AND DuckDB
-    `quantile_cont` (verified across sf0.01/sf0.1); numpy's sort on
-    float64 is a total order here (NULLs filtered before the kernel), and
-    a frac-0 hi term adds +0.0 which cannot change a finite double.
+    Value parity (hash-gated): the kernel reproduces DuckDB
+    quantile_cont's OWN interpolation expression — 0-based RN = (n-1)*q,
+    result = v[floor(RN)]*(ceil(RN)-RN) + v[ceil(RN)]*(RN-floor(RN)),
+    equal-ranks short-circuit to the exact element (review r5: the
+    previous 1-based pos = 1+(n-1)*q and (1-f)*lo + f*hi form drifted a
+    ulp on 107 of 8000 random group/percentile trials — the +1.0 perturbs
+    frac across binades and (1-f)*a+f*b is a different IEEE expression
+    than a*(c-r)+b*(r-f); this form measured 0 of 8000). The TPC-H
+    fixtures masked it because cent-granular prices usually tie the two
+    bracketing values. numpy's sort on float64 is a total order here
+    (NULLs filtered before the kernel).
 
     Scale contract: EVERY exact per-group quantile puts the whole group
     through one task — Window.partitionBy does too (hash clustering, one
@@ -76,15 +82,19 @@ def usage_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def kernel(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import math
+
         v = np.sort(pdf["v"].to_numpy())
         n = len(v)
         out = {"l_returnflag": [key[0]]}
         for p in PCTS:
-            pos = 1.0 + (n - 1) * p
-            lo = int(np.floor(pos))
-            frac = pos - np.floor(pos)
-            hi_term = frac * v[lo] if lo < n else 0.0
-            out[f"p{int(p * 100)}"] = [(1.0 - frac) * v[lo - 1] + hi_term]
+            rn = (n - 1) * p
+            frn, crn = math.floor(rn), math.ceil(rn)
+            if frn == crn:
+                res = v[int(rn)]
+            else:
+                res = v[frn] * (crn - rn) + v[crn] * (rn - frn)
+            out[f"p{int(p * 100)}"] = [float(res)]
         return pd.DataFrame(out)
 
     return (
@@ -127,7 +137,7 @@ HIST_WIDTH = 5000.0
     oracle=f"""
 SELECT CAST(floor(l_extendedprice / {HIST_WIDTH}) AS BIGINT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS total
+       {dsum_sql('l_extendedprice')} AS total
 FROM lineitem
 GROUP BY bucket
 ORDER BY bucket
@@ -159,7 +169,7 @@ def usage_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "event_value_deciles",
     tags=("ext", "stats", "percentile", "ntile"),
-    oracle="""
+    oracle=f"""
 WITH ranked AS (
     SELECT user_id, value,
            ntile(10) OVER (ORDER BY value, event_id) AS decile
@@ -167,7 +177,7 @@ WITH ranked AS (
 )
 SELECT decile,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(CAST(SUM(CAST(CAST(value AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS total
+       {dsum_sql('value')} AS total
 FROM ranked GROUP BY decile ORDER BY decile
 """,
 )
@@ -177,8 +187,6 @@ def event_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     top 10%" question. Scale note: a global ntile is a single-partition
     sort; at 100 TB swap in approx_percentile cutpoints + a range join
     (the sketch tier), keeping this exact form for report-sized inputs."""
-    from pyspark.sql import Window
-
     ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = Window.orderBy(F.col("value"), F.col("event_id"))
     return (
@@ -231,12 +239,12 @@ def event_value_deciles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "price_quantity_regression",
     tags=("ext", "stats", "regression", "correlation"),
-    oracle="""
+    oracle=f"""
 WITH s AS (
     SELECT l_returnflag,
            COUNT(*) AS n,
-           CAST(CAST(SUM(CAST(CAST(l_quantity AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sx,
-           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS STRING) AS DECIMAL(30,6))) AS STRING) AS DOUBLE) AS sy,
+           {dsum_sql('l_quantity')} AS sx,
+           {dsum_sql('l_extendedprice')} AS sy,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS STRING) AS DOUBLE) AS sxy,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS STRING) AS DOUBLE) AS sxx,
            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS STRING) AS DOUBLE) AS syy
@@ -270,8 +278,6 @@ def price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     and multiplied in exact decimal arithmetic: the product never exists
     as a double. 19 digits also forces int128 physical decimals in DuckDB,
     whose int64 decimal multiplication overflows (errors) at width 15."""
-    from ..operators.aggregates import exact_sum
-
     li = t(spark, sf_dir, "lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
 

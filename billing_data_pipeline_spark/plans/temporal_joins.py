@@ -45,11 +45,15 @@ WITH ev AS (
 -- well-defined with unique right timestamps, and ASOF JOIN's own tie pick
 -- is engine-private (review r3)
 r AS (
-    SELECT user_id, ts,
-           arg_max(event_id, event_id) AS event_id,
-           arg_max(value, event_id) AS value
+    -- ROW-wise pick (review r5): per-column arg_max(value, event_id)
+    -- SKIPS rows whose value is NULL, so a tie (id=100, v=5.0) vs
+    -- (id=200, v=NULL) returned id 200 with value 5.0 — a row that never
+    -- existed — while Spark's struct-max keeps (200, NULL). QUALIFY keeps
+    -- whole rows.
+    SELECT user_id, ts, event_id, value
     FROM ev WHERE event_type = 'click'
-    GROUP BY user_id, ts
+    QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                               ORDER BY event_id DESC) = 1
 )
 SELECT l.event_id, l.user_id,
        r.event_id AS asof_event_id,
@@ -92,11 +96,15 @@ WITH ev AS (
 -- well-defined with unique right timestamps, and ASOF JOIN's own tie pick
 -- is engine-private (review r3)
 r AS (
-    SELECT user_id, ts,
-           arg_max(event_id, event_id) AS event_id,
-           arg_max(value, event_id) AS value
+    -- ROW-wise pick (review r5): per-column arg_max(value, event_id)
+    -- SKIPS rows whose value is NULL, so a tie (id=100, v=5.0) vs
+    -- (id=200, v=NULL) returned id 200 with value 5.0 — a row that never
+    -- existed — while Spark's struct-max keeps (200, NULL). QUALIFY keeps
+    -- whole rows.
+    SELECT user_id, ts, event_id, value
     FROM ev WHERE event_type = 'click'
-    GROUP BY user_id, ts
+    QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                               ORDER BY event_id DESC) = 1
 )
 SELECT l.event_id, l.user_id,
        r.event_id AS asof_event_id,

@@ -158,7 +158,9 @@ WITH seq AS (
     SELECT user_id, event_type, ts, event_id,
            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS prev_type
-    FROM events
+    -- undated events carry no validity instant, and NULL ts would order
+    -- NULLS FIRST in Spark windows vs LAST in DuckDB (review r5)
+    FROM events WHERE ts IS NOT NULL
 ),
 changes AS (
     SELECT user_id, event_type AS state, ts AS valid_from, event_id
@@ -185,7 +187,7 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning — Catalyst reuses one exchange+sort for lag, the change
     filter shrinks the data, and the lead/row_number pass sorts only the
     surviving change rows."""
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         ev.withColumn("prev_type", F.lag("event_type").over(w))
@@ -286,7 +288,11 @@ SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        {dsum_sql('value')} AS volume
 FROM events
-WHERE value IS NOT NULL
+-- ts IS NOT NULL on BOTH sides (review r5): an undated row cannot form a
+-- bar — and the engines disagreed on it (Spark's min_by struct key is
+-- non-NULL with a NULL field and sorts it FIRST; DuckDB's arg_min key is
+-- NULL and skips the row entirely)
+WHERE value IS NOT NULL AND ts IS NOT NULL
 GROUP BY user_id, day
 """,
 )
@@ -303,7 +309,9 @@ def daily_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     an order-equivalent HUGEINT key (us * 10^10 + event_id — DuckDB's
     arg_min lacks a struct-key overload; the linear combination has the
     identical total order for event_id < 10^10)."""
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     us = F.unix_micros(F.col("ts"))
     order = F.struct(us.alias("us"), F.col("event_id"))
     return ev.groupBy(
@@ -352,8 +360,6 @@ def user_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     float op — bit-identical on both engines. Zero-length intervals
     (duplicate timestamps) carry zero weight and are excluded with the
     final open-ended observation."""
-    from pyspark.sql import Window
-
     ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     us = F.unix_micros(F.col("ts"))
     w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
@@ -379,7 +385,10 @@ def user_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ordered AS (
     SELECT user_id,
            list(value ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS vals
-    FROM events WHERE value IS NOT NULL
+    -- ts IS NOT NULL: the fold order is the event-time order, and NULL
+    -- ts would sort FIRST in Spark's struct sort_array vs LAST in
+    -- DuckDB's list ORDER BY (review r5)
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     GROUP BY user_id
 )
 SELECT user_id,
@@ -405,7 +414,9 @@ def user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded histories the streaming twin is applyInPandasWithState
     (streaming/stateful.py) carrying (y_prev) as state — this batch form
     is the oracle-checkable fixture of that recurrence."""
-    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     ordered = ev.groupBy("user_id").agg(
         F.sort_array(
             F.collect_list(

@@ -214,3 +214,71 @@ def test_ln_free_queries_hold_at_alternate_sf(spark, name):
     driver-side libm idf) — assert at the SF that exposed it."""
     spec = CATALOG[name]
     assert_matches_oracle(spec.fn(spark, SWEEP_SF), spec.oracle, SWEEP_SF)
+
+
+def test_percentile_interpolation_bitwise_on_irregular_values(spark, tmp_path):
+    """Review r5: the percentile kernel must reproduce quantile_cont's OWN
+    IEEE expression (0-based RN, v[frn]*(crn-rn) + v[crn]*(rn-frn)) — the
+    prior 1-based (1-f)*lo + f*hi form drifted a ulp on ~1.3% of random
+    groups; TPC-H's cent-granular prices masked it. Irregular full-mantissa
+    values + groups of co-prime sizes force interpolated ranks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import random
+
+    rnd = random.Random(42)
+    flags, prices = [], []
+    for flag, n in (("A", 7), ("N", 13), ("R", 29)):
+        flags += [flag] * n
+        prices += [rnd.uniform(0.1, 999999.9) for _ in range(n)]
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    li = pa.table(
+        {
+            "l_returnflag": pa.array(flags),
+            "l_extendedprice": pa.array(prices, pa.float64()),
+        }
+    )
+    pq.write_table(li, str(d / "lineitem.parquet"))
+    spec = CATALOG["usage_percentiles"]
+    assert_matches_oracle(spec.fn(spark, str(d)), spec.oracle, str(d))
+
+
+def test_asof_null_value_tie_picks_whole_row(spark, tmp_path):
+    """Review r5: duplicate (user, ts) clicks where the max-event_id row
+    carries a NULL value — per-column arg_max(value, event_id) skipped the
+    NULL and stitched together a row that never existed (id 200 with id
+    100's value); both asof oracles now dedup row-wise via QUALIFY."""
+    t0 = 1_700_000_000_000_000
+    rows = {
+        "event_id": [100, 200, 300],
+        "ts": [t0, t0, t0 + 60_000_000],
+        "user_id": [7, 7, 7],
+        "event_type": ["click", "click", "purchase"],
+        "value": [5.0, None, 9.0],
+        "props": [None] * 3,
+    }
+    sf = _write_events(tmp_path, rows)
+    for name in ("purchase_last_click_asof", "purchase_last_click_asof_cogroup"):
+        spec = CATALOG[name]
+        assert_matches_oracle(spec.fn(spark, sf), spec.oracle, sf)
+
+
+def test_timeseries_null_ts_contract(spark, tmp_path):
+    """Review r5: undated rows are excluded from OHLC bars, SCD2 intervals,
+    and the EWMA fold on BOTH engines (Spark sorted NULL-ts first via its
+    struct keys while DuckDB's arg_min/arg_max skipped or ordered them
+    last — the engines disagreed on every one of these shapes)."""
+    t0 = 1_700_000_000_000_000
+    rows = {
+        "event_id": [1, 2, 3, 4],
+        "ts": [None, t0, t0 + 60_000_000, None],
+        "user_id": [7, 7, 7, 7],
+        "event_type": ["click", "view", "click", "view"],
+        "value": [1.5, 2.5, 3.5, 4.5],
+        "props": [None] * 4,
+    }
+    sf = _write_events(tmp_path, rows)
+    for name in ("daily_value_ohlc", "user_state_scd2", "user_value_ewma"):
+        spec = CATALOG[name]
+        assert_matches_oracle(spec.fn(spark, sf), spec.oracle, sf)
