@@ -60,6 +60,13 @@ def normalized_text(text_col: str = "text") -> F.Column:
     )
 
 
+def normalized_text_sql(expr: str = "text") -> str:
+    """DuckDB twin of normalized_text — built HERE so the plan-file
+    oracles cannot drift from the Spark expression (review r5: three
+    hand-inlined copies)."""
+    return f"trim(lower(regexp_replace({expr}, '[^A-Za-z0-9]+', ' ', 'g')))"
+
+
 def normalized_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per distinct NORMALIZED content hash: canonical (min) id +
     copy count — exact_dedup_groups on the canonical form. Same scale

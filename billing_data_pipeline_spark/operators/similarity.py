@@ -185,9 +185,13 @@ def cosine_topk(
     scored = pairs.select(
         "query_id",
         "candidate_id",
-        (dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn"))).alias(
-            "cosine_sim"
-        ),
+        # try_divide: a zero-norm side makes cosine 0/0 — plain double
+        # division yields NaN, which Spark ranks FIRST under desc while
+        # DuckDB's x/0 NULL ranks LAST (review r5); try_divide returns
+        # NULL, and desc's default NULLS LAST matches the oracle
+        F.try_divide(
+            dot(F.col("qv"), F.col("cv"), dim), F.col("qn") * F.col("cn")
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("candidate_id").asc()
@@ -308,9 +312,18 @@ def cosine_topk_exact_vectorized(
             for i in range(dim):  # exact left fold, vectorized over pairs
                 S += C[:, i][:, None] * Q[None, :, i]
             S = S / (Qn[None, :] * Cn[:, None])
-            S[cids[:, None] == q_ids[None, :]] = -np.inf
-            kk = min(k, S.shape[0])
-            # stable sort on -sim over id-ascending rows == (sim desc, id asc)
+            # Zero-norm pairs are 0/0 = NaN here, NULL in both SQL tiers
+            # (DuckDB x/0, try_divide) — KEPT, ranked last (review r5: a
+            # -inf mask + post-filter silently dropped a zero-norm QUERY
+            # entirely, while the oracle still emits its k rows with NULL
+            # sims). NaN -> NULL happens at the Arrow boundary; the
+            # argsort below puts NaN last (ascending -S), stable order =
+            # id-asc among NULL ties — the final window's exact order.
+            # Self-matches stay IN the batch cut (hence k+1 rows) and are
+            # dropped by an explicit id filter after the kernel.
+            kk = min(k + 1, S.shape[0])
+            # stable sort on -sim over id-ascending rows == (sim desc
+            # nulls last, id asc)
             top = np.argsort(-S, axis=0, kind="stable")[:kk]
             yield pd.DataFrame(
                 {
@@ -322,10 +335,10 @@ def cosine_topk_exact_vectorized(
 
     partial = corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("candidate_id").asc()
+        F.col("cosine_sim").desc_nulls_last(), F.col("candidate_id").asc()
     )
     return (
-        partial.filter(F.col("cosine_sim") != float("-inf"))
+        partial.filter(F.col("candidate_id") != F.col("query_id"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "candidate_id", "rank", "cosine_sim")

@@ -54,6 +54,40 @@ def punct_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(PUNCT_RE))
 
 
+# --- DuckDB twins of the scalar scorers, built HERE so plan-file oracles
+# cannot drift from the Spark expressions above (review r5: the same SQL
+# was hand-inlined in extensions.py and curation.py; the marker_pattern
+# builder below exists for exactly this reason). regexp_count has no
+# DuckDB equivalent; len(regexp_extract_all(...)) counts the same
+# non-overlapping matches.
+
+
+def token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{WORD_RE}'))"
+
+
+def bpe_ish_token_count_sql(expr: str) -> str:
+    # \x0B spelled explicitly: Java \s includes it, RE2's lacks it
+    return (
+        f"len(regexp_extract_all({expr},"
+        " '[A-Za-z0-9]{1,4}|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]'))"
+    )
+
+
+def punct_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '{PUNCT_RE}'))"
+
+
+def quality_score_sql(expr: str) -> str:
+    """word_density - punct_ratio with x/0 -> NULL (try_divide twin).
+    DuckDB integer/integer division is float already; the explicit DOUBLE
+    casts pin the operand types to Spark's."""
+    return (
+        f"(CAST({token_count_sql(expr)} AS DOUBLE) / length({expr})"
+        f" - CAST({punct_count_sql(expr)} AS DOUBLE) / length({expr}))"
+    )
+
+
 def marker_pattern(lang: str) -> str:
     """The marker regex shared VERBATIM by the Spark expression and the
     DuckDB oracles (plans/extensions.py) — one builder so the two can't

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import curation as C
+from ..operators import dedup as D
 from ..operators import sampling as SMP
 from ..operators import text as X
 from ..registry import register
@@ -131,7 +132,7 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents",
         "source",
         "doc_id",
-        "len(regexp_extract_all(text, '[A-Za-z0-9]+'))",
+        X.token_count_sql("text"),
         "(CAST(substr(source, 4) AS BIGINT) % 3) + 1",
         n_shards=8,
     ),
@@ -175,7 +176,7 @@ def repeated_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT source,
        {SMP.assign_split_sql('doc_id')} AS split,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT)
+       CAST(SUM({X.token_count_sql('text')}) AS BIGINT)
            AS n_tokens
 FROM documents
 GROUP BY 1, 2
@@ -197,7 +198,7 @@ def dataset_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NORM_SQL = "trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))"
+_NORM_SQL = D.normalized_text_sql("text")  # shared builder (review r5)
 
 
 @register(
@@ -211,7 +212,7 @@ WITH keyed AS (
 SELECT {SMP.assign_split_sql('grp')} AS split,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups,
-       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT)
+       CAST(SUM({X.token_count_sql('text')}) AS BIGINT)
            AS n_tokens
 FROM keyed
 GROUP BY 1
@@ -241,12 +242,10 @@ def leakage_safe_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUALITY_SQL = (
-    "(CAST(len(regexp_extract_all(clean_text, '[A-Za-z0-9]+')) AS DOUBLE)"
-    " / length(clean_text))"
-    " - (CAST(len(regexp_extract_all(clean_text, '[.,!?;:]')) AS DOUBLE)"
-    " / length(clean_text))"
-)
+# NOTE: parenthesization differs cosmetically from the old inline form
+# ((A/L) - (B/L) vs (A/L - B/L)) — same operator precedence, same doubles;
+# the builder next to the Spark expression is the single source (review r5)
+_QUALITY_SQL = X.quality_score_sql("clean_text")
 
 
 _STREAM_CURATION_ORACLE = f"""
@@ -272,13 +271,14 @@ def streaming_curation_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     transformations, so append mode needs no watermark and no state store.
     Drained with AvailableNow and hash-checked against the batch SQL: the
     batch/stream unification claim, proven on the curation surface."""
-    import tempfile
     import uuid
 
     from ..streaming.event_windows import run_to_memory
-    from .streaming_queries import _deliver
+    from .streaming_queries import _deliver, _stream_scratch_dir
 
-    d = tempfile.mkdtemp(prefix="docs_stream_")
+    # swept registry, not a bare mkdtemp (review r5: one leaked delivery
+    # dir per invocation across bench's min-of-N loops and test runs)
+    d = _stream_scratch_dir("docs_stream_")
     # _deliver links single-file AND Spark-written directory tables alike
     # (review r4: a bare symlink of a dir-shaped documents.parquet listed
     # zero files and drained empty — the same trap already fixed for the
@@ -308,7 +308,7 @@ def streaming_curation_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "documents",
         "source",
         "doc_id",
-        "len(regexp_extract_all(text, '[A-Za-z0-9]+'))",
+        X.token_count_sql("text"),
         "(CAST(substr(source, 4) AS BIGINT) % 3) + 1",
     ),
 )

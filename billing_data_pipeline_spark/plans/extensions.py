@@ -59,11 +59,16 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_groups(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# shared normalized-text twin, rendered by the builder next to the Spark
+# expression (operators/dedup.normalized_text — review r5)
+_NORM = D.normalized_text_sql("text")
+
+
 @register(
     "normalized_dedup_docs",
     tags=("ext", "dedup"),
-    oracle="""
-SELECT md5(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))) AS norm_hash,
+    oracle=f"""
+SELECT md5({_NORM}) AS norm_hash,
        MIN(doc_id) AS keep_id,
        COUNT(*) AS copies
 FROM documents
@@ -86,7 +91,7 @@ def normalized_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH scored AS (
     SELECT doc_id,
-           md5(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))))
+           md5({_NORM})
                AS norm_hash,
            {X.model_quality_score_sql('text')} AS s
     FROM documents
@@ -308,8 +313,11 @@ def embedding_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "dedup", "iterative", "graph"),
     oracle=CC.components_oracle_sql(
         "SELECT vec_id FROM embeddings",
-        S.neardup_pairs_oracle_sql("embeddings", "vec_id", "embedding", 0.4)
-        .replace("SELECT id_a, id_b, cosine_sim FROM scored", "SELECT id_a, id_b FROM scored"),
+        # no projection surgery needed: components_oracle_sql already
+        # wraps pairs_sql as 'SELECT id_a, id_b FROM (...) p' (review r5:
+        # a string .replace here silently no-ops if the pair oracle's
+        # final SELECT is ever reworded)
+        S.neardup_pairs_oracle_sql("embeddings", "vec_id", "embedding", 0.4),
         "vec_id",
     ),
 )
@@ -431,13 +439,13 @@ def embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text analysis
 # ---------------------------------------------------------------------------
 
-_WORDS = "len(regexp_extract_all(text, '[A-Za-z0-9]+'))"
-_BPE = r"len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9 \t\n\x0B\f\r]'))"
-_PUNCT = "len(regexp_extract_all(text, '[.,!?;:]'))"
-_QUALITY = (
-    f"(CAST({_WORDS} AS DOUBLE) / length(text)"
-    f" - CAST({_PUNCT} AS DOUBLE) / length(text))"
-)
+# DuckDB twins of the text scorers, rendered by the builders that live
+# next to the Spark expressions (operators/text.py — review r5: these
+# were hand-inlined copies that could drift silently)
+_WORDS = X.token_count_sql("text")
+_BPE = X.bpe_ish_token_count_sql("text")
+_PUNCT = X.punct_count_sql("text")
+_QUALITY = X.quality_score_sql("text")
 
 
 @register(
@@ -689,7 +697,10 @@ def doc_model_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         score.alias("model_score"),
-        (score > 0.5).alias("kept"),
+        # the oracle's CASE ... ELSE FALSE maps a NULL score (digits-only
+        # text: zero alpha tokens => 0/0 diversity) to FALSE; a bare
+        # boolean would keep it NULL (review r5)
+        F.when(score > 0.5, F.lit(True)).otherwise(F.lit(False)).alias("kept"),
     )
 
 
@@ -704,7 +715,11 @@ SELECT user_id,
                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
                            COALESCE(event_type, ''), event_id)
            AS transcript
-FROM events
+-- undated events have no place in a time-ordered transcript, and the
+-- engines disagreed on them: Spark's concat_ws skipped the NULL ts
+-- (emitting a bare 'type' element sorted first) while DuckDB's || nulled
+-- the element and string_agg dropped it (review r5 — NULL-ts contract)
+FROM events WHERE ts IS NOT NULL
 GROUP BY user_id
 """,
 )
@@ -716,7 +731,7 @@ def user_event_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     One shuffle on the entity key; per-group memory bounded by the
     entity's own events (the conversation-assembly shape of a pretraining
     pipeline)."""
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     seq = ev.select(
         "user_id",
         # coalesce NULL type to '' on BOTH engines: Spark's concat_ws

@@ -282,3 +282,84 @@ def test_timeseries_null_ts_contract(spark, tmp_path):
     for name in ("daily_value_ohlc", "user_state_scd2", "user_value_ewma"):
         spec = CATALOG[name]
         assert_matches_oracle(spec.fn(spark, sf), spec.oracle, sf)
+
+
+def test_cosine_topk_zero_norm_query_and_candidate(spark, tmp_path):
+    """Review r5: a zero-norm QUERY must still emit its k rows (NULL
+    cosine, candidates in id order) and a zero-norm CANDIDATE must rank
+    NULLS-LAST, exactly as the DuckDB oracle's x/0 = NULL does — the old
+    -inf mask + post-filter dropped the query entirely, and the JVM
+    tier's plain double division produced NaN, which Spark ranks FIRST
+    under desc."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rnd = random.Random(7)
+    ids = list(range(0, 120, 10))  # 0, 40, 80 are the %40 queries
+    vecs = [[rnd.uniform(-1, 1) for _ in range(8)] for _ in ids]
+    vecs[ids.index(40)] = [0.0] * 8  # zero-norm query
+    vecs[ids.index(30)] = [0.0] * 8  # zero-norm candidate
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array(["x"] * len(ids)),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    spec = CATALOG["embedding_cosine_topk"]
+    df = spec.fn(spark, str(d))
+    assert_matches_oracle(df, spec.oracle, str(d))
+    got = {r["query_id"] for r in df.collect()}
+    assert 40 in got  # the zero-norm query's rows survived
+
+
+def test_quality_kept_and_transcripts_edge_rows(spark, tmp_path):
+    """Review r5: (a) a digits-only doc (alpha-token diversity 0/0 ->
+    NULL model score) must get kept=FALSE on both engines, not NULL vs
+    FALSE; (b) an undated event is excluded from transcripts on both
+    engines (Spark's concat_ws skipped the NULL ts and emitted a bare
+    'type' element sorted first; DuckDB nulled and dropped it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["42 7", "a real document with words"]),
+                "lang": pa.array(["en", "en"]),
+                "source": pa.array(["src1", "src1"]),
+                "n_chars": pa.array([4, 27], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    spec = CATALOG["doc_model_quality_scores"]
+    df = spec.fn(spark, str(d))
+    assert_matches_oracle(df, spec.oracle, str(d))
+    kept = {r["doc_id"]: r["kept"] for r in df.collect()}
+    assert kept[1] is False  # NULL score -> FALSE, not None
+
+    t0 = 1_700_000_000_000_000
+    sf = _write_events(
+        tmp_path,
+        {
+            "event_id": [1, 2, 3],
+            "ts": [t0, None, t0 + 60_000_000],
+            "user_id": [7, 7, 7],
+            "event_type": ["click", "view", "buy"],
+            "value": [1.0, 2.0, 3.0],
+            "props": [None] * 3,
+        },
+    )
+    spec = CATALOG["user_event_transcripts"]
+    assert_matches_oracle(spec.fn(spark, sf), spec.oracle, sf)
