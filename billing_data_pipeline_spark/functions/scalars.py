@@ -25,13 +25,24 @@ from pyspark.sql import functions as F
 
 
 def row_content_hash(*cols: Column | str) -> Column:
-    """Row-level md5 over concatenated columns (F1's row analogue; NULL-safe
-    via coalesce to a sentinel so (NULL, 'x') != ('x', NULL))."""
-    parts = [
-        F.coalesce(F.col(c).cast("string") if isinstance(c, str) else c.cast("string"), F.lit("\x00"))
-        for c in cols
-    ]
-    return F.md5(F.concat_ws("\x01", *parts))
+    """Row-level md5 over length-prefixed concatenated columns (F1's row
+    analogue). Each non-NULL value is rendered ``<length>:<value>`` before
+    joining on \x01, and NULL renders as a bare \x00 — UNFORGEABLE
+    (review r5): the old plain concat let ('a\x01b', 'c') collide with
+    ('a', 'b\x01c') (a value containing the separator shifted field
+    boundaries) and ('\x00', 'x') collide with (NULL, 'x'). A length
+    prefix disambiguates both: every real value carries its own length
+    and a ':' (so it can never equal the prefix-less NULL sentinel), and
+    embedded separators cannot move a boundary without changing some
+    field's declared length."""
+    def render(c: Column | str) -> Column:
+        s = (F.col(c) if isinstance(c, str) else c).cast("string")
+        return F.coalesce(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s),
+            F.lit("\x00"),
+        )
+
+    return F.md5(F.concat_ws("\x01", *[render(c) for c in cols]))
 
 
 def date_spine(

@@ -25,6 +25,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Exact-decimal accumulator for money-like measures. Double summation is
 # order-dependent (Spark's partial aggregation vs any single-node engine can
@@ -190,9 +191,28 @@ def grouped_profile(
     # 100 TB shuffle below the core count anyway.
     width = df.sparkSession.sparkContext.defaultParallelism
     pre = tmp.repartition(width, *knames)
+    float_cols = {
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+    }
     for alias, col in distinct_cols.items():
-        # size() returns int; countDistinct is long — match it
-        aggs.append(F.size(F.collect_set(col)).cast("long").alias(alias))
+        # size() returns int; countDistinct is long — match it.
+        # Float columns: collect_set's hash set treats NaN != NaN and
+        # kept EVERY NaN row as its own element, while COUNT(DISTINCT)
+        # (the k=1 branch AND the DuckDB oracle) counts NaN once — so the
+        # two physical branches disagreed on NaN-bearing measures
+        # (review r5, verified live: {0.0, -0.0, NaN, NaN} -> 3 vs 2;
+        # signed zeros already fold at the UnsafeRow level). Count the
+        # non-NaN distincts in the set and add 1 when any NaN exists.
+        if col in float_cols:
+            expr = (
+                F.size(F.collect_set(F.when(~F.isnan(col), F.col(col))))
+                + F.coalesce(F.max(F.isnan(col).cast("int")), F.lit(0))
+            ).cast("long")
+        else:
+            expr = F.size(F.collect_set(F.col(col))).cast("long")
+        aggs.append(expr.alias(alias))
     return (
         pre.groupBy(*knames)
         .agg(*aggs)

@@ -48,6 +48,12 @@ def asof_join_backward(
     keep max id per (entity, ts)) — as-of is only well-defined with unique
     right timestamps per entity.
     """
+    reserved = {"_side", "_rv", "_asof_rv"}
+    if reserved & set(left.columns):
+        raise ValueError(
+            f"asof_join_backward: left frame carries reserved working"
+            f" column(s) {sorted(reserved & set(left.columns))}"
+        )
     # side ordering at equal ts: right first (0) so inclusive <= sees it;
     # strict mode orders left first so an equal-ts right row is NOT visible.
     right_tag = 1 if strict else 0
@@ -117,7 +123,19 @@ def asof_join_backward_cogrouped(
     cogroup: Spark's cogroup resolution drops right-side columns whose
     names collide with the left's (observed: a right frame arriving in
     the kernel with only its uniquely-named columns), so the two sides
-    must not share non-key names."""
+    must not share non-key names.
+
+    Numeric exactness (review r5): the right payload columns are carried
+    through ``merge_asof`` as OBJECT dtype — with numeric dtypes, one
+    unmatched left row made pandas promote an int64 payload column to
+    float64, silently rounding ids above 2^53 (verified: 2^53+1 came
+    back off by one) while the window form stayed exact. Match tracking
+    rides an explicit right-presence marker, not payload notna(), so a
+    matched row whose payload is genuinely NULL stays a match. Known
+    tier-private edge: a matched FLOAT payload that is NaN surfaces as
+    NULL here (the Arrow boundary folds NaN to null) where the window
+    form returns NaN — NaN payloads are the one case the two tiers can
+    differ on."""
     import pandas as pd
 
     from pyspark.sql import types as T
@@ -141,6 +159,7 @@ def asof_join_backward_cogrouped(
     ).select(
         F.col(entity_col),
         F.col(ts_col).alias("_r_ts"),
+        F.lit(True).alias("_r_present"),
         *[F.col(c).alias(f"asof_{c}") for c in value_cols],
     )
 
@@ -157,16 +176,24 @@ def asof_join_backward_cogrouped(
             return null_l[l_cols + [f"asof_{c}" for c in value_cols]]
         l = l.sort_values(ts_col, kind="stable")
         rr = (
-            r[["_r_ts", *[f"asof_{c}" for c in value_cols]]]
+            r[["_r_ts", "_r_present", *[f"asof_{c}" for c in value_cols]]]
             .rename(columns={"_r_ts": ts_col})
             .sort_values(ts_col, kind="stable")
         )
-        out = pd.merge_asof(l, rr, on=ts_col, direction="backward")
-        # NaN -> None so missing matches surface as SQL NULLs (the window
-        # form's semantics), not float NaNs
+        # OBJECT dtype: merge_asof's unmatched-row NaN fill must not
+        # promote int64 payloads to float64 (review r5 — exactness)
         for c in value_cols:
-            col = out[f"asof_{c}"]
-            out[f"asof_{c}"] = col.astype(object).where(col.notna(), None)
+            rr[f"asof_{c}"] = rr[f"asof_{c}"].astype(object)
+        out = pd.merge_asof(l, rr, on=ts_col, direction="backward")
+        # unmatched rows -> SQL NULLs, keyed on ROW presence, not payload
+        # notna() (review r5: a matched row with a NULL payload is still
+        # a match; the old check reached the same answer only because
+        # object-dtype None is also notna()==False — now explicit)
+        unmatched = out["_r_present"].isna()
+        for c in value_cols:
+            col = out[f"asof_{c}"].astype(object)
+            out[f"asof_{c}"] = col.where(~unmatched & col.notna(), None)
+        out = out.drop(columns=["_r_present"])
         if len(null_l):
             out = pd.concat([out, null_l], ignore_index=True)
         return out[l_cols + [f"asof_{c}" for c in value_cols]]
@@ -190,11 +217,25 @@ def range_join(
     """All (left, right) pairs with the same entity and
     left.ts - window <= right.ts <= left.ts, via time-bucketed equi-join
     (each left bucket joins bucket b and b-1 only).
+
+    Output: entity, prefixed left columns, ``right_cols``, and ``r_ts``
+    (the matched right row's timestamp).
     """
     us = window_seconds * 1_000_000
-    # integer DIV, not float division: epoch-µs magnitudes lose ulps in a
-    # double, which would misplace rows exactly on a bucket boundary
-    bucket = lambda c: F.expr(f"unix_micros(`{c}`) DIV {us}")  # noqa: E731
+    reserved = {"_ent", "_b", "_lb", "r_ts"}
+    if reserved & (set(left.columns) | set(right_cols)):
+        raise ValueError(
+            f"range_join: reserved column name(s)"
+            f" {sorted(reserved & (set(left.columns) | set(right_cols)))}"
+        )
+    # The repo's ONE bucketing rule (plans/_util.floor_bucket_us): exact
+    # integer FLOOR — (x - pmod(x, d)) div d. Bare DIV truncates toward
+    # zero, which happens to stay pair-complete here (both sides shift
+    # identically around 1970), but a second bucketing spelling is
+    # exactly the maintenance trap _util.py documents (review r5).
+    bucket = lambda c: F.expr(  # noqa: E731
+        f"(unix_micros(`{c}`) - pmod(unix_micros(`{c}`), {us})) div {us}"
+    )
 
     l = left.select(
         F.col(entity_col).alias("_ent"),
@@ -206,14 +247,16 @@ def range_join(
 
     r = right.select(
         F.col(entity_col).alias("_ent"),
-        F.col(ts_col).alias("_r_ts"),
+        # r_ts is a PUBLIC output column (the matched right timestamp) —
+        # the old underscore-internal name leaked into results (review r5)
+        F.col(ts_col).alias("r_ts"),
         *[F.col(c).alias(c) for c in right_cols],
-    ).withColumn("_b", bucket("_r_ts"))
+    ).withColumn("_b", bucket("r_ts"))
 
     pairs = l.join(r, ["_ent", "_b"]).filter(
-        (F.col("_r_ts") <= F.col(f"{left_prefix}ts"))
+        (F.col("r_ts") <= F.col(f"{left_prefix}ts"))
         & (
-            F.unix_micros(F.col(f"{left_prefix}ts")) - F.unix_micros(F.col("_r_ts"))
+            F.unix_micros(F.col(f"{left_prefix}ts")) - F.unix_micros(F.col("r_ts"))
             <= us
         )
     )

@@ -3,9 +3,10 @@
 AQE's skew-join splitting (on by default in session.py) handles most skew at
 runtime; this is the explicit fallback for cases AQE can't fix — e.g. a
 shuffle join where one key holds >50% of rows and the joined side is too big
-to broadcast. The big side gets a deterministic salt derived from the whole
-row; the small side is replicated once per salt value; the join key becomes
-(key, salt), splitting each hot key's rows across ``n_salts`` tasks.
+to broadcast. The big side gets a deterministic per-row salt (partition-position
+based); the small side is replicated once per salt value; the join key
+becomes (key, salt), splitting each hot key's rows across ``n_salts``
+tasks.
 """
 
 from __future__ import annotations
@@ -23,8 +24,15 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the hot-key shuffle split across ``n_salts`` buckets.
 
-    Deterministic: the salt is a hash of the big side's full row, not a
-    random number — identical inputs give identical physical row routing.
+    Deterministic: the salt is the row's position counter
+    (monotonically_increasing_id mod n_salts) — no RNG, and identical to
+    re-run on the same partitioning. NOT a content hash (review r5): a
+    hot key whose rows are byte-identical — the projected-to-join-keys
+    frame, duplicate-heavy feeds — hashed every row to ONE salt bucket,
+    silently defeating the split while still paying the small-side
+    replication. Position-based salts spread identical rows evenly;
+    correctness never depends on WHICH salt a row gets (every salt joins
+    the same replicated small side).
     Result is exactly ``big.join(small, on, how)`` for ``inner`` and
     ``left``/``left_outer``/``left_semi``/``left_anti`` joins. Right/full
     outer joins are rejected: the small side is replicated once per salt,
@@ -39,9 +47,10 @@ def salted_join(
             "the replicated small side would duplicate unmatched rows in "
             "right/full outer results — swap the sides instead"
         )
+    if "_salt" in big.columns or "_salt" in small.columns:
+        raise ValueError("salted_join: input already has a _salt column")
     big_s = big.withColumn(
-        "_salt",
-        F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in big.columns])), F.lit(n_salts)),
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )
     small_s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

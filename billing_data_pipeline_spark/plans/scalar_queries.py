@@ -23,7 +23,9 @@ from ._util import t
     tags=("scalar", "reference:F1,F2,F4,F7"),
     oracle=r"""
 SELECT o_orderkey,
-       md5(concat_ws(chr(1), CAST(o_orderkey AS VARCHAR), o_orderstatus)) AS key_hash,
+       md5(concat_ws(chr(1),
+           CAST(length(CAST(o_orderkey AS VARCHAR)) AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR),
+           CAST(length(o_orderstatus) AS VARCHAR) || ':' || o_orderstatus)) AS key_hash,
        strftime(o_orderdate, '%Y-%m') AS order_month,
        CAST(o_orderdate AS DATE) + 30 AS due_date,
        make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 1) AS month_start,

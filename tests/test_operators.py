@@ -695,3 +695,70 @@ def test_ml_minhash_barrier_survives_later_calls(spark):
     got = {(r["doc_a"], r["doc_b"]) for r in first.collect()}
     assert (1, 2) in got
     assert "LogicalRDD" in first._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_asof_cogroup_int64_exact_and_distinct_nan_parity(spark):
+    """Review r5 regressions: (a) the cogrouped as-of must keep int64
+    payloads EXACT when some left rows are unmatched (pd.merge_asof's
+    NaN fill promoted the column to float64, rounding ids above 2^53);
+    (b) grouped_profile's two physical distinct branches must agree on
+    NaN-bearing float columns (collect_set kept every NaN as its own
+    element; COUNT(DISTINCT) counts one)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from billing_data_pipeline_spark.operators.aggregates import grouped_profile
+    from billing_data_pipeline_spark.operators.asof import (
+        asof_join_backward,
+        asof_join_backward_cogrouped,
+    )
+
+    big_id = 2**53 + 1
+    t9, t10 = (
+        datetime.datetime(2023, 1, 1, 9, 30),
+        datetime.datetime(2023, 1, 1, 10, 0),
+    )
+    left = spark.createDataFrame(
+        [(1, datetime.datetime(2023, 1, 1, 9, 0)), (2, t10)],
+        "pid long, ts timestamp",
+    ).withColumn("user_id", F.lit(1))
+    right = spark.createDataFrame(
+        [(big_id, 1, t9, 5.0)], "event_id long, user_id long, ts timestamp, value double"
+    )
+    for fn in (asof_join_backward, asof_join_backward_cogrouped):
+        rows = {
+            r["pid"]: (r["asof_event_id"], r["asof_value"])
+            for r in fn(left, right, "user_id", "ts", ["event_id", "value"]).collect()
+        }
+        assert rows[2] == (big_id, 5.0), fn.__name__  # bit-exact id
+        assert rows[1] == (None, None), fn.__name__  # unmatched -> NULLs
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 1.0), (1, -0.0, 1.0), (1, float("nan"), 1.0), (1, float("nan"), 1.0)],
+        "g long, d double, m double",
+    )
+    k1 = grouped_profile(df, ["g"], "m", distinct_cols={"nd": "d"}).collect()[0]["nd"]
+    k2 = grouped_profile(
+        df, ["g"], "m", distinct_cols={"nd": "d", "nm": "m"}
+    ).collect()[0]["nd"]
+    assert k1 == k2 == 2
+
+
+def test_salted_join_splits_identical_hot_rows(spark):
+    """Review r5: a hot key whose big-side rows are byte-identical (the
+    projected-to-join-keys shape) must still spread across salt buckets —
+    the old full-row-hash salt put them all in one."""
+    from pyspark.sql import functions as F
+
+    from billing_data_pipeline_spark.operators.skew import salted_join
+
+    big = spark.range(0, 1000).select(F.lit(7).alias("k"))  # identical rows
+    small = spark.createDataFrame([(7, "x")], "k long, v string")
+    out = salted_join(big, small, ["k"], n_salts=4)
+    assert out.count() == 1000
+    salted = big.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(4))
+    )
+    n_buckets = salted.select("_salt").distinct().count()
+    assert n_buckets > 1  # the split actually splits

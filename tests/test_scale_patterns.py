@@ -175,10 +175,17 @@ def test_streaming_rollup_matches_batch_recompute(spark, tmp_path):
         assert got[k]["total_usage"] == expected[k]["total_usage"]
         assert got[k]["unique_users"] == expected[k]["unique_users"]
 
-    # Replay safety: merging an already-seen batch id is a no-op.
+    # Replay safety: re-delivering the LAST batch id (the only shape a
+    # restart from an intact checkpoint produces) is a no-op; an OLDER id
+    # means the checkpoint was reset and must fail loudly instead of
+    # silently freezing the rollup (review r5).
+    import pytest
+
     before = sorted(map(tuple, rollup.read_finalized().collect()))
-    rollup.merge_batch(ev.limit(50), batch_id=0)
+    rollup.merge_batch(ev.limit(50), batch_id=2)
     assert sorted(map(tuple, rollup.read_finalized().collect())) == before
+    with pytest.raises(RuntimeError, match="checkpoint was reset"):
+        rollup.merge_batch(ev.limit(50), batch_id=0)
 
 
 def test_new_query_plan_properties(spark):
