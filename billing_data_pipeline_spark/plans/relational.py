@@ -79,7 +79,10 @@ GROUP BY n.n_name
 )
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped 6-table join: two big facts (orders, lineitem) meet on
-    the shuffle; supplier/nation/region/customer-filter resolve broadcast.
+    the shuffle; supplier/nation/region resolve broadcast. CUSTOMER joins
+    unhinted (review r5: it carries no filter here, and customer is the
+    LARGEST dimension — low-TBs at 100 TB, unboundable as a forced
+    broadcast build; AQE still picks broadcast at bench scale on its own).
     The c_nationkey = s_nationkey correlation runs as a post-join filter."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").filter(
@@ -91,7 +94,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -542,9 +545,14 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
     s = t(spark, sf_dir, "supplier")
+    at_max = rev.join(
+        F.broadcast(max_rev), rev.total_revenue == max_rev.max_revenue
+    )
+    # Broadcast the at-most-tie-count at_max side, not ALL of supplier
+    # (review r5: the old hint built a hash table over the unbounded dim
+    # to probe it with ~1 row — backwards at any scale)
     return (
-        rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev.max_revenue)
-        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        s.join(F.broadcast(at_max), at_max.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -631,10 +639,13 @@ def important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "events", "funnel"),
     oracle="""
 WITH per_user AS (
+    -- CAST(ts AS TIMESTAMP) floors nanos to micros like Spark's loader,
+    -- so the strict < stage comparisons agree at micro precision
+    -- (review r5 — same class as latest_event_per_user)
     SELECT user_id,
-           MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
-           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
-           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+           MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS t_signup,
+           MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+           MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
     FROM events GROUP BY user_id
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS users_total,
@@ -682,9 +693,14 @@ def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
     oracle="""
 WITH ranked AS (
-    SELECT user_id, ts, event_type, value,
+    -- CAST(ts AS TIMESTAMP): when events ships as TIMESTAMP(NANOS), raw
+    -- ts ranks at nano precision while Spark's loader floors to micros —
+    -- micro-equal nano-distinct ties would pick different rows (review
+    -- r5; every sibling events oracle already casts)
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
            row_number() OVER (PARTITION BY user_id
-                              ORDER BY ts DESC, event_id DESC) AS rn
+                              ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                       event_id DESC) AS rn
     FROM events
 )
 SELECT user_id, ts, event_type, value FROM ranked WHERE rn = 1
@@ -839,15 +855,21 @@ SELECT event_id, user_id,
        dense_rank() OVER w AS dr,
        ntile(4) OVER w AS quartile,
        first_value(value) OVER w AS first_v,
-       last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       last_value(value) OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP) NULLS LAST, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                         AND UNBOUNDED FOLLOWING) AS last_v,
-       nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       nth_value(value, 2) OVER (PARTITION BY user_id
+                                 ORDER BY CAST(ts AS TIMESTAMP) NULLS LAST, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING
                                           AND UNBOUNDED FOLLOWING) AS second_v
 FROM events
 WHERE user_id % 25 = 0
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+-- CAST + NULLS LAST (review r5): Spark's asc default is NULLS FIRST vs
+-- DuckDB's NULLS LAST (NULL-ts rows would shift every rank in the
+-- partition), and raw ts would rank nano-precision where Spark floors to
+-- micros; the Spark side pins asc_nulls_last to match
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) NULLS LAST, event_id)
 """,
 )
 def window_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -858,7 +880,9 @@ def window_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = t(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
-    running = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id"
+    )
     full = running.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return ev.select(
         "event_id",
@@ -960,6 +984,9 @@ JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand <> 'Brand#15'
   AND p.p_type NOT LIKE 'MEDIUM%'
   AND p.p_size IN (1, 4, 7, 10)
+  -- IS NOT NULL on BOTH sides (review r5): NOT IN drops NULL keys only
+  -- when the exclusion set is non-empty; the engine filters explicitly
+  AND l.l_suppkey IS NOT NULL
   AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY p.p_brand, p.p_type, p.p_size
 """,
@@ -986,7 +1013,11 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_brand", "p_type", "p_size")
     )
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        # l_suppkey IS NOT NULL pins the NOT-IN contract in code (review
+        # r5: with a non-empty exclusion set, SQL NOT IN drops NULL-key
+        # rows — x NOT IN (...) is NULL — while left_anti keeps them)
+        li.filter(F.col("l_suppkey").isNotNull())
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -1142,7 +1173,9 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer unhinted: unfiltered largest dim (see
+        # local_supplier_volume, review r5); AQE broadcasts at bench scale
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -1477,9 +1510,13 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted distinct per (cohort, weeks-since-cohort). Week index is exact
     integer epoch-µs arithmetic, so offsets are engine-portable. Plan: the
     (user, week) distinct and the per-user min share the user-keyed
-    exchange; cohorts re-join activity broadcast (|users| rows), and the
-    final group is cohort×offset-sized — at 100 TB only the first
-    distinct touches event volume."""
+    exchange; cohorts re-join activity UNHINTED (review r5: a forced
+    broadcast of the |users|-cardinality cohorts side is unbounded at
+    100 TB — and both sides already hash by user_id from the same
+    exchange, so the shuffle join is co-partitioned and nearly free;
+    AQE still broadcasts at bench scale), and the final group is
+    cohort×offset-sized — at 100 TB only the first distinct touches
+    event volume."""
     ev = t(spark, sf_dir, "events")
     week_idx = floor_bucket_us(604_800_000_000)
     activity = ev.select("user_id", week_idx.alias("week_idx")).distinct()
@@ -1487,7 +1524,7 @@ def weekly_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("week_idx").alias("cohort_week")
     )
     return (
-        activity.join(F.broadcast(cohorts), "user_id")
+        activity.join(cohorts, "user_id")
         .groupBy(
             "cohort_week",
             (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
