@@ -111,6 +111,13 @@ def main() -> None:
 
             con = duckdb_connect(sf_dir)
             for name, spec in bench_specs.items():
+                if name in query_errors:
+                    # the Spark side failed and contributed 0 s to `value`
+                    # — timing its oracle anyway would keep the cost in
+                    # baseline_total while dropping it from the Spark
+                    # total, skewing the headline ratio in Spark's favor
+                    # (review r5)
+                    continue
                 # bench_baseline_sql: same-ALGORITHM DuckDB twin for queries
                 # whose correctness oracle deliberately recomputes from
                 # scratch (see registry.QuerySpec) — result-identical,

@@ -32,6 +32,7 @@ from .operators.ledger import FileLedger, hash_files, ledger_key
 from .operators.reports import billing_insights
 from .sources.csv_source import (
     RAW_BILLING_KEYS,
+    parse_hive_partition_keys,
     read_partition_root,
 )
 
@@ -73,12 +74,30 @@ class BillingPipeline:
         # O(files-in-window) driver memory — filenames only, bounded by the
         # partition-pruned backfill window, never by data volume; matches
         # the reference's own per-file driver loop (ingest.py:214-272).
-        # inputFiles() lists from the (pruned) file index — metadata only.
-        # The previous input_file_name().distinct().collect() scanned and
+        # inputFiles() lists from the file index — metadata only. The
+        # previous input_file_name().distinct().collect() scanned and
         # shuffled the window's DATA to learn its paths, and a header-only
         # (0-row) file never surfaced, so it was re-hashed every run
-        # (review r3).
+        # (review r3). inputFiles() is NOT window-pruned, though (review
+        # r5, verified live): the backfill filter prunes at PLAN time
+        # while inputFiles() reads the unpruned index — without the
+        # explicit path filter below, out-of-window files were hashed,
+        # ledger-recorded with 0 ingested rows, and PERMANENTLY skipped
+        # by every later backfill that actually covered them (silent data
+        # loss), while every run re-hashed the whole lake.
         files = sorted(lake.inputFiles())
+        if from_date is not None or to_date is not None:
+            def _in_window(p: str) -> bool:
+                ks = parse_hive_partition_keys(p)
+                try:
+                    d = date(int(ks["year"]), int(ks["month"]), int(ks["day"]))
+                except (KeyError, ValueError):
+                    return True  # unpartitioned path: keep; the read decides
+                return (from_date is None or d >= from_date) and (
+                    to_date is None or d <= to_date
+                )
+
+            files = [p for p in files if _in_window(p)]
         ledger = FileLedger(self.spark, self.table_path("processed_files"))
         metrics = {"files_discovered": len(files), "rows_appended": 0}
         if not files:
@@ -191,6 +210,39 @@ class BillingPipeline:
             ledger=self.read("processed_files"),
         )
 
+    def _table_data_bytes(self, name: str) -> int:
+        """Data-file bytes of a warehouse table, scheme-aware. The local
+        fast path is session.dir_input_bytes; non-posix warehouses
+        (s3a://, hdfs://) go through the Hadoop FileSystem — os.walk on a
+        remote URI silently measured 0 bytes and made run() skip every
+        downstream stage forever (review r5)."""
+        path = self.table_path(name)
+        if "://" not in path or path.startswith("file:"):
+            from .session import dir_input_bytes
+
+            return dir_input_bytes(path.removeprefix("file:"))
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        try:
+            fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            if not fs.exists(hpath):
+                return 0
+            total = 0
+            it = fs.listFiles(hpath, True)
+            while it.hasNext():
+                f = it.next()
+                p = f.getPath()
+                n = p.getName()
+                if not n.startswith((".", "_")):
+                    # skip committer garbage under _temporary/ at any depth
+                    if "/_" not in p.toString().split(path, 1)[-1]:
+                        total += f.getLen()
+            return total
+        except Exception:
+            # an unreachable FS must not silently look empty: let the
+            # downstream read raise the real error
+            return 1
+
     # -- the DAG ------------------------------------------------------------
 
     def run(
@@ -200,10 +252,8 @@ class BillingPipeline:
         to_date: date | None = None,
     ) -> dict:
         """Topological materialization of the whole asset graph."""
-        from .session import dir_input_bytes
-
         metrics = {"ingest": self.ingest(source_root, from_date, to_date)}
-        if dir_input_bytes(self.table_path("raw_billing")) == 0:
+        if self._table_data_bytes("raw_billing") == 0:
             # First-ever run over an empty window: nothing ingested, no
             # raw table yet — report empty metrics instead of crashing the
             # downstream reads (review r3; mirrors the reference's

@@ -117,7 +117,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        .config(
+            "spark.ui.enabled",
+            # normalize: Spark's boolean parser rejects SPARK_UI=1 (r5)
+            str(os.environ.get("SPARK_UI", "false").lower()
+                in ("1", "true", "yes")).lower(),
+        )
     )
     if master:
         builder = builder.master(master)

@@ -91,3 +91,36 @@ def test_pipeline_backfill_window_limits_ingest(spark, tmp_path):
     assert m["rows_appended"] == 8  # only day=23
     days = {r["day"] for r in pipe.read("raw_billing").select("day").collect()}
     assert days == {23}
+
+
+def test_ingest_backfill_window_does_not_ledger_out_of_window_files(spark, tmp_path):
+    """Review r5 (verified live): inputFiles() is not window-pruned, so a
+    windowed ingest previously hashed out-of-window files, recorded them
+    in the ledger with 0 ingested rows, and every LATER backfill that
+    actually covered them skipped their data permanently."""
+    from datetime import date
+
+    from billing_data_pipeline_spark.pipeline import BillingPipeline
+
+    header = (
+        "timestamp,resource_id,user_id,credit_usage,region,service_tier,"
+        "operation_type,success,resource_type,invoice_id,currency\n"
+    )
+    root = tmp_path / "lake"
+    for day in (1, 2, 3):
+        p = root / "year=2025" / "month=04" / f"day={day:02d}"
+        p.mkdir(parents=True)
+        (p / "billing.csv").write_text(
+            header
+            + f"2025-04-{day:02d} 10:00:00,r-{day},u-{day},1.5,eu,pro,inf,true,gpu,inv-{day},USD\n"
+        )
+    pipe = BillingPipeline(spark, str(tmp_path / "wh"))
+    m1 = pipe.ingest(str(root), from_date=date(2025, 4, 2), to_date=date(2025, 4, 2))
+    assert m1["files_discovered"] == 1  # only the in-window file listed
+    assert m1["rows_appended"] == 1
+    # the out-of-window days must NOT be in the ledger: a later full
+    # backfill still ingests them
+    m2 = pipe.ingest(str(root))
+    assert m2["files_new_or_changed"] == 2
+    assert m2["rows_appended"] == 2
+    assert pipe.read("raw_billing").count() == 3

@@ -41,12 +41,28 @@ FEATURES = (
 
 
 def audit(names: list[str], sf_dir: str) -> None:
-    spark = get_spark(app_name="bdp-plan-audit")
+    # SAME session sizing as bench.py (review r5): below 1 GiB the bench
+    # runs AQE-off with static partitions — auditing under get_spark's
+    # AQE-on defaults described plans the bench never executes
+    from billing_data_pipeline_spark.session import (
+        dir_input_bytes,
+        input_sized_conf,
+    )
+
+    spark = get_spark(
+        app_name="bdp-plan-audit",
+        extra_conf=input_sized_conf(dir_input_bytes(sf_dir)),
+    )
     cat = load_catalog()
     for name in names:
         spec = cat[name]
         df = spec.fn(spark, sf_dir)
-        df.count()
+        # finalize THIS dataframe's adaptive plan: df.count() is a
+        # SEPARATE QueryExecution and left df's own plan un-executed
+        # (isFinalPlan=false), misreporting AQE join switches — verified
+        # live: 1 BroadcastHashJoin reported where the final plan has 2
+        # (review r5). The noop write executes df itself.
+        df.write.format("noop").mode("overwrite").save()
         plan = df._jdf.queryExecution().executedPlan().toString()
         feats = [
             f"{p}x{n}" for p in FEATURES if (n := len(re.findall(p, plan)))
@@ -98,9 +114,12 @@ def bench_compare(sf_dir: str) -> None:
             t0 = time.perf_counter()
             noop(spec.fn(spark, sf_dir))
             s = min(s, time.perf_counter() - t0)
-        tot_s += s
         baseline_sql = spec.bench_baseline_sql or spec.oracle
         if baseline_sql:
+            # tot_s only accumulates co-measured rows (review r5: a
+            # rows-only bench query would inflate the Spark total with no
+            # DuckDB twin in tot_d, skewing the labeled comparison)
+            tot_s += s
             baseline_sql = de_instrument_sql(baseline_sql)
             con.execute(baseline_sql).fetch_arrow_table()
             d = float("inf")

@@ -81,11 +81,28 @@ def build_scaled_dir(spark, mult: int, base: str, root: str) -> str:
     for t in TABLES:
         if t not in scale_keys:
             os.symlink(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
+    # lineitem.l_orderkey and orders.o_orderkey are an FK pair: both
+    # MUST shift by the SAME stride or copy i's lineitems join copy i's
+    # orders only when the two tables' maxes coincide (review r5 —
+    # latent: testdata regenerates between rounds). One shared stride for
+    # the orderkey group, computed as the max over both tables.
+    shared_stride: dict[str, int] = {}
+    fk_groups = {"l_orderkey": "orderkey", "o_orderkey": "orderkey"}
+    for t, key in scale_keys.items():
+        if key in fk_groups:
+            df = spark.read.parquet(f"{base}/{t}.parquet")
+            mx = df.agg(F.max(key)).collect()[0][0]
+            g = fk_groups[key]
+            shared_stride[g] = max(shared_stride.get(g, 0), (mx or 0) + 1)
     for t, key in scale_keys.items():
         df = spark.read.parquet(f"{base}/{t}.parquet")
-        max_key = df.agg(F.max(key)).collect()[0][0] + 1
+        if key in fk_groups:
+            stride = shared_stride[fk_groups[key]]
+        else:
+            mx = df.agg(F.max(key)).collect()[0][0]
+            stride = (mx or 0) + 1  # empty table: stride 1, copies no-op
         copies = [
-            df.withColumn(key, F.col(key) + F.lit(i * max_key))
+            df.withColumn(key, F.col(key) + F.lit(i * stride))
             for i in range(mult)
         ]
         scaled = copies[0]
