@@ -67,6 +67,11 @@ def _decode_fake(batch: pd.DataFrame) -> pd.DataFrame:
         ok = len(content) >= HEADER_LEN and content[:4] == MAGIC
         if ok:
             w, h, nf = struct.unpack(">III", content[4:HEADER_LEN])
+            # u32 fields above int32 are malformed headers, not crashes:
+            # the Arrow IntegerType cast would overflow the whole task
+            # (review r5; _parse_png/_parse_wav already guard this)
+            if max(w, h, nf) > 0x7FFFFFFF:
+                ok, w, h, nf = False, None, None, None
         else:
             w = h = nf = None
         rows.append(
@@ -113,6 +118,23 @@ def _parse_png(content: bytes) -> tuple[int, int, int] | None:
     if not w or not h or w > 0x7FFFFFFF or h > 0x7FFFFFFF:
         return None
     return w, h, 1
+
+
+def _wav_data_chunk(content: bytes) -> bytes | None:
+    """Payload of the WAV's data chunk — the LAST 'data' chunk, with the
+    declared length clamped to the real bytes, exactly matching
+    _parse_wav's n_frames accounting (review r5: extract_features carried
+    an inline copy of this walk that took the FIRST chunk unclamped, so a
+    two-data-chunk or length-lying WAV got n_frames from one chunk and
+    features from another)."""
+    pos, data = 12, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        clen = struct.unpack_from("<I", content, pos + 4)[0]
+        if cid == b"data":
+            data = content[pos + 8 : pos + 8 + min(clen, len(content) - pos - 8)]
+        pos += 8 + clen + (clen & 1)
+    return data
 
 
 def _parse_wav(content: bytes) -> tuple[int, int, int] | None:
@@ -179,6 +201,9 @@ def sample_frames(df: DataFrame, every_n: int, fake: bool = True) -> DataFrame:
     """Frame sampling for video records: emits one row per sampled frame
     index (schema-level plumbing; frame bytes extraction is codec work that
     slots into the same kernel)."""
+    if every_n < 1:
+        # fail at plan time like chunk_tokens, not mid-job in F.sequence
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     decoded = decode_media(df, fake=fake)
     return (
         # n_frames > 0: a zero-frame (or NULL-frame-count) video has no
@@ -264,8 +289,13 @@ def resize_media(df: DataFrame, max_w: int, max_h: int, fake: bool = True) -> Da
     valid=false (per-record containment, never a job failure)."""
     import numpy as np
 
-    def fit(w: int, h: int) -> tuple[int, int]:
-        scale = min(max_w / w, max_h / h) if w and h else 1.0
+    def fit(w: int, h: int) -> tuple[int, int] | None:
+        # zero/negative/u32-overflow dims are malformed, not 'scale 1.0':
+        # the old fallback passed a 5000x0 record through unscaled with
+        # valid=true, and >int32 dims crashed the Arrow cast (review r5)
+        if not (0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF):
+            return None
+        scale = min(max_w / w, max_h / h)
         return max(1, int(w * scale)), max(1, int(h * scale))
 
     def real_record(r) -> dict:
@@ -277,7 +307,11 @@ def resize_media(df: DataFrame, max_w: int, max_h: int, fake: bool = True) -> Da
             if w <= max_w and h <= max_h:
                 return {**base, "content": content, "width": w, "height": h,
                         "valid": True}
-            w2, h2 = fit(w, h)
+            fitted = fit(w, h)
+            if fitted is None:  # unreachable for a decoded grid; contained
+                return {**base, "content": None, "width": None,
+                        "height": None, "valid": False}
+            w2, h2 = fitted
             yi = (np.arange(h2) * h // h2).astype(np.int64)
             xi = (np.arange(w2) * w // w2).astype(np.int64)
             out = _bmp_encode(pix[yi][:, xi])
@@ -320,6 +354,11 @@ def resize_media(df: DataFrame, max_w: int, max_h: int, fake: bool = True) -> Da
             return {**base, "content": None, "width": None, "height": None,
                     "valid": False}
         w, h, nf = struct.unpack(">III", content[4:HEADER_LEN])
+        if not (0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF):
+            # malformed dims: contained as invalid, never passed through
+            # unscaled or crashed into the Arrow int32 cast (review r5)
+            return {**base, "content": None, "width": None, "height": None,
+                    "valid": False}
         if w > max_w or h > max_h:
             w, h = fit(w, h)
             content = MAGIC + struct.pack(">III", w, h, nf) + content[HEADER_LEN:]
@@ -374,14 +413,7 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
             return pix.reshape(-1)
         wav = _parse_wav(content)
         if wav is not None:
-            pos, data = 12, None
-            while pos + 8 <= len(content):
-                cid = content[pos : pos + 4]
-                clen = struct.unpack_from("<I", content, pos + 4)[0]
-                if cid == b"data":
-                    data = content[pos + 8 : pos + 8 + clen]
-                    break
-                pos += 8 + clen + (clen & 1)
+            data = _wav_data_chunk(content)
             if data is not None:
                 return np.frombuffer(data, dtype=np.uint8)
         return None

@@ -134,7 +134,10 @@ def lang_scores(text: Column) -> dict[str, Column]:
 
 
 def predicted_lang(text: Column) -> Column:
-    """argmax over stopword scores, alphabetical priority on ties."""
+    """argmax over stopword scores, alphabetical priority on ties.
+    NULL text predicts NULL (review r5: every score is NULL, so the CASE
+    chain fell through to the alphabetical seed and classified NULL
+    documents as 'zh' — the oracle wraps the same guard)."""
     scores = lang_scores(text)
     langs = sorted(scores)
     expr = F.lit(langs[-1])
@@ -144,7 +147,7 @@ def predicted_lang(text: Column) -> Column:
         rest = [scores[l2] for l2 in langs[i + 1 :]]
         rest_max = rest[0] if len(rest) == 1 else F.greatest(*rest)
         expr = F.when(scores[langs[i]] >= rest_max, langs[i]).otherwise(expr)
-    return expr
+    return F.when(text.isNotNull(), expr)
 
 
 def quality_score(text: Column) -> Column:
@@ -335,8 +338,6 @@ def _libm_idf_udf(n_docs: float):
     DuckDB's ln), NOT numpy.log: numpy's SIMD log differs by ulps on the
     same inputs where Catalyst's StrictMath does. The Python loop is
     fine — idf columns are vocab-sized, and idf stays DISTRIBUTED."""
-    from pyspark.sql import types as T
-
     @F.pandas_udf(T.DoubleType())
     def libm_idf(doc_freq: pd.Series) -> pd.Series:
         return pd.Series([_idf_py(x, n_docs) for x in doc_freq])
@@ -456,8 +457,6 @@ def doc_top_terms(
     groupBy(doc, term) would MERGE duplicated ids — on a key-violating
     input the two tiers (and the oracle) can disagree, and which tier
     runs depends on the size estimate. Dedup upstream first."""
-    from pyspark.sql import types as T
-
     # Tier (a): statistics-based route, the same signal Catalyst's own
     # broadcast-join planning uses — no job, no collect.
     try:
@@ -581,8 +580,6 @@ def doc_top_terms(
                 out, schema=out_schema, preserve_index=False
             )
 
-    from ..session import fan_out
-
     return fan_out(df.select(id_col, text_col)).mapInArrow(score, schema)
 
 
@@ -596,8 +593,6 @@ def _doc_top_terms_join(df, id_col: str, text_col: str, k: int):
     vocabularies; results are bit-identical (same libm idf, same IEEE
     tf*idf multiply, same (-tfidf, term) order)."""
     from pyspark.sql import Window
-    from pyspark.sql import types as T
-
     tf = (
         explode_terms(df, id_col, text_col)
         .groupBy(id_col, "term")
@@ -1091,8 +1086,6 @@ def heavy_hitter_terms(
     from collections.abc import Iterator
 
     import pandas as pd
-
-    from pyspark.sql import types as T
 
     n_counters = max(1, slack * 1_000_000 // threshold_ppm)
     pat = _re.compile(TOKEN_SPLIT_RE)

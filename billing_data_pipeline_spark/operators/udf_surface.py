@@ -66,7 +66,14 @@ def token_runs(spark, docs, id_col: str = "doc_id", text_col: str = "text"):
         "token_runs_udtf",
         udtf(TokenRunsUDTF, returnType="run_start int, term string, run_len int"),
     )
-    view = f"_docs_for_runs_{abs(hash((id_col, text_col))) % 10**8}"
+    # unique per CALL (review r5: a name keyed only on the column names
+    # let a second call over a DIFFERENT frame replace the view between
+    # this call's registration and its spark.sql analysis — silently
+    # computing runs over the other frame; salted hash() also varied the
+    # leaked view name per process)
+    import uuid
+
+    view = f"_docs_for_runs_{uuid.uuid4().hex[:12]}"
     docs.createOrReplaceTempView(view)
     return spark.sql(
         f"SELECT d.{id_col}, r.run_start, r.term, r.run_len "
@@ -140,6 +147,19 @@ def arrow_doc_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    from pyspark.sql import types as T
+
+    # honor id_col's NAME and TYPE (review r5: the hardcoded 'doc_id
+    # long' schema crashed on non-long ids and silently renamed others)
+    id_type = docs.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
     def kernel(batches):
         for batch in batches:
             txt = batch.column(text_col)
@@ -149,9 +169,7 @@ def arrow_doc_stats(docs, id_col: str = "doc_id", text_col: str = "text"):
                     pc.cast(pc.utf8_length(txt), pa.int64()),
                     pc.cast(pc.binary_length(pc.cast(txt, pa.binary())), pa.int64()),
                 ],
-                ["doc_id", "n_chars", "n_bytes"],
+                [id_col, "n_chars", "n_bytes"],
             )
 
-    return docs.select(id_col, text_col).mapInArrow(
-        kernel, "doc_id long, n_chars long, n_bytes long"
-    )
+    return docs.select(id_col, text_col).mapInArrow(kernel, out_schema)

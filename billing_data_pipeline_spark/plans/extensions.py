@@ -500,7 +500,11 @@ def _lang_id_oracle() -> str:
         rest = [scores[l2] for l2 in langs[i + 1 :]]
         rest_max = rest[0] if len(rest) == 1 else f"greatest({', '.join(rest)})"
         cases.append(f"WHEN {scores[lang]} >= {rest_max} THEN '{lang}'")
-    case = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    case = (
+        "CASE WHEN text IS NULL THEN NULL "
+        + " ".join(cases)
+        + f" ELSE '{langs[-1]}' END"
+    )
     return f"""
 SELECT lang, {case} AS predicted_lang, COUNT(*) AS n
 FROM documents
