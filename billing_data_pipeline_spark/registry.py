@@ -73,14 +73,17 @@ def register(
 
 # The external correctness gate samples the first N (observed: 50) catalog
 # entries in registration order. Rotation policy (VERDICT r3 #3): 15 slots
-# stay PINNED — one flagship per §2 / §2.12 family, plus any operator whose
-# implementation changed in the current round — and the remaining slots
-# ROTATE each round over catalog queries that have never had an external
-# driver row (122 of 165 checked through r4; after this r5 rotation only
-# 5 oracle-backed + 3 rows-only remain, clearing in r6). Names here must
-# exist and carry an oracle (asserted in tests).
+# stay PINNED — one flagship per §2 / §2.12 family — plus any operator whose
+# implementation changed in the current round; the remaining slots ROTATE
+# over catalog queries by external-coverage staleness. After the r5
+# rotation 157/165 had an external driver row; the r6 list below includes
+# the final 8 never-checked queries (5 oracle-backed + 3 rows-only — the
+# rows-only trio gets the driver's weaker rows-only check, which is still
+# its first external run), closing full-catalog external coverage. Names
+# must exist; all but the documented rows-only trio must carry an oracle
+# (asserted in tests).
 DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
-    # --- pinned flagships (one per family; r1-r4 green driver rows) ---
+    # --- pinned flagships (one per family; r1-r5 green driver rows) ---
     "daily_aggregates",  # reference-core aggregate
     "dedup_anti_join",  # ingest anti-join
     "scalar_function_matrix",  # scalar surface
@@ -96,52 +99,59 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "embedding_ivf_topk",  # ANN
     "text_quality_by_lang",  # text analysis
     "media_real_decode_manifest",  # multimodal
-    # --- r5 rotation: 35 oracle-backed queries with no external row in
-    # r1-r4 (deferred to r6: region_nation_roster, status_rollup,
-    # multi_action_users, priority_lines_by_status, large_order_customers
-    # — simple variants of already-verified shapes; rows-only queries are
-    # excluded by the oracle guard) ---
-    # events / transcripts / funnels
-    "user_event_transcripts",
-    "purchasers_without_errors",
-    "conversion_funnel",
-    "user_hourly_rolling_sum",
-    "user_top3_value_mass",
-    "tumbling_event_counts",
-    "sliding_window_volume",
-    "event_value_deciles",
-    "date_spine_coverage",
-    "url_and_path_parsing",
-    # docs
-    "arrow_doc_stats",
-    # semi-structured / function matrices
-    "json_props_rollup",
-    "variant_props_rollup",
-    "array_function_matrix",
-    "order_metrics_unpivot",
-    "returnflag_pivot",
-    # TPC-H shapes
-    "small_quantity_part_revenue",
-    "top_supplier_revenue",
-    "important_parts_share",
-    "promo_revenue_share",
-    "disjunctive_part_revenue",
-    "customer_order_distribution",
-    "part_supplier_variety",
-    "lone_failed_supplier_orders",
-    "idle_rich_customers",
-    "nation_pair_trade_volume",
-    "discounted_revenue",
-    "cheapest_supplier_per_part",
-    "nation_market_share",
-    "product_profit_by_nation",
-    "returned_revenue_customers",
-    "dominant_part_suppliers",
-    # co-purchase graph
-    "frequently_copurchased_parts",
-    "copurchase_triangles",
-    # time series
-    "monthly_revenue_growth",
+    # --- r6: the last 8 never-externally-checked queries (VERDICT r5 #2;
+    # the final three are the catalog's rows-only sketch/merge tiers) ---
+    "region_nation_roster",
+    "status_rollup",
+    "multi_action_users",
+    "priority_lines_by_status",
+    "large_order_customers",
+    "event_value_deciles_scalable",  # rows-only (approx cutpoints)
+    "incremental_rollup_merge",  # rows-only (sketch merge)
+    "usage_percentiles_approx",  # rows-only (approx_percentile)
+    # --- r5/r6 implementation-changed re-pins (ADVICE r5 medium: changed
+    # operators must ride the external sample the round they change) ---
+    "usage_percentiles",  # r5: new interpolation formula
+    "doc_repetition_stats",  # r5: vectorized pyarrow kernel
+    "embedding_cosine_topk",  # r5: zero-norm try_divide semantics
+    "embedding_neardup_pairs",  # r5 zero-norm + r6 eager-contract rework
+    "ml_minhash_neardup_pairs",  # r6: persist-barrier -> localCheckpoint
+    "doc_top_terms_tfidf",  # r6: perf rework (VERDICT #3)
+    "decontaminate_ngram",  # r6: perf rework (VERDICT #4)
+    # --- staleness refresh: external row last seen in r1/r2 ---
+    "service_aggregates",
+    "region_aggregates",
+    "global_usage",
+    "operation_frequency",
+    "ledger_rollup",
+    "embedding_dedup_survivors",
+    "lang_id_eval",
+    "doc_fingerprints",
+    "document_quality_pipeline",
+    "packed_chunk_bins",
+    "vocabulary_tfidf",
+    "udaf_median_event_value",
+    "chunk_documents",
+    "hash_sample_docs",
+    "local_supplier_volume",
+    "orders_without_items",
+    "user_event_sequence",
+    "segment_dedup_docs",
+    "repeated_ngram_stats",
+    "corpus_mix_budget",
+)
+
+#: The only rows-only (no-oracle) names allowed in the driver sample — the
+#: three never-externally-checked sketch tiers (r6) plus the r6-changed
+#: ml persist-barrier variant. Everything else in the sample must be
+#: value-hash checkable.
+ROWS_ONLY_SAMPLE_ALLOWED: frozenset[str] = frozenset(
+    {
+        "event_value_deciles_scalable",
+        "incremental_rollup_merge",
+        "usage_percentiles_approx",
+        "ml_minhash_neardup_pairs",
+    }
 )
 
 

@@ -65,10 +65,60 @@ from pyspark.sql import DataFrame, SparkSession
 class SnapshotTable:
     """Plain-parquet table with atomically-published, immutable versions."""
 
+    #: Interval at which an in-flight commit refreshes its staging
+    #: ``.inprogress`` marker. Must be far below any plausible
+    #: ``vacuum(stale_staging_secs=...)`` so a live commit is never
+    #: mistaken for an abandoned one (tests shrink it to exercise the
+    #: race directly).
+    _HEARTBEAT_SECS = 30.0
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
         os.makedirs(path, exist_ok=True)
+
+    @contextlib.contextmanager
+    def _inprogress(self, staging: str):
+        """Liveness marker for an in-flight commit (review r5: the
+        tree-idle check alone cannot distinguish 'crashed writer' from
+        'write finished, commit waiting on the lock' — a staging tree
+        goes quiet the moment the parquet job completes, and a vacuum
+        racing that window could rmtree it before the locked rename,
+        failing the commit or worse publishing a version missing part
+        files that a concurrent rmtree already removed).
+
+        Creates ``<staging>.inprogress`` NEXT TO the staging dir (it
+        cannot live inside: ``errorifexists`` requires the dir not to
+        pre-exist) and touches it from a daemon thread every
+        ``_HEARTBEAT_SECS`` for as long as the commit is in flight —
+        through the data write, the lock wait, and the rename. Vacuum
+        treats a staging dir with a fresh marker as live no matter how
+        idle its tree is; a crashed holder stops touching and both dir
+        and marker age into sweepability together."""
+        import threading
+
+        marker = staging + ".inprogress"
+        with open(marker, "w") as f:
+            f.write(str(os.getpid()))
+        stop = threading.Event()
+
+        def _beat():
+            while not stop.wait(self._HEARTBEAT_SECS):
+                try:
+                    os.utime(marker, None)
+                except OSError:
+                    return  # marker gone (vacuumed a crashed twin) — stop
+        t = threading.Thread(target=_beat, daemon=True, name="snapshot-heartbeat")
+        t.start()
+        try:
+            yield
+        finally:
+            stop.set()
+            t.join(timeout=5.0)
+            try:
+                os.unlink(marker)
+            except OSError:
+                pass
 
     @property
     def _manifest(self) -> str:
@@ -200,43 +250,59 @@ class SnapshotTable:
             if replay is not None:
                 return replay
         staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
-        df.write.mode("errorifexists").parquet(staging)
         trash = None
         try:
-            with self._mutate_lock():
-                man = self._load()
-                if epoch is not None:
-                    replay = self._replay_version(man, epoch)
-                    if replay is not None:
-                        return replay  # replay raced us: already in
-                version = 0 if man["version"] is None else man["version"] + 1
-                # Self-heal a crash between rename and publish: an existing
-                # v=N dir the manifest does not reference is an unpublished
-                # orphan — shunt it aside or this version number wedges
-                # forever. The shunt is a RENAME (metadata-sized, keeps
-                # the lock lease honest); the actual delete happens after
-                # release (review r4).
-                vdir = self._vdir(version)
-                if os.path.exists(vdir) and not any(
-                    c["v"] == version for c in man["commits"]
-                ):
-                    trash = os.path.join(
-                        self.path, f"_staging_trash_{uuid.uuid4().hex}"
-                    )
-                    os.rename(vdir, trash)
-                os.rename(staging, vdir)
-                man["version"] = version
-                man["commits"].append({"v": version, "mode": mode, "epoch": epoch})
-                fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_manifest_")
-                with os.fdopen(fd, "w") as f:
-                    json.dump(man, f)
-                os.replace(tmp, self._manifest)  # the atomic publish
+            with self._inprogress(staging):
+                df.write.mode("errorifexists").parquet(staging)
+                published = self._publish_staging(staging, mode, epoch)
+                if isinstance(published, int):
+                    return published  # replay raced us: already in
+                version, trash = published
                 return version
         finally:
             if os.path.exists(staging):  # replay-raced or failed commit
                 shutil.rmtree(staging, ignore_errors=True)
             if trash is not None:
                 shutil.rmtree(trash, ignore_errors=True)
+
+    def _publish_staging(self, staging: str, mode: str, epoch):
+        """Locked metadata region of commit(): allocate a version, rename
+        the staged data into place, publish the manifest. Returns the
+        replayed version (int) when the epoch raced in concurrently, else
+        ``(published_version, trash_dir_or_None)`` — the trash dir is a
+        shunted crash orphan the caller deletes after lock release."""
+        import uuid
+
+        trash = None
+        with self._mutate_lock():
+            man = self._load()
+            if epoch is not None:
+                replay = self._replay_version(man, epoch)
+                if replay is not None:
+                    return replay
+            version = 0 if man["version"] is None else man["version"] + 1
+            # Self-heal a crash between rename and publish: an existing
+            # v=N dir the manifest does not reference is an unpublished
+            # orphan — shunt it aside or this version number wedges
+            # forever. The shunt is a RENAME (metadata-sized, keeps
+            # the lock lease honest); the actual delete happens after
+            # release (review r4).
+            vdir = self._vdir(version)
+            if os.path.exists(vdir) and not any(
+                c["v"] == version for c in man["commits"]
+            ):
+                trash = os.path.join(
+                    self.path, f"_staging_trash_{uuid.uuid4().hex}"
+                )
+                os.rename(vdir, trash)
+            os.rename(staging, vdir)
+            man["version"] = version
+            man["commits"].append({"v": version, "mode": mode, "epoch": epoch})
+            fd, tmp = tempfile.mkstemp(dir=self.path, prefix="_manifest_")
+            with os.fdopen(fd, "w") as f:
+                json.dump(man, f)
+            os.replace(tmp, self._manifest)  # the atomic publish
+            return (version, trash)
 
     @staticmethod
     def _replay_version(man: dict, epoch) -> int | None:
@@ -318,10 +384,13 @@ class SnapshotTable:
         ``_staging_*`` directory counts as abandoned only when NOTHING in
         its tree (not just the top-level dir — an in-flight Spark write
         lands task files under ``_temporary/`` without touching the
-        top-level mtime, advice r4) has been modified for this long. Set
-        it above the longest expected commit write; it is deliberately
-        independent of the metadata-lock lease, which is sized for
-        millisecond critical sections, not data-sized writes."""
+        top-level mtime, advice r4) has been modified for this long AND
+        its ``.inprogress`` heartbeat marker is absent or equally stale
+        (review r5: a finished write waiting on the commit lock has an
+        idle tree; the live committer proves liveness by touching the
+        marker every ``_HEARTBEAT_SECS``). With the marker in place the
+        threshold no longer needs to exceed the longest commit write —
+        it just needs to comfortably exceed the heartbeat interval."""
         import shutil
 
         with self._mutate_lock():
@@ -368,12 +437,32 @@ class SnapshotTable:
         # top-level-mtime check could rmtree a live long write, failing
         # the commit — or worse, racing between job success and the
         # locked rename, publishing a version with missing part files).
+        # An in-flight commit additionally holds a heartbeat-touched
+        # ``<staging>.inprogress`` marker (review r5: a finished write
+        # waiting on the commit lock has an IDLE tree — tree-idleness
+        # alone cannot prove abandonment). A staging dir is sweepable
+        # only when its tree is idle AND its marker is absent or stale.
         now = time.time()
+        cutoff = now - stale_staging_secs
         for name in os.listdir(self.path):
-            if name.startswith("_staging_"):
-                p = os.path.join(self.path, name)
-                if self._tree_idle_since(p, now - stale_staging_secs):
+            p = os.path.join(self.path, name)
+            if name.startswith("_staging_") and not name.endswith(".inprogress"):
+                try:
+                    live_marker = os.path.getmtime(p + ".inprogress") > cutoff
+                except OSError:
+                    live_marker = False  # no marker (pre-r6 crash / trash dir)
+                if not live_marker and self._tree_idle_since(p, cutoff):
                     shutil.rmtree(p, ignore_errors=True)
+                    with contextlib.suppress(OSError):
+                        os.unlink(p + ".inprogress")
+            elif name.startswith("_staging_") and name.endswith(".inprogress"):
+                # orphan marker whose staging dir is already gone
+                try:
+                    dir_gone = not os.path.exists(p[: -len(".inprogress")])
+                    if dir_gone and os.path.getmtime(p) < cutoff:
+                        os.unlink(p)
+                except OSError:
+                    pass
         return sorted(removed)
 
     @staticmethod

@@ -91,16 +91,26 @@ def test_bench_de_instrumented_baseline_matches_oracle(name):
 
 def test_driver_sample_priority_front_loads_oracle_flagships():
     """The external gate samples the first 50 registry entries; every
-    priority name must exist, carry an oracle, and actually lead the
-    catalog ordering."""
-    from billing_data_pipeline_spark.registry import DRIVER_SAMPLE_PRIORITY
+    priority name must exist, lead the catalog ordering, and carry an
+    oracle — except the documented rows-only allowlist (r6: the three
+    never-externally-checked sketch tiers + the changed ml persist
+    variant, which get the driver's weaker rows-only check)."""
+    from billing_data_pipeline_spark.registry import (
+        DRIVER_SAMPLE_PRIORITY,
+        ROWS_ONLY_SAMPLE_ALLOWED,
+    )
 
     cat = load_catalog()
+    assert len(DRIVER_SAMPLE_PRIORITY) == 50
+    assert len(set(DRIVER_SAMPLE_PRIORITY)) == 50
     assert list(cat)[: len(DRIVER_SAMPLE_PRIORITY)] == list(
         DRIVER_SAMPLE_PRIORITY
     )
     for name in DRIVER_SAMPLE_PRIORITY:
+        if name in ROWS_ONLY_SAMPLE_ALLOWED:
+            continue
         assert cat[name].oracle, f"{name} has no oracle"
+    assert ROWS_ONLY_SAMPLE_ALLOWED <= set(DRIVER_SAMPLE_PRIORITY)
 
 
 def _write_events(tmp_path, rows):

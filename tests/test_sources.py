@@ -433,6 +433,120 @@ def test_snapshot_table_vacuum_sweeps_stale_staging_orphans(spark, tmp_path):
     assert os.path.exists(fresh)
 
 
+def test_snapshot_inprogress_marker_protects_idle_staging(spark, tmp_path):
+    """The tree-idle check alone cannot tell 'crashed writer' from 'write
+    finished, commit waiting on the lock' (review r5): a staging tree goes
+    quiet the moment the parquet job completes. A fresh ``.inprogress``
+    marker must protect a fully-idle staging dir; a STALE marker (crashed
+    holder stopped heart-beating) must not, and the marker is swept with
+    the dir."""
+    import os
+    import time as _time
+
+    from billing_data_pipeline_spark.sources.versioned_sink import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "snap_marker"))
+    t.commit(spark.range(1).withColumnRenamed("id", "k"))
+    old = _time.time() - 10_000
+
+    protected = os.path.join(t.path, "_staging_aaaa0001")
+    os.makedirs(protected)
+    with open(os.path.join(protected, "part-0.parquet"), "w") as f:
+        f.write("x")
+    for p in (protected, os.path.join(protected, "part-0.parquet")):
+        os.utime(p, (old, old))  # entire tree idle — write finished
+    with open(protected + ".inprogress", "w") as f:
+        f.write("123")  # fresh marker: commit alive, waiting on the lock
+
+    crashed = os.path.join(t.path, "_staging_aaaa0002")
+    os.makedirs(crashed)
+    os.utime(crashed, (old, old))
+    with open(crashed + ".inprogress", "w") as f:
+        f.write("456")
+    os.utime(crashed + ".inprogress", (old, old))  # heartbeat died long ago
+
+    t.vacuum(keep=1)
+    assert os.path.exists(protected), "live marker must protect idle staging"
+    assert os.path.exists(protected + ".inprogress")
+    assert not os.path.exists(crashed), "stale marker does not protect"
+    assert not os.path.exists(crashed + ".inprogress"), "marker swept with dir"
+
+    # orphan marker whose dir is already gone ages out too
+    orphan_marker = os.path.join(t.path, "_staging_aaaa0003.inprogress")
+    with open(orphan_marker, "w") as f:
+        f.write("789")
+    os.utime(orphan_marker, (old, old))
+    t.vacuum(keep=1)
+    assert not os.path.exists(orphan_marker)
+
+
+def test_snapshot_vacuum_racing_slow_commit_loses_nothing(spark, tmp_path, monkeypatch):
+    """THE r5 verdict race, run for real: a commit whose parquet write is
+    slow (sleeping Arrow batches) while an aggressive vacuum loop sweeps
+    with a tiny stale_staging_secs. The heartbeat marker must keep the
+    staging dir alive through the write AND the lock wait; the commit must
+    publish every row."""
+    import os
+    import threading
+    import time as _time
+
+    from billing_data_pipeline_spark.sources.versioned_sink import SnapshotTable
+
+    monkeypatch.setattr(SnapshotTable, "_HEARTBEAT_SECS", 0.05)
+    t = SnapshotTable(spark, str(tmp_path / "snap_race"))
+    t.commit(spark.range(1).withColumnRenamed("id", "k"))
+
+    def slow_batches(it):
+        import time as _t
+
+        for pdf in it:
+            _t.sleep(1.5)  # >> stale_staging_secs below
+            yield pdf
+
+    slow_df = (
+        spark.range(1, 4)
+        .withColumnRenamed("id", "k")
+        .coalesce(1)
+        .mapInPandas(slow_batches, "k long")
+    )
+
+    stop = threading.Event()
+    # Record every rmtree on a staging path: with the heartbeat marker the
+    # vacuum loop must never touch the live staging dir (commit's own
+    # cleanup is guarded by os.path.exists and fires only on failure).
+    import shutil as _shutil
+
+    real_rmtree = _shutil.rmtree
+    swept = []
+
+    def spying_rmtree(path, *a, **kw):
+        if str(path).startswith(os.path.join(t.path, "_staging_")):
+            swept.append(str(path))
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(_shutil, "rmtree", spying_rmtree)
+
+    def vacuum_loop():
+        while not stop.is_set():
+            t.vacuum(keep=10, stale_staging_secs=0.3)
+            _time.sleep(0.1)
+
+    v = threading.Thread(target=vacuum_loop)
+    v.start()
+    try:
+        version = t.commit(slow_df, mode="append")
+    finally:
+        stop.set()
+        v.join()
+    assert version == 1
+    assert not swept, f"a staging dir was rmtree'd mid-commit: {swept}"
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == [0, 1, 2, 3]
+    # no staging debris or markers left behind
+    leftovers = [n for n in os.listdir(t.path) if n.startswith("_staging_")]
+    assert leftovers == []
+
+
 def test_snapshot_table_commit_time_travel_vacuum(spark, tmp_path):
     """SnapshotTable: atomic manifest publish, version monotonicity, time
     travel to any retained version, vacuum pruning, and crash-orphan
