@@ -82,7 +82,12 @@ def hash_files(spark: SparkSession, paths: list[str]) -> DataFrame:
             expanded.append(bare)  # remote scheme: no local glob
         else:
             hits = sorted(_glob.glob(bare)) if any(c in bare for c in "*?[") else [bare]
-            expanded.extend(hits)
+            # abspath here, not just at open time (advice r5): the hit is
+            # recorded verbatim as the ledger filename, and a RELATIVE
+            # local path would yield a relative ledger key that can never
+            # match ingest's absolute ledger_key(input_file_name()) keys —
+            # silently defeating hash-skip.
+            expanded.extend(os.path.abspath(h) for h in hits)
 
     schema = T.StructType(
         [
@@ -205,7 +210,6 @@ class FileLedger:
         if not processed:
             return
         import tempfile
-        import time
         import uuid
 
         now = datetime.now(timezone.utc).replace(tzinfo=None)
@@ -213,24 +217,16 @@ class FileLedger:
         update = self.spark.createDataFrame(rows, LEDGER_SCHEMA)
 
         os.makedirs(self._versions_dir(), exist_ok=True)
+        # Shared fs_mutex (advice r5): the critical section includes a
+        # Spark merge+write whose duration is unbounded on a busy cluster,
+        # so the holder must HEARTBEAT the lock mtime — the old bare
+        # stale-unlink assumed ledger writes complete in milliseconds and
+        # let a second writer steal the lock mid-write, reintroducing the
+        # lost-update race the lock exists to prevent.
+        from ..sources.fslock import fs_mutex
+
         lock = os.path.join(self._versions_dir(), "_lock")
-        deadline = time.monotonic() + 120.0
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(lock) > 600.0:
-                        os.unlink(lock)  # crashed holder; ledger writes are ms
-                        continue
-                except OSError:
-                    pass
-                if time.monotonic() > deadline:
-                    raise TimeoutError(f"could not acquire {lock} within 120s")
-                time.sleep(0.02)
-        try:
+        with fs_mutex(lock):
             merged = (
                 self.load()
                 .join(update.select("filename"), on="filename", how="left_anti")
@@ -255,8 +251,3 @@ class FileLedger:
                         os.path.join(self._versions_dir(), name),
                         ignore_errors=True,
                     )
-        finally:
-            try:
-                os.unlink(lock)
-            except OSError:
-                pass

@@ -75,10 +75,18 @@ def token_runs(spark, docs, id_col: str = "doc_id", text_col: str = "text"):
 
     view = f"_docs_for_runs_{uuid.uuid4().hex[:12]}"
     docs.createOrReplaceTempView(view)
-    return spark.sql(
-        f"SELECT d.{id_col}, r.run_start, r.term, r.run_len "
-        f"FROM {view} d, LATERAL token_runs_udtf(d.{text_col}) r"
-    )
+    try:
+        # spark.sql ANALYZES eagerly: the returned DataFrame holds the
+        # resolved plan, so the catalog entry can be dropped immediately
+        # (advice r5: leaving one uuid-named view per call leaked a
+        # catalog entry + plan reference for the session lifetime across
+        # bench min-of-N loops and long test sessions).
+        return spark.sql(
+            f"SELECT d.{id_col}, r.run_start, r.term, r.run_len "
+            f"FROM {view} d, LATERAL token_runs_udtf(d.{text_col}) r"
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def token_runs_oracle_sql(table: str, id_col: str, text_col: str) -> str:

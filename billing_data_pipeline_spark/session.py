@@ -93,6 +93,45 @@ def dir_input_bytes(path: str) -> int:
     return total
 
 
+def s3a_conf(
+    public_bucket: bool | None = None, endpoint: str | None = None
+) -> dict[str, str]:
+    """S3A resource configuration (SURVEY §2.11 O3).
+
+    The reference reads its public bucket anonymously
+    (``s3fs.S3FileSystem(anon=True)`` — reference:
+    pipeline/s3_utils.py:41-45); the Hadoop-S3A equivalent is the
+    anonymous credentials provider. ``public_bucket`` defaults from
+    ``SPARK_GRAFT_S3_ANON`` (truthy => anonymous) so deployments flip it
+    without code; when False/unset, S3A's default provider chain applies
+    (env keys, instance profile), which is the authenticated path the
+    reference documents as the alternative. ``endpoint`` (or
+    ``SPARK_GRAFT_S3_ENDPOINT``) targets S3-compatible stores.
+
+    Returned as a plain conf dict (unit-testable offline) — pass through
+    ``get_spark(extra_conf=...)`` or apply to an existing session via
+    ``spark.conf.set`` per key. NOTE: ``fs.s3a.*`` keys are read by the
+    Hadoop FileSystem layer on first use of an ``s3a://`` path, so
+    setting them on a LIVE session works until a filesystem instance for
+    that bucket is cached — prefer configuring at session build."""
+    if public_bucket is None:
+        public_bucket = os.environ.get("SPARK_GRAFT_S3_ANON", "").lower() in (
+            "1",
+            "true",
+            "yes",
+        )
+    endpoint = endpoint or os.environ.get("SPARK_GRAFT_S3_ENDPOINT")
+    conf: dict[str, str] = {}
+    if public_bucket:
+        conf["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
+        )
+    if endpoint:
+        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+        conf["spark.hadoop.fs.s3a.path.style.access"] = "true"
+    return conf
+
+
 def get_spark(
     app_name: str = "billing-data-pipeline-spark",
     master: str | None = None,
@@ -103,7 +142,9 @@ def get_spark(
 
     In local mode there is a single JVM; on a cluster the same config applies
     unchanged — nothing here assumes local execution except the default
-    master.
+    master. S3A credentials (anonymous public-bucket mode, custom
+    endpoints) ride ``s3a_conf()`` — env-driven, merged below
+    ``extra_conf`` so explicit callers win.
     """
     cores = default_parallelism()
     builder = (
@@ -132,7 +173,8 @@ def get_spark(
         builder = builder.config(
             "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g")
         )
-    for k, v in (extra_conf or {}).items():
+    merged_conf = {**s3a_conf(), **(extra_conf or {})}
+    for k, v in merged_conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -124,66 +124,22 @@ class SnapshotTable:
     def _manifest(self) -> str:
         return os.path.join(self.path, "_latest")
 
-    @contextlib.contextmanager
     def _mutate_lock(self, timeout_secs: float = 120.0, stale_lock_secs: float = 600.0):
-        """Exclusive writer lock: O_CREAT|O_EXCL on ``_lock`` (atomic on
-        POSIX), spin-wait with backoff, break locks whose mtime is older
-        than ``stale_lock_secs`` (a crashed holder never unlinks). Guards
-        every manifest read-modify-write (VERDICT r3 #5). The guarded
-        region must stay metadata-sized — commit/vacuum keep their data
-        I/O outside (see module docstring).
+        """Exclusive writer lock on ``_lock`` — the shared ``fs_mutex``
+        (O_CREAT|O_EXCL acquire, single-winner stale break, token-verified
+        release, holder heartbeat; see sources/fslock.py). Guards every
+        manifest read-modify-write (VERDICT r3 #5). The guarded region
+        must stay metadata-sized — commit/vacuum keep their data I/O
+        outside (see module docstring); the heartbeat additionally keeps
+        even a pathologically-paused-but-alive holder from being broken
+        mid-mutation (advice r5)."""
+        from .fslock import fs_mutex
 
-        Safe-break mechanics (review r4): breaking renames the stale lock
-        to a unique name first — two concurrent breakers can't both
-        "unlink stale then create fresh" and shear each other's fresh
-        locks, because only one rename of the same source succeeds.
-        Release re-reads the lock and unlinks ONLY if it still holds this
-        acquisition's unique token, so a holder whose lock was broken
-        (and re-acquired by someone else) cannot release the new
-        holder's lock."""
-        import uuid
-
-        lock = os.path.join(self.path, "_lock")
-        token = f"{os.getpid()}:{uuid.uuid4().hex}"
-        deadline = time.monotonic() + timeout_secs
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, token.encode())
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:
-                    stale = time.time() - os.path.getmtime(lock) > stale_lock_secs
-                except OSError:
-                    # holder released between probes (ENOENT) — or a
-                    # persistent stat failure (EACCES, network FS): either
-                    # way fall through to the deadline check so a broken
-                    # environment times out instead of busy-spinning
-                    # forever (review r4)
-                    stale = False
-                if stale:
-                    broken = lock + f".broken.{uuid.uuid4().hex}"
-                    try:
-                        os.rename(lock, broken)  # single-winner break
-                        os.unlink(broken)
-                    except OSError:
-                        pass  # another breaker won the rename — retry
-                    continue
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"could not acquire {lock} within {timeout_secs}s"
-                    )
-                time.sleep(0.02)
-        try:
-            yield
-        finally:
-            try:
-                with open(lock) as f:
-                    if f.read() == token:
-                        os.unlink(lock)
-            except OSError:
-                pass
+        return fs_mutex(
+            os.path.join(self.path, "_lock"),
+            timeout_secs=timeout_secs,
+            stale_secs=stale_lock_secs,
+        )
 
     def _load(self) -> dict:
         try:

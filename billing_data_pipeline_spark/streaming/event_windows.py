@@ -208,10 +208,12 @@ def interval_join_stream(
 # memory, and nothing else ever unregisters it — over a long bench/test
 # session dozens of materialized result sets would stay pinned in the
 # driver heap (review r5; the driver-memory twin of streaming_queries'
-# _SCRATCH_DIRS sweep). Same consumed-before-next-call contract: by the
-# time the NEXT drain starts, the previous returned table has been
-# consumed.
+# _SCRATCH_DIRS sweep). A small LRU of recent drains stays registered so
+# callers can hold a FEW results concurrently (advice r5: the old
+# drop-previous-on-entry silently unregistered the first of two results a
+# caller was comparing); older ones are swept.
 _SINK_TABLES: list[tuple[SparkSession, str]] = []
+_SINK_TABLES_KEEP = 4
 
 
 def run_to_memory(
@@ -219,10 +221,16 @@ def run_to_memory(
 ) -> DataFrame:
     """Drain a finite stream with Trigger.AvailableNow into a memory sink and
     return the sink table — batch-catchup semantics (the streaming analogue
-    of the reference's backfill run, ST6). The PREVIOUS drain's sink table
-    is dropped first (consumed-before-next-call — see _SINK_TABLES)."""
-    while _SINK_TABLES:
-        s, n = _SINK_TABLES.pop()
+    of the reference's backfill run, ST6).
+
+    Result-lifetime contract (public, advice r5): the returned table stays
+    registered for the next ``_SINK_TABLES_KEEP`` (4) drains, then is
+    dropped to bound driver memory. Callers composing MORE than 4
+    concurrent drained results must collect each before starting the
+    fifth; a single result held across many drains should likewise be
+    collected promptly — it is a driver-memory copy either way."""
+    while len(_SINK_TABLES) >= _SINK_TABLES_KEEP:
+        s, n = _SINK_TABLES.pop(0)
         try:
             s.catalog.dropTempView(n)
         except Exception:
@@ -235,6 +243,9 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+    # re-draining the same name replaces its LRU entry (a stale duplicate
+    # would later drop the NEW table's view out from under the caller)
+    _SINK_TABLES[:] = [(s, n) for (s, n) in _SINK_TABLES if n != name]
     _SINK_TABLES.append((sdf.sparkSession, name))
     return sdf.sparkSession.table(name)
 

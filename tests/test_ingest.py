@@ -192,3 +192,67 @@ def test_bloom_prefilter_exactness_and_pruning(spark):
         ).collect()
     }
     assert got == expect and 0 < len(got) < 3000
+
+
+def test_hash_files_relative_path_records_absolute_key(spark, tmp_path, monkeypatch):
+    """Advice r5: a relative local input must be recorded under its
+    ABSOLUTE ledger key — hash_files opened via abspath but recorded the
+    caller's string verbatim, so a relative path yielded a key that could
+    never match ingest's absolute ledger_key(input_file_name()) keys,
+    silently defeating hash-skip."""
+    import os
+
+    f = tmp_path / "rel-billing.csv"
+    f.write_text("a,b\n1,2\n")
+    monkeypatch.chdir(tmp_path)
+    rows = hash_files(spark, ["rel-billing.csv"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["filename"] == str(f)
+    assert os.path.isabs(rows[0]["filename"])
+    # glob expansion normalizes too
+    rows_g = hash_files(spark, ["rel-*.csv"]).collect()
+    assert [r["filename"] for r in rows_g] == [str(f)]
+
+
+def test_fs_mutex_heartbeat_prevents_steal_and_breaks_stale(tmp_path, monkeypatch):
+    """Advice r5 (ledger lock): a LIVE holder whose critical section
+    outlives the stale lease must not have its lock stolen — the holder
+    heart-beats the lock mtime. A genuinely dead holder's lock (no
+    heartbeat) is still broken."""
+    import threading
+    import time as _time
+
+    from billing_data_pipeline_spark.sources.fslock import fs_mutex
+
+    lock = str(tmp_path / "_lock")
+
+    held = threading.Event()
+    release = threading.Event()
+
+    def holder():
+        with fs_mutex(lock, stale_secs=0.3, heartbeat_secs=0.05):
+            held.set()
+            release.wait(5.0)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert held.wait(5.0)
+    _time.sleep(0.5)  # well past stale_secs: only the heartbeat saves us
+    try:
+        with fs_mutex(lock, timeout_secs=0.4, stale_secs=0.3, heartbeat_secs=0.05):
+            raise AssertionError("stole a live holder's lock")
+    except TimeoutError:
+        pass
+    finally:
+        release.set()
+        t.join()
+    # dead holder: stale lock with no heartbeat is broken and reacquired
+    with open(lock, "w") as f:
+        f.write("dead-holder")
+    old = _time.time() - 100
+    import os
+
+    os.utime(lock, (old, old))
+    with fs_mutex(lock, timeout_secs=2.0, stale_secs=0.3):
+        pass
+    assert not os.path.exists(lock)

@@ -762,3 +762,25 @@ def test_salted_join_splits_identical_hot_rows(spark):
     )
     n_buckets = salted.select("_salt").distinct().count()
     assert n_buckets > 1  # the split actually splits
+
+
+def test_token_runs_drops_scratch_view_and_still_computes(spark):
+    """Advice r5: token_runs registered a uuid-named temp view per call and
+    never dropped it — one leaked catalog entry per invocation across
+    bench min-of-N loops. The analyzed plan survives the drop."""
+    from billing_data_pipeline_spark.operators.udf_surface import token_runs
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "x y y y")], "doc_id long, text string"
+    )
+    before = {t.name for t in spark.catalog.listTables()}
+    out1 = token_runs(spark, docs)
+    out2 = token_runs(spark, docs)
+    after = {t.name for t in spark.catalog.listTables()}
+    leaked = {n for n in after - before if n.startswith("_docs_for_runs_")}
+    assert leaked == set(), f"scratch views leaked: {leaked}"
+    # the DataFrames built before the drop still evaluate
+    assert sorted(tuple(r) for r in out1.collect()) == sorted(
+        tuple(r) for r in out2.collect()
+    )
+    assert (1, 1, "a", 2) in {tuple(r) for r in out1.collect()}

@@ -878,3 +878,27 @@ def test_strict_read_failfast_and_missing_partition_skip(spark, tmp_path):
     empty = read_partition_paths(spark, none, RAW_BILLING_SCHEMA)
     assert empty.count() == 0
     assert "day" in empty.columns
+
+
+def test_s3a_conf_anonymous_provider_seam(monkeypatch):
+    """O3 resource seam (VERDICT r5 #6): the reference reads its public
+    bucket with s3fs anon=True; the S3A equivalent must be emitted by
+    session.s3a_conf — explicitly, via env, and not at all by default."""
+    from billing_data_pipeline_spark.session import s3a_conf
+
+    monkeypatch.delenv("SPARK_GRAFT_S3_ANON", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_S3_ENDPOINT", raising=False)
+    assert s3a_conf() == {}
+    anon = s3a_conf(public_bucket=True)
+    assert (
+        anon["spark.hadoop.fs.s3a.aws.credentials.provider"]
+        == "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
+    )
+    monkeypatch.setenv("SPARK_GRAFT_S3_ANON", "1")
+    assert s3a_conf() == anon
+    # explicit False beats the env (authenticated default chain)
+    assert s3a_conf(public_bucket=False) == {}
+    monkeypatch.setenv("SPARK_GRAFT_S3_ENDPOINT", "http://minio.local:9000")
+    ep = s3a_conf(public_bucket=False)
+    assert ep["spark.hadoop.fs.s3a.endpoint"] == "http://minio.local:9000"
+    assert ep["spark.hadoop.fs.s3a.path.style.access"] == "true"

@@ -483,3 +483,36 @@ def test_stream_to_snapshots_exactly_once_and_cdc_log(spark, tmp_path):
         for v in (0, 1)
     )
     assert total + len(table.read(version=0).collect()) == 5
+
+
+def test_run_to_memory_keeps_recent_drains_concurrently(spark, events_dir):
+    """Advice r5: the old drop-previous-on-entry policy silently
+    unregistered the FIRST of two drained results a caller was holding.
+    The LRU now keeps the last 4 sink tables registered."""
+    from billing_data_pipeline_spark.streaming.event_windows import (
+        _SINK_TABLES,
+        run_to_memory,
+        tumbling_counts_stream,
+    )
+
+    a = run_to_memory(
+        tumbling_counts_stream(read_event_stream(spark, events_dir)),
+        "t_lru_a",
+        "complete",
+    )
+    b = run_to_memory(
+        tumbling_counts_stream(read_event_stream(spark, events_dir)),
+        "t_lru_b",
+        "complete",
+    )
+    # both results readable AFTER the second drain
+    assert a.count() == b.count() > 0
+    # re-draining the same name must not leave a stale LRU duplicate
+    b2 = run_to_memory(
+        tumbling_counts_stream(read_event_stream(spark, events_dir)),
+        "t_lru_b",
+        "complete",
+    )
+    assert b2.count() == b.count()
+    names = [n for (_, n) in _SINK_TABLES]
+    assert names.count("t_lru_b") == 1
