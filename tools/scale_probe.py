@@ -46,6 +46,7 @@ PROBE_QUERIES = (
     "returnflag_multiset_ops",    # EXCEPT/INTERSECT ALL rewrite
     "doc_top_terms_tfidf",        # vocab job + exchange-free Arrow kernel
     "decontaminate_ngram",        # broadcast eval grams, train never shuffled
+    "heavy_hitter_terms",         # exact Misra-Gries, threshold-bounded state
     "latest_event_per_user",      # QUALIFY dedup window over events
     "purchase_last_click_asof",   # as-of join, user-key exchange
     "exact_dedup_docs",           # md5 groupBy dedup
