@@ -784,3 +784,44 @@ def test_token_runs_drops_scratch_view_and_still_computes(spark):
         tuple(r) for r in out2.collect()
     )
     assert (1, 1, "a", 2) in {tuple(r) for r in out1.collect()}
+
+
+def test_heavy_hitters_mg_truncation_path_exact(spark):
+    """r6: the batch-level Misra-Gries truncation (value_counts fold +
+    subtract-(k+1)th-largest) must preserve the superset guarantee when
+    the vocabulary genuinely overflows the counters. The older 'skewed'
+    test's tail terms contained digits, which the tokenizer strips — its
+    vocabulary collapsed to 3 terms and the truncation never ran. Here
+    the tail is letter-only and unique: 4000 terms vs 80 counters, so
+    every partition truncates repeatedly."""
+    from billing_data_pipeline_spark.operators.text import (
+        explode_terms,
+        heavy_hitter_terms,
+    )
+
+    docs = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(F.col("id") % 2 == 0, F.lit("hot ")).otherwise(F.lit("")),
+            F.when(F.col("id") % 10 == 0, F.lit("warm ")).otherwise(F.lit("")),
+            F.lit("tail"),
+            F.translate(F.col("id").cast("string"), "0123456789", "abcdefghij"),
+        ).alias("text"),
+    ).repartition(16)
+    # sanity: the tokenizer really does see a large vocabulary
+    vocab = explode_terms(docs, "doc_id", "text").select("term").distinct().count()
+    assert vocab > 1000, f"test fixture collapsed to {vocab} terms"
+    got = {
+        (r["term"], r["n"])
+        for r in heavy_hitter_terms(
+            docs, "doc_id", "text", threshold_ppm=50_000
+        ).collect()
+    }
+    counts = explode_terms(docs, "doc_id", "text").groupBy("term").count()
+    total = counts.agg(F.sum("count")).collect()[0][0]
+    truth = {
+        (r["term"], r["count"])
+        for r in counts.collect()
+        if r["count"] * 1_000_000 > total * 50_000
+    }
+    assert got == truth and ("hot", 2000) in got
