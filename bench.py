@@ -181,15 +181,20 @@ def main() -> None:
     # flat-growth evidence. At harness scale this floor is overhead; at
     # real scale the same probe grows with the data and nothing sub-ratio
     # gets flagged — exactly the intended semantics.
-    from pyspark.sql import functions as F  # noqa: F401 (probe below)
-
     floor = float("inf")
-    fact = "lineitem.parquet"
-    floor_df = spark.read.parquet(f"{sf_dir}/{fact}").select("l_orderkey")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        floor_df.write.format("noop").mode("overwrite").save()
-        floor = min(floor, time.perf_counter() - t0)
+    try:
+        floor_df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey"
+        )
+        for _ in range(3):
+            t0 = time.perf_counter()
+            floor_df.write.format("noop").mode("overwrite").save()
+            floor = min(floor, time.perf_counter() - t0)
+    except Exception:
+        # a dataset without the fact table must not destroy the artifact
+        # AFTER every query already ran — the probe (and the ratio table
+        # that depends on it) is diagnostic, the timings are the product
+        floor = float("inf")
 
     out = {
         "metric": "bench_total_sec",
@@ -204,27 +209,33 @@ def main() -> None:
         out["baseline_engine"] = "duckdb"
         out["baseline_queries"] = baseline
         out["baseline_total_sec"] = round(sum(baseline.values()), 4)
-        out["job_floor_sec"] = round(floor, 4)
+        if floor != float("inf"):
+            out["job_floor_sec"] = round(floor, 4)
         ratio_table = []
         for name in timings:
             if name not in baseline or baseline[name] <= 0:
                 continue
             spec = bench_specs[name]
-            n_jobs = max(1, job_counts.get(name, 1))
+            is_stream = any("stream" in t for t in spec.tags)
             row = {
                 "query": name,
                 "spark_sec": timings[name],
                 "duckdb_sec": baseline[name],
                 "ratio": round(timings[name] / baseline[name], 2),
-                "n_jobs": n_jobs,
-                # within one measured two-stage floor per job: fixed
-                # overhead dominates (see floor probe comment above)
-                "floor_bound": timings[name] <= n_jobs * floor,
             }
-            if any("stream" in t for t in spec.tags):
-                # a TRUE Structured Streaming drain carries the 0.6-0.8 s
-                # micro-batch floor on top of the job floor
+            if is_stream:
+                # StreamExecution overrides the thread-local job group, so
+                # job counting is blind to micro-batch jobs — n_jobs /
+                # floor_bound would be wrong; the stream_floor marker (a
+                # drain carries the 0.6-0.8 s micro-batch floor) is the
+                # honest classification for these rows (review r6)
                 row["stream_floor"] = True
+            elif floor != float("inf"):
+                n_jobs = max(1, job_counts.get(name, 1))
+                row["n_jobs"] = n_jobs
+                # within one measured trivial-scan floor per job: fixed
+                # overhead dominates (see floor probe comment above)
+                row["floor_bound"] = timings[name] <= n_jobs * floor
             ratio_table.append(row)
         out["ratio_table"] = sorted(
             ratio_table, key=lambda r: -r["ratio"]

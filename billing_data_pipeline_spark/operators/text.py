@@ -1187,13 +1187,20 @@ def heavy_hitter_terms(
             ),
         )
 
-    partial_counts = (
-        df.select(text_col)
-        .mapInArrow(exact, verify_schema)
-        .groupBy("term")
-        .agg(F.sum("n").alias("n"))
-        .collect()
-    )
+    try:
+        partial_counts = (
+            df.select(text_col)
+            .mapInArrow(exact, verify_schema)
+            .groupBy("term")
+            .agg(F.sum("n").alias("n"))
+            .collect()
+        )
+    finally:
+        # both jobs are done at return (eager operator) — the candidate
+        # broadcast is provably dead; without this it pins ~n_counters
+        # strings in block-manager memory per call until nondeterministic
+        # GC (the same per-call-leak class as the token_runs view, r6)
+        bc_cand.destroy()
     total = 0
     exact_counts: dict[str, int] = {}
     for r in partial_counts:

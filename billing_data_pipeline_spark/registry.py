@@ -118,6 +118,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "ml_minhash_neardup_pairs",  # r6: persist-barrier -> localCheckpoint
     "doc_top_terms_tfidf",  # r6: perf rework (VERDICT #3)
     "decontaminate_ngram",  # r6: perf rework (VERDICT #4)
+    "heavy_hitter_terms",  # r6: Arrow MG rework (probe-caught scaling fix)
     # --- staleness refresh: external row last seen in r1/r2 ---
     "service_aggregates",
     "region_aggregates",
@@ -138,7 +139,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "user_event_sequence",
     "segment_dedup_docs",
     "repeated_ngram_stats",
-    "corpus_mix_budget",
 )
 
 #: The only rows-only (no-oracle) names allowed in the driver sample — the

@@ -123,6 +123,14 @@ def _read_csv_rows(path: str, schema: StructType, header: bool, permissive: bool
             if not rec:
                 continue
             if len(rec) != len(fields):
+                if not permissive:
+                    # failfast refuses malformed shapes outright, matching
+                    # HttpCsvReader's contract (review r6: padding here
+                    # made failfast apply only to type errors)
+                    raise ValueError(
+                        f"row has {len(rec)} fields, schema has "
+                        f"{len(fields)}: {rec!r} in {path}"
+                    )
                 rec = list(rec[: len(fields)]) + [None] * (len(fields) - len(rec))
             out = []
             for v, f in zip(rec, fields):
@@ -203,14 +211,21 @@ class MutationCsvStreamReader(SimpleDataSourceStreamReader):
                 out.append((p, fp))
             elif prev != fp:
                 if self.mtime_buffer > 0:
-                    old_mtime = float(prev.split(":", 1)[0])
                     new_mtime = float(fp.split(":", 1)[0])
                     same_size = prev.split(":", 1)[1] == fp.split(":", 1)[1]
-                    # reference buffer: an mtime advance within the buffer
-                    # with an unchanged size is filesystem jitter, not an
-                    # edit (pipeline.py:139-141); a size change always
-                    # counts
-                    if same_size and new_mtime <= old_mtime + self.mtime_buffer:
+                    # reference buffer (pipeline.py:139-141), recast as a
+                    # DEFERRAL rather than the reference's permanent skip:
+                    # a same-size mtime advance is held back only while
+                    # the change is RECENT (possibly still being written /
+                    # clock jitter); once the file has been quiet past the
+                    # buffer, the change is accepted on the next poll. The
+                    # reference's own form (old_mtime + buffer) suppressed
+                    # a genuine same-length edit FOREVER — the unchanged
+                    # fingerprint re-failed the same comparison every
+                    # trigger (review r6). A size change always counts.
+                    import time as _time
+
+                    if same_size and _time.time() - new_mtime < self.mtime_buffer:
                         continue
                 out.append((p, fp))
         return out

@@ -78,10 +78,12 @@ def test_mutation_stream_emits_new_and_modified_files(spark, tmp_path):
     assert got3 == []
 
 
-def test_mutation_stream_mtime_buffer_suppresses_jitter(spark, tmp_path):
-    """The reference's 1-second buffer: an mtime advance within the buffer
-    with an UNCHANGED size is filesystem jitter, not an edit; a size
-    change always re-emits."""
+def test_mutation_stream_mtime_buffer_defers_not_suppresses(spark, tmp_path):
+    """The reference's buffer, recast as a DEFERRAL: a same-size mtime
+    advance is held back only while the change is recent; once the file
+    has been quiet past the buffer it re-emits on the next poll (the
+    reference's own old_mtime+buffer form suppressed a genuine
+    same-length edit FOREVER). A size change always counts."""
     from billing_data_pipeline_spark.sources.mutation_csv_source import (
         MutationCsvStreamReader,
     )
@@ -93,19 +95,42 @@ def test_mutation_stream_mtime_buffer_suppresses_jitter(spark, tmp_path):
     _write(f, [(1, "x")])
     schema = _parse_datatype_string(SCHEMA)
     r = MutationCsvStreamReader(
-        schema, {"path": f"{lake}/*.csv", "mtimebuffersecs": "1.0"}
+        schema, {"path": f"{lake}/*.csv", "mtimebuffersecs": "0.4"}
     )
     rows, off = r.read(r.initialOffset())
     assert len(list(rows)) == 1
-    # jitter: bump mtime by less than the buffer, same size
+    # fresh same-size touch: deferred while inside the buffer window
     st = os.stat(f)
-    os.utime(f, (st.st_atime, st.st_mtime + 0.5))
+    os.utime(f, (st.st_atime, time.time()))
     rows2, off2 = r.read(off)
     assert list(rows2) == []
-    # real edit: size changes -> re-emit even inside the buffer window
-    _write(f, [(1, "x"), (2, "longer")])
+    # ... but NOT lost: once quiet past the buffer, the next poll emits
+    time.sleep(0.5)
     rows3, off3 = r.read(off2)
-    assert len(list(rows3)) == 2
+    assert len(list(rows3)) == 1
+    # real edit: size changes -> re-emit immediately, no deferral
+    _write(f, [(1, "x"), (2, "longer")])
+    rows4, _ = r.read(off3)
+    assert len(list(rows4)) == 2
+
+
+def test_mutation_failfast_rejects_malformed_shape(tmp_path):
+    from billing_data_pipeline_spark.sources.mutation_csv_source import (
+        MutationCsvStreamReader,
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    import pytest
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    (lake / "a.csv").write_text("k,v\n1\n")  # missing column
+    r = MutationCsvStreamReader(
+        _parse_datatype_string(SCHEMA),
+        {"path": f"{lake}/*.csv", "permissive": "false"},
+    )
+    with pytest.raises(ValueError, match="fields"):
+        list(r.read(r.initialOffset())[0])
 
 
 def test_mutation_batch_reader_and_schema_guard(spark, tmp_path):
