@@ -85,10 +85,10 @@ def curate_corpus(
         survivors = survivors.filter(
             SMP.hash_bucket(F.col("chunk_key")) < sample_pct
         )
-    rank = F.pmod(
-        F.pmod(F.col("chunk_key") + 23, SMP.MIX_PRIME) * F.lit(SMP.MIX_MULT),
-        SMP.MIX_PRIME,
-    )
+    # THE one mixer spelling (operators/sampling.mix_rank — review r6: a
+    # hand-inlined copy here would miss the next mixer fix, silently
+    # shifting shard assignment relative to every other sampling site)
+    rank = SMP.mix_rank(F.col("chunk_key"), 23)
     # Leakage-safe split: keyed on the chunk's CONTENT hash, so identical
     # chunks (and re-curated corpora) can never land one copy in train and
     # another in test (operators/sampling.assign_split).

@@ -45,6 +45,21 @@ def row_content_hash(*cols: Column | str) -> Column:
     return F.md5(F.concat_ws("\x01", *[render(c) for c in cols]))
 
 
+def row_content_hash_sql(*cols: str) -> str:
+    """DuckDB twin of row_content_hash — THE one oracle spelling (single
+    -source SQL-twin convention). COALESCE(render, chr(0)) per field is
+    load-bearing (review r6): '||' nulls the whole rendered field and
+    DuckDB's concat_ws then SKIPS it, separator and all, while Spark
+    coalesces to \\x00 and keeps the separator — a bare '||' oracle
+    diverged on any NULL input column."""
+    rendered = [
+        "COALESCE(CAST(length(CAST({c} AS VARCHAR)) AS VARCHAR)"
+        " || ':' || CAST({c} AS VARCHAR), chr(0))".format(c=c)
+        for c in cols
+    ]
+    return f"md5(concat_ws(chr(1), {', '.join(rendered)}))"
+
+
 def date_spine(
     spark: SparkSession, start: str, end: str, step_days: int = 1
 ) -> DataFrame:

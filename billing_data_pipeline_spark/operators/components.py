@@ -47,9 +47,20 @@ def _star_contract(edges: DataFrame, max_rounds: int) -> tuple[DataFrame, int]:
     """Alternating large-star/small-star contraction. ``edges`` must be
     canonical (a > b, no self-loops, distinct). Returns (star_edges,
     rounds): star_edges is (a, b) with b = the component min for every
-    non-min node a. Empty input returns immediately."""
+    non-min node a. Empty input returns immediately. The INPUT's own
+    signature seeds the fixpoint test, so an already-star edge set
+    converges in round 1 (review r6: unseeded, confirmation could only
+    fire from round 2, and max_rounds=1 spuriously raised on trivially
+    converged inputs)."""
     e = edges.localCheckpoint(eager=True)
-    prev_sig = None
+    if e.isEmpty():
+        # the docstring's promise made real (review r6: a corpus with zero
+        # near-dup edges — the common clean case — ran two full
+        # distributed rounds and raised on max_rounds=1)
+        return e, 0
+    prev_sig = tuple(
+        e.agg(F.count(F.lit(1)), F.sum("a"), F.sum("b")).collect()[0]
+    )
     rounds = 0
     converged = False
     for rounds in range(1, max_rounds + 1):

@@ -104,8 +104,15 @@ def hash_files(spark: SparkSession, paths: list[str]) -> DataFrame:
         for pdf in it:
             names, hashes = [], []
             for p in pdf["path"]:
+                # Hadoop spells S3 "s3a://" (the only scheme Spark's
+                # reader accepts) but pyarrow's filesystem layer only
+                # knows "s3://" — map it or every remote ingest dies at
+                # the ledger-hash step with ArrowInvalid (review r6).
+                # abfss:// -> abfs:// is the same vendor-spelling split.
+                uri = re.sub("^s3a://", "s3://", p)
+                uri = re.sub("^abfss://", "abfs://", uri)
                 filesystem, rel = pafs.FileSystem.from_uri(
-                    p if re.match(_SCHEME_RE, p) else os.path.abspath(p)
+                    uri if re.match(_SCHEME_RE, uri) else os.path.abspath(uri)
                 )
                 h = hashlib.md5()
                 with filesystem.open_input_stream(rel) as f:

@@ -107,7 +107,14 @@ def per_group_sample(
     """Fixed-size deterministic sample per group (the 'N examples per
     class' curation op): rank rows within each group by mixed key (a
     pseudo-random but reproducible order) and keep the first n. One
-    shuffle on the group key; bounded output n*|groups|."""
+    shuffle on the group key; bounded output n*|groups|.
+
+    PRECONDITION: ``key_col`` must be row-unique within each group — the
+    (mixed key, key) order resolves ties by physical row order otherwise,
+    which differs between Spark partitions and DuckDB scan order, so a
+    duplicate key makes WHICH payload row lands in the sample
+    nondeterministic across runs and engines (review r6). All catalog
+    callers key on primary keys (doc_id)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(group_col).orderBy(
@@ -169,6 +176,11 @@ def assign_split_sql(
     labels: tuple[str, ...] = ("train", "val", "test"),
     salt: int = 7,
 ) -> str:
+    if len(labels) != len(boundaries) + 1:
+        # mirror the engine twin's guard (review r6: zip() silently
+        # truncated a mis-parameterized oracle — the 'val' label vanished
+        # without error while assign_split raised)
+        raise ValueError("need exactly one more label than boundary")
     b = hash_bucket_sql(key, salt)
     if not boundaries:
         # a WHEN-less CASE is a syntax error; single-label = constant

@@ -50,11 +50,33 @@ class BillingPipeline:
     def table_path(self, name: str) -> str:
         return os.path.join(self.warehouse, name)
 
+    #: full-refresh tables that publish through SnapshotTable on a local
+    #: warehouse (review r6: a crash mid-plain-overwrite deletes the old
+    #: aggregate table before the new one commits — the exact torn-table
+    #: failure versioned_sink exists to prevent; its own docstring says
+    #: Spark overwrite "is NOT atomic")
+    _SNAPSHOT_TABLES = ("daily_aggs", "user_aggs", "service_aggs", "region_aggs")
+
+    def _snapshot_capable(self) -> bool:
+        """SnapshotTable's manifest/lock protocol is os-level (POSIX
+        rename); remote warehouses (s3a://, hdfs://) keep the plain
+        overwrite until a conditional-PUT manifest backend exists —
+        documented residual, mirrors versioned_sink's own object-store
+        note."""
+        return "://" not in self.warehouse or self.warehouse.startswith("file:")
+
     def read(self, name: str) -> DataFrame:
         if name == "processed_files":
             # the ledger publishes via a versioned dir + atomic pointer
             # (r4 crash-safety); its own load() resolves the pointer
             return FileLedger(self.spark, self.table_path(name)).load()
+        if name in self._SNAPSHOT_TABLES and self._snapshot_capable():
+            from .sources.versioned_sink import SnapshotTable
+
+            st = SnapshotTable(self.spark, self.table_path(name))
+            if st.latest_version() is not None:
+                return st.read()
+            # pre-r6 warehouse written as plain parquet: fall through
         return self.spark.read.parquet(self.table_path(name))
 
     # -- stage 1: ingest ----------------------------------------------------
@@ -99,7 +121,11 @@ class BillingPipeline:
 
             files = [p for p in files if _in_window(p)]
         ledger = FileLedger(self.spark, self.table_path("processed_files"))
-        metrics = {"files_discovered": len(files), "rows_appended": 0}
+        metrics = {
+            "files_discovered": len(files),
+            "files_new_or_changed": 0,
+            "rows_appended": 0,
+        }
         if not files:
             return metrics
         candidates = hash_files(self.spark, files)
@@ -184,11 +210,22 @@ class BillingPipeline:
         from pyspark.sql import Observation
 
         metrics = {}
+        snapshot = self._snapshot_capable()
         for name, df in tables.items():
             obs = Observation(f"{name}_obs")
-            df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
-                "overwrite"
-            ).parquet(self.table_path(name))
+            observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            if snapshot:
+                # atomic publish: stage, rename, manifest swap — a crash
+                # mid-refresh leaves the previous version readable, never
+                # a deleted/torn table (review r6); keep one prior
+                # version so in-flight readers of the old snapshot finish
+                from .sources.versioned_sink import SnapshotTable
+
+                st = SnapshotTable(self.spark, self.table_path(name))
+                st.commit(observed, mode="overwrite")
+                st.vacuum(keep=2)
+            else:
+                observed.write.mode("overwrite").parquet(self.table_path(name))
             try:
                 metrics[f"{name}_rows"] = obs.get["rows"]
             except Exception:
@@ -208,6 +245,10 @@ class BillingPipeline:
             self.read("user_aggs"),
             self.read("region_aggs"),
             ledger=self.read("processed_files"),
+            # exact integer counts already materialized by build_aggregates
+            # — folds the op-frequency/tier-rate sections without two more
+            # full raw scans (review r6)
+            service_aggs=self.read("service_aggs"),
         )
 
     def _table_data_bytes(self, name: str) -> int:

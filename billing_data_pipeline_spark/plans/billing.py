@@ -12,7 +12,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.aggregates import (
-    conditional_count,
     exact_sum,
     frequency_count,
     global_sum,

@@ -13,6 +13,7 @@ from ..functions.scalars import (
     hive_partition_value,
     parse_url_col,
     row_content_hash,
+    row_content_hash_sql,
 )
 from ..registry import register
 from ._util import t
@@ -21,11 +22,9 @@ from ._util import t
 @register(
     "scalar_function_matrix",
     tags=("scalar", "reference:F1,F2,F4,F7"),
-    oracle=r"""
+    oracle=rf"""
 SELECT o_orderkey,
-       md5(concat_ws(chr(1),
-           CAST(length(CAST(o_orderkey AS VARCHAR)) AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR),
-           CAST(length(o_orderstatus) AS VARCHAR) || ':' || o_orderstatus)) AS key_hash,
+       {row_content_hash_sql("o_orderkey", "o_orderstatus")} AS key_hash,
        strftime(o_orderdate, '%Y-%m') AS order_month,
        CAST(o_orderdate AS DATE) + 30 AS due_date,
        make_date(CAST(year(o_orderdate) AS INTEGER), CAST(month(o_orderdate) AS INTEGER), 1) AS month_start,
@@ -137,7 +136,13 @@ SELECT vec_id,
        len(embedding) AS dim,
        len(list_filter(embedding, x -> x > 0)) AS n_pos,
        len(list_filter(embedding, x -> x < 0)) AS n_neg,
-       list_reduce(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)),
+       -- list_prepend(0.0, ...) mirrors Spark's F.aggregate initial
+       -- accumulator: DuckDB list_reduce has no seed and ERRORS on an
+       -- empty list, so a zero-length embedding killed the whole oracle
+       -- query where Spark returns 0.0 (review r6); the seeded fold is
+       -- also the exact same left-to-right IEEE sum
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))),
                    (a, b) -> a + b) AS head3_sum,
        CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
             AS DOUBLE) AS abs_max,
@@ -166,8 +171,11 @@ def array_function_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(dv, 1, 3), F.lit(0.0), lambda a, b: a + b
         ).alias("head3_sum"),
         F.array_max(F.transform(dv, lambda x: F.abs(x))).alias("abs_max"),
-        F.element_at(F.array_sort(v), 1).cast("double").alias("smallest"),
-        F.element_at(F.reverse(v), 1).cast("double").alias("last_elem"),
+        # try_element_at: ANSI element_at THROWS on an empty array where
+        # DuckDB's list[1] yields NULL — align on NULL (review r6; the
+        # zero-length-embedding fixture is the trigger)
+        F.try_element_at(F.array_sort(v), F.lit(1)).cast("double").alias("smallest"),
+        F.try_element_at(F.reverse(v), F.lit(1)).cast("double").alias("last_elem"),
     )
 
 

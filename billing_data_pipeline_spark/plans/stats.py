@@ -84,10 +84,18 @@ def usage_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     def kernel(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
         import math
 
-        v = np.sort(pdf["v"].to_numpy())
+        # NULL measures drop INSIDE the kernel, never before the groupBy:
+        # a pre-groupBy filter deleted any group whose measures are ALL
+        # NULL, while the oracle's GROUP BY keeps it with NULL
+        # percentiles (review r6, reproduced: an all-NULL-price
+        # returnflag made Spark emit 3 rows vs the oracle's 4).
+        v = np.sort(pdf["v"].dropna().to_numpy())
         n = len(v)
         out = {"l_returnflag": [key[0]]}
         for p in PCTS:
+            if n == 0:
+                out[f"p{int(p * 100)}"] = [None]  # quantile of no values
+                continue
             rn = (n - 1) * p
             frn, crn = math.floor(rn), math.ceil(rn)
             if frn == crn:
@@ -99,7 +107,6 @@ def usage_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         li.select("l_returnflag", F.col("l_extendedprice").alias("v"))
-        .where(F.col("v").isNotNull())  # quantile_cont/percentile skip NULLs
         .groupBy("l_returnflag")
         .applyInPandas(kernel, schema)
         .orderBy("l_returnflag")

@@ -157,6 +157,9 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 FACT_TABLES = ("orders", "lineitem", "events", "documents", "embeddings")
 
 
+_REGISTERED: dict[int, str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL entry points.
 
@@ -168,14 +171,24 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     Round-robin repartition is deterministic (Spark local-sorts rows before
     distributing), so hash-checked results are unaffected; at real
     partition counts fan_out is a no-op and the views are plain scans.
-    Dimension views stay unwrapped — they broadcast."""
+    Dimension views stay unwrapped — they broadcast.
+
+    Idempotent per (session, sf_dir): repeat calls are a no-op (review
+    r6 — every _sql_query invocation re-ran fan_out's getNumPartitions
+    materialization for all five fact tables plus ten view
+    re-registrations inside bench's timed region). A different sf_dir on
+    the same session re-registers; load_table's _HANDLES already evicts
+    per-session."""
     from ..session import fan_out
 
+    if _REGISTERED.get(id(spark)) == sf_dir:
+        return
     for name in TABLES:
         df = load_table(spark, sf_dir, name)
         if name in FACT_TABLES:
             df = fan_out(df, divisor=2)
         df.createOrReplaceTempView(name)
+    _REGISTERED[id(spark)] = sf_dir
 
 
 def duckdb_connect(sf_dir: str, threads: int | None = None):

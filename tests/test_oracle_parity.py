@@ -373,3 +373,104 @@ def test_quality_kept_and_transcripts_edge_rows(spark, tmp_path):
     )
     spec = CATALOG["user_event_transcripts"]
     assert_matches_oracle(spec.fn(spark, sf), spec.oracle, sf)
+
+
+def test_usage_percentiles_keeps_all_null_measure_group(spark, tmp_path):
+    """Review r6 (reproduced live): a group whose measures are ALL NULL
+    must stay in the output with NULL percentiles — the old pre-groupBy
+    isNotNull filter deleted the group while the oracle's GROUP BY kept
+    it (spark=3 rows vs oracle=4)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    li = pa.table(
+        {
+            "l_returnflag": pa.array(["A", "A", "N", "Z", "Z"]),
+            "l_extendedprice": pa.array(
+                [10.0, 20.0, 5.0, None, None], pa.float64()
+            ),
+        }
+    )
+    pq.write_table(li, str(d / "lineitem.parquet"))
+    spec = CATALOG["usage_percentiles"]
+    got = spec.fn(spark, str(d))
+    assert got.count() == 3  # Z survives alongside A and N
+    z = got.filter("l_returnflag = 'Z'").collect()[0]
+    assert z["p50"] is None
+    assert_matches_oracle(spec.fn(spark, str(d)), spec.oracle, str(d))
+
+
+def test_star_contract_empty_and_tight_max_rounds(spark):
+    """Review r6 (reproduced live): zero edges returned immediately with
+    rounds=0 (the docstring's promise); an already-star edge set confirms
+    in round 1 because the input's signature seeds the fixpoint test —
+    max_rounds equal to the true round count no longer raises."""
+    from billing_data_pipeline_spark.operators.components import (
+        _star_contract,
+        connected_components,
+    )
+
+    empty = spark.createDataFrame([], "a long, b long")
+    out, rounds = _star_contract(empty, 1)
+    assert rounds == 0 and out.count() == 0
+
+    star = spark.createDataFrame([(2, 1), (3, 1)], "a long, b long")
+    out, rounds = _star_contract(star, 1)
+    assert rounds == 1
+    assert sorted(map(tuple, out.collect())) == [(2, 1), (3, 1)]
+
+    # end-to-end: a node set with no edges labels every node as itself
+    nodes = spark.createDataFrame([(1,), (2,), (9,)], "id long")
+    cc = connected_components(nodes, empty.selectExpr("a as src", "b as dst"), "id")
+    assert sorted(map(tuple, cc.collect())) == [(1, 1), (2, 2), (9, 9)]
+
+
+def test_scalar_matrix_key_hash_null_column_matches_oracle(spark, tmp_path):
+    """Review r6 (live-verified divergence class): DuckDB's '||' nulls a
+    rendered field and concat_ws then SKIPS it, separator and all, while
+    Spark coalesces to the \\x00 sentinel and keeps the separator — the
+    oracle now COALESCEs per field (row_content_hash_sql). NULL
+    o_orderstatus is the trigger the NULL sweep never injects."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([50, 100], pa.int64()),
+            "o_orderstatus": pa.array(["F", None]),
+            "o_orderdate": pa.array(
+                [1_600_000_000_000_000] * 2, pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"]),
+        }
+    )
+    pq.write_table(orders, str(d / "orders.parquet"))
+    spec = CATALOG["scalar_function_matrix"]
+    assert_matches_oracle(spec.fn(spark, str(d)), spec.oracle, str(d))
+
+
+def test_array_matrix_empty_embedding_matches_oracle(spark, tmp_path):
+    """Review r6 (live-verified): DuckDB list_reduce ERRORS on an empty
+    list while Spark's seeded F.aggregate returns 0.0 — the oracle now
+    seeds via list_prepend(0.0, ...). A zero-length embedding row is the
+    trigger."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    emb = pa.table(
+        {
+            "vec_id": pa.array([20, 40], pa.int64()),
+            "embedding": pa.array(
+                [[], [0.5, -0.25, 0.125, 2.0]], pa.list_(pa.float32())
+            ),
+        }
+    )
+    pq.write_table(emb, str(d / "embeddings.parquet"))
+    spec = CATALOG["array_function_matrix"]
+    assert_matches_oracle(spec.fn(spark, str(d)), spec.oracle, str(d))

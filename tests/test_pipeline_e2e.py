@@ -124,3 +124,46 @@ def test_ingest_backfill_window_does_not_ledger_out_of_window_files(spark, tmp_p
     assert m2["files_new_or_changed"] == 2
     assert m2["rows_appended"] == 2
     assert pipe.read("raw_billing").count() == 3
+
+
+def test_aggregates_publish_atomically_via_snapshots(spark, tmp_path):
+    """Review r6: plain overwrite deleted the old aggregate table before
+    the new job committed — a crash mid-refresh left a torn warehouse.
+    Local warehouses now publish aggregates through SnapshotTable: each
+    refresh is a new version behind an atomic manifest swap, the previous
+    version stays readable for in-flight readers (keep=2), and a pre-r6
+    plain-parquet table still reads through the fallback."""
+    import os
+
+    root, n_rows = _write_lake(tmp_path)
+    wh = str(tmp_path / "wh_atomic")
+    pipe = BillingPipeline(spark, wh)
+    pipe.run(root)
+
+    daily = os.path.join(wh, "daily_aggs")
+    assert os.path.exists(os.path.join(daily, "_latest"))
+    assert os.path.isdir(os.path.join(daily, "v=0"))
+    assert pipe.read("daily_aggs").count() == 2
+
+    # second refresh publishes v=1; keep=2 retains v=0 for readers
+    pipe.build_aggregates()
+    versions = sorted(d for d in os.listdir(daily) if d.startswith("v="))
+    assert versions == ["v=0", "v=1"]
+    assert pipe.read("daily_aggs").count() == 2
+
+    # an empty-window third refresh is a no-op for correctness: reads
+    # still resolve to a complete table at every point
+    pipe.build_aggregates()
+    assert pipe.read("daily_aggs").count() == 2
+
+    # pre-r6 compatibility: a table written as plain parquet (no
+    # manifest) reads through the fallback path
+    legacy = BillingPipeline(spark, str(tmp_path / "wh_legacy"))
+    pipe.read("daily_aggs").write.mode("overwrite").parquet(
+        legacy.table_path("daily_aggs")
+    )
+    # remove any manifest the write never created; read must fall through
+    assert not os.path.exists(
+        os.path.join(legacy.table_path("daily_aggs"), "_latest")
+    )
+    assert legacy.read("daily_aggs").count() == 2
