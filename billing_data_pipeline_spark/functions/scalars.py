@@ -34,7 +34,15 @@ def row_content_hash(*cols: Column | str) -> Column:
     prefix disambiguates both: every real value carries its own length
     and a ':' (so it can never equal the prefix-less NULL sentinel), and
     embedded separators cannot move a boundary without changing some
-    field's declared length."""
+    field's declared length.
+
+    CROSS-ENGINE TYPE CONTRACT (review r6): the ``row_content_hash_sql``
+    twin agrees only for STRING and integer columns — Spark renders
+    doubles in scientific notation ('1.0E10') where DuckDB writes
+    '10000000000.0', and timestamp rendering is session-TZ shaped. Cast
+    floats/timestamps to a canonical form (unix_micros, explicit
+    format_string) BEFORE hashing if they must participate in an
+    oracle-checked key."""
     def render(c: Column | str) -> Column:
         s = (F.col(c) if isinstance(c, str) else c).cast("string")
         return F.coalesce(
@@ -87,7 +95,10 @@ def hive_partition_value(path: Column | str, key: str) -> Column:
     import re as _re
 
     p = F.col(path) if isinstance(path, str) else path
-    return F.regexp_extract(p, rf"(?:^|[/?&]){_re.escape(key)}=([^/&]+)", 1)
+    # value class excludes '?' too (review r6): the anchor set treats '?'
+    # as a segment delimiter, so 'day=2024-01-01?versionId=abc' must yield
+    # the date, not swallow the query string
+    return F.regexp_extract(p, rf"(?:^|[/?&]){_re.escape(key)}=([^/&?]+)", 1)
 
 
 def parse_url_col(url: Column | str, part: str = "HOST") -> Column:

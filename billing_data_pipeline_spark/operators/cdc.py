@@ -12,6 +12,12 @@ Semantics (Delta's ``table_changes`` shape, minus the engine):
 - key present only in ``old``           -> ``delete``
 - key in both, any tracked column differs (null-safe) -> ``update``
 - identical rows are NOT emitted.
+- a NULL-keyed row has no identity: it can never be an ``update``.
+  NULL-keyed rows diff as a row-level MULTISET difference — identical
+  copies net out (review r6: the plain key join never matched them, so
+  every unchanged NULL-keyed row emitted a phantom delete+insert pair on
+  every diff, violating the invariant above); surplus copies emit as
+  insert/delete.
 
 Plan shape: ONE full-outer sort-merge/shuffle join on the key — the only
 data-sized exchange; per-column null-safe comparisons happen in the join's
@@ -39,16 +45,40 @@ def diff_snapshots(
     # `is not None`, not falsy-or (review r5): an explicit [] means a
     # presence-only diff (inserts/deletes, no update detection) — the
     # falsy idiom silently substituted every non-key column
+    from functools import reduce
+    from operator import or_
+
     cols = (
         compare_cols
         if compare_cols is not None
         else [c for c in new.columns if c not in keys]
     )
+    # NULL-keyed rows bypass the key join entirely (they have no identity
+    # to join on — see module docstring): multiset-diff them row-wise, so
+    # identical copies net out instead of churning delete+insert pairs.
+    def _null_key(df: DataFrame) -> Column:
+        return reduce(or_, (F.col(k).isNull() for k in keys))
+
+    old_nulls = old.filter(_null_key(old)).select(*keys, *cols)
+    new_nulls = new.filter(_null_key(new)).select(*keys, *cols)
+    null_deletes = old_nulls.exceptAll(new_nulls).select(
+        *keys,
+        F.lit("delete").alias("change"),
+        *[F.col(c).alias(f"old_{c}") for c in cols],
+        *[F.lit(None).cast(old.schema[c].dataType).alias(f"new_{c}") for c in cols],
+    )
+    null_inserts = new_nulls.exceptAll(old_nulls).select(
+        *keys,
+        F.lit("insert").alias("change"),
+        *[F.lit(None).cast(new.schema[c].dataType).alias(f"old_{c}") for c in cols],
+        *[F.col(c).alias(f"new_{c}") for c in cols],
+    )
+    old = old.filter(~_null_key(old))
+    new = new.filter(~_null_key(new))
     # Per-side presence markers: classification must NOT key off key-column
-    # nullness — a NULL-keyed row never matches the non-null-safe join, and
-    # judging its side by `_ok_k0 IS NULL` would misread an old-only
-    # NULL-keyed row as an 'insert'. A literal TRUE is NULL after the full
-    # outer join exactly when the side is absent, regardless of key values.
+    # nullness — a literal TRUE is NULL after the full outer join exactly
+    # when the side is absent (with NULL keys now split out above, this is
+    # belt-and-braces rather than load-bearing).
     o = old.select(
         *[F.col(k).alias(f"_ok_{k}") for k in keys],
         *[F.col(c).alias(f"old_{c}") for c in cols],
@@ -74,7 +104,7 @@ def diff_snapshots(
         .when(F.col("_n_present").isNull(), F.lit("delete"))
         .when(changed, F.lit("update"))
     )
-    return (
+    keyed = (
         joined.withColumn("change", change)
         .filter(F.col("change").isNotNull())
         .select(
@@ -87,28 +117,52 @@ def diff_snapshots(
             *[F.col(f"new_{c}") for c in cols],
         )
     )
+    return keyed.unionByName(null_deletes).unionByName(null_inserts)
 
 
 def diff_snapshots_oracle_sql(
     old_sql: str, new_sql: str, keys: list[str], cols: list[str]
 ) -> str:
-    """DuckDB twin of diff_snapshots for oracle checking."""
+    """DuckDB twin of diff_snapshots for oracle checking. Supports the
+    presence-only mode (cols=[]) the engine twin supports — the old
+    renderer emitted 'WHEN  THEN' / 'OR ()' syntax errors for it (review
+    r6) — and mirrors the NULL-key multiset branch."""
     key_join = " AND ".join(f"o.{k} = n.{k}" for k in keys)
     key_out = ", ".join(f"COALESCE(o.{k}, n.{k}) AS {k}" for k in keys)
-    diff = " OR ".join(f"(o.{c} IS DISTINCT FROM n.{c})" for c in cols)
-    old_out = ", ".join(f"o.{c} AS old_{c}" for c in cols)
-    new_out = ", ".join(f"n.{c} AS new_{c}" for c in cols)
+    diff = (
+        " OR ".join(f"(o.{c} IS DISTINCT FROM n.{c})" for c in cols)
+        if cols
+        else "FALSE"  # presence-only: nothing to compare, never 'update'
+    )
+    old_out = "".join(f", o.{c} AS old_{c}" for c in cols)
+    new_out = "".join(f", n.{c} AS new_{c}" for c in cols)
+    nn = " AND ".join(f"{k} IS NOT NULL" for k in keys)
+    any_null = " OR ".join(f"{k} IS NULL" for k in keys)
+    plain = ", ".join([*keys, *cols]) or "*"
+    null_old_out = "".join(f", {c} AS old_{c}" for c in cols)
+    null_old_nulls = "".join(f", NULL AS old_{c}" for c in cols)
+    null_new_out = "".join(f", {c} AS new_{c}" for c in cols)
+    null_new_nulls = "".join(f", NULL AS new_{c}" for c in cols)
+    key_cols = ", ".join(keys)
     # presence markers mirror diff_snapshots: side-absence, not key nullness
     return f"""
-WITH o AS (SELECT *, TRUE AS _o_present FROM ({old_sql})),
-     n AS (SELECT *, TRUE AS _n_present FROM ({new_sql}))
+WITH o AS (SELECT *, TRUE AS _o_present FROM ({old_sql}) WHERE {nn}),
+     n AS (SELECT *, TRUE AS _n_present FROM ({new_sql}) WHERE {nn}),
+     o_null AS (SELECT {plain} FROM ({old_sql}) WHERE {any_null}),
+     n_null AS (SELECT {plain} FROM ({new_sql}) WHERE {any_null})
 SELECT {key_out},
        CASE WHEN o._o_present IS NULL THEN 'insert'
             WHEN n._n_present IS NULL THEN 'delete'
-            WHEN {diff} THEN 'update' END AS change,
-       {old_out}, {new_out}
+            WHEN {diff} THEN 'update' END AS change
+       {old_out}{new_out}
 FROM o FULL OUTER JOIN n ON {key_join}
 WHERE (o._o_present IS NULL) OR (n._n_present IS NULL) OR ({diff})
+UNION ALL
+SELECT {key_cols}, 'delete' AS change{null_old_out}{null_new_nulls}
+FROM (SELECT {plain} FROM o_null EXCEPT ALL SELECT {plain} FROM n_null)
+UNION ALL
+SELECT {key_cols}, 'insert' AS change{null_old_nulls}{null_new_out}
+FROM (SELECT {plain} FROM n_null EXCEPT ALL SELECT {plain} FROM o_null)
 """
 
 

@@ -101,11 +101,23 @@ def append_new_rows(
     existing_filter: Column | None = None,
 ) -> int:
     """Idempotent append of a batch into a parquet table; returns rows added."""
+    from pyspark.errors import AnalysisException
+
     spark = batch.sparkSession
     try:
         existing = spark.read.parquet(table_path)
-    except Exception:
-        existing = None
+    except AnalysisException as exc:
+        # ONLY a genuinely-absent table means "first batch". A transient
+        # read failure (S3 503, EACCES, EIO) must PROPAGATE: swallowing it
+        # skipped the anti-join and blindly re-appended a replayed batch —
+        # silent duplicates, the exact bug class the r5 NULL-key-path fix
+        # removed from the streaming caller, which still routed all
+        # non-NULL-key rows through this bare except (review r6).
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            existing = None
+        else:
+            raise
     if existing is None:
         new_rows = dedup_within_batch(batch, keys)
     else:

@@ -158,6 +158,15 @@ def _minhash_sigs(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
     leading separator yields the same empty first token in both engines —
     the extreme-values sweep (unicode whitespace, metachar/empty docs)
     guards the contract."""
+    if k > len(MINHASH_AB):
+        # MINHASH_AB[:k] would silently truncate: bands past the real
+        # signature slice to '' keys, degenerating the band self-join to
+        # an all-pairs cross product, and the estimator divides by the
+        # wrong k — fail loudly instead (review r6)
+        raise ValueError(
+            f"k={k} exceeds the {len(MINHASH_AB)} fixed minhash "
+            "(a,b) pairs — extend MINHASH_AB (and its oracle twin) first"
+        )
     id_dt = df.schema[id_col].dataType
     schema = T.StructType(
         [

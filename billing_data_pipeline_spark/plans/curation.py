@@ -225,7 +225,6 @@ def leakage_safe_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction (no dedup pass required first). Portable 60-bit
     md5-derived key feeds the same mixer cut as dataset_split_summary;
     summary per split counts docs vs distinct duplicate groups."""
-    from ..operators import dedup as D
     from ..operators import portable_dedup as PD
 
     docs = t(spark, sf_dir, "documents")
@@ -253,7 +252,7 @@ WITH scrubbed AS (
 {C.scrub_pii_sql("documents", "doc_id", f"({_INJECT_SQL})")}
 )
 SELECT doc_id, n_emails, n_ips, n_phones,
-       CAST(len(regexp_extract_all(clean_text, '[A-Za-z0-9]+')) AS INT) AS n_tokens
+       CAST({X.token_count_sql("clean_text")} AS INT) AS n_tokens
 FROM scrubbed
 WHERE length(clean_text) > 0 AND {_QUALITY_SQL} > 0.05
 """

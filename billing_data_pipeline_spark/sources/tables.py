@@ -212,10 +212,26 @@ def duckdb_connect(sf_dir: str, threads: int | None = None):
             # Spark writes a table as a DIRECTORY of part files — DuckDB
             # needs the recursive glob (hive_partitioning picks up any
             # key=value subdirs the same way Spark's reader does).
-            con.execute(
-                f"CREATE VIEW {name} AS SELECT * FROM "
-                f"read_parquet('{path}/**/*.parquet', hive_partitioning=true)"
-            )
+            src = f"read_parquet('{path}/**/*.parquet', hive_partitioning=true)"
         else:
-            con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+            src = f"'{path}'"
+        proj = "*"
+        if name == "events":
+            # Normalize ts ONCE at the view (review r6): on a
+            # TIMESTAMP(NANOS) events file the Spark loader floors to µs
+            # (tables._read_table DIV 1000) while a raw DuckDB read keeps
+            # ns — any oracle projecting or ordering by bare ts silently
+            # diverged (two of them did). DuckDB's TIMESTAMP_NS ->
+            # TIMESTAMP cast truncates identically; on µs files the cast
+            # is a no-op, and per-oracle CAST(ts AS TIMESTAMP) spellings
+            # remain valid no-ops on top.
+            try:
+                con.execute(
+                    f"CREATE VIEW {name} AS SELECT * REPLACE "
+                    f"(CAST(ts AS TIMESTAMP) AS ts) FROM {src}"
+                )
+                continue
+            except Exception:
+                pass  # fixture without a ts column: plain view below
+        con.execute(f"CREATE VIEW {name} AS SELECT {proj} FROM {src}")
     return con

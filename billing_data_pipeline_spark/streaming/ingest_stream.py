@@ -54,13 +54,32 @@ def replay_safe_append(batch: DataFrame, table_path: str, keys: list[str]) -> No
     # '\\x00' null marker and '\\x1f' separator hashed a row containing
     # those literal characters identically to a different row, silently
     # dropping a genuinely new NULL-key row as a duplicate (review r4).
+    # TIMESTAMP columns hash via unix_micros, NOT their JSON rendering
+    # (review r6): to_json renders timestamps in spark.sql.session.timeZone,
+    # so a restart under a different session TZ re-hashed every stored
+    # row differently and re-appended the replayed NULL-key batch —
+    # unix_micros is the TZ-independent instant.
+    def _stable(c: str):
+        col = F.col(c)
+        if isinstance(batch.schema[c].dataType, T.TimestampType):
+            return F.unix_micros(col).alias(c)
+        return col.alias(c)
+
     row_hash = F.md5(
-        F.to_json(F.struct(*[F.col(c) for c in batch.columns]))
+        F.to_json(F.struct(*[_stable(c) for c in batch.columns]))
     )
     hashed = null_part.withColumn("_row_hash", row_hash).dropDuplicates(["_row_hash"])
     try:
-        existing = batch.sparkSession.read.parquet(table_path).withColumn(
-            "_row_hash", row_hash
+        # prune the existing side to its NULL-key subset BEFORE hashing
+        # (review r6): only NULL-key rows can ever hash-match a NULL-key
+        # batch row (to_json omits null fields, so the key field SETS
+        # differ for any non-NULL-key row) — without the filter every
+        # micro-batch paid a full-table, all-columns scan + per-row
+        # JSON+md5 where O(null-key subset) suffices
+        existing = (
+            batch.sparkSession.read.parquet(table_path)
+            .filter(reduce(or_, (F.col(k).isNull() for k in keys)))
+            .withColumn("_row_hash", row_hash)
         )
         new_nulls = hashed.join(
             existing.select("_row_hash"), on="_row_hash", how="left_anti"

@@ -902,3 +902,52 @@ def test_s3a_conf_anonymous_provider_seam(monkeypatch):
     ep = s3a_conf(public_bucket=False)
     assert ep["spark.hadoop.fs.s3a.endpoint"] == "http://minio.local:9000"
     assert ep["spark.hadoop.fs.s3a.path.style.access"] == "true"
+
+
+def test_diff_snapshots_null_key_identical_rows_net_out(spark):
+    """Review r6 (reproduced): a NULL-keyed row identical in both
+    snapshots emitted a phantom delete+insert pair on every diff — the
+    plain key join can never match NULL keys. NULL-keyed rows now diff as
+    a row-level multiset: identical copies net out, surplus copies emit,
+    and NULL-keyed rows never produce 'update' (no identity)."""
+    from billing_data_pipeline_spark.operators.cdc import (
+        diff_snapshots,
+        diff_snapshots_oracle_sql,
+    )
+
+    old = spark.createDataFrame(
+        [(None, "same", 5.0), (None, "gone", 1.0), (1, "keyed", 2.0)],
+        "k int, g string, x double",
+    )
+    new = spark.createDataFrame(
+        [(None, "same", 5.0), (None, "fresh", 9.0), (1, "keyed", 3.0)],
+        "k int, g string, x double",
+    )
+    got = {
+        (r["k"], r["change"], r["old_g"], r["new_g"])
+        for r in diff_snapshots(old, new, ["k"], ["g", "x"]).collect()
+    }
+    assert got == {
+        (None, "delete", "gone", None),
+        (None, "insert", None, "fresh"),
+        (1, "update", "keyed", "keyed"),
+    }
+    # the oracle twin agrees (including presence-only mode being valid SQL)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE oldt AS SELECT * FROM (VALUES (NULL, 'same', 5.0), (NULL, 'gone', 1.0), (1, 'keyed', 2.0)) t(k, g, x)")
+    con.execute("CREATE TABLE newt AS SELECT * FROM (VALUES (NULL, 'same', 5.0), (NULL, 'fresh', 9.0), (1, 'keyed', 3.0)) t(k, g, x)")
+    sql = diff_snapshots_oracle_sql(
+        "SELECT * FROM oldt", "SELECT * FROM newt", ["k"], ["g", "x"]
+    )
+    rows = {
+        (r[0], r[1], r[2], r[4]) for r in con.execute(sql).fetchall()
+    }
+    assert rows == got
+    # presence-only mode renders valid SQL (old renderer: 'WHEN  THEN')
+    sql2 = diff_snapshots_oracle_sql(
+        "SELECT * FROM oldt", "SELECT * FROM newt", ["k"], []
+    )
+    con.execute(sql2).fetchall()
+    con.close()
