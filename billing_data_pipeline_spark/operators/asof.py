@@ -48,11 +48,15 @@ def asof_join_backward(
     keep max id per (entity, ts)) — as-of is only well-defined with unique
     right timestamps per entity.
     """
-    reserved = {"_side", "_rv", "_asof_rv"}
+    reserved = {"_side", "_rv", "_asof_rv"} | {
+        f"asof_{c}" for c in value_cols  # OUTPUT names (review r6: a left
+        # column already named asof_<value_col> made the final select emit
+        # duplicate column names — AMBIGUOUS_REFERENCE far from the cause)
+    }
     if reserved & set(left.columns):
         raise ValueError(
-            f"asof_join_backward: left frame carries reserved working"
-            f" column(s) {sorted(reserved & set(left.columns))}"
+            f"asof_join_backward: left frame carries reserved working/"
+            f"output column(s) {sorted(reserved & set(left.columns))}"
         )
     # side ordering at equal ts: right first (0) so inclusive <= sees it;
     # strict mode orders left first so an equal-ts right row is NOT visible.
@@ -150,6 +154,16 @@ def asof_join_backward_cogrouped(
         ]
     )
     l_cols = list(left.columns)
+    reserved = {"_r_ts", "_r_present"} | {f"asof_{c}" for c in value_cols}
+    if reserved & set(l_cols):
+        # same plan-time rejection as the window twin (review r6: cogroup
+        # resolution DROPS the right-side colliding column, so the kernel
+        # KeyErrored in every group — or silently read left data as the
+        # presence marker)
+        raise ValueError(
+            f"asof_join_backward_cogrouped: left frame carries reserved"
+            f" working/output column(s) {sorted(reserved & set(l_cols))}"
+        )
     # NULL right timestamps can never match (same rule as the window form;
     # merge_asof would also reject NaT keys); NULL right ENTITY keys never
     # match either — cogroup's groupBy would pair the NULL groups, but SQL
@@ -221,6 +235,11 @@ def range_join(
     Output: entity, prefixed left columns, ``right_cols``, and ``r_ts``
     (the matched right row's timestamp).
     """
+    if window_seconds <= 0:
+        # pmod(x, 0)/div 0 yields NULL buckets — an empty result with no
+        # error (or an ANSI divide-by-zero), never the exact-ts matches a
+        # zero window would suggest (review r6)
+        raise ValueError(f"range_join: window_seconds must be > 0, got {window_seconds}")
     us = window_seconds * 1_000_000
     reserved = {"_ent", "_b", "_lb", "r_ts"}
     if reserved & (set(left.columns) | set(right_cols)):
@@ -228,14 +247,12 @@ def range_join(
             f"range_join: reserved column name(s)"
             f" {sorted(reserved & (set(left.columns) | set(right_cols)))}"
         )
-    # The repo's ONE bucketing rule (plans/_util.floor_bucket_us): exact
-    # integer FLOOR — (x - pmod(x, d)) div d. Bare DIV truncates toward
-    # zero, which happens to stay pair-complete here (both sides shift
-    # identically around 1970), but a second bucketing spelling is
-    # exactly the maintenance trap _util.py documents (review r5).
-    bucket = lambda c: F.expr(  # noqa: E731
-        f"(unix_micros(`{c}`) - pmod(unix_micros(`{c}`), {us})) div {us}"
-    )
+    # The repo's ONE bucketing rule, CALLED not re-spelled (review r6 —
+    # an inline copy here was exactly the maintenance trap _util.py
+    # documents): exact integer FLOOR, (x - pmod(x, d)) div d.
+    from ..plans._util import floor_bucket_us
+
+    bucket = lambda c: floor_bucket_us(us, f"`{c}`")  # noqa: E731
 
     l = left.select(
         F.col(entity_col).alias("_ent"),

@@ -30,6 +30,12 @@ def write_bucketed(
     metadata lives in the table definition, which is what lets the planner
     elide the Exchange on later joins.
     """
+    # One shuffle on the bucket key BEFORE the write (review r6): without
+    # it every upstream task emits a file per bucket it touches — up to
+    # tasks x n_buckets small files (the exact explosion
+    # partitioned_sink.py documents); repartitioned, each bucket's rows
+    # land in one task = one file per bucket.
+    df = df.repartition(n_buckets, *[df[c] for c in bucket_cols])
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort:
         writer = writer.sortBy(*bucket_cols)

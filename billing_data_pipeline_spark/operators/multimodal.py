@@ -100,6 +100,11 @@ def _parse_bmp(content: bytes) -> tuple[int, int, int] | None:
     w, h = struct.unpack_from("<ii", content, 18)
     if w <= 0 or h == 0:
         return None
+    if h == -(1 << 31):
+        # abs(INT32_MIN) = 2^31 overflows the IntegerType height column —
+        # the same u32->int32 containment the PNG/WAV parsers got in
+        # r4/r5, missing only here (review r6): malformed, not fatal
+        return None
     return w, abs(h), 1
 
 
@@ -204,13 +209,24 @@ def sample_frames(df: DataFrame, every_n: int, fake: bool = True) -> DataFrame:
     if every_n < 1:
         # fail at plan time like chunk_tokens, not mid-job in F.sequence
         raise ValueError(f"every_n must be >= 1, got {every_n}")
+    # Per-record containment for hostile frame counts (review r6): a fake
+    # header with n_frames = INT32_MAX is 'valid' shape-wise, but one such
+    # record's F.sequence would exceed Spark's max array length (or OOM an
+    # executor) and kill the whole job. 4M sampled indices per record is
+    # far past any real video (36 h at 30 fps) — beyond it the record is
+    # malformed by fiat and yields no frames, like any other parse reject.
+    max_samples = 4_000_000
+    n_sampled = (F.col("n_frames") - 1) / F.lit(every_n) + 1
     decoded = decode_media(df, fake=fake)
     return (
         # n_frames > 0: a zero-frame (or NULL-frame-count) video has no
         # frames to sample — the old greatest(n-1, 0) clamp emitted a
         # phantom frame_idx=0 row pointing past the payload (review r4)
         decoded.filter(
-            F.col("valid") & (F.col("kind") == "video") & (F.col("n_frames") > 0)
+            F.col("valid")
+            & (F.col("kind") == "video")
+            & (F.col("n_frames") > 0)
+            & (n_sampled <= max_samples)
         )
         .withColumn(
             "frame_idx",

@@ -49,6 +49,11 @@ def salted_join(
         )
     if "_salt" in big.columns or "_salt" in small.columns:
         raise ValueError("salted_join: input already has a _salt column")
+    if n_salts < 1:
+        # explode(empty array) would silently EMPTY the small side — an
+        # inner join of 0 rows / an all-NULL left join with no error
+        # (review r6)
+        raise ValueError(f"salted_join: n_salts must be >= 1, got {n_salts}")
     big_s = big.withColumn(
         "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )

@@ -103,7 +103,19 @@ def compact_partitions(
     rows. With truncated lineage a lost block fails the job cleanly
     instead (re-run the compaction); durable-checkpoint to reliable
     storage if even that retry is unacceptable."""
-    df = spark.read.parquet(path).localCheckpoint(eager=True)
+    # Partition values must round-trip VERBATIM (review r6): default
+    # partition-column type inference canonicalizes numeric-looking
+    # strings (month=01 -> int 1), and dynamic overwrite then writes a
+    # NEW month=1/ directory while the old month=01/ survives — every
+    # row of that partition duplicated by a 'no-op' compaction. Scoped
+    # conf flip: the partition schema resolves eagerly at load.
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(infer_key, "true")
+    spark.conf.set(infer_key, "false")
+    try:
+        df = spark.read.parquet(path).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(infer_key, prev)
     if sort_cols:
         write_hive_partitioned_sorted(df, path, partition_cols, sort_cols)
     else:

@@ -541,7 +541,15 @@ def test_cdc_and_regression_plan_shapes(spark):
     )
     assert "FullOuter" in diff_plan
     assert diff_plan.count("Join") <= 2  # one join node (+possible reuse line)
-    assert "HashAggregate" not in diff_plan  # diffing never aggregates
+    # The keyed path never aggregates; the r6 NULL-key multiset branch
+    # adds exceptAll aggregates, but ONLY under `key IS NULL`-filtered
+    # subtrees (pushed to the scan, prunable via parquet null_count
+    # stats at scale) — assert the filters made it down with the
+    # aggregates, i.e. every aggregate is on the null-key side.
+    if "HashAggregate" in diff_plan:
+        assert "isnull(o_orderkey" in diff_plan
+        # the main keyed join side still filters NULL keys OUT
+        assert "isnotnull(o_orderkey" in diff_plan
 
     reg_plan = (
         cat["price_quantity_regression"].fn(spark, sf)
