@@ -119,6 +119,8 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "doc_top_terms_tfidf",  # r6: perf rework (VERDICT #3)
     "decontaminate_ngram",  # r6: perf rework (VERDICT #4)
     "heavy_hitter_terms",  # r6: Arrow MG rework (probe-caught scaling fix)
+    "array_function_matrix",  # r6: try_element_at + seeded-fold oracle
+    "order_snapshot_diff",  # r6: null_keys contract + oracle rework
     # --- staleness refresh: external row last seen in r1/r2 ---
     "service_aggregates",
     "region_aggregates",
@@ -135,10 +137,8 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "chunk_documents",
     "hash_sample_docs",
     "local_supplier_volume",
-    "orders_without_items",
     "user_event_sequence",
     "segment_dedup_docs",
-    "repeated_ngram_stats",
 )
 
 #: The only rows-only (no-oracle) names allowed in the driver sample — the
