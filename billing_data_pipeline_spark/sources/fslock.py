@@ -77,6 +77,15 @@ def fs_mutex(
     def _beat():
         while not stop.wait(heartbeat_secs):
             try:
+                # Touch ONLY while the lock still carries this
+                # acquisition's token. A stale-broken-then-re-acquired
+                # lock belongs to a NEW holder; blindly utime-ing by path
+                # would keep the new holder's lock eternally fresh even
+                # after that holder crashes, making it unbreakable while
+                # this process lives (advice r6).
+                with open(lock_path) as f:
+                    if f.read() != token:
+                        return  # no longer ours — stop touching
                 os.utime(lock_path, None)
             except OSError:
                 return  # lock broken out from under us — stop touching

@@ -190,9 +190,12 @@ class MutationCsvStreamReader(SimpleDataSourceStreamReader):
         # the reference sensor's first run does the same
         return {"files": {}}
 
-    def _changed(self, seen: dict) -> list[tuple[str, str]]:
-        """(path, fingerprint) for every new-or-modified file vs ``seen``,
-        honoring the reference's mtime buffer for modifications."""
+    def _changed(self, seen: dict) -> tuple[list[tuple[str, str]], set[str]]:
+        """(changed, live): ``changed`` is (path, fingerprint) for every
+        new-or-modified file vs ``seen`` (honoring the reference's mtime
+        buffer for modifications); ``live`` is the set of paths currently
+        present on disk, so ``read`` can prune vanished files from the
+        checkpointed snapshot instead of carrying them forever."""
         out = []
         listed = _list_files(self.pattern)
         if len(listed) > self.max_offset_files:
@@ -228,12 +231,19 @@ class MutationCsvStreamReader(SimpleDataSourceStreamReader):
                     if same_size and _time.time() - new_mtime < self.mtime_buffer:
                         continue
                 out.append((p, fp))
-        return out
+        return out, set(listed)
 
     def read(self, start: dict):
         seen = dict(start.get("files", {}))
-        batch = self._changed(seen)[: self.per_trigger]
-        end_files = dict(seen)
+        changed, live = self._changed(seen)
+        batch = changed[: self.per_trigger]
+        # Prune vanished paths from the snapshot (advice r6): their rows
+        # were already emitted, so dropping them is correctness-neutral,
+        # keeps the offset sized to the LIVE directory instead of its
+        # whole history, and makes a delete-then-restore (even with an
+        # identical mtime:size — `cp -p` from backup) re-emit as "new"
+        # instead of being silently swallowed by a stale fingerprint.
+        end_files = {p: fp for p, fp in seen.items() if p in live}
         end_files.update(dict(batch))
         end = {"files": end_files}
         return self._rows_for(batch), end

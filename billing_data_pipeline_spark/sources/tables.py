@@ -157,7 +157,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 FACT_TABLES = ("orders", "lineitem", "events", "documents", "embeddings")
 
 
-_REGISTERED: dict[int, str] = {}
+# Idempotence marker attribute set on the SparkSession object itself:
+# an id(spark)-keyed dict could hand a NEW session a dead session's
+# entry after CPython reuses the id (advice r6 — the same stale-key
+# class _HANDLES eviction exists for); an attribute dies with its
+# session by construction.
+_REGISTERED_ATTR = "_billing_pipeline_registered_sf_dir"
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -181,14 +186,14 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     per-session."""
     from ..session import fan_out
 
-    if _REGISTERED.get(id(spark)) == sf_dir:
+    if getattr(spark, _REGISTERED_ATTR, None) == sf_dir:
         return
     for name in TABLES:
         df = load_table(spark, sf_dir, name)
         if name in FACT_TABLES:
             df = fan_out(df, divisor=2)
         df.createOrReplaceTempView(name)
-    _REGISTERED[id(spark)] = sf_dir
+    setattr(spark, _REGISTERED_ATTR, sf_dir)
 
 
 def duckdb_connect(sf_dir: str, threads: int | None = None):

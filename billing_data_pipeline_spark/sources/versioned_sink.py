@@ -10,8 +10,9 @@ without requiring a table format:
 
 - every commit writes a fresh immutable ``v=N`` directory, then publishes
   it by atomically renaming a manifest tempfile over ``_latest`` (POSIX
-  rename; on object stores, swap for a conditional PUT) — readers always
-  resolve fully-written data;
+  rename; the object-store twin — same semantics on conditional PUT
+  instead of rename/O_EXCL — is ``os_snapshot.ObjectStoreSnapshotTable``)
+  — readers always resolve fully-written data;
 - commits are either ``overwrite`` (the directory IS the snapshot) or
   ``append`` (log-structured: a snapshot at version v = the last overwrite
   at or before v plus every append after it — the same add-file idea as a
@@ -47,8 +48,10 @@ lock is never unlinked by the old holder. Residual window, documented
 rather than hidden: a holder paused LONGER than ``stale_lock_secs``
 inside the millisecond critical section (a 10-minute GC pause) could be
 broken mid-mutation — the same assumption every mtime-lease lock makes.
-On an object store, swap the lock for a conditional-PUT manifest swap,
-exactly as Delta/Iceberg take an object-store conditional write.
+On an object store use ``os_snapshot.ObjectStoreSnapshotTable`` instead:
+it replaces the lock + rename with a lock-free conditional-PUT commit log
+(exactly as Delta/Iceberg take an object-store conditional write) and is
+fault-injection-tested against simulated object-store semantics.
 """
 
 from __future__ import annotations
@@ -194,6 +197,19 @@ class SnapshotTable:
         milliseconds at any table size. A crash before the rename leaves
         only a staging orphan (swept by vacuum); after the rename but
         before publish, an unreferenced v=N orphan (self-healed below)."""
+        return self.commit_files(
+            lambda staging: df.write.mode("errorifexists").parquet(staging),
+            mode=mode,
+            epoch=epoch,
+        )
+
+    def commit_files(self, write_fn, mode: str = "overwrite", epoch=None) -> int:
+        """``commit`` with the data write abstracted: ``write_fn(staging)``
+        materializes the version's files under the (not-yet-existing)
+        staging directory. This is the engine-agnostic seam the
+        multi-process durability sweep uses (pyarrow writers in plain
+        Python workers — a JVM per process would test the JVM, not the
+        protocol); the Spark path above is one-line sugar over it."""
         import shutil
         import uuid
 
@@ -209,7 +225,7 @@ class SnapshotTable:
         trash = None
         try:
             with self._inprogress(staging):
-                df.write.mode("errorifexists").parquet(staging)
+                write_fn(staging)
                 published = self._publish_staging(staging, mode, epoch)
                 if isinstance(published, int):
                     return published  # replay raced us: already in
@@ -305,23 +321,29 @@ class SnapshotTable:
                 base = c["v"]
         return base
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Latest snapshot, or time travel to an explicit ``version``: the
-        base overwrite plus every append commit up to ``version``, resolved
-        from the manifest (never from a directory listing — orphans stay
-        invisible)."""
+    def resolve_dirs(self, version: int | None = None) -> list[str]:
+        """Directories composing the snapshot at ``version`` (latest when
+        None): the base overwrite plus every append commit up to it,
+        resolved from the manifest (never from a directory listing —
+        orphans stay invisible). Public seam for non-Spark readers (the
+        multi-process durability sweep reads them with pyarrow)."""
         man = self._load()
         v = man["version"] if version is None else version
         if v is None:
             raise FileNotFoundError(f"no committed version at {self.path}")
         base = self._base_of(v, man)
-        dirs = [
+        if not any(c["v"] == v for c in man["commits"]):
+            raise FileNotFoundError(f"version {v} is not in the commit log")
+        return [
             self._vdir(c["v"])
             for c in man["commits"]
             if base <= c["v"] <= v
         ]
-        if not any(c["v"] == v for c in man["commits"]):
-            raise FileNotFoundError(f"version {v} is not in the commit log")
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Latest snapshot, or time travel to an explicit ``version``
+        (see resolve_dirs for the resolution rule)."""
+        dirs = self.resolve_dirs(version)
         if len(dirs) == 1:
             return self.spark.read.parquet(dirs[0])
         # append chains may span additive schema evolution

@@ -256,3 +256,45 @@ def test_fs_mutex_heartbeat_prevents_steal_and_breaks_stale(tmp_path, monkeypatc
     with fs_mutex(lock, timeout_secs=2.0, stale_secs=0.3):
         pass
     assert not os.path.exists(lock)
+
+
+def test_fs_mutex_heartbeat_stops_when_token_changes(tmp_path):
+    """Advice r6: a holder whose lock was stale-broken and re-acquired by
+    a NEW holder must NOT keep refreshing the new holder's lock mtime —
+    otherwise a crashed new holder's lock stays eternally fresh and can
+    never be stale-broken while the old process lives. The heartbeat
+    verifies the token before touching and stops when it isn't ours."""
+    import os
+    import threading
+    import time as _time
+
+    from billing_data_pipeline_spark.sources.fslock import fs_mutex
+
+    lock = str(tmp_path / "_lock")
+    held = threading.Event()
+    release = threading.Event()
+
+    def holder():
+        with fs_mutex(lock, stale_secs=600, heartbeat_secs=0.05):
+            held.set()
+            release.wait(5.0)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert held.wait(5.0)
+    try:
+        # Simulate a stale-break + re-acquisition by a different process:
+        # replace the lock content with a foreign token and age its mtime.
+        with open(lock, "w") as f:
+            f.write("9999:someone-else")
+        old = _time.time() - 100
+        os.utime(lock, (old, old))
+        _time.sleep(0.3)  # several heartbeat periods
+        # the original holder's heartbeat must NOT have refreshed it
+        assert _time.time() - os.path.getmtime(lock) > 50
+    finally:
+        release.set()
+        t.join()
+    # and release must not have unlinked the foreign lock either
+    assert os.path.exists(lock)
+    assert open(lock).read() == "9999:someone-else"

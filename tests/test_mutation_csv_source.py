@@ -177,3 +177,43 @@ def test_mutation_stream_offset_cap_fails_fast(tmp_path):
 
     with pytest.raises(RuntimeError, match="maxFilesInOffset"):
         r.read(r.initialOffset())
+
+
+def test_mutation_offset_prunes_vanished_files_and_reemits_on_restore(tmp_path):
+    """Deleted files are dropped from the checkpointed snapshot (the offset
+    tracks the LIVE directory, not its whole history), and a restore —
+    even byte-identical with a preserved mtime, `cp -p` style — re-emits
+    as a new file instead of being swallowed by a stale fingerprint
+    (advice r6)."""
+    import shutil
+
+    from billing_data_pipeline_spark.sources.mutation_csv_source import (
+        MutationCsvStreamReader,
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    _write(lake / "a.csv", [(1, "x")])
+    _write(lake / "b.csv", [(2, "y")])
+    backup = tmp_path / "a.bak"
+    shutil.copy2(lake / "a.csv", backup)  # preserves mtime AND size
+
+    r = MutationCsvStreamReader(
+        _parse_datatype_string(SCHEMA), {"path": f"{lake}/*.csv"}
+    )
+    rows, off1 = r.read(r.initialOffset())
+    assert sorted(t[0] for t in rows) == [1, 2]
+    assert set(os.path.basename(p) for p in off1["files"]) == {"a.csv", "b.csv"}
+
+    # delete a.csv -> next poll emits nothing AND shrinks the snapshot
+    os.unlink(lake / "a.csv")
+    rows, off2 = r.read(off1)
+    assert list(rows) == []
+    assert set(os.path.basename(p) for p in off2["files"]) == {"b.csv"}
+
+    # restore with identical mtime:size -> counts as NEW, re-emits
+    shutil.copy2(backup, lake / "a.csv")
+    rows, off3 = r.read(off2)
+    assert sorted(t[0] for t in rows) == [1]
+    assert set(os.path.basename(p) for p in off3["files"]) == {"a.csv", "b.csv"}
