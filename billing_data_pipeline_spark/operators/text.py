@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..session import fan_out
+from ._persist import swept_persist
 
 WORD_RE = "[A-Za-z0-9]+"
 PUNCT_RE = "[.,!?;:]"
@@ -466,71 +467,41 @@ def doc_top_terms(
     if est > stats_fallback_bytes:
         return _doc_top_terms_join(df, id_col, text_col, k)
 
-    terms = F.array_distinct(F.split(ascii_folded(F.col(text_col)), TOKEN_SPLIT_RE))
-    per_term = (
-        df.select(
-            F.explode(
-                # NULL text tokenizes to nothing but still counts toward
-                # n_docs (oracle: COUNT(*) over the table) — sentinel-only
-                F.when(
-                    F.col(text_col).isNull(), F.array(F.lit(_NDOC_SENTINEL))
-                ).otherwise(F.array_append(terms, F.lit(_NDOC_SENTINEL)))
-            ).alias("term")
-        )
-        .filter(F.col("term") != "")
-        .groupBy("term")
-        .agg(F.count("*").alias("doc_freq"))
-    )
-    # Tier (b): hard cap enforced post-collect (a limit() guard was
-    # measured 7x slower — see docstring); the transient driver copy is
-    # bounded by spark.driver.maxResultSize.
-    vocab_rows = per_term.collect()
-    if len(vocab_rows) > max_broadcast_terms + 1:  # +1: the sentinel row
-        return _doc_top_terms_join(df, id_col, text_col, k)
-
-    n_docs = 0.0
-    raw: dict[str, int] = {}
-    for r in vocab_rows:
-        if r["term"] == _NDOC_SENTINEL:
-            n_docs = float(r["doc_freq"])
-        else:
-            raw[r["term"]] = r["doc_freq"]
-    idf = {t: _idf_py(dfreq, n_docs) for t, dfreq in raw.items()}
-    bc_idf = df.sparkSession.sparkContext.broadcast(idf)
-
+    # --- single-tokenize pass (r7) -------------------------------------
+    # The r6 co-measure showed the Spark/DuckDB ratio FLAT at ~2.05x from
+    # x8 through x64 — exactly the cost of tokenizing the corpus TWICE
+    # (the old vocab pass re-split raw text in the JVM; the score kernel
+    # split it again in Arrow). Tokenize ONCE into a cached packed frame
+    # (id, terms[], tfs[]) — one row per document, so a doc can never
+    # straddle an Arrow batch boundary in the rank pass — then both the
+    # doc_freq aggregate (job 1) and the rank kernel (job 2) read the
+    # cache instead of raw text. The cache is released by Spark's
+    # ContextCleaner when the returned plan is garbage collected (the
+    # same lifetime bc_idf already has).
     id_type = df.schema[id_col].dataType
-    schema = T.StructType(
+    packed_schema = T.StructType(
         [
             T.StructField(id_col, id_type),
-            T.StructField("term", T.StringType()),
-            T.StructField("rank", T.LongType()),
-            T.StructField("tfidf", T.DoubleType()),
+            T.StructField("terms", T.ArrayType(T.StringType())),
+            T.StructField("tfs", T.ArrayType(T.LongType())),
         ]
     )
 
-    def score(batches):
+    def tokenize_pack(batches):
+        import numpy as np
         import pandas as pd
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        out_schema = None
-        idf_map = bc_idf.value
         for batch in batches:
             tb = pa.Table.from_batches([batch])
-            if out_schema is None:
-                out_schema = pa.schema(
-                    [
-                        pa.field(id_col, tb.schema.field(id_col).type),
-                        pa.field("term", pa.string()),
-                        pa.field("rank", pa.int64()),
-                        pa.field("tfidf", pa.float64()),
-                    ]
-                )
-            # C-side tokenization: NULL text lowers/splits to a null list,
-            # which flatten/parent_indices skip — same rows as the JVM form.
-            # Strip-then-lower (ascii_folded contract): utf8_lower is full
-            # Unicode case mapping like the JVM, but the strip leaves only
-            # [A-Za-z ] so the mapping is engine-independent.
+            n = len(tb)
+            # C-side tokenization (strip-then-lower: ascii_folded
+            # contract — the strip leaves only [A-Za-z ] so full-Unicode
+            # vs simple case mapping can never diverge). NULL text
+            # lowers/splits to a null list, which flatten/parent_indices
+            # skip — the row still gets its sentinel (it counts toward
+            # n_docs, matching the oracle's COUNT(*)).
             toks = pc.split_pattern_regex(
                 pc.utf8_lower(
                     pc.replace_substring_regex(
@@ -548,14 +519,133 @@ def doc_top_terms(
                     "term": pc.filter(flat, keep).to_pandas(),
                 }
             )
+            if len(tf):
+                tf = (
+                    tf.groupby(["i", "term"], sort=False)
+                    .size()
+                    .reset_index(name="tf")
+                    .sort_values("i", kind="mergesort")
+                )
+            # pack per-row lists, sentinel appended to EVERY row
+            counts = np.zeros(n, dtype=np.int64)
+            if len(tf):
+                np.add.at(counts, tf["i"].to_numpy(), 1)
+            counts += 1  # the per-doc sentinel slot
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            total = int(offsets[-1])
+            terms_vals = np.empty(total, dtype=object)
+            tfs_vals = np.zeros(total, dtype=np.int64)
+            terms_vals[offsets[1:] - 1] = _NDOC_SENTINEL
+            if len(tf):
+                i_arr = tf["i"].to_numpy()
+                grp_first = np.r_[0, np.flatnonzero(np.diff(i_arr)) + 1]
+                grp_sizes = np.diff(np.r_[grp_first, len(tf)])
+                within = np.arange(len(tf)) - np.repeat(grp_first, grp_sizes)
+                slots = offsets[i_arr] + within
+                terms_vals[slots] = tf["term"].to_numpy()
+                tfs_vals[slots] = tf["tf"].to_numpy()
+            # int32 list offsets (Spark's ArrayType wire type): a single
+            # Arrow batch would need >2^31 term slots to overflow —
+            # ~10k docs/batch x >200k distinct terms each; pa.array
+            # raises loudly (ArrowInvalid), it cannot corrupt. Shrink
+            # arrow.maxRecordsPerBatch for extreme long-doc corpora.
+            off32 = pa.array(offsets, pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    tb.column(id_col).combine_chunks(),
+                    pa.ListArray.from_arrays(
+                        off32, pa.array(terms_vals, pa.string())
+                    ),
+                    pa.ListArray.from_arrays(
+                        off32, pa.array(tfs_vals, pa.int64())
+                    ),
+                ],
+                names=[id_col, "terms", "tfs"],
+            )
+
+    # swept_persist, not bare persist: Spark's CacheManager never
+    # reclaims persisted frames on its own, so a bench loop / catalog
+    # sweep would leak one corpus-sized packed cache per call; the sweep
+    # bounds the leak to the last call, and unpersist-early is safe here
+    # (the cache is a deterministic perf cache, not a plan barrier).
+    packed = swept_persist(
+        fan_out(df.select(id_col, text_col)).mapInArrow(
+            tokenize_pack, packed_schema
+        )
+    )
+
+    per_term = (
+        packed.select(F.explode("terms").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    # Tier (b): hard cap enforced post-collect (a limit() guard was
+    # measured 7x slower — see docstring); the transient driver copy is
+    # bounded by spark.driver.maxResultSize.
+    vocab_rows = per_term.collect()
+    if len(vocab_rows) > max_broadcast_terms + 1:  # +1: the sentinel row
+        packed.unpersist(blocking=False)
+        return _doc_top_terms_join(df, id_col, text_col, k)
+
+    n_docs = 0.0
+    raw: dict[str, int] = {}
+    for r in vocab_rows:
+        if r["term"] == _NDOC_SENTINEL:
+            n_docs = float(r["doc_freq"])
+        else:
+            raw[r["term"]] = r["doc_freq"]
+    idf = {t: _idf_py(dfreq, n_docs) for t, dfreq in raw.items()}
+    bc_idf = df.sparkSession.sparkContext.broadcast(idf)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("term", T.StringType()),
+            T.StructField("rank", T.LongType()),
+            T.StructField("tfidf", T.DoubleType()),
+        ]
+    )
+
+    def rank_top_k(batches):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out_schema = None
+        idf_map = bc_idf.value
+        for batch in batches:
+            tb = pa.Table.from_batches([batch])
+            if out_schema is None:
+                out_schema = pa.schema(
+                    [
+                        pa.field(id_col, tb.schema.field(id_col).type),
+                        pa.field("term", pa.string()),
+                        pa.field("rank", pa.int64()),
+                        pa.field("tfidf", pa.float64()),
+                    ]
+                )
+            # no tokenization here — the packed cache already carries
+            # (term, tf) per doc; this pass is map-idf + rank only
+            terms_col = tb.column("terms")
+            tf = pd.DataFrame(
+                {
+                    "i": pc.list_parent_indices(terms_col).to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "term": pc.list_flatten(terms_col).to_pandas(),
+                    "tf": pc.list_flatten(tb.column("tfs")).to_numpy(
+                        zero_copy_only=False
+                    ),
+                }
+            )
             if len(tf) == 0:
                 yield pa.RecordBatch.from_pydict(
                     {f.name: [] for f in out_schema}, schema=out_schema
                 )
                 continue
-            tf = tf.groupby(["i", "term"], sort=False).size().reset_index(name="tf")
-            # drop tokens the JVM tokenizer never produced (tokenizer
-            # drift degrades per-token, not per-job)
+            # the sentinel never enters idf_map, so the same notna()
+            # filter that guarded tokenizer drift drops it per-row
             w = tf["term"].map(idf_map)
             tf = tf[w.notna()]
             tf["tfidf"] = tf["tf"].to_numpy() * w[w.notna()].to_numpy()
@@ -580,7 +670,7 @@ def doc_top_terms(
                 out, schema=out_schema, preserve_index=False
             )
 
-    return fan_out(df.select(id_col, text_col)).mapInArrow(score, schema)
+    return packed.mapInArrow(rank_top_k, schema)
 
 
 def _doc_top_terms_join(df, id_col: str, text_col: str, k: int):

@@ -21,8 +21,9 @@ like" next, so the engine ships them:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.aggregates import exact_sum
 from ..registry import register
@@ -41,38 +42,237 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
 )
-def usage_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated p50/p90/p95/p99 of the price measure per group.
+def usage_percentiles(
+    spark: SparkSession, sf_dir: str, *, bracket_min_bytes: int = 12 << 20
+) -> DataFrame:
+    """Exact interpolated p50/p90/p95/p99 of the price measure per group,
+    computed WITHOUT ever shuffling raw values (r7 rework).
 
-    One shuffle of (flag, value) pairs clustered by group key, then one
-    Arrow kernel per group: numpy sorts the group's values and reads the
-    two bracketing ranks per percentile. Two earlier formulations, each
-    measured at sf0.1 under full materialization: Spark's `percentile`
-    aggregate (per-call value buffers, 3.9 s) and a window row_number +
-    bracketing-rank sum (1.1 s — the external sort runs two window
-    passes over the group). The kernel does the same single sort in numpy
-    without the second pass or the 600k-row conditional sum: 0.68 s.
+    Tier dispatch: inputs whose column-pruned Catalyst estimate is under
+    ``bracket_min_bytes`` (~4x sf0.1) run the r6 per-group kernel — at
+    that size one shuffle into whole-group numpy sorts is faster than
+    two scans + a sketch, and group-per-task memory is a non-issue.
+    Larger inputs take the bracket plan below. Both tiers are
+    hash-exact against quantile_cont (each sweep-verified), so the
+    dispatch can never change results, only the physical plan.
 
-    Value parity (hash-gated): the kernel reproduces DuckDB
-    quantile_cont's OWN interpolation expression — 0-based RN = (n-1)*q,
-    result = v[floor(RN)]*(ceil(RN)-RN) + v[ceil(RN)]*(RN-floor(RN)),
-    equal-ranks short-circuit to the exact element (review r5: the
-    previous 1-based pos = 1+(n-1)*q and (1-f)*lo + f*hi form drifted a
-    ulp on 107 of 8000 random group/percentile trials — the +1.0 perturbs
-    frac across binades and (1-f)*a+f*b is a different IEEE expression
-    than a*(c-r)+b*(r-f); this form measured 0 of 8000). The TPC-H
-    fixtures masked it because cent-granular prices usually tie the two
-    bracketing values. numpy's sort on float64 is a total order here
-    (NULLs filtered before the kernel).
+    The r6 plan (one applyInPandas kernel per group) was exact but its
+    parallelism unit was the group: 3 returnflag groups meant 3 tasks
+    sorting ~6M doubles each at x32 while 29 cores idled, and the whole
+    measure column crossed the wire into Python (16.5 s at x32 vs
+    DuckDB's parallel-sort 4.2 s — co-measured, PLANS.md r7). This form
+    is the classic two-pass sketch-bracketed exact quantile:
 
-    Scale contract: EVERY exact per-group quantile puts the whole group
-    through one task — Window.partitionBy does too (hash clustering, one
-    task per key) — so the parallelism unit is the group either way; the
-    window form trades this kernel's in-memory numpy sort for a spillable
-    external sort at ~1.7x the time. At 100 TB group sizes use
-    usage_percentiles_approx (mergeable KLL-style sketches, map-side
-    combine) — or bracket ranks over a repartitionByRange two-phase rank
-    if exactness is non-negotiable."""
+    - job 1 (one scan, map-side combine): per group, COUNT(v) and a
+      Greenwald-Khanna sketch probed at p ± 5/ACCURACY — rank error is
+      ≤ n/ACCURACY, so the two probe values bracket every target rank
+      with ≥ 4n/ACC slack. Collect (groups × 8 doubles).
+    - job 2 (one scan + broadcast-joined brackets, codegen'd conditional
+      aggs): per group and percentile, COUNT(v < lo), COUNT(v = lo),
+      COUNT(v = hi), and collect_list(v WHERE lo < v < hi) — the strict
+      window holds only the ≤ 10n/ACC values between the brackets
+      (duplicates of the bracket endpoints themselves are carried as
+      COUNTS, so a pathological all-equal group contributes ZERO window
+      rows, not n).
+    - driver: reconstruct the exact order statistics v[floor(RN)],
+      v[ceil(RN)] from below/eq_lo/strict/eq_hi and interpolate. If a
+      rank falls outside its bracket (sketch guarantee violated — never
+      observed; possible only through GK implementation drift), fall
+      back to the r6 per-group kernel (`_usage_percentiles_kernel`),
+      trading speed for unconditional exactness.
+
+    Value parity (hash-gated): order statistics are exact data values,
+    and the interpolation reproduces DuckDB quantile_cont's OWN
+    expression — 0-based RN = (n-1)*q, result = v[floor(RN)]*(ceil(RN)-RN)
+    + v[ceil(RN)]*(RN-floor(RN)), equal-ranks short-circuit to the exact
+    element (review r5: the 1-based/(1-f)*lo+f*hi form drifted 1 ulp on
+    107/8000 trials; this form 0/8000). All-NULL-measure groups emit NULL
+    percentiles but KEEP their row (review r6); NULL group keys join
+    null-safe.
+
+    Scale contract: both jobs are full scans with map-side partial
+    aggregation — parallelism is the partition count, not the group
+    count; the shuffle carries sketches and counters, never values. The
+    driver copy is O(groups × n/ACCURACY) rows, tunable via ACCURACY
+    (10k default ⇒ ~0.1% of each group). This is the
+    exactness-at-scale tier; usage_percentiles_approx remains the
+    single-pass sketch tier when ±0.01% rank error is acceptable."""
+    import math
+
+    ACC = 10_000
+    margin = 5.0 / ACC
+    # Cost-based tier dispatch (same pattern as doc_top_terms'
+    # stats_fallback_bytes gate): below ~4x sf0.1 the per-group kernel's
+    # single shuffle beats the bracket plan's two scans + sketch
+    # (measured crossover ~x4: kernel 0.7 s / bracket 2.1 s at x1;
+    # kernel 4.2 s / bracket 2.1 s at x8) — and small inputs are exactly
+    # where whole-group-per-task is safe. Catalyst's column-pruned size
+    # estimate is free at plan time.
+    li = t(spark, sf_dir, "lineitem")
+    vals = li.select("l_returnflag", F.col("l_extendedprice").alias("v"))
+    try:
+        est = int(
+            vals._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # estimate unavailable -> scale-safe tier
+        est = bracket_min_bytes
+    if est < bracket_min_bytes:
+        return _usage_percentiles_kernel(spark, sf_dir)
+
+    probes = []
+    for p in PCTS:
+        probes.append(max(0.0, p - margin))
+        probes.append(min(1.0, p + margin))
+    probe_sql = ", ".join(repr(q) for q in probes)
+    sketch_rows = (
+        vals.groupBy("l_returnflag")
+        .agg(
+            F.count("v").alias("n"),
+            F.expr(
+                f"approx_percentile(v, array({probe_sql}), {ACC})"
+            ).alias("br"),
+        )
+        .collect()
+    )
+
+    flag_type = li.schema["l_returnflag"].dataType
+    out_schema = T.StructType(
+        [T.StructField("l_returnflag", flag_type)]
+        + [T.StructField(f"p{int(p * 100)}", T.DoubleType()) for p in PCTS]
+    )
+    if not sketch_rows:
+        return spark.createDataFrame([], out_schema)
+
+    groups = {r["l_returnflag"]: (r["n"], r["br"]) for r in sketch_rows}
+
+    # Brackets reach the second scan as LITERAL per-group CASE chains,
+    # not a broadcast join: the join measured +1.7 s at x32 (HashedRelation
+    # probe + wide row copy on every input row) while the CASE chain is
+    # O(groups) comparisons inside the same codegen'd agg — measured
+    # 2.4 s -> 1.28 s. Chains degrade past ~dozens of groups, so a wide
+    # group domain falls back to the broadcast-join form.
+    if len(groups) > 64:
+        joined, flag_col = _bracketed_join(spark, vals, flag_type, groups)
+    else:
+        joined, flag_col = vals, F.col("l_returnflag")
+
+        def _case_lit(i: int, which: int) -> Column:
+            expr = F.lit(None).cast("double")
+            for flag, (n, br) in groups.items():
+                if n == 0 or br is None:
+                    continue
+                expr = F.when(
+                    F.col("l_returnflag").eqNullSafe(F.lit(flag)),
+                    float(br[2 * i + which]),
+                ).otherwise(expr)
+            return expr
+
+    aggs = []
+    for i, p in enumerate(PCTS):
+        tag = int(p * 100)
+        if len(groups) > 64:
+            lo, hi = F.col(f"lo{tag}"), F.col(f"hi{tag}")
+        else:
+            lo, hi = _case_lit(i, 0), _case_lit(i, 1)
+        v = F.col("v")
+        aggs += [
+            # NULL v / NULL brackets make the predicate NULL -> the
+            # otherwise(0) keeps the counter sums defined on every row
+            F.sum(F.when(v < lo, 1).otherwise(0)).alias(f"below{tag}"),
+            F.sum(F.when(v == lo, 1).otherwise(0)).alias(f"eqlo{tag}"),
+            F.sum(F.when(v == hi, 1).otherwise(0)).alias(f"eqhi{tag}"),
+            F.sort_array(
+                F.collect_list(F.when((v > lo) & (v < hi), v))
+            ).alias(f"strict{tag}"),
+        ]
+    window_rows = joined.groupBy(flag_col).agg(*aggs).collect()
+
+    def order_stat(rec, tag: int, rank: int, lo, hi):
+        below = rec[f"below{tag}"]
+        eq_lo = rec[f"eqlo{tag}"]
+        strict = rec[f"strict{tag}"]
+        # lo == hi degenerate bracket: eq_hi re-counts the same values
+        eq_hi = 0 if lo == hi else rec[f"eqhi{tag}"]
+        r = rank - below
+        if r < 0:
+            return None  # sketch guarantee violated
+        if r < eq_lo:
+            return lo
+        r -= eq_lo
+        if r < len(strict):
+            return strict[r]
+        r -= len(strict)
+        if r < eq_hi:
+            return hi
+        return None
+
+    result = []
+    for rec in window_rows:
+        flag = rec["l_returnflag"]
+        n, br = groups[flag]
+        out = [flag]
+        for i, p in enumerate(PCTS):
+            if n == 0 or br is None:
+                out.append(None)
+                continue
+            tag = int(p * 100)
+            lo, hi = float(br[2 * i]), float(br[2 * i + 1])
+            rn = (n - 1) * p
+            frn, crn = math.floor(rn), math.ceil(rn)
+            v_lo = order_stat(rec, tag, frn, lo, hi)
+            if frn == crn:
+                if v_lo is None:
+                    return _usage_percentiles_kernel(spark, sf_dir)
+                out.append(float(v_lo))
+                continue
+            v_hi = order_stat(rec, tag, crn, lo, hi)
+            if v_lo is None or v_hi is None:
+                return _usage_percentiles_kernel(spark, sf_dir)
+            out.append(float(v_lo * (crn - rn) + v_hi * (rn - frn)))
+        result.append(tuple(out))
+
+    return spark.createDataFrame(result, out_schema).orderBy("l_returnflag")
+
+
+def _bracketed_join(spark, vals, flag_type, groups):
+    """Broadcast-join form of the bracket delivery for wide group domains
+    (>64 groups), where a literal CASE chain would cost O(groups) per row.
+    Returns (joined_frame, flag_column) with bracket columns lo{tag}/hi{tag}."""
+    bracket_fields = [T.StructField("_bf", flag_type)]
+    for p in PCTS:
+        tag = int(p * 100)
+        bracket_fields += [
+            T.StructField(f"lo{tag}", T.DoubleType()),
+            T.StructField(f"hi{tag}", T.DoubleType()),
+        ]
+    bracket_rows = []
+    for flag, (n, br) in groups.items():
+        row = [flag]
+        for i in range(len(PCTS)):
+            if n == 0 or br is None:
+                row += [None, None]
+            else:
+                row += [float(br[2 * i]), float(br[2 * i + 1])]
+        bracket_rows.append(tuple(row))
+    brackets = F.broadcast(
+        spark.createDataFrame(bracket_rows, T.StructType(bracket_fields))
+    )
+    joined = vals.join(
+        brackets, vals["l_returnflag"].eqNullSafe(brackets["_bf"]), "left"
+    ).select(
+        vals["l_returnflag"],
+        "v",
+        *[f.name for f in bracket_fields[1:]],
+    )
+    return joined, F.col("l_returnflag")
+
+
+def _usage_percentiles_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r6 exact tier: one shuffle of (flag, value) clustered by group,
+    one numpy sort per group in an Arrow kernel. Kept as the verification
+    fallback for usage_percentiles (unconditionally exact, but the
+    parallelism unit is the GROUP and the whole measure column crosses
+    into Python — 16.5 s vs the bracket plan's ~1 s at x32)."""
     import numpy as np
     import pandas as pd
 

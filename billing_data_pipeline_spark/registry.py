@@ -111,12 +111,12 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "usage_percentiles_approx",  # rows-only (approx_percentile)
     # --- r5/r6 implementation-changed re-pins (ADVICE r5 medium: changed
     # operators must ride the external sample the round they change) ---
-    "usage_percentiles",  # r5: new interpolation formula
+    "usage_percentiles",  # r5 interpolation; r7 sketch-bracket tier + dispatch
     "doc_repetition_stats",  # r5: vectorized pyarrow kernel
     "embedding_cosine_topk",  # r5: zero-norm try_divide semantics
     "embedding_neardup_pairs",  # r5 zero-norm + r6 eager-contract rework
     "ml_minhash_neardup_pairs",  # r6: persist-barrier -> localCheckpoint
-    "doc_top_terms_tfidf",  # r6: perf rework (VERDICT #3)
+    "doc_top_terms_tfidf",  # r6 perf rework; r7 single-tokenize packed cache
     "decontaminate_ngram",  # r6: perf rework (VERDICT #4)
     "heavy_hitter_terms",  # r6: Arrow MG rework (probe-caught scaling fix)
     "array_function_matrix",  # r6: try_element_at + seeded-fold oracle

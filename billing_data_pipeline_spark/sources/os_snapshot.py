@@ -308,6 +308,58 @@ class ObjectStoreSnapshotTable:
         return sorted(removed)
 
 
+def snapshot_table_for(spark, url: str, store: ObjectStore | None = None):
+    """One entry point for the durability kit: pick the commit protocol
+    that is actually safe on the target storage.
+
+    - plain path / ``file://`` → POSIX ``SnapshotTable`` (rename +
+      fs_mutex). These are the ONLY schemes that fall through to the
+      rename protocol — dispatch is closed-world (review r7: an
+      allowlist of object schemes failed OPEN for hdfs://, dbfs://,
+      uppercase S3A://, ..., silently running machine-local locks
+      against multi-host storage);
+    - any other scheme → ``ObjectStoreSnapshotTable`` over the injected
+      ``store`` binding. No S3/GCS/Azure ``ObjectStore`` subclass ships
+      in this environment (nothing to test against), so a remote URL
+      WITHOUT a binding raises with the exact extension point instead of
+      silently running the rename protocol on storage where rename is
+      neither atomic nor present — the failure mode this factory exists
+      to prevent;
+    - an explicit ``store`` always wins (tests inject SimulatedObjectStore
+      under any name).
+    """
+    if store is not None:
+        return ObjectStoreSnapshotTable(spark, store)
+    from urllib.parse import urlparse
+
+    scheme = urlparse(url).scheme.lower()
+    # a bare Windows-style drive letter is not a scheme; neither is ''
+    if scheme not in ("", "file") and len(scheme) > 1:
+        raise NotImplementedError(
+            f"no ObjectStore binding for {url!r} (scheme {scheme!r}): "
+            "implement the four-operation sources/objectstore.ObjectStore "
+            "surface for this store (put_if_absent = its conditional PUT) "
+            "and pass it as store=. The POSIX rename protocol is only "
+            "safe on local/POSIX filesystems."
+        )
+    from .versioned_sink import SnapshotTable
+
+    if scheme == "file":
+        parsed = urlparse(url)
+        if parsed.netloc:
+            # file://host/share is a remote-authority form; resolving it
+            # as CWD-relative 'host/share' would commit to a wrong local
+            # dir (review r7). Only file:///abs/path (empty authority)
+            # maps to a local path.
+            raise ValueError(
+                f"file URL with non-empty authority {parsed.netloc!r}: "
+                "use file:///absolute/path (three slashes) for local "
+                "paths"
+            )
+        return SnapshotTable(spark, parsed.path)
+    return SnapshotTable(spark, url)
+
+
 def _replay_version(state: dict, epoch) -> int | None:
     """Same contract as SnapshotTable._replay_version (versioned_sink.py):
     recorded epoch → its version (idempotent replay); an integer epoch

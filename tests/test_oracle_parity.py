@@ -254,6 +254,75 @@ def test_percentile_interpolation_bitwise_on_irregular_values(spark, tmp_path):
     assert_matches_oracle(spec.fn(spark, str(d)), spec.oracle, str(d))
 
 
+def test_usage_percentiles_wide_group_domain_join_path(spark, tmp_path):
+    """r7 bracket plan: >64 groups routes brackets through the broadcast
+    join (`_bracketed_join`) instead of the literal CASE chain — same
+    hash-exact result. 100 groups of co-prime-ish sizes with irregular
+    full-mantissa values force interpolated ranks down the join path, and
+    a NULL group key exercises the null-safe join condition
+    (bracket_min_bytes=0 forces the bracket tier on this tiny fixture)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import random
+
+    from billing_data_pipeline_spark.plans.stats import usage_percentiles
+
+    rnd = random.Random(7)
+    flags, prices = [], []
+    for g in range(100):
+        n = 3 + (g * 7) % 11
+        flags += [f"g{g:03d}"] * n
+        prices += [rnd.uniform(0.1, 999999.9) for _ in range(n)]
+    flags += [None] * 5
+    prices += [rnd.uniform(0.1, 999999.9) for _ in range(5)]
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    li = pa.table(
+        {
+            "l_returnflag": pa.array(flags),
+            "l_extendedprice": pa.array(prices, pa.float64()),
+        }
+    )
+    pq.write_table(li, str(d / "lineitem.parquet"))
+    spec = CATALOG["usage_percentiles"]
+    assert_matches_oracle(
+        usage_percentiles(spark, str(d), bracket_min_bytes=0),
+        spec.oracle,
+        str(d),
+    )
+
+
+def test_usage_percentiles_bracket_tier_exact_at_sf001(spark):
+    """The bracket tier forced onto sf0.01 (which the size dispatch would
+    route to the kernel) must stay hash-exact — the dispatch may only
+    ever change the physical plan, never the values."""
+    from billing_data_pipeline_spark.plans.stats import usage_percentiles
+
+    spec = CATALOG["usage_percentiles"]
+    assert_matches_oracle(
+        usage_percentiles(spark, SF_CORRECTNESS, bracket_min_bytes=0),
+        spec.oracle,
+        SF_CORRECTNESS,
+    )
+
+
+def test_usage_percentiles_kernel_fallback_is_exact(spark, tmp_path):
+    """The bracket plan's correctness net: `_usage_percentiles_kernel`
+    (the r6 per-group exact tier it falls back to on a sketch-guarantee
+    violation, and the small-input tier of the size dispatch) must
+    itself stay hash-exact against quantile_cont."""
+    from billing_data_pipeline_spark.plans.stats import (
+        _usage_percentiles_kernel,
+    )
+
+    spec = CATALOG["usage_percentiles"]
+    assert_matches_oracle(
+        _usage_percentiles_kernel(spark, SF_CORRECTNESS),
+        spec.oracle,
+        SF_CORRECTNESS,
+    )
+
+
 def test_asof_null_value_tie_picks_whole_row(spark, tmp_path):
     """Review r5: duplicate (user, ts) clicks where the max-event_id row
     carries a NULL value — per-column arg_max(value, event_id) skipped the

@@ -273,3 +273,35 @@ def test_spark_round_trip(spark, tmp_path):
     t.commit(spark.range(2).toDF("n"), mode="overwrite")
     assert sorted(r["n"] for r in t.read().collect()) == [0, 1]
     assert sorted(r["n"] for r in t.read(1).collect()) == list(range(8))
+
+
+def test_snapshot_table_factory_dispatch(tmp_path):
+    from billing_data_pipeline_spark.sources.os_snapshot import (
+        snapshot_table_for,
+    )
+    from billing_data_pipeline_spark.sources.versioned_sink import (
+        SnapshotTable,
+    )
+
+    t = snapshot_table_for(None, str(tmp_path / "w"))
+    assert isinstance(t, SnapshotTable)
+    t2 = snapshot_table_for(None, f"file://{tmp_path}/w2")
+    assert isinstance(t2, SnapshotTable) and t2.path == f"{tmp_path}/w2"
+    # closed-world dispatch: EVERY non-local scheme fails closed, not
+    # just a hardcoded object-store allowlist (review r7 — hdfs:// and
+    # uppercase S3A:// fell through to the POSIX rename protocol)
+    for url in (
+        "s3a://bucket/warehouse/t",
+        "S3A://bucket/warehouse/t",
+        "hdfs://nn/warehouse/t",
+        "dbfs://x/t",
+        "gs://b/t",
+    ):
+        with pytest.raises(NotImplementedError, match="conditional PUT"):
+            snapshot_table_for(None, url)
+    # file URL with a remote authority must not resolve CWD-relative
+    with pytest.raises(ValueError, match="authority"):
+        snapshot_table_for(None, "file://host/share")
+    store = LocalObjectStore(str(tmp_path / "store"))
+    t3 = snapshot_table_for(None, "s3a://bucket/warehouse/t", store=store)
+    assert isinstance(t3, ObjectStoreSnapshotTable)
