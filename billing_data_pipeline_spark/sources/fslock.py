@@ -87,6 +87,19 @@ def fs_mutex(
                     if f.read() != token:
                         return  # no longer ours — stop touching
                 os.utime(lock_path, None)
+                # Residual, BOUNDED window (review r7): a stale-break +
+                # re-acquire landing between the read above and the utime
+                # puts one touch on the new holder's lock — extending its
+                # staleness clock by at most one period, once (the next
+                # beat sees the foreign token and stops). Reaching it
+                # requires this process to have already been frozen past
+                # stale_secs, i.e. the lease assumption was already
+                # forfeit; mtime-based staleness cannot close it without
+                # an O_EXCL rename dance that would cost every HEALTHY
+                # beat. The post-check detects the collision early:
+                with open(lock_path) as f:
+                    if f.read() != token:
+                        return
             except OSError:
                 return  # lock broken out from under us — stop touching
 

@@ -243,7 +243,23 @@ class MutationCsvStreamReader(SimpleDataSourceStreamReader):
         # whole history, and makes a delete-then-restore (even with an
         # identical mtime:size — `cp -p` from backup) re-emit as "new"
         # instead of being silently swallowed by a stale fingerprint.
-        end_files = {p: fp for p, fp in seen.items() if p in live}
+        #
+        # Guarded prune (review r7): a path leaves the snapshot only when
+        # it is BOTH absent from the listing AND absent on an individual
+        # stat, AND was already missing on the previous poll. glob()
+        # swallows I/O errors — a one-trigger network-mount blip returns
+        # an empty listing, and an unguarded prune would then drop every
+        # fingerprint and re-emit the whole directory as "new" when the
+        # mount returns. The two-poll deferral rides driver memory, not
+        # the checkpoint (worst case after a restart: one extra poll of
+        # retention, never a duplicate emission).
+        vanished = {
+            p for p in seen
+            if p not in live and not os.path.exists(p)
+        }
+        drop = vanished & getattr(self, "_gone_pending", set())
+        self._gone_pending = vanished - drop
+        end_files = {p: fp for p, fp in seen.items() if p not in drop}
         end_files.update(dict(batch))
         end = {"files": end_files}
         return self._rows_for(batch), end

@@ -70,13 +70,15 @@ class ObjectStore:
         raise NotImplementedError
 
     # --- data-plane seam -------------------------------------------------
-    def data_url(self, key_prefix: str) -> str:
+    def data_url(self, key_prefix: str, create: bool = False) -> str:
         """URL/path Spark (or any parquet writer) writes data under for
         the given key prefix. Data objects bypass the metadata ops above —
         a 100 TB parquet write goes through the store's native bulk path
         (s3a + cloud committer on a real store, the filesystem here); the
         protocol only needs the WRITE TARGET to be a never-renamed,
-        uniquely-named prefix."""
+        uniquely-named prefix. Pure unless ``create=True`` (the committer
+        asks for any parent/bucket preparation the store needs; readers
+        must never mutate the store)."""
         raise NotImplementedError
 
 
@@ -114,7 +116,17 @@ class LocalObjectStore(ObjectStore):
                 os.link(tmp, path)
                 return True
             except FileExistsError:
-                return False
+                # NFS retransmit quirk (review r7): a lost LINK reply is
+                # retried by the client and can report EEXIST even though
+                # OUR link landed — the classic false "lost the race"
+                # that O_EXCL-token protocols read back to detect. The
+                # commit log's payloads embed a per-attempt uuid, so
+                # byte-equality can only mean this call won.
+                try:
+                    with open(path, "rb") as f:
+                        return f.read() == data
+                except OSError:
+                    return False
         finally:
             os.unlink(tmp)
 
@@ -159,10 +171,38 @@ class LocalObjectStore(ObjectStore):
         except OSError:
             return None
 
-    def data_url(self, key_prefix: str) -> str:
+    def data_url(self, key_prefix: str, create: bool = False) -> str:
+        # pure by default (review r7): _resolve calls this on the READ
+        # path, which must not mutate the store (read-only mounts /
+        # read-only credentials on a real store); only the committer
+        # passes create=True
         path = self._p(key_prefix)
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        if create:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
         return path
+
+    def sweep_stale_temps(self, older_than_secs: float) -> int:
+        """Reclaim crash-orphaned CAS/put temp files. list() hides
+        ``_cas_*``/``_put_*`` by design (in-flight, not objects), so
+        vacuum's list()-driven sweep can never reach one orphaned by a
+        process killed between mkstemp and its finally-unlink — an
+        unbounded leak without this (review r7). Age-gated by the same
+        staleness threshold as data orphans; a LIVE writer's temp is
+        milliseconds old and never crosses it."""
+        cutoff = time.time() - older_than_secs
+        swept = 0
+        for dirpath, _dirs, files in os.walk(self.root):
+            for name in files:
+                if not name.startswith(("_cas_", "_put_")):
+                    continue
+                p = os.path.join(dirpath, name)
+                try:
+                    if os.path.getmtime(p) <= cutoff:
+                        os.unlink(p)
+                        swept += 1
+                except OSError:
+                    pass  # already gone / concurrently swept
+        return swept
 
 
 class SimulatedObjectStore(LocalObjectStore):

@@ -116,7 +116,12 @@ class ObjectStoreSnapshotTable:
             probe += 1
 
     def latest_version(self) -> int | None:
-        return self._head()[0]
+        """Newest committed VERSION — manifest semantics, matching the
+        POSIX SnapshotTable — not the log head INDEX: vacuum publishes
+        its pruned state as a NEW log entry with ``version`` unchanged,
+        so after any pruning vacuum the two diverge and the head index
+        names a version absent from the commit list (review r7)."""
+        return self._head()[1]["version"]
 
     def epochs(self) -> set:
         _, state = self._head()
@@ -151,6 +156,20 @@ class ObjectStoreSnapshotTable:
 
         def _beat() -> None:
             while not stop.wait(self._HEARTBEAT_SECS):
+                # Check-before-touch (review r7, same class as the fslock
+                # fix): vacuum TOMBSTONES the marker to kill commits
+                # presumed dead. A blind re-put after a long freeze would
+                # resurrect the tombstone before the main thread's
+                # last-moment liveness check, letting it publish a
+                # reference to data vacuum already swept. A gone marker
+                # means we were declared dead — stop beating; the pre-PUT
+                # check below turns that into CommitAborted. Residual
+                # window: vacuum's delete landing between this get and
+                # the put (microseconds, vs the hour-scale staleness
+                # threshold) — the same lease assumption the module
+                # docstring states.
+                if self.store.get(begin_key) is None:
+                    return
                 # liveness, not CAS: an overwrite refreshes store mtime
                 self.store.put(begin_key, str(time.time()).encode())
 
@@ -158,7 +177,7 @@ class ObjectStoreSnapshotTable:
                                 name="os-snapshot-heartbeat")
         beat.start()
         try:
-            url = self.store.data_url(f"{_DATA}/{uid}")
+            url = self.store.data_url(f"{_DATA}/{uid}", create=True)
             if df is not None:
                 df.write.mode("errorifexists").parquet(url)
             else:
@@ -305,6 +324,13 @@ class ObjectStoreSnapshotTable:
             self.store.delete(marker)
             self._fire("after_tombstone")
             self._cleanup_data(uid)
+        # crash-orphaned CAS/put temp files are hidden from list() by
+        # design (they are not objects), so the sweep above can never
+        # reach them — reclaim them store-side past the same staleness
+        # threshold (review r7: unbounded leak otherwise)
+        sweep_temps = getattr(self.store, "sweep_stale_temps", None)
+        if sweep_temps is not None:
+            sweep_temps(stale_staging_secs)
         return sorted(removed)
 
 
@@ -361,27 +387,10 @@ def snapshot_table_for(spark, url: str, store: ObjectStore | None = None):
 
 
 def _replay_version(state: dict, epoch) -> int | None:
-    """Same contract as SnapshotTable._replay_version (versioned_sink.py):
-    recorded epoch → its version (idempotent replay); an integer epoch
-    BELOW the log's integer high-water mark → checkpoint reset → raise."""
-    int_epochs = [
-        c["epoch"]
-        for c in state["commits"]
-        if isinstance(c.get("epoch"), int) and not isinstance(c["epoch"], bool)
-    ]
-    if (
-        isinstance(epoch, int)
-        and not isinstance(epoch, bool)
-        and int_epochs
-        and epoch < max(int_epochs)
-    ):
-        raise RuntimeError(
-            f"snapshot table already committed epoch {max(int_epochs)}"
-            f" but the writer delivered epoch {epoch}: the stream"
-            f" checkpoint was reset. Point the stream at a fresh table"
-            f" (or vacuum+delete this one) to reprocess."
-        )
-    for c in state["commits"]:
-        if c.get("epoch") == epoch:
-            return c["v"]
-    return None
+    """SnapshotTable._replay_version, shared verbatim: both manifests use
+    the same {"commits": [{"v", "epoch", ...}]} shape, and the replay /
+    checkpoint-reset contract (including the error text tests match on)
+    must never diverge between the duals (review r7 — this was a copy)."""
+    from .versioned_sink import SnapshotTable
+
+    return SnapshotTable._replay_version(state, epoch)

@@ -117,12 +117,22 @@ def _storm_worker(kind: str, path: str, seed: int, q) -> None:
             elif op == "vacuum":
                 table.vacuum(keep=3, stale_staging_secs=3600.0)
             else:
+                # resolve and validate in SEPARATE try blocks (review r7):
+                # a FileNotFoundError from _validate_snapshot is the
+                # primary symptom of a dangling publish and must hit the
+                # retained-or-pruned oracle, not the empty-table pass;
+                # and `dirs` must be bound before the oracle uses it.
                 try:
                     dirs = _resolve(table, kind)
-                    _validate_snapshot(dirs)
                 except FileNotFoundError:
-                    pass  # empty table or version vacuumed under us: legal
-                except (OSError, pa.ArrowInvalid) as exc:
+                    continue  # empty table: legal
+                try:
+                    _validate_snapshot(dirs)
+                except (FileNotFoundError, OSError,
+                        pa.ArrowInvalid, AssertionError) as exc:
+                    if isinstance(exc, AssertionError) and \
+                            "torn read of a RETAINED" in str(exc):
+                        raise
                     # legal ONLY if retention pruned the version mid-read
                     still = set()
                     try:

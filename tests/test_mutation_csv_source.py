@@ -206,14 +206,28 @@ def test_mutation_offset_prunes_vanished_files_and_reemits_on_restore(tmp_path):
     assert sorted(t[0] for t in rows) == [1, 2]
     assert set(os.path.basename(p) for p in off1["files"]) == {"a.csv", "b.csv"}
 
-    # delete a.csv -> next poll emits nothing AND shrinks the snapshot
+    # delete a.csv -> the prune is DEFERRED one poll (review r7: a
+    # one-trigger listing blip must not dump the snapshot), then drops
     os.unlink(lake / "a.csv")
     rows, off2 = r.read(off1)
     assert list(rows) == []
-    assert set(os.path.basename(p) for p in off2["files"]) == {"b.csv"}
+    assert set(os.path.basename(p) for p in off2["files"]) == {"a.csv", "b.csv"}
+    rows, off2b = r.read(off2)
+    assert list(rows) == []
+    assert set(os.path.basename(p) for p in off2b["files"]) == {"b.csv"}
 
     # restore with identical mtime:size -> counts as NEW, re-emits
     shutil.copy2(backup, lake / "a.csv")
-    rows, off3 = r.read(off2)
+    rows, off3 = r.read(off2b)
     assert sorted(t[0] for t in rows) == [1]
     assert set(os.path.basename(p) for p in off3["files"]) == {"a.csv", "b.csv"}
+
+    # a restore DURING the deferral window cancels the pending drop and
+    # does NOT re-emit (the stale fingerprint still matches: unchanged)
+    os.unlink(lake / "a.csv")
+    rows, off4 = r.read(off3)  # first miss: retained, pending
+    assert set(os.path.basename(p) for p in off4["files"]) == {"a.csv", "b.csv"}
+    shutil.copy2(backup, lake / "a.csv")
+    rows, off5 = r.read(off4)
+    assert list(rows) == []  # fingerprint unchanged -> no duplicate rows
+    assert set(os.path.basename(p) for p in off5["files"]) == {"a.csv", "b.csv"}

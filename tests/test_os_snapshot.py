@@ -227,6 +227,106 @@ def test_swept_inflight_commit_aborts_instead_of_dangling(tmp_path):
     assert _rows(t) == [1]  # table intact, no dangling reference
 
 
+def test_heartbeat_never_resurrects_vacuum_tombstone(tmp_path):
+    """Review r7: the commit heartbeat must CHECK the begin marker before
+    refreshing it. A blind re-put after vacuum's tombstone (frozen
+    committer, zero lease here) would re-create the marker, let the
+    last-moment liveness check pass, and publish a reference to swept
+    data. With many heartbeat periods elapsing after the tombstone, the
+    marker must stay absent and the commit must abort."""
+    import time
+
+    store = SimulatedObjectStore(str(tmp_path / "store"))
+    t = ObjectStoreSnapshotTable(None, store)
+    t._HEARTBEAT_SECS = 0.05
+    t.commit(writer=_w([1]), mode="overwrite")
+
+    paused = threading.Event()
+    resume = threading.Event()
+
+    def pause():
+        paused.set()
+        assert resume.wait(10.0)
+
+    store.hooks["after_data_write"] = pause
+    errs = []
+
+    def run():
+        try:
+            t.commit(writer=_w([2]), mode="append")
+        except CommitAborted as e:
+            errs.append(e)
+
+    th = threading.Thread(target=run)
+    th.start()
+    assert paused.wait(10.0)
+    markers = [k for k in store.list("data/") if k.endswith(".begin")]
+    assert len(markers) == 1
+    t2 = ObjectStoreSnapshotTable(None, store)
+    t2.vacuum(keep=10, stale_staging_secs=0.0)
+    assert store.get(markers[0]) is None  # tombstoned
+    time.sleep(0.4)  # ~8 heartbeat periods fire while frozen
+    assert store.get(markers[0]) is None, (
+        "heartbeat resurrected the vacuum tombstone"
+    )
+    store.hooks.clear()
+    resume.set()
+    th.join(10.0)
+    assert len(errs) == 1  # aborted, did NOT publish
+    assert t.latest_version() == 0 and _rows(t) == [1]
+
+
+def test_latest_version_is_manifest_version_after_pruning_vacuum(tmp_path):
+    """Review r7: vacuum publishes its pruned state as a NEW log entry
+    with `version` unchanged, so latest_version must report the manifest
+    version (POSIX-dual semantics), never the log head index — and
+    read(latest_version()) must resolve."""
+    store = LocalObjectStore(str(tmp_path / "store"))
+    t = ObjectStoreSnapshotTable(None, store)
+    for i in range(4):
+        t.commit(writer=_w([i]), mode="overwrite")
+    assert t.latest_version() == 3
+    assert t.vacuum(keep=1) == [0, 1, 2]
+    assert t.latest_version() == 3  # head index is now 4; version is 3
+    assert _rows(t, t.latest_version()) == [3]
+
+
+def test_stale_cas_temp_orphans_swept_fresh_ones_spared(tmp_path):
+    """Review r7: crash-orphaned _cas_/_put_ temp files are hidden from
+    list() by design, so vacuum reclaims them store-side past the same
+    staleness threshold — while a live writer's fresh temp survives."""
+    store = LocalObjectStore(str(tmp_path / "store"))
+    t = ObjectStoreSnapshotTable(None, store)
+    t.commit(writer=_w([1]), mode="overwrite")
+    log_dir = os.path.join(store.root, "_log")
+    orphan = os.path.join(log_dir, "_cas_orphan")
+    with open(orphan, "wb") as f:
+        f.write(b"torn")
+    orphan2 = os.path.join(store.root, "data", "_put_orphan")
+    with open(orphan2, "wb") as f:
+        f.write(b"torn")
+    assert not any("_cas_" in k or "_put_" in k for k in store.list(""))
+    t.vacuum(keep=1, stale_staging_secs=3600.0)  # fresh: spared
+    assert os.path.exists(orphan) and os.path.exists(orphan2)
+    old = (0, 0)
+    os.utime(orphan, old)
+    os.utime(orphan2, old)
+    t.vacuum(keep=1, stale_staging_secs=3600.0)  # aged past the lease
+    assert not os.path.exists(orphan) and not os.path.exists(orphan2)
+    assert _rows(t) == [1]
+
+
+def test_put_if_absent_idempotent_on_identical_content(tmp_path):
+    """Review r7 (NFS lost-LINK-reply quirk): a retried conditional PUT
+    that already landed must read back as a WIN when the existing bytes
+    equal ours — commit payloads embed a per-attempt uuid, so equality
+    can only mean this caller's own earlier success."""
+    store = LocalObjectStore(str(tmp_path / "store"))
+    assert store.put_if_absent("k", b"x") is True
+    assert store.put_if_absent("k", b"x") is True  # replayed own write
+    assert store.put_if_absent("k", b"y") is False  # genuine loss
+
+
 def test_vacuum_concurrent_with_commit_no_torn_state(tmp_path):
     """vacuum's pruned-state PUT races a commit for the same log slot:
     whoever loses recomputes. Either serialization must leave all
