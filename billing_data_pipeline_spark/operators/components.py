@@ -125,7 +125,14 @@ def connected_components(
     """(id) + undirected (src, dst) edges -> (id, component_id) where
     component_id = min node id reachable from id. Deterministic; singleton
     nodes keep their own id. O(log n) rounds via alternating stars (module
-    docstring)."""
+    docstring).
+
+    PRECONDITION: ``nodes`` must be id-unique — this emits one output row
+    per input node ROW (no dedup shuffle is spent re-proving what the
+    caller knows), while the oracle's final GROUP BY collapses
+    duplicates, so duplicate ids break the row-count/hash gate (review
+    r7). All catalog callers pass primary keys (doc_id / vec_id), same
+    contract as per_group_sample's key_col."""
     canon = (
         edges.select(
             F.greatest("src", "dst").alias("a"), F.least("src", "dst").alias("b")

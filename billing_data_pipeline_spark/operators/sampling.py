@@ -117,6 +117,15 @@ def per_group_sample(
     callers key on primary keys (doc_id)."""
     from pyspark.sql import Window
 
+    if "sample_rank" in df.columns:
+        # plan-time guard (review r7): withColumn would silently REPLACE
+        # a real input column of this name and the trailing drop would
+        # then delete the caller's data; the SQL twin fails differently
+        # (duplicate output name) — fail loudly and identically instead
+        raise ValueError(
+            "per_group_sample uses 'sample_rank' as its scratch column; "
+            "rename the input column of that name"
+        )
     w = Window.partitionBy(group_col).orderBy(
         hash_bucket(F.col(key_col), salt).asc(), F.col(key_col).asc()
     )
@@ -182,11 +191,17 @@ def assign_split_sql(
         # without error while assign_split raised)
         raise ValueError("need exactly one more label than boundary")
     b = hash_bucket_sql(key, salt)
+
+    def q(s: str) -> str:
+        # SQL-quote the label: a label like "o'reilly" broke the oracle
+        # SQL (review r7 — same class stratified_sample_sql fixed in r4)
+        return s.replace(chr(39), chr(39) * 2)
+
     if not boundaries:
         # a WHEN-less CASE is a syntax error; single-label = constant
-        return f"('{labels[-1]}')"
+        return f"('{q(labels[-1])}')"
     cases = " ".join(
-        f"WHEN ({b}) < {bound} THEN '{lab}'"
+        f"WHEN ({b}) < {bound} THEN '{q(lab)}'"
         for bound, lab in zip(boundaries, labels[:-1])
     )
-    return f"(CASE {cases} ELSE '{labels[-1]}' END)"
+    return f"(CASE {cases} ELSE '{q(labels[-1])}' END)"

@@ -124,11 +124,25 @@ GROUP BY {id_col}, run_id, term
 def _median_udaf():
     @pandas_udf("double")
     def median_udaf(v: pd.Series) -> float:
-        # np.median on an even count is (a+b)/2 of the two middle elements —
-        # the same single IEEE interpolation DuckDB's median()/quantile_cont
-        # performs, and a pure selection otherwise: order-insensitive, exact.
-        arr = v.dropna().to_numpy()
-        return float(np.median(arr)) if arr.size else None
+        # Even-count median uses quantile_cont's OWN interpolation
+        # expression lo*0.5 + hi*0.5, NOT np.median's (lo+hi)/2 (review
+        # r7, verified: the sum overflows to inf for two huge same-sign
+        # doubles — [1e308, 1.5e308] -> inf vs DuckDB's 1.25e308 — while
+        # the multiply-first form cannot; odd counts are pure selection).
+        # NULLs are dropped like any SQL aggregate. Documented divergence:
+        # a GENUINE NaN input is indistinguishable from an Arrow-rendered
+        # NULL in a float64 Series, so it is dropped too, where DuckDB's
+        # median ranks NaN as the largest value (same conflation class as
+        # streaming/stateful.py; no testdata or sweep fixture carries NaN
+        # measures, and parquet round-trips preserve them only from
+        # sources this engine does not generate).
+        arr = np.sort(v.dropna().to_numpy())
+        n = arr.size
+        if n == 0:
+            return None
+        if n % 2:
+            return float(arr[n // 2])
+        return float(arr[n // 2 - 1] * 0.5 + arr[n // 2] * 0.5)
 
     return median_udaf
 

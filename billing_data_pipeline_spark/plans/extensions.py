@@ -951,8 +951,10 @@ ORDER BY event_type
 )
 def udaf_median_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas UDAF tier: per-event-type median of value
-    (selection/interpolation — not mergeable, hence a true UDAF case;
-    np.median's even-count (a+b)/2 is DuckDB median()'s interpolation)."""
+    (selection/interpolation — not mergeable, hence a true UDAF case).
+    Even counts interpolate as lo*0.5 + hi*0.5, DuckDB quantile_cont's
+    own IEEE expression — np.median's (lo+hi)/2 overflowed to inf on two
+    huge same-sign doubles (review r7)."""
     return U.grouped_median(
         t(spark, sf_dir, "events"), ["event_type"], "value"
     ).orderBy("event_type")

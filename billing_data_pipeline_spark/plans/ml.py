@@ -46,18 +46,26 @@ DIM = 64
 Q_SCALE = 1 << 20  # fixed-point scale for the centroid-update sums
 
 _SEED_CTES = f"""
+good AS (
+    -- NULL / wrong-dimension vectors are excluded from the fit on BOTH
+    -- engines (review r7): the engine's posexplode emits nothing for a
+    -- NULL vector while this oracle's CROSS JOIN range emitted {DIM}
+    -- NULL-q rows for it, inflating COUNT(*) in the mean's denominator
+    SELECT vec_id, embedding FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = {DIM}
+),
 ids AS (
     SELECT vec_id AS id, row_number() OVER (ORDER BY vec_id) - 1 AS rn
-    FROM embeddings
+    FROM good
 ),
 params AS (SELECT greatest(1, COUNT(*) // {K_LISTS}) AS stride FROM ids),
 cents1 AS (
     SELECT CAST(i.rn // p.stride AS INTEGER) AS cidx, e.embedding AS cv
     FROM ids i CROSS JOIN params p
-    JOIN embeddings e ON e.vec_id = i.id
+    JOIN good e ON e.vec_id = i.id
     WHERE i.rn % p.stride = 0 AND i.rn // p.stride < {K_LISTS}
 ),
-vecs AS (SELECT vec_id AS id, embedding AS vec FROM embeddings)"""
+vecs AS (SELECT vec_id AS id, embedding AS vec FROM good)"""
 
 
 def _round_ctes(r: int) -> str:
@@ -135,6 +143,17 @@ def _empty_kmeans(spark: SparkSession) -> DataFrame:
     )
 
 
+def _fit_vectors(emb: DataFrame) -> DataFrame:
+    """NULL / wrong-dimension vectors are excluded from the fit (review
+    r7, mirrored in the oracle's `good` CTE): a NULL vector previously
+    got ASSIGNED to cells[0] yet contributed zero posexplode rows to the
+    update — n_members undercounted vs the oracle and a NULL seed would
+    crash _seed_centroids."""
+    return emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == DIM)
+    )
+
+
 def _assign_update(emb: DataFrame, cells: list[int], cvs: list[list[float]]) -> DataFrame:
     """One k-means round: scan-side nearest-centroid argmax against literal
     centroid vectors (``cells``-ascending order = the oracle's cidx ASC tie
@@ -198,7 +217,7 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     component) plus cluster sizes — k x dim rows regardless of corpus
     size. The oracle reproduces assignment via the equivalent rank-1
     window (sim DESC, cidx ASC == first-max argmax)."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = _fit_vectors(t(spark, sf_dir, "embeddings"))
     cvs = _seed_centroids(emb)
     if not cvs:  # empty corpus
         return _empty_kmeans(spark)
@@ -219,7 +238,7 @@ def embedding_kmeans_fit2(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles, hash-proven by the round-1 query). Cells that lose all members
     drop out on both engines (no empty-cell repair round). Per-round cost
     is one scan + one k x dim-row exchange at any corpus size."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = _fit_vectors(t(spark, sf_dir, "embeddings"))
     cvs = _seed_centroids(emb)
     if not cvs:  # empty corpus
         return _empty_kmeans(spark)

@@ -163,8 +163,17 @@ WITH seq AS (
     FROM events WHERE ts IS NOT NULL
 ),
 changes AS (
+    -- row_number marks the first event; IS DISTINCT FROM is the
+    -- null-safe change test (review r7: `prev IS NULL OR prev <> cur`
+    -- conflated "first row" with "previous state was NULL", missing
+    -- every X->NULL transition and splitting NULL-runs into spurious
+    -- versions — on BOTH engines, so the hash gate alone never saw it)
     SELECT user_id, event_type AS state, ts AS valid_from, event_id
-    FROM seq WHERE prev_type IS NULL OR prev_type <> event_type
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM seq
+    ) WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
 )
 SELECT user_id, state, valid_from,
        lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id)
@@ -190,10 +199,15 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
+        # first-row marker + null-safe change test (review r7): NULL is a
+        # legal state value, so "changed" must be IS DISTINCT FROM, and
+        # "first event" must be its own marker — `prev IS NULL` missed
+        # X->NULL transitions and re-emitted every row of a NULL-run
         ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn("_rn", F.row_number().over(w))
         .filter(
-            F.col("prev_type").isNull()
-            | (F.col("prev_type") != F.col("event_type"))
+            (F.col("_rn") == 1)
+            | ~F.col("prev_type").eqNullSafe(F.col("event_type"))
         )
         .select(
             "user_id",

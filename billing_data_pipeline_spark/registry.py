@@ -121,6 +121,10 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "heavy_hitter_terms",  # r6: Arrow MG rework (probe-caught scaling fix)
     "array_function_matrix",  # r6: try_element_at + seeded-fold oracle
     "order_snapshot_diff",  # r6: null_keys contract + oracle rework
+    # --- r7 implementation-changed re-pins ---
+    "user_state_scd2",  # r7: null-safe change test + first-row marker
+    "embedding_kmeans_step",  # r7: NULL/short-vector exclusion both engines
+    "embedding_kmeans_fit2",  # r7: same (chained rounds)
     # --- staleness refresh: external row last seen in r1/r2 ---
     "service_aggregates",
     "region_aggregates",
@@ -133,10 +137,7 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "document_quality_pipeline",
     "packed_chunk_bins",
     "vocabulary_tfidf",
-    "udaf_median_event_value",
-    "chunk_documents",
-    "hash_sample_docs",
-    "local_supplier_volume",
+    "udaf_median_event_value",  # r7: interpolation-form even median
     "user_event_sequence",
     "segment_dedup_docs",
 )

@@ -229,12 +229,16 @@ def run_to_memory(
     concurrent drained results must collect each before starting the
     fifth; a single result held across many drains should likewise be
     collected promptly — it is a driver-memory copy either way."""
-    while len(_SINK_TABLES) >= _SINK_TABLES_KEEP:
-        s, n = _SINK_TABLES.pop(0)
-        try:
-            s.catalog.dropTempView(n)
-        except Exception:
-            pass  # session already stopped; nothing to free
+    session = sdf.sparkSession
+    # Re-draining the same (session, name) drops its OWN stale entry
+    # first — so a same-name drain never costs an unrelated slot — but a
+    # same name in a DIFFERENT session keeps its entry: silently untracking
+    # it would leak that session's pinned result forever (review r7; memory
+    # sink names are per-session namespaces).
+    for i, (s, n) in enumerate(_SINK_TABLES):
+        if s is session and n == name:
+            del _SINK_TABLES[i]
+            break
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
@@ -243,11 +247,18 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
-    # re-draining the same name replaces its LRU entry (a stale duplicate
-    # would later drop the NEW table's view out from under the caller)
-    _SINK_TABLES[:] = [(s, n) for (s, n) in _SINK_TABLES if n != name]
-    _SINK_TABLES.append((sdf.sparkSession, name))
-    return sdf.sparkSession.table(name)
+    # Evict only AFTER the drain succeeded (review r7): the old
+    # evict-on-entry dropped the oldest held result even when start()
+    # then raised (e.g. append mode on a streaming aggregation) — the
+    # caller lost a live table and gained nothing.
+    _SINK_TABLES.append((session, name))
+    while len(_SINK_TABLES) > _SINK_TABLES_KEEP:
+        s, n = _SINK_TABLES.pop(0)
+        try:
+            s.catalog.dropTempView(n)
+        except Exception:
+            pass  # session already stopped; nothing to free
+    return session.table(name)
 
 
 def ohlc_stream(

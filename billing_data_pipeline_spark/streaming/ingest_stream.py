@@ -48,6 +48,13 @@ def replay_safe_append(batch: DataFrame, table_path: str, keys: list[str]) -> No
     append_new_rows(batch.filter(~has_null_key), table_path, keys)
 
     null_part = batch.filter(has_null_key)
+    # Early exit for the common case (review r7): a fully-keyed batch
+    # pays ONE cheap job over the small micro-batch here instead of the
+    # whole NULL-key pipeline below — existing-table scan, per-row
+    # JSON+md5 hashing and an anti-join whose left side is provably
+    # empty, every micro-batch.
+    if not null_part.take(1):
+        return
     # Full-row hash over a JSON rendering of the row STRUCT: to_json
     # escapes every value and OMITS null fields, so NULL vs the literal
     # sentinel string can never collide — the previous concat_ws with a
@@ -88,8 +95,17 @@ def replay_safe_append(batch: DataFrame, table_path: str, keys: list[str]) -> No
         # ONLY "table does not exist yet" may skip the anti-join: a bare
         # except here treated any transient read failure as first-write
         # and appended the replayed NULL-key batch a second time,
-        # silently breaking exactly-once (review r5)
-        if "PATH_NOT_FOUND" not in f"{exc.getErrorClass()} {exc}":
+        # silently breaking exactly-once (review r5). Like the batch twin
+        # append_new_rows (review r6 + r7): UNABLE_TO_INFER_SCHEMA is
+        # also first-write — a table dir that exists with no readable
+        # parquet (a crashed first write's _temporary debris, or an
+        # ops-precreated empty dir) would otherwise crash-loop the
+        # stream on every restart.
+        marker = f"{exc.getErrorClass()} {exc}"
+        if (
+            "PATH_NOT_FOUND" not in marker
+            and "UNABLE_TO_INFER_SCHEMA" not in marker
+        ):
             raise
         new_nulls = hashed
     # Persist across the emptiness probe + write: without it the take(1)

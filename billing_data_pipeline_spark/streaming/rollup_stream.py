@@ -61,11 +61,27 @@ class StreamingRollup:
         return os.path.join(self.path, "_latest")
 
     def _last_batch_id(self) -> int:
+        # Only a MISSING pointer means "no state yet". A transient read
+        # failure (EIO/EACCES) or corrupt pointer must RAISE, never read
+        # as -1: returning -1 disarms the checkpoint-reset guard below
+        # and the next merged batch would be published as the entire
+        # history — silent total state loss (review r7; the same
+        # bare-except class versioned_sink._load was hardened against
+        # in r5). The pointer is written via tempfile + os.replace, so a
+        # torn/corrupt pointer is never a legal state.
         try:
             with open(self._pointer) as f:
-                return json.load(f)["v"]
-        except (OSError, ValueError, KeyError):
+                raw = f.read()
+        except FileNotFoundError:
             return -1
+        try:
+            return json.loads(raw)["v"]
+        except (ValueError, KeyError) as exc:
+            raise OSError(
+                f"corrupt rollup pointer {self._pointer!r}: {raw!r} — "
+                "refusing to treat existing state as empty (a replay "
+                "would republish one batch as the whole rollup)"
+            ) from exc
 
     def _vdir(self, batch_id: int) -> str:
         return os.path.join(self.path, f"v={batch_id}")

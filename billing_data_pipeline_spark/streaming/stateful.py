@@ -48,9 +48,15 @@ def _update_user_totals(
         n += len(pdf)
         # Deterministic left-to-right fold (math.fsum would be more accurate
         # but engines can't reproduce it; sequential sum is the contract).
-        # NULL values arrive as NaN through Arrow — skip them exactly as
-        # the batch twin's F.sum does; one NaN would otherwise poison the
-        # running total for the lifetime of the stream.
+        # NULL values arrive as NaN through Arrow — skip them like the
+        # batch twin's F.sum skips NULLs. Documented divergence (review
+        # r7): a GENUINE NaN input value is indistinguishable from an
+        # Arrow-rendered NULL in a float64 pandas column, so it is also
+        # skipped here, while F.sum would propagate NaN into the total
+        # forever. For a running total the skip is the useful semantics
+        # (one NaN event would otherwise poison the stream's total for
+        # its whole lifetime); the oracle compares counts, not totals,
+        # across this boundary.
         for v in pdf["value"]:
             if pd.notna(v):
                 total += float(v)

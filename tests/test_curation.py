@@ -316,3 +316,31 @@ def test_sampling_sql_edges_and_shared_mixer(spark):
         f"SELECT {mix_rank_sql('k', 17)} FROM (SELECT -12345 AS k)"
     ).fetchone()[0]
     assert got == ((((-12345 + 17) % MIX_PRIME) + MIX_PRIME) % MIX_PRIME * MIX_MULT) % MIX_PRIME
+
+    # review r7: labels with quotes must be SQL-escaped (r4 class), and
+    # the engine/SQL twins must agree on the quoted label
+    quoted = assign_split_sql("k", (50,), ("o'reilly", "rest"))
+    got = {v for (v,) in con.execute(f"SELECT DISTINCT {quoted} FROM t").fetchall()}
+    assert got <= {"o'reilly", "rest"} and len(got) == 2
+    from billing_data_pipeline_spark.operators.sampling import assign_split
+
+    df30 = spark.range(30).withColumnRenamed("id", "k")
+    eng = {
+        r["s"]
+        for r in df30.select(
+            assign_split(F.col("k"), (50,), ("o'reilly", "rest")).alias("s")
+        ).collect()
+    }
+    assert eng == got
+
+
+def test_per_group_sample_rejects_reserved_column(spark):
+    """Review r7: an input column named sample_rank would be silently
+    replaced then dropped — the guard fails loudly instead."""
+    import pytest
+
+    from billing_data_pipeline_spark.operators.sampling import per_group_sample
+
+    df = spark.createDataFrame([(1, "a", 9)], "k long, g string, sample_rank int")
+    with pytest.raises(ValueError, match="sample_rank"):
+        per_group_sample(df, "k", "g", 1)

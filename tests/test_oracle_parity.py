@@ -444,6 +444,98 @@ def test_quality_kept_and_transcripts_edge_rows(spark, tmp_path):
     assert_matches_oracle(spec.fn(spark, sf), spec.oracle, sf)
 
 
+def test_scd2_null_state_transitions(spark, tmp_path):
+    """Review r7 (verified live): NULL is a legal state value, so the
+    change test must be null-safe and first-row detection must be its own
+    marker. Events A, NULL, NULL, B for one user are exactly three
+    versions — A -> NULL (previously missed) -> B — with the NULL-run
+    collapsed (previously each NULL row after the first re-emitted). Both
+    engines shared the old bug, so this asserts the exact rows, not just
+    the hash gate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    ts = [1_000_000 * i for i in (1, 2, 3, 4)]
+    ev = pa.table(
+        {
+            "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+            "event_type": pa.array(["A", None, None, "B"]),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    pq.write_table(ev, str(d / "events.parquet"))
+    spec = CATALOG["user_state_scd2"]
+    got = spec.fn(spark, str(d)).orderBy("version").collect()
+    assert [(r["state"], r["version"]) for r in got] == [
+        ("A", 1),
+        (None, 2),
+        ("B", 3),
+    ]
+    assert_matches_oracle(spec.fn(spark, str(d)), spec.oracle, str(d))
+
+
+def test_udaf_median_extreme_magnitudes(spark, tmp_path):
+    """Review r7 (verified live): even-count medians of huge same-sign
+    doubles must interpolate without overflow — np.median's (lo+hi)/2
+    gave inf where DuckDB's median gives 1.25e308."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    ev = pa.table(
+        {
+            "event_type": pa.array(["x", "x", "y", "y", "y"]),
+            "value": pa.array(
+                [1e308, 1.5e308, 1.7e308, 1.7e308, None], pa.float64()
+            ),
+            # load_table normalizes events.ts — the column must exist
+            "ts": pa.array([1_000_000 * i for i in range(5)], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(ev, str(d / "events.parquet"))
+    spec = CATALOG["udaf_median_event_value"]
+    got = {r["event_type"]: r["median_value"] for r in spec.fn(spark, str(d)).collect()}
+    assert got == {"x": 1.25e308, "y": 1.7e308}
+    assert_matches_oracle(spec.fn(spark, str(d)), spec.oracle, str(d))
+
+
+def test_kmeans_excludes_null_and_short_vectors(spark, tmp_path):
+    """Review r7: a NULL or wrong-dimension embedding previously got
+    ASSIGNED to a cell but contributed zero posexplode rows to the
+    update, while the oracle's CROSS JOIN range counted it in the mean's
+    denominator. Both engines now exclude such vectors from the fit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import random
+
+    rnd = random.Random(3)
+    vecs = [[rnd.uniform(-1, 1) for _ in range(64)] for _ in range(20)]
+    ids = list(range(1, 21)) + [100, 101]
+    embs = vecs + [None, [1.0, 2.0]]  # NULL + wrong-dim stragglers
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(embs, pa.list_(pa.float64())),
+        }
+    )
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    for name in ("embedding_kmeans_step", "embedding_kmeans_fit2"):
+        spec = CATALOG[name]
+        assert_matches_oracle(spec.fn(spark, str(d)), spec.oracle, str(d))
+        total_members = sum(
+            r["n_members"]
+            for r in spec.fn(spark, str(d)).collect()
+            if r["dim"] == 0
+        )
+        assert total_members == 20  # the two stragglers are excluded
+
+
 def test_usage_percentiles_keeps_all_null_measure_group(spark, tmp_path):
     """Review r6 (reproduced live): a group whose measures are ALL NULL
     must stay in the output with NULL percentiles — the old pre-groupBy

@@ -516,3 +516,78 @@ def test_run_to_memory_keeps_recent_drains_concurrently(spark, events_dir):
     assert b2.count() == b.count()
     names = [n for (_, n) in _SINK_TABLES]
     assert names.count("t_lru_b") == 1
+
+
+def test_run_to_memory_failed_drain_evicts_nothing(spark, events_dir):
+    """Review r7: eviction happens AFTER a successful drain — a start()
+    that raises (append mode on a streaming aggregation without a
+    watermark horizon, here an invalid output mode) must not cost the
+    caller a held result."""
+    import pytest
+
+    from billing_data_pipeline_spark.streaming.event_windows import (
+        _SINK_TABLES,
+        run_to_memory,
+        tumbling_counts_stream,
+    )
+
+    held = run_to_memory(
+        tumbling_counts_stream(read_event_stream(spark, events_dir)),
+        "t_keep_on_fail",
+        "complete",
+    )
+    before = list(_SINK_TABLES)
+    with pytest.raises(Exception):
+        run_to_memory(
+            tumbling_counts_stream(read_event_stream(spark, events_dir)),
+            "t_bad_mode",
+            "no_such_mode",
+        )
+    assert _SINK_TABLES == before  # nothing evicted, nothing appended
+    assert held.count() > 0  # the held result's view survived
+
+
+def test_rollup_pointer_corruption_raises_not_resets(spark, tmp_path):
+    """Review r7: a corrupt rollup pointer must RAISE — reading it as
+    'no state' would disarm the reset guard and publish the next batch
+    as the entire history (silent total state loss)."""
+    import pytest
+
+    from billing_data_pipeline_spark.streaming.rollup_stream import (
+        StreamingRollup,
+    )
+
+    path = str(tmp_path / "roll")
+    r = StreamingRollup(spark, path, ["user_id"], "value")
+    batch = spark.createDataFrame([(1, 2.0)], "user_id int, value double")
+    r.merge_batch(batch, 0)
+    assert r._last_batch_id() == 0
+    with open(r._pointer, "w") as f:
+        f.write("{torn")
+    with pytest.raises(OSError, match="corrupt rollup pointer"):
+        r.merge_batch(batch, 1)
+    # and read-side state loads fail loudly too, not as empty
+    with pytest.raises(OSError, match="corrupt rollup pointer"):
+        r.read_finalized()
+
+
+def test_replay_safe_append_first_write_tolerates_empty_table_dir(
+    spark, tmp_path
+):
+    """Review r7: a table dir that exists WITHOUT readable parquet (crashed
+    first write's debris, ops-precreated mount point) is first-write for
+    the NULL-key dedup path too — the stream must not crash-loop on
+    UNABLE_TO_INFER_SCHEMA (parity with append_new_rows)."""
+    from billing_data_pipeline_spark.streaming.ingest_stream import (
+        replay_safe_append,
+    )
+
+    table = tmp_path / "t"
+    table.mkdir()  # exists, no data files
+    batch = spark.createDataFrame(
+        [(None, "n1", 2.0)], "k int, name string, v double"
+    )
+    replay_safe_append(batch, str(table), ["k"])
+    assert spark.read.parquet(str(table)).count() == 1
+    replay_safe_append(batch, str(table), ["k"])  # replay: no-op
+    assert spark.read.parquet(str(table)).count() == 1
