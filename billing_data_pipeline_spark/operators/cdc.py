@@ -56,6 +56,15 @@ def diff_snapshots(
       exist on a key column (review r6)."""
     if null_keys not in ("multiset", "absent"):
         raise ValueError(f"null_keys must be multiset|absent, got {null_keys!r}")
+    if not keys:
+        # plan-time guard (review r7): the reduce() over key nullness
+        # raised an opaque TypeError, and a bypass would degrade the key
+        # join to a cross join — same explicit-ValueError convention as
+        # range_join's window_seconds / salted_join's n_salts
+        raise ValueError(
+            "diff_snapshots needs at least one key column (compare_cols=[]"
+            " is the presence-only mode; keys=[] has no meaning)"
+        )
     # `is not None`, not falsy-or (review r5): an explicit [] means a
     # presence-only diff (inserts/deletes, no update detection) — the
     # falsy idiom silently substituted every non-key column
@@ -67,6 +76,21 @@ def diff_snapshots(
         if compare_cols is not None
         else [c for c in new.columns if c not in keys]
     )
+    # Reserved-name guard (review r7, same class as asof_join_backward's
+    # r5 fix): the output claims `change` / old_<c> / new_<c>, and the
+    # join stage claims _ok_/_nk_/_o_present/_n_present scratch names —
+    # a key or compared column colliding with any of them silently
+    # yields duplicate/ambiguous output columns far from the cause.
+    claimed = {"change", "_o_present", "_n_present"}
+    claimed |= {f"old_{c}" for c in cols} | {f"new_{c}" for c in cols}
+    claimed |= {f"_ok_{k}" for k in keys} | {f"_nk_{k}" for k in keys}
+    bad = sorted(claimed & set(keys))
+    if bad:
+        raise ValueError(
+            f"key column(s) {bad} collide with diff_snapshots' output/"
+            "scratch names (change, old_*/new_*, _ok_*/_nk_*, *_present);"
+            " rename them before diffing"
+        )
     # NULL-keyed rows bypass the key join entirely (they have no identity
     # to join on — see module docstring): multiset-diff them row-wise, so
     # identical copies net out instead of churning delete+insert pairs.

@@ -32,13 +32,31 @@ from ._util import dsum_sql, t
 PCTS = (0.5, 0.9, 0.95, 0.99)
 
 
+def _tag(p: float) -> int:
+    """Column tag for percentile p: round, not int() — int(0.29*100)
+    truncates to 28 (review r7); the oracle f-strings share this helper
+    so engine and SQL can never disagree on a column name."""
+    return round(p * 100)
+
+
+def _interp(v_lo: float, v_hi: float, rn: float, frn: int, crn: int) -> float:
+    """DuckDB quantile_cont's OWN interpolation expression, shared by the
+    bracket tier and the kernel fallback (review r7: two hand-maintained
+    copies of the one expression the r5 ulp-audit blessed — 0/8000 drift
+    for THIS form, 107/8000 for an equivalent-looking variant — invited
+    silent divergence between the tier and its exactness net)."""
+    if frn == crn:
+        return float(v_lo)
+    return float(v_lo * (crn - rn) + v_hi * (rn - frn))
+
+
 @register(
     "usage_percentiles",
     tags=("ext", "stats", "percentile"),
     bench=True,
     oracle=f"""
 SELECT l_returnflag,
-       {", ".join(f"quantile_cont(l_extendedprice, {p}) AS p{int(p * 100)}" for p in PCTS)}
+       {", ".join(f"quantile_cont(l_extendedprice, {p}) AS p{_tag(p)}" for p in PCTS)}
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
 )
@@ -138,7 +156,7 @@ def usage_percentiles(
     flag_type = li.schema["l_returnflag"].dataType
     out_schema = T.StructType(
         [T.StructField("l_returnflag", flag_type)]
-        + [T.StructField(f"p{int(p * 100)}", T.DoubleType()) for p in PCTS]
+        + [T.StructField(f"p{_tag(p)}", T.DoubleType()) for p in PCTS]
     )
     if not sketch_rows:
         return spark.createDataFrame([], out_schema)
@@ -151,7 +169,8 @@ def usage_percentiles(
     # O(groups) comparisons inside the same codegen'd agg — measured
     # 2.4 s -> 1.28 s. Chains degrade past ~dozens of groups, so a wide
     # group domain falls back to the broadcast-join form.
-    if len(groups) > 64:
+    use_join = len(groups) > 64  # ONE predicate for both sites below
+    if use_join:
         joined, flag_col = _bracketed_join(spark, vals, flag_type, groups)
     else:
         joined, flag_col = vals, F.col("l_returnflag")
@@ -169,8 +188,8 @@ def usage_percentiles(
 
     aggs = []
     for i, p in enumerate(PCTS):
-        tag = int(p * 100)
-        if len(groups) > 64:
+        tag = _tag(p)
+        if use_join:
             lo, hi = F.col(f"lo{tag}"), F.col(f"hi{tag}")
         else:
             lo, hi = _case_lit(i, 0), _case_lit(i, 1)
@@ -215,20 +234,15 @@ def usage_percentiles(
             if n == 0 or br is None:
                 out.append(None)
                 continue
-            tag = int(p * 100)
+            tag = _tag(p)
             lo, hi = float(br[2 * i]), float(br[2 * i + 1])
             rn = (n - 1) * p
             frn, crn = math.floor(rn), math.ceil(rn)
             v_lo = order_stat(rec, tag, frn, lo, hi)
-            if frn == crn:
-                if v_lo is None:
-                    return _usage_percentiles_kernel(spark, sf_dir)
-                out.append(float(v_lo))
-                continue
-            v_hi = order_stat(rec, tag, crn, lo, hi)
+            v_hi = v_lo if frn == crn else order_stat(rec, tag, crn, lo, hi)
             if v_lo is None or v_hi is None:
                 return _usage_percentiles_kernel(spark, sf_dir)
-            out.append(float(v_lo * (crn - rn) + v_hi * (rn - frn)))
+            out.append(_interp(v_lo, v_hi, rn, frn, crn))
         result.append(tuple(out))
 
     return spark.createDataFrame(result, out_schema).orderBy("l_returnflag")
@@ -240,7 +254,7 @@ def _bracketed_join(spark, vals, flag_type, groups):
     Returns (joined_frame, flag_column) with bracket columns lo{tag}/hi{tag}."""
     bracket_fields = [T.StructField("_bf", flag_type)]
     for p in PCTS:
-        tag = int(p * 100)
+        tag = _tag(p)
         bracket_fields += [
             T.StructField(f"lo{tag}", T.DoubleType()),
             T.StructField(f"hi{tag}", T.DoubleType()),
@@ -277,8 +291,12 @@ def _usage_percentiles_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     li = t(spark, sf_dir, "lineitem")
-    schema = "l_returnflag string, " + ", ".join(
-        f"p{int(p * 100)} double" for p in PCTS
+    # group-column type comes from the SOURCE, like the bracket tier's
+    # out_schema (review r7: a hardcoded string type made the size
+    # dispatch change the output schema on non-string fixtures)
+    schema = T.StructType(
+        [T.StructField("l_returnflag", li.schema["l_returnflag"].dataType)]
+        + [T.StructField(f"p{_tag(p)}", T.DoubleType()) for p in PCTS]
     )
 
     def kernel(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -294,15 +312,15 @@ def _usage_percentiles_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = {"l_returnflag": [key[0]]}
         for p in PCTS:
             if n == 0:
-                out[f"p{int(p * 100)}"] = [None]  # quantile of no values
+                out[f"p{_tag(p)}"] = [None]  # quantile of no values
                 continue
             rn = (n - 1) * p
             frn, crn = math.floor(rn), math.ceil(rn)
-            if frn == crn:
-                res = v[int(rn)]
-            else:
-                res = v[frn] * (crn - rn) + v[crn] * (rn - frn)
-            out[f"p{int(p * 100)}"] = [float(res)]
+            # the shared quantile_cont expression (bit-parity with the
+            # bracket tier by construction)
+            out[f"p{_tag(p)}"] = [
+                _interp(v[frn], v[crn], rn, frn, crn)
+            ]
         return pd.DataFrame(out)
 
     return (
@@ -327,7 +345,7 @@ def usage_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[
                 F.expr(
                     f"approx_percentile(l_extendedprice, {p}, 10000)"
-                ).alias(f"p{int(p * 100)}")
+                ).alias(f"p{_tag(p)}")
                 for p in PCTS
             ]
         )

@@ -32,11 +32,10 @@ def _dedup_clicks(ev: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "purchase_last_click_asof",
-    tags=("ext", "join", "asof"),
-    bench=True,
-    oracle="""
+# ONE oracle for both as-of formulations (review r7: it was two verbatim
+# copies, so an r5-style fix to the tie rule in one registration would
+# silently leave the other tier verifying against a stale twin).
+_ASOF_ORACLE = """
 WITH ev AS (
     SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type
     FROM events
@@ -61,7 +60,14 @@ SELECT l.event_id, l.user_id,
 FROM (SELECT * FROM ev WHERE event_type = 'purchase') l
 ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND l.ts >= r.ts
-""",
+"""
+
+
+@register(
+    "purchase_last_click_asof",
+    tags=("ext", "join", "asof"),
+    bench=True,
+    oracle=_ASOF_ORACLE,
 )
 def purchase_last_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each purchase event picks the latest click by
@@ -87,32 +93,7 @@ def purchase_last_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "purchase_last_click_asof_cogroup",
     tags=("ext", "join", "asof", "cogroup"),
-    oracle="""
-WITH ev AS (
-    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type
-    FROM events
-),
--- clicks deduped on (user, ts) keeping max event_id: as-of is only
--- well-defined with unique right timestamps, and ASOF JOIN's own tie pick
--- is engine-private (review r3)
-r AS (
-    -- ROW-wise pick (review r5): per-column arg_max(value, event_id)
-    -- SKIPS rows whose value is NULL, so a tie (id=100, v=5.0) vs
-    -- (id=200, v=NULL) returned id 200 with value 5.0 — a row that never
-    -- existed — while Spark's struct-max keeps (200, NULL). QUALIFY keeps
-    -- whole rows.
-    SELECT user_id, ts, event_id, value
-    FROM ev WHERE event_type = 'click'
-    QUALIFY row_number() OVER (PARTITION BY user_id, ts
-                               ORDER BY event_id DESC) = 1
-)
-SELECT l.event_id, l.user_id,
-       r.event_id AS asof_event_id,
-       r.value AS asof_value
-FROM (SELECT * FROM ev WHERE event_type = 'purchase') l
-ASOF LEFT JOIN r
-  ON l.user_id = r.user_id AND l.ts >= r.ts
-""",
+    oracle=_ASOF_ORACLE,
 )
 def purchase_last_click_asof_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same backward as-of join on the cogrouped-pandas path:

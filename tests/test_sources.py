@@ -614,6 +614,22 @@ def test_diff_snapshots_classifies_changes(spark):
     }  # k=3 unchanged -> absent
 
 
+def test_diff_snapshots_plan_time_guards(spark):
+    """Review r7: keys=[] and output/scratch-name collisions fail loudly
+    at plan time instead of an opaque reduce() TypeError / silent
+    duplicate 'change' columns."""
+    import pytest
+
+    from billing_data_pipeline_spark.operators.cdc import diff_snapshots
+
+    df = spark.createDataFrame([(1, "a")], "k int, s string")
+    with pytest.raises(ValueError, match="at least one key"):
+        diff_snapshots(df, df, [])
+    clash = spark.createDataFrame([(1, 2.0)], "change int, x double")
+    with pytest.raises(ValueError, match="collide"):
+        diff_snapshots(clash, clash, ["change"])
+
+
 def test_diff_snapshots_null_keys_classified_by_side(spark):
     """NULL join keys never match (SQL join semantics), so a NULL-keyed row
     appears once per side it exists on — and classification must follow the
