@@ -54,6 +54,22 @@ RAW_BILLING_SCHEMA = T.StructType(
 RAW_BILLING_KEYS = ("timestamp", "resource_id", "user_id", "invoice_id")
 
 
+def _with_partition_cols(schema: T.StructType) -> T.StructType:
+    """``schema`` + the year/month/day partition columns — ONE definition
+    (review r7: three hand-built copies could drift, diverging the
+    empty-lake frame's schema from the populated read on first-run
+    edges). Copies before extending — StructType.add mutates in place,
+    and the base schema is a shared module constant."""
+    return T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("year", T.IntegerType(), True),
+            T.StructField("month", T.IntegerType(), True),
+            T.StructField("day", T.IntegerType(), True),
+        ]
+    )
+
+
 def read_partition_root(
     spark: SparkSession,
     root: str,
@@ -71,18 +87,7 @@ def read_partition_root(
     reader = (
         spark.read.option("header", True)
         .option("basePath", root)
-        .schema(
-            # Copy before extending — StructType.add mutates in place, and
-            # the base schema is a shared module constant.
-            T.StructType(
-                list(schema.fields)
-                + [
-                    T.StructField("year", T.IntegerType(), True),
-                    T.StructField("month", T.IntegerType(), True),
-                    T.StructField("day", T.IntegerType(), True),
-                ]
-            )
-        )
+        .schema(_with_partition_cols(schema))
     )
     if permissive:
         # Per-file/row error containment (reference: ingest.py:131-135 —
@@ -101,22 +106,18 @@ def read_partition_root(
     try:
         df = reader.csv(f"{root}/year=*/month=*/day=*")
     except Exception as exc:  # AnalysisException lacks a stable subclass path
-        if "PATH_NOT_FOUND" not in str(exc):
+        if "PATH_NOT_FOUND" not in str(exc) or not permissive:
+            # The empty-frame fallback is a PERMISSIVE containment
+            # behavior (review r7): a FAILFAST validation read of a
+            # mistyped/missing root must fail, not report "validated 0
+            # rows" — the caller explicitly turned containment off.
             raise
         # A lake with no year=*/ partitions yet (first run before the
         # producer writes one): the glob itself raises PATH_NOT_FOUND
         # before any downstream empty-guard can run (review r4) — the
         # continue-on-empty contract (pipeline.run, latest_partition_date
         # -> None) needs an empty frame with the declared schema instead.
-        empty_schema = T.StructType(
-            list(schema.fields)
-            + [
-                T.StructField("year", T.IntegerType(), True),
-                T.StructField("month", T.IntegerType(), True),
-                T.StructField("day", T.IntegerType(), True),
-            ]
-        )
-        return spark.createDataFrame([], empty_schema)
+        return spark.createDataFrame([], _with_partition_cols(schema))
     if from_date or to_date:
         d = F.make_date("year", "month", "day")
         if from_date:
@@ -247,17 +248,7 @@ def read_partition_paths(
 
     paths = [p for p in paths if _exists(p)]
     if not paths:
-        return spark.createDataFrame(
-            [],
-            T.StructType(
-                list(schema.fields)
-                + [
-                    T.StructField("year", T.IntegerType(), True),
-                    T.StructField("month", T.IntegerType(), True),
-                    T.StructField("day", T.IntegerType(), True),
-                ]
-            ),
-        )
+        return spark.createDataFrame([], _with_partition_cols(schema))
     df = (
         spark.read.option("header", True)
         .schema(schema)

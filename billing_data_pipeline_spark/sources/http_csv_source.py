@@ -83,15 +83,41 @@ def _convert(value: str, dtype):
             return False
         raise ValueError(f"not a boolean: {value!r}")
     if isinstance(dtype, TimestampType):
-        return datetime.fromisoformat(value)
+        # RFC3339 'Z' suffix: Python 3.10's fromisoformat rejects it
+        # (3.11+ accepts) — under the permissive handler every Z-suffixed
+        # feed would silently ingest as NULL timestamps on the declared
+        # 3.10 floor (review r7)
+        return datetime.fromisoformat(value.replace("Z", "+00:00"))
     if isinstance(dtype, DateType):
         return date.fromisoformat(value)
-    return value
+    # explicit fall-through error (review r7): returning the raw string
+    # for an unhandled type (Decimal, Short, Array, ...) died later in
+    # Spark's row conversion with an opaque serialization error — and the
+    # permissive handler, which catches ValueError, never saw it
+    raise ValueError(
+        f"http_csv: unsupported field type {dtype!r} (supported: string, "
+        "int/long, float/double, boolean, timestamp, date)"
+    )
 
 
 class HttpCsvReader(DataSourceReader):
     def __init__(self, schema: StructType, options):
         self.schema_ = schema
+        # Unsupported SCHEMA types fail at plan time in every mode
+        # (review r7): this is a schema problem, not a data problem — in
+        # permissive mode the per-value ValueError would otherwise
+        # silently null the entire column row by row.
+        for f in schema.fields:
+            if not isinstance(
+                f.dataType,
+                (StringType, IntegerType, LongType, DoubleType,
+                 FloatType, BooleanType, TimestampType, DateType),
+            ):
+                raise TypeError(
+                    f"http_csv: unsupported type {f.dataType!r} for field "
+                    f"{f.name!r} (supported: string, int/long, "
+                    "float/double, boolean, timestamp, date)"
+                )
         raw = options.get("urls") or options.get("path") or ""
         # Newlines always separate. Commas separate ONLY when no URL in
         # the option carries a query string: signed/presigned URLs (the
@@ -99,12 +125,16 @@ class HttpCsvReader(DataSourceReader):
         # query ('?fields=a,b&sig=...') and comma-splitting mangled them
         # into bogus partitions (review r5).
         lines = [u.strip() for u in raw.splitlines() if u.strip()]
-        if any("?" in u for u in lines):
-            self.urls = lines
-        else:
-            self.urls = [
-                u.strip() for part in lines for u in part.split(",") if u.strip()
-            ]
+        # ...decided PER LINE (review r7): one signed URL in the option
+        # must not suppress comma-splitting for the other lines — mixing
+        # a plain 'a.csv,b.csv' line with a '?sig=' line previously fused
+        # the former into one bogus URL.
+        self.urls = []
+        for part in lines:
+            if "?" in part:
+                self.urls.append(part)
+            else:
+                self.urls.extend(u.strip() for u in part.split(",") if u.strip())
         if not self.urls:
             raise ValueError("http_csv: provide 'urls' (comma/newline separated)")
         self.header = (options.get("header") or "true").lower() == "true"

@@ -47,8 +47,10 @@ def read_jsonl(
     return df if keep_corrupt else df.drop(CORRUPT_COL)
 
 
-def split_clean_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(clean_rows_without_corrupt_col, quarantine_rows).
+def split_clean_corrupt(
+    df: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(clean_rows_without_corrupt_col, quarantine_rows, cached_handle).
 
     The frame is cached first: Spark (by design, since 2.3) refuses
     queries that reference ONLY the internal corrupt-record column of a
@@ -56,8 +58,17 @@ def split_clean_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     corrupt), and quarantine counts/writes are exactly such queries.
     Caching the parsed batch is the Spark-documented pattern; in a real
     ingestion job the batch is written out immediately anyway, so the
-    materialization is the write you were about to do."""
+    materialization is the write you were about to do.
+
+    Cache OWNERSHIP is the caller's (review r7): call
+    ``cached_handle.unpersist()`` after both sides are written —
+    Spark's CacheManager never reclaims persisted frames on its own, so
+    a per-micro-batch caller that skips the unpersist pins one full
+    batch in executor storage per call for the session's lifetime. (The
+    handle is returned explicitly because the clean side drops the
+    corrupt column — unpersisting THAT frame would miss the cache
+    entry.)"""
     df = df.cache()
     clean = df.filter(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
     quarantine = df.filter(df[CORRUPT_COL].isNotNull())
-    return clean, quarantine
+    return clean, quarantine, df

@@ -14,11 +14,13 @@ pipeline/s3_utils.py:372-404) where:
 - readers get partition pruning for free (`PartitionFilters` on scans with
   partition-column predicates — SURVEY.md OPT1).
 
-Small-files control: a `repartition(partition_cols)` before the write
-gives one shuffle whose output is one file per partition per AQE-coalesced
-task — without it, every upstream task writes a file into every partition
-it saw (tasks × partitions files). At 100 TB with daily partitions this is
-the difference between 365 files/year and millions.
+Small-files control: a REBALANCE-hint shuffle on the partition columns
+before the write routes each partition's rows together — without it,
+every upstream task writes a file into every partition it saw
+(tasks × partitions files). At 100 TB with daily partitions this is the
+difference between 365 files/year and millions; REBALANCE (vs hash
+repartition) additionally lets AQE split a HOT partition across tasks
+instead of funneling a 275 GB day through one reducer.
 """
 
 from __future__ import annotations
@@ -43,13 +45,30 @@ def write_hive_partitioned(
     # set/restore around the write raced concurrent writers on the same
     # session — another thread's static flip mid-plan turned a dynamic
     # backfill into a whole-table truncate.
-    out = df.repartition(*partition_cols) if coalesce_per_partition else df
+    out = _route_to_partitions(df, partition_cols) if coalesce_per_partition else df
     (
         out.write.mode(mode)
         .option("partitionOverwriteMode", "dynamic" if dynamic else "static")
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def _route_to_partitions(df: DataFrame, partition_cols: list[str]) -> DataFrame:
+    """Cluster rows by partition value for the small-files contract.
+
+    REBALANCE, not repartition (review r7): hash repartition funnels each
+    partition VALUE through exactly one task, and AQE can coalesce but
+    never SPLIT a hash partition — a hot day in a daily layout becomes
+    one straggler/OOM task writing one giant file. The REBALANCE hint
+    keeps the one-file-per-partition goal but lets
+    ``optimizeSkewsInRebalancePartitions`` split oversized partitions
+    into maxPartitionBytes-sized tasks/files. Falls back to repartition
+    on builds without the hint."""
+    try:
+        return df.hint("rebalance", *partition_cols)
+    except Exception:
+        return df.repartition(*partition_cols)
 
 
 def read_hive_partitioned(spark: SparkSession, path: str) -> DataFrame:
@@ -73,7 +92,7 @@ def write_hive_partitioned_sorted(
     which is the common case: timestamp or entity id). The sort is
     per-output-task, no extra shuffle beyond the partition routing."""
     (
-        df.repartition(*partition_cols)
+        _route_to_partitions(df, partition_cols)
         .sortWithinPartitions(*sort_cols)
         .write.mode(mode)
         # per-write option, not a session conf — see write_hive_partitioned
@@ -113,9 +132,17 @@ def compact_partitions(
     prev = spark.conf.get(infer_key, "true")
     spark.conf.set(infer_key, "false")
     try:
-        df = spark.read.parquet(path).localCheckpoint(eager=True)
+        # partition schema resolves EAGERLY here — restore the conf
+        # before the (potentially minutes-long) checkpoint
+        # materialization below, or every concurrent reader planning a
+        # partition-pruned scan on this session sees string-typed
+        # year/month/day for the whole window (review r7; same
+        # set/restore race class the r5 note above removed for
+        # partitionOverwriteMode)
+        df = spark.read.parquet(path)
     finally:
         spark.conf.set(infer_key, prev)
+    df = df.localCheckpoint(eager=True)
     if sort_cols:
         write_hive_partitioned_sorted(df, path, partition_cols, sort_cols)
     else:

@@ -66,23 +66,42 @@ def zorder_write(
 ) -> None:
     """Cluster ``df`` on the Morton curve of ``cols`` and write ``n_files``
     parquet files, each covering a compact z-range (⇒ compact min-max
-    ranges on EVERY interleaved column). One aggregate pre-pass for bounds
-    (broadcast as literals via crossJoin), one range shuffle, in-partition
-    sort — nothing here is local-mode-specific."""
-    bounds_row = df.agg(
+    ranges on EVERY interleaved column). ONE aggregate pre-pass for
+    bounds, collected to the driver and injected as literals (review r7:
+    the old crossJoin(broadcast(bounds_row)) form re-executed the full
+    min/max scan in EVERY job that evaluated the plan — at least twice,
+    for repartitionByRange's sampling pass and the write); one range
+    shuffle, in-partition sort — nothing here is local-mode-specific."""
+    # Numeric/temporal columns only (review r7): _bucket min-max scales
+    # through a double cast, which on a string column raises
+    # CAST_INVALID_INPUT mid-shuffle under ANSI — or, ANSI off, nulls to
+    # bucket 0 so the column SILENTLY contributes nothing to the layout
+    # while the caller believes it is covered.
+    for c in cols:
+        dt = df.schema[c].dataType.typeName()
+        if dt not in (
+            "byte", "short", "integer", "long", "float", "double",
+            "timestamp", "timestamp_ntz",
+        ) and not dt.startswith("decimal"):
+            raise TypeError(
+                f"zorder_write: column {c!r} has type {dt} — the Morton "
+                "bucket rank needs a numeric or timestamp column (hash "
+                "or dictionary-encode strings into an int column first; "
+                "cast dates to timestamps)"
+            )
+    row = df.agg(
         *[f(c).alias(f"{c}_{tag}") for c in cols for tag, f in (("mn", F.min), ("mx", F.max))]
-    )
-    with_bounds = df.crossJoin(F.broadcast(bounds_row))
+    ).first()
     key = zorder_key(
         [F.col(c) for c in cols],
-        [(F.col(f"{c}_mn"), F.col(f"{c}_mx")) for c in cols],
+        [(F.lit(row[f"{c}_mn"]), F.lit(row[f"{c}_mx"])) for c in cols],
         bits,
     )
     (
-        with_bounds.withColumn("_z", key)
+        df.withColumn("_z", key)
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
-        .drop("_z", *[f"{c}_{t}" for c in cols for t in ("mn", "mx")])
+        .drop("_z")
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -91,3 +91,44 @@ def test_http_csv_failfast_raises_on_malformed(spark, csv_urls):
     )
     with pytest.raises(Exception, match="columns|PYTHON_DATA_SOURCE"):
         df.collect()
+
+
+def test_http_csv_convert_and_url_split_edges():
+    """Review r7 triple: RFC3339 'Z' timestamps parse on the 3.10 floor
+    (fromisoformat rejects the suffix there — permissive mode silently
+    nulled whole feeds), unsupported schema types fail at PLAN time in
+    every mode (not per-row nulls / opaque serialization errors), and
+    comma-splitting is decided per LINE (one signed URL must not fuse
+    another line's comma-separated plain URLs)."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql.types import (
+        DecimalType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from billing_data_pipeline_spark.sources.http_csv_source import (
+        HttpCsvReader,
+        _convert,
+    )
+
+    got = _convert("2025-04-01T00:00:00Z", TimestampType())
+    assert got == datetime(2025, 4, 1, tzinfo=timezone.utc)
+
+    with pytest.raises(TypeError, match="unsupported type"):
+        HttpCsvReader(
+            StructType([StructField("amount", DecimalType(10, 2))]),
+            {"urls": "https://h/a.csv"},
+        )
+
+    r = HttpCsvReader(
+        StructType([]),
+        {"urls": "https://h/a.csv,https://h/b.csv\nhttps://h/c.csv?sig=x,y"},
+    )
+    assert r.urls == [
+        "https://h/a.csv",
+        "https://h/b.csv",
+        "https://h/c.csv?sig=x,y",
+    ]

@@ -275,9 +275,10 @@ def test_jsonl_gz_roundtrip_with_corrupt_containment(spark, tmp_path):
         ]
     )
     df = read_jsonl(spark, str(gz), schema)
-    clean, quarantine = split_clean_corrupt(df)
+    clean, quarantine, cached = split_clean_corrupt(df)
     assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2, 4]
     assert quarantine.count() == 2  # both torn lines contained, not fatal
+    cached.unpersist()  # caller-owned cache (review r7)
 
 
 def test_orc_roundtrip_preserves_schema_and_rows(spark, tmp_path):
@@ -894,6 +895,34 @@ def test_strict_read_failfast_and_missing_partition_skip(spark, tmp_path):
     empty = read_partition_paths(spark, none, RAW_BILLING_SCHEMA)
     assert empty.count() == 0
     assert "day" in empty.columns
+
+
+def test_strict_read_missing_root_raises_permissive_returns_empty(
+    spark, tmp_path
+):
+    """Review r7: the empty-frame PATH_NOT_FOUND fallback is a PERMISSIVE
+    containment behavior — a FAILFAST validation read of a missing root
+    must fail, not report 'validated 0 rows'."""
+    import pytest
+
+    missing = str(tmp_path / "no_such_lake")
+    empty = read_partition_root(spark, missing, permissive=True)
+    assert empty.count() == 0 and "day" in empty.columns
+    with pytest.raises(Exception, match="PATH_NOT_FOUND"):
+        read_partition_root(spark, missing, permissive=False)
+
+
+def test_zorder_rejects_string_cluster_key(spark, tmp_path):
+    """Review r7: _bucket min-max scales through a double cast — a string
+    cluster key raises under ANSI or silently contributes NOTHING to the
+    layout with ANSI off. Fail at plan time instead."""
+    import pytest
+
+    from billing_data_pipeline_spark.sources.zorder import zorder_write
+
+    df = spark.createDataFrame([(1, "eu")], "k long, region string")
+    with pytest.raises(TypeError, match="region"):
+        zorder_write(df, str(tmp_path / "z"), ["k", "region"], n_files=1)
 
 
 def test_s3a_conf_anonymous_provider_seam(monkeypatch):
