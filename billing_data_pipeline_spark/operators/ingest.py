@@ -40,8 +40,21 @@ def dedup_within_batch(batch: DataFrame, keys: Sequence[str]) -> DataFrame:
     engine dedups within the batch instead (first-wins is arbitrary —
     dropDuplicates keeps an arbitrary row per key, which matches the
     reference's "any one row per key" end state).
+
+    NULL-keyed rows pass through UNTOUCHED (review r7): dropDuplicates
+    treats NULL == NULL, but SQL UNIQUE (the reference's constraint) and
+    this module's own contract say NULL-key rows are never duplicates of
+    each other — two distinct transactions sharing a NULL invoice_id
+    were silently collapsed to one.
     """
-    return batch.dropDuplicates(list(keys))
+    from functools import reduce
+    from operator import or_
+
+    keys = list(keys)
+    has_null = reduce(or_, (F.col(k).isNull() for k in keys))
+    return batch.filter(~has_null).dropDuplicates(keys).unionByName(
+        batch.filter(has_null)
+    )
 
 
 def dedup_append(
@@ -169,11 +182,22 @@ def append_new_rows_per_file(
     file at a time: one anti-join + one write for the whole batch, then a
     cheap groupBy on the surviving rows for the per-file split.
     """
+    from pyspark.errors import AnalysisException
+
     spark = batch.sparkSession
     try:
         existing = spark.read.parquet(table_path)
-    except Exception:
-        existing = None
+    except AnalysisException as exc:
+        # Same contract as append_new_rows (review r7 — this per-file
+        # twin, the one the PIPELINE calls, kept the bare except the r5/r6
+        # fixes removed from its sibling): only a genuinely-absent table
+        # is "first batch"; a transient read failure must PROPAGATE or a
+        # replayed batch re-appends every row as silent duplicates.
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            existing = None
+        else:
+            raise
     if existing is None:
         new_rows = dedup_within_batch(batch, keys)
     else:

@@ -81,7 +81,15 @@ def hash_files(spark: SparkSession, paths: list[str]) -> DataFrame:
         if re.match(_SCHEME_RE, bare):
             expanded.append(bare)  # remote scheme: no local glob
         else:
-            hits = sorted(_glob.glob(bare)) if any(c in bare for c in "*?[") else [bare]
+            # existence-first (review r7): a CONCRETE filename containing
+            # glob metachars — 'billing[v2].csv' from lake.inputFiles() —
+            # must not be expanded as a character class (glob returned []
+            # and the file was silently never ingested); only a
+            # non-existent path with metachars is a pattern.
+            if any(c in bare for c in "*?[") and not os.path.exists(bare):
+                hits = sorted(_glob.glob(bare))
+            else:
+                hits = [bare]
             # abspath here, not just at open time (advice r5): the hit is
             # recorded verbatim as the ledger filename, and a RELATIVE
             # local path would yield a relative ledger key that can never
@@ -145,8 +153,17 @@ class FileLedger:
     same base and the loser's rows vanished)."""
 
     def __init__(self, spark: SparkSession, ledger_path: str):
+        from ..sources.os_snapshot import local_fs_path
+
         self.spark = spark
-        self.path = ledger_path
+        # Closed-world path gate (review r7): the ledger mixes os-level
+        # pointer/lock/mkdir ops with Spark-resolved URI writes — on an
+        # 's3a://...' warehouse the os side silently created a
+        # cwd-relative 's3a:' junk tree while Spark wrote to real S3,
+        # splitting the ledger's state (hash-skip defeated / torn-state
+        # crash). Local paths and file:/// only; object stores need a
+        # conditional-PUT ledger over sources/objectstore.
+        self.path = local_fs_path(ledger_path)
 
     def _versions_dir(self) -> str:
         return self.path + "_versions"

@@ -36,9 +36,6 @@ from .sources.csv_source import (
     read_partition_root,
 )
 
-AGG_TABLES = ("daily_aggs", "user_aggs", "service_aggs", "region_aggs")
-
-
 class BillingPipeline:
     """One warehouse directory holding raw_billing + the four aggregate
     tables + the processing ledger, all plain parquet."""
@@ -71,9 +68,14 @@ class BillingPipeline:
             # (r4 crash-safety); its own load() resolves the pointer
             return FileLedger(self.spark, self.table_path(name)).load()
         if name in self._SNAPSHOT_TABLES and self._snapshot_capable():
-            from .sources.versioned_sink import SnapshotTable
+            # snapshot_table_for, not a raw SnapshotTable(url) (review
+            # r7): a 'file:///...' warehouse handed the literal URL to
+            # os.rename/makedirs, creating a cwd-relative 'file:' junk
+            # tree and crashing every publish; the factory normalizes
+            # the scheme once for the whole kit.
+            from .sources.os_snapshot import snapshot_table_for
 
-            st = SnapshotTable(self.spark, self.table_path(name))
+            st = snapshot_table_for(self.spark, self.table_path(name))
             if st.latest_version() is not None:
                 return st.read()
             # pre-r6 warehouse written as plain parquet: fall through
@@ -218,10 +220,11 @@ class BillingPipeline:
                 # atomic publish: stage, rename, manifest swap — a crash
                 # mid-refresh leaves the previous version readable, never
                 # a deleted/torn table (review r6); keep one prior
-                # version so in-flight readers of the old snapshot finish
-                from .sources.versioned_sink import SnapshotTable
+                # version so in-flight readers of the old snapshot finish.
+                # Via the factory: normalizes file:/// (review r7).
+                from .sources.os_snapshot import snapshot_table_for
 
-                st = SnapshotTable(self.spark, self.table_path(name))
+                st = snapshot_table_for(self.spark, self.table_path(name))
                 st.commit(observed, mode="overwrite")
                 st.vacuum(keep=2)
             else:

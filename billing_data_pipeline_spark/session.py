@@ -167,7 +167,12 @@ def get_spark(
     )
     if master:
         builder = builder.master(master)
-    elif not os.environ.get("SPARK_MASTER"):
+    elif os.environ.get("SPARK_MASTER"):
+        # actually APPLY the env master (review r7): Spark itself never
+        # reads SPARK_MASTER — merely suppressing the local[] default
+        # made plain-python launches die with "A master URL must be set"
+        builder = builder.master(os.environ["SPARK_MASTER"])
+    else:
         builder = builder.master(f"local[{cores}]")
         # local mode: the driver is the only JVM — give it the memory.
         builder = builder.config(

@@ -334,6 +334,39 @@ class ObjectStoreSnapshotTable:
         return sorted(removed)
 
 
+def local_fs_path(url: str) -> str:
+    """Normalize a bare path or ``file:///`` URL to a plain filesystem
+    path; RAISE for any other scheme. The shared closed-world gate for
+    every os-level protocol in the kit (SnapshotTable's rename/O_EXCL,
+    FileLedger's pointer, fs_mutex): running one against 's3a://...' as a
+    literal string silently splits state between a cwd-relative
+    's3a:' junk tree and the real store (review r7)."""
+    from urllib.parse import urlparse
+
+    parsed = urlparse(url)
+    scheme = parsed.scheme.lower()
+    if scheme in ("",) or len(scheme) <= 1:  # bare path / drive letter
+        return url
+    if scheme == "file":
+        if parsed.netloc:
+            # file://host/share is a remote-authority form; resolving it
+            # as CWD-relative 'host/share' would commit to a wrong local
+            # dir (review r7). Only file:///abs/path (empty authority)
+            # maps to a local path.
+            raise ValueError(
+                f"file URL with non-empty authority {parsed.netloc!r}: "
+                "use file:///absolute/path (three slashes) for local "
+                "paths"
+            )
+        return parsed.path
+    raise NotImplementedError(
+        f"{url!r} (scheme {scheme!r}) is not a local filesystem path: "
+        "the POSIX rename/O_EXCL protocols are only safe on local "
+        "storage — use ObjectStoreSnapshotTable with an ObjectStore "
+        "binding for object stores (sources/objectstore.py)"
+    )
+
+
 def snapshot_table_for(spark, url: str, store: ObjectStore | None = None):
     """One entry point for the durability kit: pick the commit protocol
     that is actually safe on the target storage.
@@ -356,34 +389,19 @@ def snapshot_table_for(spark, url: str, store: ObjectStore | None = None):
     """
     if store is not None:
         return ObjectStoreSnapshotTable(spark, store)
-    from urllib.parse import urlparse
-
-    scheme = urlparse(url).scheme.lower()
-    # a bare Windows-style drive letter is not a scheme; neither is ''
-    if scheme not in ("", "file") and len(scheme) > 1:
-        raise NotImplementedError(
-            f"no ObjectStore binding for {url!r} (scheme {scheme!r}): "
-            "implement the four-operation sources/objectstore.ObjectStore "
-            "surface for this store (put_if_absent = its conditional PUT) "
-            "and pass it as store=. The POSIX rename protocol is only "
-            "safe on local/POSIX filesystems."
-        )
     from .versioned_sink import SnapshotTable
 
-    if scheme == "file":
-        parsed = urlparse(url)
-        if parsed.netloc:
-            # file://host/share is a remote-authority form; resolving it
-            # as CWD-relative 'host/share' would commit to a wrong local
-            # dir (review r7). Only file:///abs/path (empty authority)
-            # maps to a local path.
-            raise ValueError(
-                f"file URL with non-empty authority {parsed.netloc!r}: "
-                "use file:///absolute/path (three slashes) for local "
-                "paths"
-            )
-        return SnapshotTable(spark, parsed.path)
-    return SnapshotTable(spark, url)
+    try:
+        path = local_fs_path(url)
+    except NotImplementedError:
+        raise NotImplementedError(
+            f"no ObjectStore binding for {url!r}: implement the "
+            "four-operation sources/objectstore.ObjectStore surface for "
+            "this store (put_if_absent = its conditional PUT) and pass "
+            "it as store=. The POSIX rename protocol is only safe on "
+            "local/POSIX filesystems."
+        ) from None
+    return SnapshotTable(spark, path)
 
 
 def _replay_version(state: dict, epoch) -> int | None:

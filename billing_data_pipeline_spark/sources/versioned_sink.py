@@ -78,7 +78,14 @@ class SnapshotTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
-        os.makedirs(path, exist_ok=True)
+        # NO makedirs here (review r7): constructing a table handle is
+        # not a write — a pure read of a never-built table must surface
+        # PATH_NOT_FOUND (the marker callers like append_new_rows match
+        # on), not an empty dir whose scan dies with
+        # UNABLE_TO_INFER_SCHEMA. Mutators call _ensure_dir().
+
+    def _ensure_dir(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
 
     @contextlib.contextmanager
     def _inprogress(self, staging: str):
@@ -175,7 +182,11 @@ class SnapshotTable:
         """Version directories present on disk (may include unpublished
         crash orphans — the manifest, not the listing, is the truth)."""
         out = []
-        for name in os.listdir(self.path):
+        try:
+            names = os.listdir(self.path)
+        except FileNotFoundError:
+            return []  # never-built table (init no longer mkdirs)
+        for name in names:
             if name.startswith("v=") and name[2:].isdigit():
                 out.append(int(name[2:]))
         return sorted(out)
@@ -215,6 +226,7 @@ class SnapshotTable:
 
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        self._ensure_dir()
         if epoch is not None:
             # dirty pre-check: epochs only ever grow, so a hit is final —
             # skip the staging write entirely on replay
@@ -371,6 +383,7 @@ class SnapshotTable:
         it just needs to comfortably exceed the heartbeat interval."""
         import shutil
 
+        self._ensure_dir()  # vacuum of a never-built table is a no-op
         with self._mutate_lock():
             man = self._load()
             latest = man["version"]

@@ -54,6 +54,49 @@ def test_intra_batch_duplicates_collapse(spark):
     assert out.count() == 2
 
 
+def test_intra_batch_null_key_rows_never_collapse(spark):
+    """Review r7: dropDuplicates treats NULL == NULL, but SQL UNIQUE (the
+    reference's constraint, and this module's stated contract) says
+    NULL-key rows are never duplicates of each other — two distinct
+    transactions sharing a NULL invoice_id must BOTH survive the
+    intra-batch dedup."""
+    ts = datetime(2025, 4, 23, 10, 0, 0)
+    batch = _df(
+        spark,
+        [
+            (ts, "r-1", "u-1", None, 1.0),
+            (ts, "r-1", "u-1", None, 2.0),  # same key cols, NULL invoice
+            (ts, "r-2", "u-2", "inv-2", 3.0),
+            (ts, "r-2", "u-2", "inv-2", 4.0),  # true duplicate: collapses
+        ],
+    )
+    out = dedup_within_batch(batch, KEYS)
+    assert out.count() == 3
+    assert out.filter(F.col("invoice_id").isNull()).count() == 2
+
+
+def test_hash_files_concrete_path_with_glob_metachars(spark, tmp_path):
+    """Review r7: a CONCRETE filename containing '[...]' (from
+    lake.inputFiles()) must hash verbatim, not expand as a glob character
+    class that matches nothing — the file silently never ingested."""
+    p = tmp_path / "billing[v2].csv"
+    p.write_text("a,b\n1,2\n")
+    got = hash_files(spark, [str(p)]).collect()
+    assert len(got) == 1 and got[0]["filename"].endswith("billing[v2].csv")
+
+
+def test_file_ledger_rejects_remote_scheme_normalizes_file_url(spark, tmp_path):
+    """Review r7: the ledger's os-level pointer/lock on an 's3a://...'
+    path silently split state between a cwd-relative 's3a:' junk tree
+    and the real store — fail closed; file:/// normalizes."""
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="local"):
+        FileLedger(spark, "s3a://bucket/wh/processed_files")
+    led = FileLedger(spark, f"file://{tmp_path}/processed_files")
+    assert led.path == f"{tmp_path}/processed_files"
+
+
 def test_append_new_rows_idempotent(spark, tmp_path):
     """Running the same load twice leaves the table unchanged (the
     reference's core invariant, README.md:363-370)."""

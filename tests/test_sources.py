@@ -355,6 +355,7 @@ def test_snapshot_table_stale_lock_is_broken(spark, tmp_path):
     from billing_data_pipeline_spark.sources.versioned_sink import SnapshotTable
 
     t = SnapshotTable(spark, str(tmp_path / "snap_stale"))
+    t._ensure_dir()  # init no longer mkdirs (review r7: read purity)
     lock = os.path.join(t.path, "_lock")
     with open(lock, "w") as f:
         f.write("99999")
@@ -374,6 +375,7 @@ def test_snapshot_table_release_respects_other_holders_lock(spark, tmp_path):
     from billing_data_pipeline_spark.sources.versioned_sink import SnapshotTable
 
     t = SnapshotTable(spark, str(tmp_path / "snap_tok"))
+    t._ensure_dir()  # init no longer mkdirs (review r7: read purity)
     lock = os.path.join(t.path, "_lock")
     with t._mutate_lock():
         # simulate a break + re-acquire happening while we hold the lock
