@@ -261,6 +261,17 @@ def minhash_neardup_pairs(
     evaluated after its persist is swept transparently recomputes its
     (deterministic) lineage — correct, just slower.
     """
+    if k % band_size:
+        # loud plan-time guard (review r7): flooring k // band_size
+        # silently left the trailing k % band_size signature components
+        # out of EVERY band key — recall loss with no error, while the
+        # estimator still divided by the full k (same misconfiguration
+        # class portable_dedup's k > len(MINHASH_AB) guard fails on)
+        raise ValueError(
+            f"minhash banding: k={k} is not divisible by "
+            f"band_size={band_size} — the last {k % band_size} signature "
+            "components would never join any band"
+        )
     n_bands = k // band_size
     # Arithmetic shingle hashing: one string pass (token xxhash64), then
     # long-only mixing — no shingle strings are ever built.

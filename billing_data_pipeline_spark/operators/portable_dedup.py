@@ -223,6 +223,16 @@ def _band_keys(sigs: DataFrame, k: int, band_size: int) -> DataFrame:
     free: distinct component tuples always render distinct strings.
     Input columns (doc, sig, ...) pass through so callers can compute the
     agreement estimate inside the band join instead of re-joining sigs."""
+    if k % band_size:
+        # same loud guard as the fast tier (review r7): a floored band
+        # count silently excluded the trailing components from candidate
+        # generation — and the oracle truncated IDENTICALLY, so the
+        # parity gate could never catch the recall loss
+        raise ValueError(
+            f"minhash banding: k={k} is not divisible by "
+            f"band_size={band_size} — the last {k % band_size} signature "
+            "components would never join any band"
+        )
     n_bands = k // band_size
     return sigs.select(
         "*",

@@ -141,7 +141,7 @@ def stride_seed_rows(
         d.unpersist()
 
 
-def _empty_topk(df: DataFrame, id_col: str, score_col: str = "cosine_sim") -> DataFrame:
+def _empty_topk(df: DataFrame, score_col: str = "cosine_sim") -> DataFrame:
     """Empty top-k result — graceful degradation for empty corpora/queries.
     Ids are LongType to MATCH the non-empty output of the kernels that use
     this guard (their Arrow schemas hardcode long ids); a type that varied
@@ -276,9 +276,13 @@ def cosine_topk_exact_vectorized(
     # Query side is the broadcast-sized side BY CONTRACT (it rides every
     # task's closure): brute-force top-k is the small-query/rerank tier;
     # corpus-sized query sets belong on the bucketed LSH/IVF tiers.
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = (
+        queries.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())  # crash guard (r7)
+        .collect()
+    )
     if not q_rows:
-        return _empty_topk(corpus, id_col)
+        return _empty_topk(corpus)
     out_schema = T.StructType(
         [
             T.StructField("query_id", T.LongType()),
@@ -286,7 +290,6 @@ def cosine_topk_exact_vectorized(
             T.StructField("cosine_sim", T.DoubleType()),
         ]
     )
-    spark = corpus.sparkSession
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
     dim = Q.shape[1]
@@ -302,6 +305,10 @@ def cosine_topk_exact_vectorized(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL vectors are excluded from the candidate set (crash
+            # guard, review r7 — np.array cannot coerce None; same
+            # contract as the k-means fit; the LSH tiers skip them too)
+            pdf = pdf[pdf[vec_col].notna()]
             if not len(pdf):
                 continue
             pdf = pdf.sort_values(id_col)  # ties later resolve id-asc
@@ -374,9 +381,13 @@ def cosine_topk_matmul(
     from pyspark.sql import types as T
 
     # query side broadcast-sized by contract (see cosine_topk_exact_vectorized)
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = (
+        queries.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())  # crash guard (r7)
+        .collect()
+    )
     if not q_rows:
-        return _empty_topk(corpus, id_col)
+        return _empty_topk(corpus)
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norms = np.linalg.norm(Q, axis=1, keepdims=True)
@@ -394,19 +405,33 @@ def cosine_topk_matmul(
         for pdf in batches:
             if not len(pdf):
                 continue
+            # id-ascending rows + STABLE selection — ties at the batch
+            # cut keep the lowest ids, matching the final window's
+            # (sim desc nulls last, id asc) exactly; argpartition kept an
+            # ARBITRARY k of tied candidates, so the row set diverged
+            # from cosine_topk and varied with partitioning (review r7)
+            pdf = pdf[pdf[vec_col].notna()]  # NULL vec: skip (crash guard, r7)
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(id_col)
             cand_ids = pdf[id_col].to_numpy(dtype=np.int64)
             C = np.array(list(pdf[vec_col]), dtype=np.float64)
             norms = np.linalg.norm(C, axis=1, keepdims=True)
             Cn = C / np.where(norms == 0, 1.0, norms)
             S = Cn @ Qn.T  # (n_corpus_batch, n_queries)
-            # zero-norm candidates: cosine undefined; NaN would sort ABOVE
-            # every real score in Spark's desc order and steal rank 1 for
-            # all queries (review r3) — exclude like the JVM path's NULL
-            S[(norms == 0).ravel(), :] = -np.inf
-            S[cand_ids[:, None] == q_ids[None, :]] = -np.inf  # self-match
-            kk = min(k, S.shape[0])
-            top = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, n_queries)
-            n_q = S.shape[1]
+            # zero-norm candidate OR query: cosine undefined -> NaN,
+            # KEPT and ranked last (NaN -> NULL at the Arrow boundary;
+            # numpy sorts NaN to the end of ascending -S). The old -inf
+            # mask + post-filter silently dropped such candidates while
+            # cosine_topk (the declared rows-only baseline) and both SQL
+            # tiers emit them with NULL sims filling the top-k
+            # (review r7 — the candidate-side twin of the r5 query fix).
+            S[(norms == 0).ravel(), :] = np.nan
+            S[:, (q_norms == 0).ravel()] = np.nan
+            # self-matches stay IN the batch cut (k+1 slots) and drop in
+            # the id filter below, same as the baseline
+            kk = min(k + 1, S.shape[0])
+            top = np.argsort(-S, axis=0, kind="stable")[:kk]
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(q_ids[None, :], kk, 0).ravel(),
@@ -417,10 +442,10 @@ def cosine_topk_matmul(
 
     partial = corpus.select(id_col, vec_col).mapInPandas(kernel, out_schema)
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("candidate_id").asc()
+        F.col("cosine_sim").desc_nulls_last(), F.col("candidate_id").asc()
     )
     return (
-        partial.filter(F.col("cosine_sim") != float("-inf"))
+        partial.filter(F.col("query_id") != F.col("candidate_id"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "candidate_id", "rank", "cosine_sim")
@@ -477,7 +502,12 @@ def semantic_decontaminate(
 
     from pyspark.sql import types as T
 
-    e_rows = eval_set.select(id_col, vec_col).orderBy(id_col).collect()
+    e_rows = (
+        eval_set.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())  # crash guard (r7)
+        .orderBy(id_col)
+        .collect()
+    )
     schema = T.StructType(
         [
             T.StructField(id_col, corpus.schema[id_col].dataType),
@@ -495,6 +525,7 @@ def semantic_decontaminate(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]  # NULL vec: skip (crash guard, r7)
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy()
@@ -591,7 +622,12 @@ def ivf_topk(
     # driver materialization; see stride_seed_rows)
     cent_rows = stride_seed_rows(corpus, id_col, vec_col, n_lists)
     if not cent_rows:  # empty corpus: no cells, no candidates
-        return _empty_topk(corpus, id_col)
+        return _empty_topk(corpus)
+    # clamp (review r7): a tiny corpus yields fewer centroids than
+    # n_probe — order[:, :n_probe] then has fewer columns than the
+    # n_probe-repeated qid/qvec arrays and the kernel crashed with a
+    # length mismatch; the oracle's rnk <= n_probe self-clamps
+    n_probe = min(n_probe, len(cent_rows))
     Cm = np.array([[float(x) for x in r[1]] for r in cent_rows], dtype=np.float64)
     Cn = _seq_norms(Cm)
 
@@ -600,15 +636,18 @@ def ivf_topk(
             T.StructField("vid", T.LongType()),
             T.StructField("cell", T.IntegerType()),
             T.StructField("vec", T.ArrayType(T.DoubleType())),
+            T.StructField("nvec", T.DoubleType()),
         ]
     )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]  # NULL vec: no cell (crash guard, r7)
             if not len(pdf):
                 continue
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
-            S = _seq_cosine_matrix(V, _seq_norms(V), Cm, Cn)
+            Vn = _seq_norms(V)
+            S = _seq_cosine_matrix(V, Vn, Cm, Cn)
             # NaN sims (zero-norm vector OR zero-norm seed centroid) are
             # NULL in the oracle, which ranks NULLS LAST — np.argmax would
             # instead return the FIRST NaN index (NaN propagates as max),
@@ -619,7 +658,12 @@ def ivf_topk(
                 np.int32
             )  # ties: first idx
             yield pd.DataFrame(
-                {"vid": pdf[id_col].to_numpy(), "cell": cells, "vec": list(V)}
+                {
+                    "vid": pdf[id_col].to_numpy(),
+                    "cell": cells,
+                    "vec": list(V),
+                    "nvec": Vn,
+                }
             )
 
     assigned = corpus.select(id_col, vec_col).mapInPandas(assign, assign_schema)
@@ -629,15 +673,18 @@ def ivf_topk(
             T.StructField("qid", T.LongType()),
             T.StructField("cell", T.IntegerType()),
             T.StructField("qvec", T.ArrayType(T.DoubleType())),
+            T.StructField("nq", T.DoubleType()),
         ]
     )
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]  # NULL vec: no probes (r7)
             if not len(pdf):
                 continue
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
-            S = _seq_cosine_matrix(V, _seq_norms(V), Cm, Cn)
+            Vn = _seq_norms(V)
+            S = _seq_cosine_matrix(V, Vn, Cm, Cn)
             # stable argsort on -sim == (sim desc, centroid idx asc);
             # NaN -> -inf first: the oracle's NULL sims rank NULLS LAST
             # (np.argsort happens to sort NaN last too, but only for the
@@ -651,6 +698,7 @@ def ivf_topk(
                     "qid": np.repeat(pdf[id_col].to_numpy(), n_probe),
                     "cell": order.ravel(),
                     "qvec": list(np.repeat(V, n_probe, axis=0)),
+                    "nq": np.repeat(Vn, n_probe),
                 }
             )
 
@@ -659,10 +707,22 @@ def ivf_topk(
     pairs = assigned.join(F.broadcast(probes), "cell").filter(
         F.col("vid") != F.col("qid")
     )
-    scored = pairs.select(
+    # Arrow rerank over norm-carrying frames, not the interpreted HOF
+    # cosine fold (review r7): each candidate pair evaluated THREE
+    # interpreted 64-dim zip_with/aggregate folds per row — the exact
+    # pattern the r4 LSH rework measured at 9+ s and replaced with
+    # _cosine_rerank; norms ride the assign/probe frames so the rerank
+    # is one vectorized pass, bit-identical doubles (same seq fold).
+    scored_in = pairs.select(
         F.col("qid").alias("query_id"),
         F.col("vid").alias("candidate_id"),
-        cosine(F.col("qvec"), F.col("vec")).alias("cosine_sim"),
+        F.col("qvec").alias("va"),
+        F.col("vec").alias("vb"),
+        F.col("nq").alias("na"),
+        F.col("nvec").alias("nb"),
+    )
+    scored = _cosine_rerank(
+        scored_in, "query_id", "candidate_id", T.LongType(), T.LongType()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("candidate_id").asc()
@@ -1407,7 +1467,7 @@ def pq_topk(
 
     S, sub = _pq_codebook(corpus, id_col, vec_col, m, k_codes)
     if S is None:  # empty corpus
-        return _empty_topk(corpus, id_col, "adc_score")
+        return _empty_topk(corpus, "adc_score")
     k_codes = S.shape[0]  # tiny corpora yield fewer samples than requested
 
     def _norm_rows(pdf: "pd.DataFrame") -> "np.ndarray":
@@ -1423,6 +1483,7 @@ def pq_topk(
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]  # NULL vec: skip (crash guard, r7)
             if not len(pdf):
                 continue
             V = _norm_rows(pdf)
@@ -1455,6 +1516,7 @@ def pq_topk(
 
     def build_tables(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]  # NULL vec: skip (crash guard, r7)
             if not len(pdf):
                 continue
             Q = _norm_rows(pdf)

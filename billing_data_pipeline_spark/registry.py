@@ -138,8 +138,8 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "packed_chunk_bins",
     "vocabulary_tfidf",
     "udaf_median_event_value",  # r7: interpolation-form even median
-    "user_event_sequence",
-    "segment_dedup_docs",
+    "embedding_pq_topk",  # r7: NULL-vec crash guards (ANN review pass)
+    "decontaminate_embedding",  # r7: same
 )
 
 #: The only rows-only (no-oracle) names allowed in the driver sample — the

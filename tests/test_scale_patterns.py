@@ -452,6 +452,68 @@ def test_curation_plan_properties(spark):
     assert p.count("Exchange hashpartitioning") == 2
 
 
+def test_ivf_topk_clamps_probes_on_tiny_corpus(spark):
+    """Review r7: a corpus yielding fewer centroids than n_probe crashed
+    the probe kernel with a column-length mismatch; n_probe now clamps to
+    the centroid count (the oracle's rnk <= n_probe self-clamps)."""
+    from billing_data_pipeline_spark.operators.similarity import ivf_topk
+
+    rows = [(i, [float(i), 1.0]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = ivf_topk(df, df.limit(1), k=2, n_lists=16, n_probe=4)
+    assert got.count() >= 1  # degrades, never crashes
+
+
+def test_matmul_topk_matches_baseline_on_ties_and_zero_norms(spark):
+    """Review r7: the matmul tier's per-batch argpartition kept an
+    ARBITRARY k of tied candidates and dropped zero-norm candidates that
+    the baseline emits with NULL sims — its ROW SET now matches
+    cosine_topk exactly (sims may differ in the last ulp: BLAS order)."""
+    from billing_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_matmul,
+    )
+
+    rows = (
+        [(i, [1.0, 0.0]) for i in range(8)]  # 8 identical vectors: ties
+        + [(100, [0.0, 0.0])]  # zero-norm candidate
+        + [(200, [0.7, 0.7])]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id = 200")
+    base = {
+        (r["query_id"], r["candidate_id"], r["rank"])
+        for r in cosine_topk(df, q, k=9).collect()
+    }
+    fast = {
+        (r["query_id"], r["candidate_id"], r["rank"])
+        for r in cosine_topk_matmul(df, q, k=9).collect()
+    }
+    assert base == fast
+    # the zero-norm candidate fills the last slot with a NULL sim
+    assert any(c == 100 for (_, c, _) in fast)
+
+
+def test_minhash_band_size_must_divide_k(spark):
+    """Review r7: flooring k // band_size silently dropped the trailing
+    signature components from every band key (recall loss both engines,
+    invisible to the parity gate) — both tiers now fail loudly."""
+    import pytest
+
+    from billing_data_pipeline_spark.operators.dedup import minhash_neardup_pairs
+    from billing_data_pipeline_spark.operators.portable_dedup import (
+        minhash_portable_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_neardup_pairs(df, "doc_id", "text", k=16, band_size=3)
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_portable_pairs(df, "doc_id", "text", k=12, band_size=5)
+
+
 def test_ann_recall_floors(spark):
     """The approximate similarity paths must actually find neighbors:
     recall@5 against the exact brute-force result, measured on the driver
