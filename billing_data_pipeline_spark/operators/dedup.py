@@ -137,6 +137,53 @@ def word_shingles(text_col: str, n: int = 3) -> F.Column:
     return F.array_distinct(grams)
 
 
+def ngram_jaccard_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of ``word_shingles`` + ``ngram_jaccard_pairs``, kept
+    NEXT TO the Spark expressions (review r7: the oracle lived as 26
+    hand-written lines in plans/extensions.py, so a tokenizer or
+    min-length change here would silently desync it — the same drift
+    class the r5 normalized_text_sql move closed)."""
+    from .text import JAVA_WS_SPLIT_SQL as ws
+
+    gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(n))
+    jac = (
+        "CAST(i.n_common AS DOUBLE) "
+        "/ (sa.n_shingles + sb.n_shingles - i.n_common)"
+    )
+    return f"""
+WITH toks AS (
+    SELECT {id_col}, regexp_split_to_array(trim({text_col}), '{ws}') AS w
+    FROM {table}
+    WHERE len(regexp_split_to_array(trim({text_col}), '{ws}')) >= {n}
+),
+sh AS (
+    SELECT DISTINCT {id_col},
+           unnest(list_transform(generate_series(1, len(w) - {n - 1}),
+                                 i -> {gram})) AS shingle
+    FROM toks
+),
+sizes AS (SELECT {id_col}, COUNT(*) AS n_shingles FROM sh GROUP BY {id_col}),
+inter AS (
+    SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.{id_col} < b.{id_col}
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.n_common,
+       sa.n_shingles AS size_a, sb.n_shingles AS size_b,
+       {jac} AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.{id_col} = i.doc_a
+JOIN sizes sb ON sb.{id_col} = i.doc_b
+WHERE {jac} >= {threshold}
+"""
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

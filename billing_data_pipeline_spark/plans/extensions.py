@@ -34,7 +34,7 @@ from ..operators.text import JAVA_WS_SPLIT_SQL as WS
 from ..operators import udf_surface as U
 from ..operators.aggregates import exact_sum
 from ..registry import register
-from ._util import davg_sql, dsum_sql, t
+from ._util import davg_sql, t
 
 # ---------------------------------------------------------------------------
 # Dedup tiers
@@ -122,35 +122,15 @@ def best_survivor_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NGRAM_JACCARD_ORACLE = rf"""
-WITH toks AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '{WS}') AS w
-    FROM documents
-    WHERE len(regexp_split_to_array(trim(text), '{WS}')) >= 3
-),
-sh AS (
-    SELECT DISTINCT doc_id,
-           unnest(list_transform(generate_series(1, len(w) - 2),
-                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-    FROM toks
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
-inter AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
+# oracle built NEXT TO the Spark shingle expressions (operators/dedup.py,
+# review r7) so tokenizer/guard changes move in lockstep
+@register(
+    "ngram_jaccard_pairs",
+    tags=("ext", "dedup"),
+    oracle=D.ngram_jaccard_oracle_sql(
+        "documents", "doc_id", "text", n=3, threshold=0.5
+    ),
 )
-SELECT i.doc_a, i.doc_b, i.n_common,
-       sa.n_shingles AS size_a, sb.n_shingles AS size_b,
-       CAST(i.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_common) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.doc_a
-JOIN sizes sb ON sb.doc_id = i.doc_b
-WHERE CAST(i.n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - i.n_common) >= 0.5
-"""
-
-
-@register("ngram_jaccard_pairs", tags=("ext", "dedup"), oracle=NGRAM_JACCARD_ORACLE)
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (>= 0.5): shingle explode +
     bucketed self-join — quadratic only within a shingle's posting list."""
@@ -684,7 +664,7 @@ SELECT doc_id,
             THEN TRUE ELSE FALSE END AS kept
 FROM documents
 WHERE length(text) > 0
-  AND len(regexp_extract_all(text, '[A-Za-z0-9]+')) >= 1
+  AND {X.token_count_sql('text')} >= 1
 """,
 )
 def doc_model_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -95,7 +95,10 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        # supplier unhinted (review r7): SF-proportional dim — a forced
+        # broadcast is the 100 TB OOM class the r5 customer-unhint
+        # removed; AQE still picks broadcast at bench scale
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
@@ -247,16 +250,23 @@ def multi_action_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.intersect(b)
 
 
-@register(
-    "json_props_rollup",
-    tags=("json", "reference:F-ext"),
-    oracle=f"""
+# ONE oracle constant for the three JSON tiers (string-path, VARIANT,
+# from_json-typed) — the "provably value-identical" claim their
+# docstrings make is structural only when the oracle is literally shared
+# (review r7: it was three f-string copies that could silently drift)
+_JSON_ROLLUP_ORACLE = f"""
 SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
        COUNT(*) AS n,
        {dsum_sql('value')} AS total_value
 FROM events
 GROUP BY 1
-""",
+"""
+
+
+@register(
+    "json_props_rollup",
+    tags=("json", "reference:F-ext"),
+    oracle=_JSON_ROLLUP_ORACLE,
 )
 def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction from the events.props string column (SURVEY.md §2.8
@@ -985,9 +995,13 @@ WHERE p.p_brand <> 'Brand#15'
   AND p.p_type NOT LIKE 'MEDIUM%'
   AND p.p_size IN (1, 4, 7, 10)
   -- IS NOT NULL on BOTH sides (review r5): NOT IN drops NULL keys only
-  -- when the exclusion set is non-empty; the engine filters explicitly
+  -- when the exclusion set is non-empty; the engine filters explicitly.
+  -- The EXCLUSION set too (review r7): ONE NULL s_suppkey in the set
+  -- makes NOT IN return UNKNOWN for every probe row (empty oracle)
+  -- while the left_anti build side just matches nothing.
   AND l.l_suppkey IS NOT NULL
-  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0 AND s_suppkey IS NOT NULL)
 GROUP BY p.p_brand, p.p_type, p.p_size
 """,
 )
@@ -1000,7 +1014,10 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     bad = (
         t(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") < 0)
+        # build-side IS NOT NULL mirrors the oracle's exclusion-set
+        # filter (review r7): without it a NULL s_suppkey empties the
+        # oracle's NOT IN while the anti-join shrugs it off
+        .filter((F.col("s_acctbal") < 0) & F.col("s_suppkey").isNotNull())
         .select("s_suppkey")
     )
     p = (
@@ -1071,7 +1088,8 @@ def lone_failed_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         l1.join(o, l1.l_orderkey == o.o_orderkey)
         .join(ord_stats, "l_orderkey")
         .filter((F.col("nsupp") >= 2) & (F.col("nrsupp") == 1))
-        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        # supplier unhinted (review r7): SF-proportional dim; AQE decides
+        .join(s, l1.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -1176,7 +1194,10 @@ def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         # customer unhinted: unfiltered largest dim (see
         # local_supplier_volume, review r5); AQE broadcasts at bench scale
         .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        # supplier unhinted (review r7): SF-proportional dim — a forced
+        # broadcast is the 100 TB OOM class the r5 customer-unhint
+        # removed; AQE still picks broadcast at bench scale
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
@@ -1421,13 +1442,7 @@ def incremental_status_rollup_cdc(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "variant_props_rollup",
     tags=("json", "variant", "spark4"),
-    oracle=f"""
-SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
-       COUNT(*) AS n,
-       {dsum_sql('value')} AS total_value
-FROM events
-GROUP BY 1
-""",
+    oracle=_JSON_ROLLUP_ORACLE,
 )
 def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The VARIANT tier of the semi-structured surface: props parsed ONCE
@@ -1714,13 +1729,7 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_props_typed_rollup",
     tags=("json", "from_json", "typed"),
-    oracle=f"""
-SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
-       COUNT(*) AS n,
-       {dsum_sql('value')} AS total_value
-FROM events
-GROUP BY 1
-""",
+    oracle=_JSON_ROLLUP_ORACLE,
 )
 def json_props_typed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TYPED-schema JSON tier (completing get_json_object ->

@@ -99,13 +99,13 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "embedding_ivf_topk",  # ANN
     "text_quality_by_lang",  # text analysis
     "media_real_decode_manifest",  # multimodal
-    # --- r6: the last 8 never-externally-checked queries (VERDICT r5 #2;
-    # the final three are the catalog's rows-only sketch/merge tiers) ---
-    "region_nation_roster",
-    "status_rollup",
-    "multi_action_users",
-    "priority_lines_by_status",
-    "large_order_customers",
+    # --- r7 late review-pass re-pins (changed implementation or oracle;
+    # the r6 "last never-checked" rotation they replace rode r6 green) ---
+    "part_supplier_variety",  # r7: build-side IS NOT NULL both engines
+    "local_supplier_volume",  # r7: supplier broadcast unhinted
+    "nation_pair_trade_volume",  # r7: same
+    "lone_failed_supplier_orders",  # r7: same
+    "ngram_jaccard_pairs",  # r7: oracle rebuilt next to the operator
     "event_value_deciles_scalable",  # rows-only (approx cutpoints)
     "incremental_rollup_merge",  # rows-only (sketch merge)
     "usage_percentiles_approx",  # rows-only (approx_percentile)
