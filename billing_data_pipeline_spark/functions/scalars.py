@@ -73,7 +73,18 @@ def date_spine(
 ) -> DataFrame:
     """One row per date in [start, end] (F3: the reference's Python day-walk
     loop as a declarative sequence + explode — generated on executors, so a
-    100-year spine is still trivial)."""
+    100-year spine is still trivial).
+
+    Edge contract (review r7): ``step_days <= 0`` fails at PLAN time
+    (F.sequence would throw mid-job); ``end < start`` yields the EMPTY
+    spine — what the reference's day-walk loop and DuckDB's
+    generate_series both produce — instead of an execution-time error."""
+    if step_days <= 0:
+        raise ValueError(f"date_spine: step_days must be >= 1, got {step_days}")
+    from datetime import date as _date
+
+    if _date.fromisoformat(end) < _date.fromisoformat(start):
+        return spark.range(0).select(F.current_date().alias("d"))
     return spark.range(1).select(
         F.explode(
             F.sequence(
@@ -97,8 +108,9 @@ def hive_partition_value(path: Column | str, key: str) -> Column:
     p = F.col(path) if isinstance(path, str) else path
     # value class excludes '?' too (review r6): the anchor set treats '?'
     # as a segment delimiter, so 'day=2024-01-01?versionId=abc' must yield
-    # the date, not swallow the query string
-    return F.regexp_extract(p, rf"(?:^|[/?&]){_re.escape(key)}=([^/&?]+)", 1)
+    # the date, not swallow the query string — and '#' (review r7): a URL
+    # fragment is likewise not part of the value
+    return F.regexp_extract(p, rf"(?:^|[/?&#]){_re.escape(key)}=([^/&?#]+)", 1)
 
 
 def parse_url_col(url: Column | str, part: str = "HOST") -> Column:

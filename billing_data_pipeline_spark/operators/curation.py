@@ -104,7 +104,13 @@ def segment_dedup(
     repeat of a segment already seen elsewhere in the corpus (keep-first by
     lexicographic (doc_id, idx)), and reassemble the surviving text.
 
-    Returns (id, n_segments, segments_kept, clean_text) per document.
+    Returns (id, n_segments, segments_kept, clean_text) per document —
+    EXCEPT documents whose text is NULL/empty/whitespace-only, which
+    produce zero segments and therefore no output row (review r7; the
+    oracle drops them identically). A curation pipeline rewriting the
+    corpus from clean_text should left-join the ids back if such
+    documents must survive as empty shells (repeated_ngram_stats shows
+    the pattern).
 
     Scale shape, default (window) form: one hash-partitioned window over
     the 16-byte segment hash (the only shuffle over segment rows), then
@@ -275,7 +281,9 @@ def _ngrams(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     would hash-shuffle the full corpus-sized (doc, ngram) set, which is
     exactly what decontaminate promises never to do to the train side.
     """
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    from .text import ws_tokens
+
+    toks = ws_tokens(text_col)
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size("_tk") - (n - 1)),
@@ -505,6 +513,14 @@ def mix_to_budget(
     budget is exhausted. Returns a per-source summary
     (source, budget_tokens, docs_kept, tokens_kept).
 
+    Contract notes (review r7): (a) a source whose budget is smaller
+    than its first-ranked document keeps zero docs and is ABSENT from
+    the summary (not a docs_kept=0 row) — the SQL twin shares the
+    semantics, so the gate holds; a downstream mixer must treat a
+    missing source as budget-starved. (b) ``weight_col`` must be
+    CONSTANT per source: per-row weights double-count the weight sum and
+    make the coarse form's bucket ordering nondeterministic.
+
     Determinism: budgets are integer arithmetic (DIV), the keep order is
     the sampling.py multiplicative mixer on the id — no RNG, so a doc's
     fate is stable under retries and across engines.
@@ -651,7 +667,11 @@ def epoch_shard_manifest(
             ).otherwise(F.array().cast("array<int>"))
         ).alias("epoch"),
     )
-    key = F.col("_id") * 31 + F.col("epoch") + F.lit(salt)
+    # _id cast to long BEFORE the multiply (review r7): an IntegerType id
+    # column wrapped _id*31 silently at ids >= 2^31/31 under non-ANSI int
+    # arithmetic while the oracle's BIGINT multiply computed the true
+    # value — shard assignment scrambled only on int-typed ids
+    key = F.col("_id").cast("long") * 31 + F.col("epoch") + F.lit(salt)
     rank = mix_rank(key)  # salt already folded into the composite key
     return (
         base.withColumn("shard_id", F.pmod(rank, n_shards).cast("int"))

@@ -62,8 +62,13 @@ def encode_fake_media(media_id: int, kind: str, width: int, height: int, n_frame
 def _decode_fake(batch: pd.DataFrame) -> pd.DataFrame:
     """Deterministic stand-in decode: parse the synthetic header."""
     rows = []
-    for _, r in batch.iterrows():
-        content = bytes(r["content"])
+    # direct column zip, not iterrows() (review r7): iterrows builds a
+    # dtype-coerced Series per record — pure overhead for a few bytes of
+    # header parsing per row
+    for mid, kind, raw in zip(
+        batch["media_id"], batch["kind"], batch["content"]
+    ):
+        content = bytes(raw)
         ok = len(content) >= HEADER_LEN and content[:4] == MAGIC
         if ok:
             w, h, nf = struct.unpack(">III", content[4:HEADER_LEN])
@@ -76,8 +81,8 @@ def _decode_fake(batch: pd.DataFrame) -> pd.DataFrame:
             w = h = nf = None
         rows.append(
             {
-                "media_id": r["media_id"],
-                "kind": r["kind"],
+                "media_id": mid,
+                "kind": kind,
                 "n_bytes": len(content),
                 "width": w,
                 "height": h,
@@ -173,13 +178,15 @@ def _decode_real(batch: pd.DataFrame) -> pd.DataFrame:
     Formats beyond these would slot into the same sniff table; unknown or
     malformed blobs yield valid=false, never a job failure."""
     rows = []
-    for _, r in batch.iterrows():
-        content = bytes(r["content"])
+    for mid, kind, raw in zip(
+        batch["media_id"], batch["kind"], batch["content"]
+    ):
+        content = bytes(raw)
         parsed = _parse_bmp(content) or _parse_png(content) or _parse_wav(content)
         rows.append(
             {
-                "media_id": r["media_id"],
-                "kind": r["kind"],
+                "media_id": mid,
+                "kind": kind,
                 "n_bytes": len(content),
                 "width": parsed[0] if parsed else None,
                 "height": parsed[1] if parsed else None,
@@ -340,22 +347,18 @@ def resize_media(df: DataFrame, max_w: int, max_h: int, fake: bool = True) -> Da
         # header fallback mirrors the PNG branch (review r4: an in-bounds
         # 32-bpp BMP was destroyed with valid=false although no resize
         # was needed).
-        bmp = _parse_bmp(content)
-        if bmp is not None:
-            w, h, _ = bmp
-            if w <= max_w and h <= max_h:
-                return {**base, "content": content, "width": w, "height": h,
-                        "valid": True}
-            return {**base, "content": None, "width": None, "height": None,
-                    "valid": False}
-        png = _parse_png(content)
-        if png is not None:
-            w, h, _ = png
-            if w <= max_w and h <= max_h:
-                return {**base, "content": content, "width": w, "height": h,
-                        "valid": True}
-            return {**base, "content": None, "width": None, "height": None,
-                    "valid": False}
+        # one rule for every parseable-but-not-resizable image format
+        # (review r7: the BMP and PNG branches were identical copy-paste —
+        # the r4 32-bpp containment fix had to land twice)
+        for parse in (_parse_bmp, _parse_png):
+            parsed = parse(content)
+            if parsed is not None:
+                w, h, _ = parsed
+                if w <= max_w and h <= max_h:
+                    return {**base, "content": content, "width": w,
+                            "height": h, "valid": True}
+                return {**base, "content": None, "width": None,
+                        "height": None, "valid": False}
         if _parse_wav(content) is not None:
             return {**base, "content": content, "width": None, "height": None,
                     "valid": True}
@@ -386,7 +389,15 @@ def resize_media(df: DataFrame, max_w: int, max_h: int, fake: bool = True) -> Da
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             if len(batch):
-                yield pd.DataFrame([record(r) for _, r in batch.iterrows()])
+                # column zip, not iterrows (review r7 — see _decode_fake)
+                yield pd.DataFrame(
+                    [
+                        record({"media_id": m, "kind": k, "content": c})
+                        for m, k, c in zip(
+                            batch["media_id"], batch["kind"], batch["content"]
+                        )
+                    ]
+                )
 
     return df.mapInPandas(kernel, schema=RESIZED_SCHEMA)
 
@@ -439,13 +450,15 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
             if not len(batch):
                 continue
             out = []
-            for _, r in batch.iterrows():
-                payload = payload_of(bytes(r["content"]))
+            for mid, kind, raw in zip(
+                batch["media_id"], batch["kind"], batch["content"]
+            ):
+                payload = payload_of(bytes(raw))
                 if payload is None:
                     out.append(
                         {
-                            "media_id": r["media_id"],
-                            "kind": r["kind"],
+                            "media_id": mid,
+                            "kind": kind,
                             "embedding": None,
                             "valid": False,
                         }
@@ -458,8 +471,8 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
                 vec = hist / np.linalg.norm(hist)
                 out.append(
                     {
-                        "media_id": r["media_id"],
-                        "kind": r["kind"],
+                        "media_id": mid,
+                        "kind": kind,
                         "embedding": vec.astype(np.float32).tolist(),
                         "valid": True,
                     }

@@ -36,6 +36,14 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+def ws_tokens(text_col: str) -> Column:
+    """THE engine-side whitespace tokenizer (non-empty \\s+ split) —
+    one spelling shared by chunking (chunk_tokens) and decontamination
+    (curation._ngrams); a second hand copy re-opens the drift hazard the
+    r5 mix_rank consolidation closed (review r7)."""
+    return F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+
+
 def token_count(text: Column) -> Column:
     """Whitespace/punctuation-delimited word-ish token count."""
     return F.regexp_count(text, F.lit(WORD_RE))
@@ -775,7 +783,7 @@ def chunk_tokens(
     """
     if stride <= 0 or chunk <= 0:
         raise ValueError("chunk and stride must be positive")
-    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    toks = ws_tokens(text_col)
     out = (
         df.select(id_col, toks.alias("_toks"))
         .select(

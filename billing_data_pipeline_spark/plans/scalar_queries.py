@@ -91,7 +91,7 @@ SELECT doc_id,
        regexp_extract(url, '^([a-z0-9]+)://', 1) AS protocol,
        regexp_extract(url, '^[a-z0-9]+://([^/]+)', 1) AS host,
        regexp_extract(url, '^[a-z0-9]+://[^/]+(/[^?#]*)', 1) AS path,
-       regexp_extract(url, '(?:^|[/?&])source=([^/&?]+)', 1) AS source_param,
+       regexp_extract(url, '(?:^|[/?&#])source=([^/&?#]+)', 1) AS source_param,
        split_part(url, '/', -1) AS fname
 FROM (
     SELECT doc_id,

@@ -128,8 +128,8 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # --- staleness refresh: external row last seen in r1/r2 ---
     "service_aggregates",
     "region_aggregates",
-    "global_usage",
-    "operation_frequency",
+    "url_and_path_parsing",  # r7: '#' fragment delimiter in both regexes
+    "epoch_shard_manifest",  # r7: long-cast shard key
     "ledger_rollup",
     "embedding_dedup_survivors",
     "lang_id_eval",

@@ -334,6 +334,58 @@ def test_sampling_sql_edges_and_shared_mixer(spark):
     assert eng == got
 
 
+def test_date_spine_edges_and_url_fragment(spark):
+    """Review r7: date_spine fails at plan time for step<=0 and yields
+    the EMPTY spine for end<start (the reference loop's behavior, not a
+    mid-job sequence error); hive_partition_value stops at a URL
+    fragment delimiter like it already stops at '?'/'&'."""
+    import pytest
+
+    from billing_data_pipeline_spark.functions.scalars import (
+        date_spine,
+        hive_partition_value,
+    )
+
+    with pytest.raises(ValueError, match="step_days"):
+        date_spine(spark, "2024-01-01", "2024-01-05", step_days=0)
+    assert date_spine(spark, "2024-01-05", "2024-01-01").count() == 0
+    assert date_spine(spark, "2024-01-01", "2024-01-03").count() == 3
+
+    got = (
+        spark.createDataFrame(
+            [("https://h/p/day=2024-01-01#frag",)], "p string"
+        )
+        .select(hive_partition_value("p", "day").alias("v"))
+        .collect()[0]["v"]
+    )
+    assert got == "2024-01-01"
+
+
+def test_epoch_shard_key_survives_int_typed_ids(spark):
+    """Review r7: the shard key multiplied an IntegerType id by 31 in int
+    arithmetic — silent wraparound above 2^31/31 scrambled shard
+    assignment while the BIGINT oracle computed the true value. The cast
+    makes a large int id shard identically to the same value as a long."""
+    from billing_data_pipeline_spark.operators.curation import (
+        epoch_shard_manifest,
+    )
+
+    big = 100_000_000  # > 2^31/31: wraps without the cast
+    as_int = spark.createDataFrame(
+        [("web", big, 5, 1)], "src string, doc_id int, toks int, epochs int"
+    )
+    as_long = spark.createDataFrame(
+        [("web", big, 5, 1)], "src string, doc_id long, toks int, epochs int"
+    )
+    r_int = epoch_shard_manifest(
+        as_int, "src", "doc_id", F.col("toks"), F.col("epochs")
+    ).collect()
+    r_long = epoch_shard_manifest(
+        as_long, "src", "doc_id", F.col("toks"), F.col("epochs")
+    ).collect()
+    assert [r.asDict() for r in r_int] == [r.asDict() for r in r_long]
+
+
 def test_per_group_sample_rejects_reserved_column(spark):
     """Review r7: an input column named sample_rank would be silently
     replaced then dropped — the guard fails loudly instead."""
