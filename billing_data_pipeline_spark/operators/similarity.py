@@ -704,7 +704,13 @@ def ivf_topk(
 
     probes = queries.select(id_col, vec_col).mapInPandas(probe, probe_schema)
 
-    pairs = assigned.join(F.broadcast(probes), "cell").filter(
+    # No broadcast hint: the probe side is queries x n_probe — the caller
+    # controls its size, and nothing bounds it structurally (the catalog
+    # query derives it from a constant fraction of embeddings). AQE
+    # re-plans the equi-join on "cell" from real runtime sizes: broadcast
+    # when the probe set is small (bench scale), shuffle join (with skew
+    # split — "cell" has only n_lists keys) when it isn't (r8 unhint).
+    pairs = assigned.join(probes, "cell").filter(
         F.col("vid") != F.col("qid")
     )
     # Arrow rerank over norm-carrying frames, not the interpreted HOF
@@ -1374,16 +1380,19 @@ def lsh_bucketed_topk(
         F.col("id").alias("query_id"),
         F.posexplode("buckets").alias("tbl", "bucket"),
     )
+    # No broadcast hints on the query-derived sides: the query set is
+    # caller-sized and SF-proportional in the catalog query. Both joins
+    # are equi-joins ((tbl,bucket) and query_id), so AQE broadcasts from
+    # real runtime sizes at bench scale and shuffle-joins at 100 TB
+    # (r8 unhint pass).
     pairs = (
-        c.join(F.broadcast(q), ["tbl", "bucket"])
+        c.join(q, ["tbl", "bucket"])
         .filter(F.col("candidate_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "candidate_id"])
     )
     scored_in = pairs.join(
-        F.broadcast(
-            sig_q.select(F.col("id").alias("query_id"), F.col("v").alias("va"),
-                         F.col("n").alias("na"))
-        ),
+        sig_q.select(F.col("id").alias("query_id"), F.col("v").alias("va"),
+                     F.col("n").alias("na")),
         "query_id",
     ).join(
         sig_c.select(F.col("id").alias("candidate_id"), F.col("v").alias("vb"),
@@ -1552,6 +1561,13 @@ def pq_topk(
     for j in range(1, m):
         score = score + term(j)
 
+    # The broadcast here is load-bearing, not a hint-for-speed: ADC is a
+    # keyless query x corpus scan, and without the hint Spark plans a
+    # CartesianProduct that RECOMPUTES the mapInPandas qtables per corpus
+    # partition. Delivering per-query lookup tables to every corpus
+    # partition is definitionally a broadcast (Jegou et al., TPAMI'11);
+    # callers with an SF-scale query set must batch queries — documented
+    # exception in tests/test_broadcast_guard.py::ALLOWED_UNBOUNDED_HINTS.
     scored = (
         encoded.join(F.broadcast(qtables))
         .filter(F.col("vid") != F.col("qid"))

@@ -314,10 +314,13 @@ LIMIT 5
 """,
 )
 def top_regions_by_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 most expensive regions (reference: reports.py:39-44), resolved
-    through broadcast supplier->nation joins."""
+    """Top-5 most expensive regions (reference: reports.py:39-44). Supplier
+    is SF-proportional, so it carries no broadcast hint — AQE picks
+    broadcast at bench scale on its own and a shuffle join at 100 TB
+    (r8 unhint pass: a forced broadcast of an unbounded dim is the OOM
+    class). Nation is bounded (25 rows at any SF) and stays hinted."""
     li = t(spark, sf_dir, "lineitem")
-    s = F.broadcast(t(spark, sf_dir, "supplier"))
+    s = t(spark, sf_dir, "supplier")
     n = F.broadcast(t(spark, sf_dir, "nation"))
     joined = li.join(s, li.l_suppkey == s.s_suppkey).join(
         n, s.s_nationkey == n.n_nationkey

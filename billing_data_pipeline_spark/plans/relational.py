@@ -41,13 +41,16 @@ LIMIT 10
 )
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped: selective dim filter -> fact join -> grouped revenue
-    -> top-10. Customer side broadcast (post-filter it is small at any SF);
+    -> top-10. The mktsegment filter keeps a CONSTANT FRACTION (~20%) of
+    customer, so the filtered side is still SF-proportional — no broadcast
+    hint (r8 unhint: the earlier docstring's "small at any SF" was wrong);
+    AQE broadcasts it at bench scale and shuffle-joins at 100 TB. The
     lineitem filter pushes to the parquet scan."""
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1996-03-15")
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-03-15")
     joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
-        F.broadcast(c), o.o_custkey == c.c_custkey
+        c, o.o_custkey == c.c_custkey
     )
     return (
         joined.groupBy("l_orderkey", "o_orderdate")
@@ -443,11 +446,12 @@ def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     Join orientation matters: Spark's BroadcastHashJoin supports LeftSemi
     only with BuildRight, so the natural ``orders left_semi lineitem``
     formulation broadcasts the FACT side (measured: 600k-row build at
-    sf0.1; unboundable at 100 TB). Instead the fact probes a broadcast of
-    the quarter's orders (the genuinely small side) through an inner join,
-    and each order dedups to one row before the per-priority count — same
-    result, small-side build at any scale (0.75 s -> 0.47 s median at
-    sf0.1). The EXISTS date bound also implies a derived scan predicate
+    sf0.1; unboundable at 100 TB). Instead the fact probes the quarter's
+    orders (the smaller side) through an inner join, and each order dedups
+    to one row before the per-priority count — same result, smaller build
+    side at any scale (0.75 s -> 0.47 s median at sf0.1). The quarter is
+    still SF-proportional, so the build side carries no broadcast hint —
+    AQE decides (r8 unhint). The EXISTS date bound also implies a derived scan predicate
     ``l_shipdate > quarter_start + 60d`` that Catalyst cannot infer across
     the non-equi join condition; stated explicitly it reaches the parquet
     scan as a PushedFilter (row-group pruning on a date-sorted lake)."""
@@ -459,8 +463,13 @@ def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_shipdate")
         .filter(F.col("l_shipdate") > F.date_add(F.lit("1996-01-01").cast("date"), 60))
     )
+    # No broadcast hint on o: a quarter of orders is SF-proportional
+    # (~3.5% of a fact table — unboundable at 100 TB). The inner-join +
+    # dedup ORIENTATION is the scale win (vs left_semi's BuildRight fact
+    # broadcast); AQE picks broadcast at bench scale on its own and a
+    # safe sort-merge join at scale (r8 unhint pass).
     hits = li.join(
-        F.broadcast(o),
+        o,
         (li.l_orderkey == o.o_orderkey)
         # type-preserving +60d: F.date_add would TRUNCATE a timestamp
         # o_orderdate to its date before adding, silently shifting the
@@ -498,10 +507,11 @@ WHERE p.p_brand = 'Brand#23' AND l.l_quantity < a.qty_cut
 def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-shaped correlated scalar subquery, decorrelated by hand the
     way Catalyst would: the per-part average becomes a grouped subplan
-    joined back on partkey (one shuffle each side, co-partitioned), the
-    brand filter broadcasts from part. The 0.2*avg cut uses the exact
-    decimal-sum/count average so the boundary predicate is bit-identical
-    to the oracle's."""
+    joined back on partkey (one shuffle each side, co-partitioned); the
+    brand-filtered part side is a constant fraction of an SF-proportional
+    dim so it carries no broadcast hint (AQE decides; r8 unhint). The
+    0.2*avg cut uses the exact decimal-sum/count average so the boundary
+    predicate is bit-identical to the oracle's."""
     li = t(spark, sf_dir, "lineitem")
     part_avg = li.groupBy("l_partkey").agg(
         (
@@ -514,7 +524,7 @@ def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(part_avg, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_cut"))
     )
@@ -588,8 +598,10 @@ LIMIT 50
 def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18-shaped HAVING subquery: orders whose summed quantity tops
     280, joined back to customer. The HAVING filter runs on the grouped
-    side BEFORE the joins, so only qualifying orderkeys (a tiny set) flow
-    into them — broadcastable at any SF; top-k via TakeOrderedAndProject."""
+    side BEFORE the joins, so only qualifying orderkeys (a tiny constant
+    fraction, but still SF-proportional — so unhinted, AQE broadcasts it
+    at bench scale; r8 unhint) flow into them; top-k via
+    TakeOrderedAndProject."""
     li = t(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
@@ -599,7 +611,7 @@ def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     return (
-        F.broadcast(big)
+        big
         .join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
@@ -782,14 +794,15 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
 )
 def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-shaped conditional revenue share: % of a month's revenue
-    from PROMO parts. One broadcast dim join; numerator and denominator
-    come out of the same single aggregate pass (two conditional decimal
-    sums), then one IEEE division — no second scan, no subquery."""
+    from PROMO parts. One dim join (part is SF-proportional: unhinted,
+    AQE decides — r8 unhint); numerator and denominator come out of the
+    same single aggregate pass (two conditional decimal sums), then one
+    IEEE division — no second scan, no subquery."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
     )
     p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(p, li.l_partkey == p.p_partkey)
     rev = revenue()
     agg = joined.agg(
         exact_sum(
@@ -828,10 +841,11 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-side conjuncts — the part side gets `p_size >= 1 AND (brand IN
     …)`-style pushdown, lineitem gets the quantity envelope [1, 40] — so
     both scans prune BEFORE the join and the full predicate re-applies
-    after. The classic test that disjunctions don't defeat pushdown."""
+    after. The classic test that disjunctions don't defeat pushdown.
+    Part is SF-proportional: unhinted, AQE decides (r8 unhint)."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(p, li.l_partkey == p.p_partkey)
     b = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -1007,10 +1021,11 @@ GROUP BY p.p_brand, p.p_type, p.p_size
 )
 def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16-shaped: NOT IN over a non-null key compiles to a left-anti
-    join against a tiny broadcast exclusion set (suppliers in arrears
-    stand in for the reference shape's complaint filter); part dim filtered
-    then broadcast; one exact COUNT(DISTINCT) per (brand,type,size) group.
-    The fact table never shuffles before the grouped distinct."""
+    join against an exclusion set (suppliers in arrears stand in for the
+    reference shape's complaint filter); part dim filtered before the
+    join. Both sides are constant fractions of SF-proportional dims, so
+    neither carries a broadcast hint — AQE broadcasts at bench scale and
+    falls back to shuffle joins at 100 TB (r8 unhint)."""
     li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     bad = (
         t(spark, sf_dir, "supplier")
@@ -1034,8 +1049,8 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r5: with a non-empty exclusion set, SQL NOT IN drops NULL-key
         # rows — x NOT IN (...) is NULL — while left_anti keeps them)
         li.filter(F.col("l_suppkey").isNotNull())
-        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )

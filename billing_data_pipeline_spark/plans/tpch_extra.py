@@ -145,8 +145,10 @@ ORDER BY o_year
 )
 def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8-shaped market share: within the ASIA PROMO market, the
-    fraction of revenue supplied by NATION_2, per order year. All five
-    dims broadcast; the only data-sized shuffle is lineitem x orders. The
+    fraction of revenue supplied by NATION_2, per order year. Dim chains
+    are pre-flattened into fact-facing key sets; join strategy is left to
+    AQE (broadcast at bench scale, shuffle at 100 TB — the dims are
+    SF-proportional). The
     share is a ratio of two exact-decimal sums over the *same* grouped
     rows (conditional numerator), cast to double for one IEEE division —
     bit-identical on both engines."""
@@ -154,11 +156,10 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
     )
-    # Pre-join each dim chain into ONE broadcast build: market customers
+    # Pre-join each dim chain into ONE fact-facing side: market customers
     # (customer⋈nation⋈region, ASIA only), supplier→nation, filtered part —
-    # three broadcast builds instead of seven (each build is a driver-side
-    # job; collapsing the snowflake into its fact-facing keys is the
-    # standard star-schema flattening and costs nothing at any scale).
+    # collapsing the snowflake into its fact-facing keys is the standard
+    # star-schema flattening and costs nothing at any scale.
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     cust_market = (
@@ -173,11 +174,15 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
     p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    # No broadcast hints on cust_market / supp_nation / part: each is
+    # SF-proportional (region-filtered customers, all suppliers, PROMO
+    # parts all grow linearly with SF). AQE broadcasts them at bench
+    # scale unhinted; at 100 TB a forced broadcast would OOM (r8 unhint).
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust_market), o.o_custkey == F.col("c_custkey"))
-        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
-        .join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(cust_market, o.o_custkey == F.col("c_custkey"))
+        .join(supp_nation, li.l_suppkey == F.col("s_suppkey"))
+        .join(p.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
     )
     rev = revenue()
     return (
@@ -215,9 +220,8 @@ def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9-shaped profit rollup by supplier nation x order year, with
     0.01*p_retailprice*l_quantity standing in for the absent
     ps_supplycost. The p_name LIKE filter cannot push into parquet stats
-    (substring match) but prunes the broadcast part dim before the join;
-    supplier/nation/part all broadcast so the lineitem x orders join is
-    the only shuffle pair."""
+    (substring match) but prunes the part dim before the join; dims are
+    SF-proportional so join strategy is left to AQE."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     supp_nation = (
@@ -229,11 +233,14 @@ def product_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "n_name")
     )
     p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    # supp_nation (all suppliers) and p (LIKE-filtered part) grow with SF:
+    # no broadcast hint — AQE decides (broadcast at bench scale, shuffle
+    # at 100 TB). r8 unhint pass.
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(supp_nation, li.l_suppkey == F.col("s_suppkey"))
         .join(
-            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            p.select("p_partkey", "p_retailprice"),
             li.l_partkey == F.col("p_partkey"),
         )
     )
@@ -268,9 +275,11 @@ LIMIT 20
 def returned_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10-shaped: customers who returned the most revenue in a
     quarter, top-20. Both scans pre-filtered (quarter on orders,
-    returnflag pushed into the lineitem scan); customer and nation
-    broadcast; TakeOrderedAndProject keeps the top-k a per-partition heap
-    merge, never a global sort. c_custkey is the deterministic tiebreak."""
+    returnflag pushed into the lineitem scan); nation broadcast (bounded);
+    customer unhinted — it is the largest dim and SF-proportional, so AQE
+    picks the strategy (r8 unhint). TakeOrderedAndProject keeps the top-k
+    a per-partition heap merge, never a global sort. c_custkey is the
+    deterministic tiebreak."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
@@ -279,7 +288,7 @@ def returned_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation")
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
     )
     return (
@@ -369,8 +378,10 @@ def dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
     )
     p = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    # p is a LIKE-filtered slice of part (SF-proportional): no broadcast
+    # hint, AQE decides (r8 unhint pass).
     per_supp = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(exact_sum("l_quantity").cast("double").alias("supp_qty"))
     )

@@ -99,47 +99,53 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "embedding_ivf_topk",  # ANN
     "text_quality_by_lang",  # text analysis
     "media_real_decode_manifest",  # multimodal
-    # --- r7 late review-pass re-pins (changed implementation or oracle;
-    # the r6 "last never-checked" rotation they replace rode r6 green) ---
-    "part_supplier_variety",  # r7: build-side IS NOT NULL both engines
-    "local_supplier_volume",  # r7: supplier broadcast unhinted
-    "nation_pair_trade_volume",  # r7: same
-    "lone_failed_supplier_orders",  # r7: same
-    "ngram_jaccard_pairs",  # r7: oracle rebuilt next to the operator
+    # --- r8 implementation-changed re-pins (policy: any query whose
+    # call graph changed in the round rides the external sample that
+    # round). The r8 unhint pass (VERDICT r7 #1) touched every broadcast
+    # site below; the r7 pins they evict all rode r7 green. ---
+    "top_regions_by_usage",  # r8: supplier broadcast unhinted
+    "nation_market_share",  # r8: dim-chain broadcasts unhinted
+    "product_profit_by_nation",  # r8: same
+    "returned_revenue_customers",  # r8: customer broadcast unhinted
+    "late_shipment_priority",  # r8: quarter-orders broadcast unhinted
+    "small_quantity_part_revenue",  # r8: brand-part broadcast unhinted
+    "promo_revenue_share",  # r8: part broadcast unhinted
+    "disjunctive_part_revenue",  # r8: part broadcast unhinted
+    "part_supplier_variety",  # r8: exclusion/part broadcasts unhinted
+    "large_order_customers",  # r8: HAVING-set broadcast unhinted
+    "dominant_part_suppliers",  # r8: LIKE-part broadcast unhinted
+    "embedding_lsh_topk",  # r8: query-side broadcasts unhinted (AQE)
+    # (embedding_ivf_topk rides as a flagship; its probe join was
+    #  unhinted in the same pass)
+    # --- r7->r8 pin-policy close-out (ADVICE r7: changed in 5c9962f but
+    # missed the r7 sample) ---
+    "date_spine_coverage",  # 5c9962f: step_days guard, empty-spine plan
+    "chunk_documents",  # 5c9962f: ws_tokens consolidation
+    # --- rows-only entries (documented in CATALOG.md) ---
     "event_value_deciles_scalable",  # rows-only (approx cutpoints)
     "incremental_rollup_merge",  # rows-only (sketch merge)
     "usage_percentiles_approx",  # rows-only (approx_percentile)
-    # --- r5/r6 implementation-changed re-pins (ADVICE r5 medium: changed
-    # operators must ride the external sample the round they change) ---
+    "ml_minhash_neardup_pairs",  # rows-only; r6 persist-barrier rework
+    # --- standing re-pins for load-bearing reworked tiers ---
     "usage_percentiles",  # r5 interpolation; r7 sketch-bracket tier + dispatch
-    "doc_repetition_stats",  # r5: vectorized pyarrow kernel
-    "embedding_cosine_topk",  # r5: zero-norm try_divide semantics
-    "embedding_neardup_pairs",  # r5 zero-norm + r6 eager-contract rework
-    "ml_minhash_neardup_pairs",  # r6: persist-barrier -> localCheckpoint
     "doc_top_terms_tfidf",  # r6 perf rework; r7 single-tokenize packed cache
-    "decontaminate_ngram",  # r6: perf rework (VERDICT #4)
+    "decontaminate_ngram",  # r6 perf rework; r8 A/B target (VERDICT #2)
     "heavy_hitter_terms",  # r6: Arrow MG rework (probe-caught scaling fix)
-    "array_function_matrix",  # r6: try_element_at + seeded-fold oracle
-    "order_snapshot_diff",  # r6: null_keys contract + oracle rework
-    # --- r7 implementation-changed re-pins ---
     "user_state_scd2",  # r7: null-safe change test + first-row marker
     "embedding_kmeans_step",  # r7: NULL/short-vector exclusion both engines
     "embedding_kmeans_fit2",  # r7: same (chained rounds)
-    # --- staleness refresh: external row last seen in r1/r2 ---
-    "service_aggregates",
-    "region_aggregates",
-    "url_and_path_parsing",  # r7: '#' fragment delimiter in both regexes
-    "epoch_shard_manifest",  # r7: long-cast shard key
-    "ledger_rollup",
-    "embedding_dedup_survivors",
-    "lang_id_eval",
-    "doc_fingerprints",
-    "document_quality_pipeline",
-    "packed_chunk_bins",
-    "vocabulary_tfidf",
-    "udaf_median_event_value",  # r7: interpolation-form even median
-    "embedding_pq_topk",  # r7: NULL-vec crash guards (ANN review pass)
-    "decontaminate_embedding",  # r7: same
+    "embedding_cosine_topk",  # r5: zero-norm try_divide semantics
+    "embedding_neardup_pairs",  # r5 zero-norm + r6 eager-contract rework
+    "embedding_pq_topk",  # r7 NULL-vec guards; r8 documented ADC exception
+    "decontaminate_embedding",  # r7: NULL-vec crash guards
+    # --- staleness refresh (rotating; these rode r7 green and stay for
+    # continuity of the externally-green record) ---
+    "local_supplier_volume",
+    "lone_failed_supplier_orders",
+    "doc_repetition_stats",
+    "order_snapshot_diff",
+    "udaf_median_event_value",
+    "array_function_matrix",
 )
 
 #: The only rows-only (no-oracle) names allowed in the driver sample — the

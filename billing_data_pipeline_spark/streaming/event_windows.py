@@ -118,8 +118,10 @@ def enriched_segment_stream(
     (customer) — Spark re-plans the static side per micro-batch and keeps
     the join stateless (no watermark needed on the dim, no join state at
     all; the stream side's watermark only bounds the downstream aggregate).
-    The dim is broadcast, so at any scale the fact stream never shuffles
-    for the join — the streaming twin of the batch star-join rule.
+    The dim carries no broadcast hint — customer is SF-proportional, so
+    the per-micro-batch planner picks broadcast while the dim fits and a
+    shuffled join once it doesn't (r8 unhint: forcing a broadcast of an
+    unbounded dim is the 100 TB OOM class, streaming included).
     Output: per-market-segment running event counts + exact-decimal value
     sums (batch twin/oracle: a plain join+groupBy in SQL)."""
     dim = customer.select(
@@ -127,7 +129,7 @@ def enriched_segment_stream(
     )
     return (
         events.withWatermark("ts", watermark)
-        .join(F.broadcast(dim), "user_id")
+        .join(dim, "user_id")
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

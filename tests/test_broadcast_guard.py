@@ -1,0 +1,82 @@
+"""Catalog-wide scale-contract guard: no registered query may force a
+broadcast of an SF-proportional input (VERDICT r7 item 1 — the 100 TB
+OOM class). Mechanically walks every query's analyzed logical plan; see
+billing_data_pipeline_spark/plans/guard.py for the boundedness rule."""
+
+from __future__ import annotations
+
+import pytest
+
+from billing_data_pipeline_spark.plans.guard import forced_broadcast_violations
+from billing_data_pipeline_spark.registry import load_catalog
+
+from .conftest import SF_SMOKE
+
+CATALOG = load_catalog()
+
+#: Queries allowed to keep a structurally-unbounded broadcast hint, each
+#: with the semantic argument the mechanical rule cannot see. Adding an
+#: entry here requires that argument to hold AT ANY SCALE, not just at
+#: bench scale.
+ALLOWED_UNBOUNDED_HINTS: dict[str, str] = {
+    "top_supplier_revenue": (
+        "at_max = grouped revenue rows EQUAL to the global max (scalar "
+        "agg); the tie set is ~1 row at any SF — ties on exact decimal "
+        "sums of real data have measure ~zero"
+    ),
+    "embedding_pq_topk": (
+        "ADC scan: per-query lookup tables joined to corpus codes with "
+        "NO key — a keyless join has no shuffle for AQE to re-plan, and "
+        "unhinted Spark plans a CartesianProduct that recomputes the "
+        "mapInPandas table build per corpus partition. Delivering query "
+        "tables to every corpus partition is definitionally a broadcast; "
+        "SF-scale query sets must batch (operator docstring)"
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CATALOG))
+def test_no_forced_broadcast_of_unbounded_input(spark, name):
+    df = CATALOG[name].fn(spark, SF_SMOKE)
+    violations = forced_broadcast_violations(df)
+    if name in ALLOWED_UNBOUNDED_HINTS:
+        assert violations, (
+            f"{name} is whitelisted for an unbounded broadcast hint but "
+            "no longer has one — remove the stale exception"
+        )
+        return
+    assert not violations, f"{name}: " + "; ".join(violations)
+
+
+def test_guard_catches_a_forced_fact_broadcast(spark):
+    """Self-test: the walker must actually flag the bad shape (guards
+    that can't fail pass forever)."""
+    from pyspark.sql import functions as F
+
+    from billing_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    o = load_table(spark, SF_SMOKE, "orders")
+    bad = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+    v = forced_broadcast_violations(bad)
+    assert v and "orders" in v[0]
+
+    n = load_table(spark, SF_SMOKE, "nation")
+    ok = li.join(F.broadcast(n), li.l_suppkey == n.n_nationkey)
+    assert forced_broadcast_violations(ok) == []
+
+    one_row = F.broadcast(o.agg(F.count("*").alias("n")))
+    assert forced_broadcast_violations(li.crossJoin(one_row)) == []
+
+    limited = F.broadcast(o.limit(10))
+    assert (
+        forced_broadcast_violations(
+            li.join(limited, li.l_orderkey == o.o_orderkey)
+        )
+        == []
+    )
+
+    grouped = F.broadcast(o.groupBy("o_custkey").agg(F.count("*").alias("n")))
+    assert forced_broadcast_violations(
+        li.join(grouped, li.l_orderkey == F.col("o_custkey"))
+    ), "a grouped aggregate is SF-proportional and must be flagged"
