@@ -359,9 +359,17 @@ def minhash_neardup_pairs(
         ).alias("bk"),
     ).select("doc", "bk.band", "bk.key")
 
-    # Candidate ids only through join + distinct (the signatures would
-    # otherwise ride along the shuffle 2 x k longs per row); rejoin sigs once
-    # per distinct pair for the agreement estimate.
+    # Candidate ids only through join + distinct; rejoin sigs once per
+    # DISTINCT pair for the agreement estimate. The portable sibling's
+    # carry-signature-through-the-band-join shape (ADVICE r7) was A/B'd
+    # here in r8 and LOST: interleaved min-of-3 at x8 sf0.1 measured
+    # ids-only 2.38-2.62 s vs carry-sig 2.81-3.13 s (and 3.25-4.89 s with
+    # the estimate per collision row). With n_bands=8 and 8-byte long band
+    # keys, riding the k=16-long signature triples the band-shuffle bytes
+    # and the collision-side rows — the opposite trade from the portable
+    # tier, whose band keys are STRINGS that dwarf its k=12 signature and
+    # whose md5 Python kernel made rejoin recompute expensive. Fewer
+    # exchanges (2 vs 4) did not mean less shuffle. See PLANS.md r8.
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

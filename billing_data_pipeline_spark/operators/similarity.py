@@ -168,9 +168,17 @@ def cosine_topk(
     dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: for each query vector, the k nearest corpus
-    vectors (excluding itself), deterministic tiebreak on candidate id."""
+    vectors (excluding itself), deterministic tiebreak on candidate id.
+
+    NULL-embedding contract (r8, shared by every similarity tier and the
+    oracle builders' IS NOT NULL clauses): rows without a vector are
+    excluded from BOTH sides — they can neither query nor be candidates.
+    This keeps the HOF twin bit-identical to the vectorized kernel, whose
+    Arrow path drops NULL rows as a crash guard (r7)."""
     from pyspark.sql import Window
 
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     # Norms are per-row, so compute them once per side before the join —
     # the per-pair work drops from three HOF folds to one.
     q = queries.select(
@@ -218,9 +226,13 @@ def cosine_topk_oracle_sql(
     d_qc = dot.format(a="q.v", b="c.v")
     d_qq = dot.format(a="q.v", b="q.v")
     d_cc = dot.format(a="c.v", b="c.v")
+    # NULL-embedding contract (r8): both sides exclude NULL vectors,
+    # mirroring the kernels' Arrow-side skip and the plan-side filters.
     return f"""
-WITH q AS (SELECT {id_col} AS query_id, {vec_col} AS v FROM {table} WHERE {query_pred}),
-c AS (SELECT {id_col} AS candidate_id, {vec_col} AS v FROM {table}),
+WITH q AS (SELECT {id_col} AS query_id, {vec_col} AS v FROM {table}
+           WHERE ({query_pred}) AND {vec_col} IS NOT NULL),
+c AS (SELECT {id_col} AS candidate_id, {vec_col} AS v FROM {table}
+      WHERE {vec_col} IS NOT NULL),
 scored AS (
     SELECT q.query_id, c.candidate_id,
            {d_qc} / (sqrt({d_qq}) * sqrt({d_cc})) AS cosine_sim
@@ -571,9 +583,15 @@ def semantic_decontaminate_oracle_sql(
     d_tc = dot.format(a="tr.v", b="ev.v")
     d_tt = dot.format(a="tr.v", b="tr.v")
     d_cc = dot.format(a="ev.v", b="ev.v")
+    # NULL-embedding contract (r8): both sides exclude NULL vectors — the
+    # kernel drops NULL corpus rows entirely (the oracle's MAX over their
+    # all-NULL sims would instead KEEP the row with NULL verdicts), and an
+    # all-NULL eval side must mean "no eval vectors" on both engines.
     return f"""
-WITH ev AS (SELECT {vec_col} AS v FROM {table} WHERE {eval_pred}),
-tr AS (SELECT {id_col}, {vec_col} AS v FROM {table} WHERE NOT ({eval_pred}))
+WITH ev AS (SELECT {vec_col} AS v FROM {table}
+            WHERE ({eval_pred}) AND {vec_col} IS NOT NULL),
+tr AS (SELECT {id_col}, {vec_col} AS v FROM {table}
+       WHERE NOT ({eval_pred}) AND {vec_col} IS NOT NULL)
 SELECT tr.{id_col},
        MAX({d_tc} / (sqrt({d_tt}) * sqrt({d_cc}))) AS max_eval_sim,
        MAX({d_tc} / (sqrt({d_tt}) * sqrt({d_cc}))) >= CAST('{threshold}' AS DOUBLE)
@@ -617,6 +635,13 @@ def ivf_topk(
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
+    # NULL-embedding contract (r8): excluded PLAN-SIDE, not just in the
+    # kernels — a NULL row reaching stride_seed_rows becomes a NULL seed
+    # centroid (np.array coercion crash), and the stride itself must be
+    # computed over the vector-bearing rows to match the oracle's
+    # IS-NOT-NULL ids CTE.
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(vec_col).isNotNull())
     # deterministic centroids: every stride-th corpus vector by sorted id,
     # picked distributed (ids-only rank + broadcast semi-join — no O(N)
     # driver materialization; see stride_seed_rows)
@@ -767,10 +792,13 @@ def ivf_topk_oracle_sql(
     d_qa = _dot_sql("q.vec", "a.vec")
     d_qq = _dot_sql("q.vec", "q.vec")
     d_aa = _dot_sql("a.vec", "a.vec")
+    # NULL-embedding contract (r8): the ids CTE (and hence the stride and
+    # the seed centroids) and the scored vector set all exclude NULL
+    # vectors, mirroring the plan-side filters in ivf_topk.
     return f"""
 WITH ids AS (
     SELECT {id_col} AS id, row_number() OVER (ORDER BY {id_col}) - 1 AS rn
-    FROM {table}
+    FROM {table} WHERE {vec_col} IS NOT NULL
 ),
 params AS (SELECT greatest(1, COUNT(*) // {n_lists}) AS stride FROM ids),
 cents AS (
@@ -779,7 +807,8 @@ cents AS (
     JOIN {table} e ON e.{id_col} = i.id
     WHERE i.rn % p.stride = 0 AND i.rn // p.stride < {n_lists}
 ),
-vecs AS (SELECT {id_col} AS id, {vec_col} AS vec FROM {table}),
+vecs AS (SELECT {id_col} AS id, {vec_col} AS vec FROM {table}
+         WHERE {vec_col} IS NOT NULL),
 sims AS (
     SELECT v.id, c.cidx,
            {d_vc} / (sqrt({d_vv}) * sqrt({d_cc})) AS sim
@@ -915,12 +944,17 @@ def cosine_neardup_pairs(
 
 
 def neardup_pairs_oracle_sql(table: str, id_col: str, vec_col: str, threshold: float) -> str:
-    """DuckDB oracle for cosine_neardup_pairs (identical IEEE fold)."""
+    """DuckDB oracle for cosine_neardup_pairs (identical IEEE fold).
+
+    The IS NOT NULL is semantics-preserving (a NULL-vec pair's cosine is
+    NULL and NULL >= t never passes) but makes the shared NULL-embedding
+    contract explicit and prunes the pair scan (r8)."""
     d_ab = _dot_sql("a.v", "b.v")
     d_aa = _dot_sql("a.v", "a.v")
     d_bb = _dot_sql("b.v", "b.v")
     return f"""
-WITH v AS (SELECT {id_col}, {vec_col} AS v FROM {table}),
+WITH v AS (SELECT {id_col}, {vec_col} AS v FROM {table}
+           WHERE {vec_col} IS NOT NULL),
 scored AS (
     SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
            {d_ab} / (sqrt({d_aa}) * sqrt({d_bb})) AS cosine_sim
@@ -955,8 +989,12 @@ def neardup_survivors_oracle_sql(
     d_aa = _dot_sql("a.v", "a.v")
     d_bb = _dot_sql("b.v", "b.v")
     keep = ", ".join(f"e.{c}" for c in keep_cols)
+    # v's IS NOT NULL is semantics-preserving (see neardup_pairs_oracle_sql);
+    # the outer scan stays UNfiltered — NULL-vec rows never pair, so they
+    # always survive, on both engines (r8).
     return f"""
-WITH v AS (SELECT {id_col}, {vec_col} AS v FROM {table}),
+WITH v AS (SELECT {id_col}, {vec_col} AS v FROM {table}
+           WHERE {vec_col} IS NOT NULL),
 dropped AS (
     SELECT DISTINCT b.{id_col} AS id
     FROM v a JOIN v b ON a.{id_col} < b.{id_col}
@@ -1033,11 +1071,19 @@ cand AS (
     FROM s a JOIN s b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
 ),
 scored AS (
+    -- the vector re-fetch excludes NULL vectors (r8): semantics-preserving
+    -- (a NULL-side pair's cosine is NULL on both engines and NULL >= t
+    -- never passes) and required for DuckDB — list_zip(NULL, NULL) is an
+    -- EMPTY list and list_reduce errors on empty input, so two NULL-vec
+    -- rows colliding in bucket 0 crashed the fold (first NULL-embedding
+    -- sweep)
     SELECT c.id_a, c.id_b,
            {d_ab} / (sqrt({d_aa}) * sqrt({d_bb})) AS cosine_sim
     FROM cand c
-    JOIN (SELECT {id_col} AS id, {vec_col} AS v FROM {table}) va ON va.id = c.id_a
-    JOIN (SELECT {id_col} AS id, {vec_col} AS v FROM {table}) vb ON vb.id = c.id_b
+    JOIN (SELECT {id_col} AS id, {vec_col} AS v FROM {table}
+          WHERE {vec_col} IS NOT NULL) va ON va.id = c.id_a
+    JOIN (SELECT {id_col} AS id, {vec_col} AS v FROM {table}
+          WHERE {vec_col} IS NOT NULL) vb ON vb.id = c.id_b
 )
 SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= {threshold}
 """
@@ -1078,8 +1124,15 @@ cand AS (
     FROM e c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.id <> q.id
 ),
 scored AS (
+    -- CASE, not a filter (r8): Spark KEEPS NULL-vec rows here (bucket 0,
+    -- NULL cosine ranked last — they fill the top-k when a bucket runs
+    -- short), so the oracle must emit NULL sims too; but the fold itself
+    -- cannot run on them — DuckDB's list_zip(NULL, NULL) is an EMPTY list
+    -- and list_reduce errors on empty input (first NULL-embedding sweep).
+    -- CASE's lazy ELSE keeps the crash path unreachable.
     SELECT cand.query_id, cand.candidate_id,
-           {d_qc} / (sqrt({d_qq}) * sqrt({d_cc})) AS cosine_sim
+           CASE WHEN qs.v IS NULL OR cs.v IS NULL THEN NULL
+                ELSE {d_qc} / (sqrt({d_qq}) * sqrt({d_cc})) END AS cosine_sim
     FROM cand
     JOIN s qs ON qs.id = cand.query_id
     JOIN s cs ON cs.id = cand.candidate_id
@@ -1206,8 +1259,14 @@ def _cosine_rerank(
                 continue
             na = pdf["na"].to_numpy(dtype=object)
             nb = pdf["nb"].to_numpy(dtype=object)
+            # pd.notna, NOT `is not None` (r8, found by the first sweep to
+            # inject NULL embeddings): a NULL DoubleType norm reaches the
+            # kernel as float NaN when pandas densifies the column — the
+            # identity check passed it as valid, and the row's None vector
+            # then made np.array inhomogeneous (kernel crash, not the
+            # documented NULL-cosine emit).
             valid = np.array(
-                [x is not None and y is not None for x, y in zip(na, nb)]
+                [pd.notna(x) and pd.notna(y) for x, y in zip(na, nb)]
             )
             cos_out = [None] * len(pdf)
             if valid.any():
@@ -1424,6 +1483,10 @@ def _pq_codebook(corpus: DataFrame, id_col: str, vec_col: str, m: int, k_codes: 
     Returns (norm_samples ndarray [k_codes, dim], sub_dim)."""
     import numpy as np
 
+    # NULL-embedding contract (r8): a NULL row reaching the stride pick
+    # becomes a NULL codebook sample (np.array coercion crash), and the
+    # stride must count only vector-bearing rows to match the oracle.
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     rows = stride_seed_rows(corpus, id_col, vec_col, k_codes)
     if not rows:
         return None, 0  # empty corpus — pq_topk returns empty
@@ -1604,11 +1667,14 @@ def pq_topk_oracle_sql(
     sq = (
         "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])"
     )
+    # NULL-embedding contract (r8): vecs (and hence ids/stride/codebook)
+    # excludes NULL vectors, mirroring _pq_codebook's plan-side filter and
+    # the encode/build_tables kernels' Arrow-side skip.
     return f"""
 WITH vecs AS (
     SELECT {id_col} AS id,
            list_transform(e.{vec_col}, x -> CAST(x AS DOUBLE) / sqrt({d_vv})) AS vec
-    FROM {table} e
+    FROM {table} e WHERE e.{vec_col} IS NOT NULL
 ),
 ids AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS rn FROM vecs),
 params AS (SELECT greatest(1, COUNT(*) // {k_codes}) AS stride FROM ids),

@@ -394,6 +394,14 @@ def vocabulary_stats(df, id_col: str = "doc_id", text_col: str = "text"):
 # can never collide with a real term — safe as an in-array per-doc sentinel.
 _NDOC_SENTINEL = "\x00"
 
+#: Max term slots per OUTPUT Arrow batch in tokenize_pack: Spark's
+#: ArrayType wire format carries int32 list offsets, so one batch cannot
+#: hold 2^31+ slots. The kernel splits oversized packs into multiple
+#: RecordBatches instead of letting pa.array raise ArrowInvalid (r8,
+#: ADVICE r7 — loud but job-fatal on extreme long-doc corpora). Small
+#: safety margin off 2^31-1; tests shrink it to force the chunk path.
+_MAX_PACKED_SLOTS = (1 << 31) - 1024
+
 
 def doc_top_terms(
     df,
@@ -495,6 +503,11 @@ def doc_top_terms(
         ]
     )
 
+    # snapshot the cap DRIVER-side: a bare global read inside the kernel
+    # would re-resolve in the worker process (which re-imports this
+    # module), so tests could never exercise the chunk path
+    slot_cap = _MAX_PACKED_SLOTS
+
     def tokenize_pack(batches):
         import numpy as np
         import pandas as pd
@@ -553,24 +566,52 @@ def doc_top_terms(
                 slots = offsets[i_arr] + within
                 terms_vals[slots] = tf["term"].to_numpy()
                 tfs_vals[slots] = tf["tf"].to_numpy()
-            # int32 list offsets (Spark's ArrayType wire type): a single
-            # Arrow batch would need >2^31 term slots to overflow —
-            # ~10k docs/batch x >200k distinct terms each; pa.array
-            # raises loudly (ArrowInvalid), it cannot corrupt. Shrink
-            # arrow.maxRecordsPerBatch for extreme long-doc corpora.
-            off32 = pa.array(offsets, pa.int32())
-            yield pa.RecordBatch.from_arrays(
-                [
-                    tb.column(id_col).combine_chunks(),
-                    pa.ListArray.from_arrays(
-                        off32, pa.array(terms_vals, pa.string())
-                    ),
-                    pa.ListArray.from_arrays(
-                        off32, pa.array(tfs_vals, pa.int64())
-                    ),
-                ],
-                names=[id_col, "terms", "tfs"],
-            )
+            # int32 list offsets (Spark's ArrayType wire type): one output
+            # batch cannot hold 2^31+ term slots (~10k docs/batch x >200k
+            # distinct terms each). Split oversized packs into multiple
+            # RecordBatches with rebased offsets (r8, ADVICE r7 — the old
+            # code let pa.array raise ArrowInvalid: loud, but job-fatal);
+            # mapInArrow is free to emit several batches per input batch.
+            ids_arr = tb.column(id_col).combine_chunks()
+            cap = slot_cap
+            r0 = 0
+            while r0 < n:
+                if total - offsets[r0] <= cap:
+                    r1 = n
+                else:
+                    # largest r1 with offsets[r1] - offsets[r0] <= cap
+                    r1 = (
+                        int(
+                            np.searchsorted(
+                                offsets, offsets[r0] + cap, side="right"
+                            )
+                        )
+                        - 1
+                    )
+                if r1 <= r0:
+                    # a single document exceeding int32 slots — not
+                    # constructible from a <2 GiB Spark string, but fail
+                    # loudly rather than loop forever if it ever is
+                    raise ValueError(
+                        f"tokenize_pack: row {r0} alone needs "
+                        f"{int(offsets[r0 + 1] - offsets[r0])} term slots, "
+                        "exceeding int32 list-offset capacity"
+                    )
+                lo, hi = int(offsets[r0]), int(offsets[r1])
+                off32 = pa.array(offsets[r0 : r1 + 1] - lo, pa.int32())
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids_arr.slice(r0, r1 - r0),
+                        pa.ListArray.from_arrays(
+                            off32, pa.array(terms_vals[lo:hi], pa.string())
+                        ),
+                        pa.ListArray.from_arrays(
+                            off32, pa.array(tfs_vals[lo:hi], pa.int64())
+                        ),
+                    ],
+                    names=[id_col, "terms", "tfs"],
+                )
+                r0 = r1
 
     # swept_persist, not bare persist: Spark's CacheManager never
     # reclaims persisted frames on its own, so a bench loop / catalog

@@ -140,10 +140,15 @@ SELECT vec_id,
        -- accumulator: DuckDB list_reduce has no seed and ERRORS on an
        -- empty list, so a zero-length embedding killed the whole oracle
        -- query where Spark returns 0.0 (review r6); the seeded fold is
-       -- also the exact same left-to-right IEEE sum
-       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                   list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))),
-                   (a, b) -> a + b) AS head3_sum,
+       -- also the exact same left-to-right IEEE sum. The NULL guard (r8,
+       -- found by the first sweep to inject NULL embeddings): a NULL
+       -- list must NULL-propagate like Spark's aggregate, but
+       -- list_prepend(0.0, NULL) is [0.0], which the seeded fold turned
+       -- into a spurious 0.0.
+       CASE WHEN embedding IS NULL THEN NULL ELSE
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))),
+                       (a, b) -> a + b) END AS head3_sum,
        CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
             AS DOUBLE) AS abs_max,
        CAST(list_sort(embedding)[1] AS DOUBLE) AS smallest,

@@ -31,6 +31,9 @@ from ._util import dsum_sql, t
 
 PCTS = (0.5, 0.9, 0.95, 0.99)
 
+# one-shot flag for the size-estimate seam warning (see usage_percentiles)
+_SIZE_SEAM_WARNED = False
+
 
 def _tag(p: float) -> int:
     """Column tag for percentile p: round, not int() — int(0.29*100)
@@ -133,6 +136,22 @@ def usage_percentiles(
             vals._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
     except Exception:  # estimate unavailable -> scale-safe tier
+        # Log ONCE (review r8 / ADVICE): this reads a private JVM seam —
+        # on Spark Connect (no _jdf) or after an upstream rename, every
+        # call silently took the bracket tier, including tiny inputs
+        # where the kernel is 3x faster. The fallback CHOICE is right
+        # (scale-safe); the silence was the bug — an API drift would
+        # invisibly change the bench-measured plan.
+        global _SIZE_SEAM_WARNED
+        if not _SIZE_SEAM_WARNED:
+            _SIZE_SEAM_WARNED = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "usage_percentiles: optimizedPlan size estimate "
+                "unavailable (Spark Connect or private-API drift); "
+                "always dispatching to the scale-safe bracket tier"
+            )
         est = bracket_min_bytes
     if est < bracket_min_bytes:
         return _usage_percentiles_kernel(spark, sf_dir)

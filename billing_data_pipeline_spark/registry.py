@@ -138,10 +138,15 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "embedding_neardup_pairs",  # r5 zero-norm + r6 eager-contract rework
     "embedding_pq_topk",  # r7 NULL-vec guards; r8 documented ADC exception
     "decontaminate_embedding",  # r7: NULL-vec crash guards
+    # --- r8 NULL-embedding contract pass (oracle IS NOT NULL + rerank
+    # kernel pd.notna fix; plan fingerprints can't see oracle text or
+    # kernel bodies, so these ride by discipline) ---
+    "embedding_lsh_neardup_pairs",  # r8: _cosine_rerank NaN-norm fix
+    "embedding_dedup_survivors",  # r8: oracle IS NOT NULL (explicit)
     # --- staleness refresh (rotating; these rode r7 green and stay for
-    # continuity of the externally-green record) ---
-    "local_supplier_volume",
-    "lone_failed_supplier_orders",
+    # continuity of the externally-green record; r8 evicted
+    # local_supplier_volume + lone_failed_supplier_orders for the
+    # contract-pass pins above) ---
     "doc_repetition_stats",
     "order_snapshot_diff",
     "udaf_median_event_value",

@@ -86,8 +86,12 @@ def _convert(value: str, dtype):
         # RFC3339 'Z' suffix: Python 3.10's fromisoformat rejects it
         # (3.11+ accepts) — under the permissive handler every Z-suffixed
         # feed would silently ingest as NULL timestamps on the declared
-        # 3.10 floor (review r7)
-        return datetime.fromisoformat(value.replace("Z", "+00:00"))
+        # 3.10 floor (review r7). Only a TRAILING designator is rewritten
+        # (review r8): a blanket replace() mangled mid-string Zs in
+        # malformed values before fromisoformat could reject them cleanly.
+        if value.endswith("Z"):
+            value = value[:-1] + "+00:00"
+        return datetime.fromisoformat(value)
     if isinstance(dtype, DateType):
         return date.fromisoformat(value)
     # explicit fall-through error (review r7): returning the raw string

@@ -63,12 +63,24 @@ def _route_to_partitions(df: DataFrame, partition_cols: list[str]) -> DataFrame:
     one straggler/OOM task writing one giant file. The REBALANCE hint
     keeps the one-file-per-partition goal but lets
     ``optimizeSkewsInRebalancePartitions`` split oversized partitions
-    into maxPartitionBytes-sized tasks/files. Falls back to repartition
-    on builds without the hint."""
+    into maxPartitionBytes-sized tasks/files.
+
+    Version-gated fallback (review r8): ``DataFrame.hint`` never raises
+    on an unknown hint name — the analyzer silently DROPS unresolved
+    hints with a log warning — so the old try/except could never fire
+    and a pre-3.2 build would have written with no clustering at all
+    (tasks × partitions small files, the exact failure this function
+    prevents). The REBALANCE hint ships since Spark 3.2; older builds
+    get an explicit hash repartition (no skew-split, but the small-files
+    contract holds)."""
+    parts = df.sparkSession.version.split(".")
     try:
+        version = (int(parts[0]), int(parts[1]))
+    except (ValueError, IndexError):  # snapshot/vendor version strings
+        version = (3, 2)
+    if version >= (3, 2):
         return df.hint("rebalance", *partition_cols)
-    except Exception:
-        return df.repartition(*partition_cols)
+    return df.repartition(*partition_cols)
 
 
 def read_hive_partitioned(spark: SparkSession, path: str) -> DataFrame:

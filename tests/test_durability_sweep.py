@@ -32,7 +32,10 @@ import uuid
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from billing_data_pipeline_spark.sources.objectstore import LocalObjectStore
+from billing_data_pipeline_spark.sources.objectstore import (
+    LocalObjectStore,
+    SimulatedObjectStore,
+)
 from billing_data_pipeline_spark.sources.os_snapshot import (
     CommitAborted,
     ObjectStoreSnapshotTable,
@@ -41,6 +44,18 @@ from billing_data_pipeline_spark.sources.versioned_sink import SnapshotTable
 
 N_WORKERS = 4
 OPS_PER_WORKER = 10
+
+#: Store constructors the object-store storm runs over, keyed by the
+#: string each spawn-context worker receives (factories must be
+#: importable, not closures). A future S3/GCS ObjectStore subclass drops
+#: in here — and into test_os_snapshot.make_store — to inherit the whole
+#: contract + storm suite (VERDICT r7 #8). SimulatedObjectStore runs with
+#: its benign defaults: its per-process lag/hook state cannot span spawn
+#: workers, but the CONTRACT methods it overrides still execute.
+OBJECT_STORES = {
+    "object-local": LocalObjectStore,
+    "object-sim": SimulatedObjectStore,
+}
 
 
 def _writer(uid: str, count: int, crash: bool = False):
@@ -85,7 +100,7 @@ def _validate_snapshot(dirs: list[str]) -> None:
 def _table(kind: str, path: str, heartbeat: float = 0.05):
     if kind == "posix":
         return SnapshotTable(None, path)
-    t = ObjectStoreSnapshotTable(None, LocalObjectStore(path))
+    t = ObjectStoreSnapshotTable(None, OBJECT_STORES[kind](path))
     t._HEARTBEAT_SECS = heartbeat
     return t
 
@@ -203,7 +218,7 @@ def _run_storm(kind: str, warehouse: str):
         assert strays == [], f"unswept staging orphans: {strays}"
         # and the retained snapshot still reads clean after the sweep
     else:
-        store = LocalObjectStore(warehouse)
+        store = OBJECT_STORES[kind](warehouse)
         live = {c["dir"] for c in table._head()[1]["commits"]}
         on_disk = {k.split("/", 1)[1].split("/", 1)[0].removesuffix(".begin")
                    for k in store.list("data/")}
@@ -215,5 +230,9 @@ def test_posix_snapshot_multiprocess_storm(tmp_path):
     _run_storm("posix", str(tmp_path / "warehouse"))
 
 
-def test_objectstore_snapshot_multiprocess_storm(tmp_path):
-    _run_storm("object", str(tmp_path / "warehouse"))
+import pytest
+
+
+@pytest.mark.parametrize("kind", sorted(OBJECT_STORES))
+def test_objectstore_snapshot_multiprocess_storm(tmp_path, kind):
+    _run_storm(kind, str(tmp_path / "warehouse"))

@@ -484,6 +484,61 @@ def test_doc_top_terms_null_text_contained(spark):
     assert {r["doc_id"] for r in rows} == {1}
 
 
+def test_tokenize_pack_chunks_batches_past_int32_slot_cap(spark, monkeypatch):
+    """r8 (ADVICE r7): Spark's ArrayType carries int32 list offsets, so a
+    packed output batch is capped at 2^31 term slots. tokenize_pack now
+    splits oversized packs into multiple RecordBatches with rebased
+    offsets; the cap is shrunk here to force the chunk path on every
+    batch and the result must be bit-identical to the unchunked run.
+    (A real 2^31-slot batch needs ~17 GiB of pointers — untestable; the
+    chunk arithmetic is cap-independent.)"""
+    from billing_data_pipeline_spark.operators import text as text_mod
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta beta gamma delta"),
+            (2, "beta gamma gamma delta epsilon zeta"),
+            (3, None),
+            (4, "epsilon"),
+            (5, "eta theta iota kappa lam mu nu xi"),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1)  # one input batch -> the cap must split it
+    # stats_fallback_bytes raised: an RDD-backed createDataFrame plan
+    # has a Long.MaxValue size estimate, which would route tier (a) to the
+    # join form and never run the kernel under test
+    big = 1 << 64  # above the RDD-backed Long.MaxValue estimate
+    baseline = sorted(
+        map(
+            tuple,
+            text_mod.doc_top_terms(
+                df, "doc_id", "text", k=3, stats_fallback_bytes=big
+            ).collect(),
+        )
+    )
+    # 5 slots/chunk: doc 5 alone has 8 distinct terms + sentinel = 9 slots
+    # > cap, which must raise loudly, not loop
+    monkeypatch.setattr(text_mod, "_MAX_PACKED_SLOTS", 5)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="int32 list-offset capacity"):
+        text_mod.doc_top_terms(
+            df, "doc_id", "text", k=3, stats_fallback_bytes=big
+        ).collect()
+    # 16 slots/chunk: every doc fits, but the batch must split into
+    # several output batches — rows identical to the unchunked run
+    monkeypatch.setattr(text_mod, "_MAX_PACKED_SLOTS", 16)
+    chunked = sorted(
+        map(
+            tuple,
+            text_mod.doc_top_terms(
+                df, "doc_id", "text", k=3, stats_fallback_bytes=big
+            ).collect(),
+        )
+    )
+    assert chunked == baseline
+
+
 def test_doc_top_terms_vocab_cap_falls_back_to_join_form(spark):
     """Vocabulary above max_broadcast_terms must route to the distributed
     join form (nothing vocab-sized broadcast) and return bit-identical

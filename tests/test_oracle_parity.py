@@ -399,6 +399,64 @@ def test_cosine_topk_zero_norm_query_and_candidate(spark, tmp_path):
     assert 40 in got  # the zero-norm query's rows survived
 
 
+def test_null_embedding_contract_across_similarity_tiers(spark, tmp_path):
+    """r8 (ADVICE r7): rows with a NULL embedding are excluded from every
+    kernel-backed similarity tier — they can neither query, be candidates,
+    seed centroids/codebooks, nor shift the stride — and each oracle now
+    carries the matching IS NOT NULL. NULL rows land on query positions
+    (%40, %20) AND candidate/seed positions so both directions and the
+    stride arithmetic are exercised. Before this the sweep never injected
+    NULL embeddings, so the divergence (oracle scoring NULL-vec rows with
+    NULL sims / keeping NULL-verdict rows) was latent."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rnd = random.Random(11)
+    ids = list(range(0, 480, 10))  # 0,40,...,440 hit the %40 query set
+    vecs: list = [[rnd.uniform(-1, 1) for _ in range(64)] for _ in ids]
+    # NULL queries (both %40 and %20 positions) + NULL candidates at
+    # stride-sensitive low ids (seed picks are every (N//k)-th by id)
+    for null_id in (40, 60, 10, 30, 250):
+        vecs[ids.index(null_id)] = None
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array(["x"] * len(ids)),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    for name in (
+        "embedding_cosine_topk",
+        "embedding_ivf_topk",
+        "embedding_pq_topk",
+        "decontaminate_embedding",
+        "embedding_neardup_pairs",
+        "embedding_dedup_survivors",
+        # LSH tiers KEEP NULL-vec rows (bucket 0, NULL sims) — but multiple
+        # NULL vectors colliding in bucket 0 made the oracle's rerank fold
+        # run list_reduce over list_zip(NULL, NULL) = [] (a DuckDB error),
+        # and Spark's rerank kernel treated the NaN-densified NULL norm as
+        # valid (np.array crash). Three NULL candidates above guarantee the
+        # both-NULL collision.
+        "embedding_lsh_neardup_pairs",
+        "embedding_lsh_topk",
+    ):
+        spec = CATALOG[name]
+        df = spec.fn(spark, str(d))
+        assert_matches_oracle(df, spec.oracle, str(d))
+        if name == "embedding_cosine_topk":
+            got = {r["query_id"] for r in df.collect()}
+            assert 40 not in got and 60 not in got  # NULL queries excluded
+            assert 0 in got  # real queries still present
+
+
 def test_quality_kept_and_transcripts_edge_rows(spark, tmp_path):
     """Review r5: (a) a digits-only doc (alpha-token diversity 0/0 ->
     NULL model score) must get kept=FALSE on both engines, not NULL vs

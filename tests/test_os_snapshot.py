@@ -36,6 +36,25 @@ def _w(vals):
     return write
 
 
+@pytest.fixture(params=["local", "simulated"])
+def make_store(request, tmp_path):
+    """ONE parameterized store factory for every impl-generic contract
+    test (VERDICT r7 #8): the commit/epoch/concurrency/vacuum semantics
+    are properties of the ObjectStore CONTRACT (conditional PUT +
+    strongly-consistent get + possibly-lagging list), not of one impl —
+    a future S3/GCS subclass drops into this fixture's params and
+    inherits the whole suite. Pathology-injection tests (list lag,
+    crash hooks) stay SimulatedObjectStore-only below."""
+    cls = {"local": LocalObjectStore, "simulated": SimulatedObjectStore}[
+        request.param
+    ]
+
+    def factory(name: str = "store"):
+        return cls(str(tmp_path / name))
+
+    return factory
+
+
 def _rows(tbl, version=None):
     out = []
     for url in tbl.resolve_urls(version):
@@ -47,8 +66,8 @@ def _rows(tbl, version=None):
     return sorted(out)
 
 
-def test_commit_read_append_time_travel_vacuum(tmp_path):
-    store = LocalObjectStore(str(tmp_path / "store"))
+def test_commit_read_append_time_travel_vacuum(make_store):
+    store = make_store()
     t = ObjectStoreSnapshotTable(None, store)
     assert t.latest_version() is None
     with pytest.raises(FileNotFoundError):
@@ -76,8 +95,8 @@ def test_commit_read_append_time_travel_vacuum(tmp_path):
     assert on_disk == live
 
 
-def test_epoch_idempotence_and_reset_guard(tmp_path):
-    store = LocalObjectStore(str(tmp_path / "store"))
+def test_epoch_idempotence_and_reset_guard(make_store):
+    store = make_store()
     t = ObjectStoreSnapshotTable(None, store)
     v0 = t.commit(writer=_w([1]), mode="overwrite", epoch=7)
     assert t.commit(writer=_w([999]), mode="append", epoch=7) == v0  # replay
@@ -87,11 +106,11 @@ def test_epoch_idempotence_and_reset_guard(tmp_path):
         t.commit(writer=_w([2]), mode="append", epoch=3)
 
 
-def test_concurrent_committers_no_lost_update(tmp_path):
+def test_concurrent_committers_no_lost_update(make_store):
     """N racing committers on the SAME store: the conditional PUT must
     arbitrate — every committer gets a distinct version and every
     committed row set is readable afterwards."""
-    store = SimulatedObjectStore(str(tmp_path / "store"))
+    store = make_store()
     results = []
     barrier = threading.Barrier(6)
 
@@ -276,12 +295,12 @@ def test_heartbeat_never_resurrects_vacuum_tombstone(tmp_path):
     assert t.latest_version() == 0 and _rows(t) == [1]
 
 
-def test_latest_version_is_manifest_version_after_pruning_vacuum(tmp_path):
+def test_latest_version_is_manifest_version_after_pruning_vacuum(make_store):
     """Review r7: vacuum publishes its pruned state as a NEW log entry
     with `version` unchanged, so latest_version must report the manifest
     version (POSIX-dual semantics), never the log head index — and
     read(latest_version()) must resolve."""
-    store = LocalObjectStore(str(tmp_path / "store"))
+    store = make_store()
     t = ObjectStoreSnapshotTable(None, store)
     for i in range(4):
         t.commit(writer=_w([i]), mode="overwrite")
@@ -291,11 +310,11 @@ def test_latest_version_is_manifest_version_after_pruning_vacuum(tmp_path):
     assert _rows(t, t.latest_version()) == [3]
 
 
-def test_stale_cas_temp_orphans_swept_fresh_ones_spared(tmp_path):
+def test_stale_cas_temp_orphans_swept_fresh_ones_spared(make_store):
     """Review r7: crash-orphaned _cas_/_put_ temp files are hidden from
     list() by design, so vacuum reclaims them store-side past the same
     staleness threshold — while a live writer's fresh temp survives."""
-    store = LocalObjectStore(str(tmp_path / "store"))
+    store = make_store()
     t = ObjectStoreSnapshotTable(None, store)
     t.commit(writer=_w([1]), mode="overwrite")
     log_dir = os.path.join(store.root, "_log")
@@ -316,22 +335,22 @@ def test_stale_cas_temp_orphans_swept_fresh_ones_spared(tmp_path):
     assert _rows(t) == [1]
 
 
-def test_put_if_absent_idempotent_on_identical_content(tmp_path):
+def test_put_if_absent_idempotent_on_identical_content(make_store):
     """Review r7 (NFS lost-LINK-reply quirk): a retried conditional PUT
     that already landed must read back as a WIN when the existing bytes
     equal ours — commit payloads embed a per-attempt uuid, so equality
     can only mean this caller's own earlier success."""
-    store = LocalObjectStore(str(tmp_path / "store"))
+    store = make_store()
     assert store.put_if_absent("k", b"x") is True
     assert store.put_if_absent("k", b"x") is True  # replayed own write
     assert store.put_if_absent("k", b"y") is False  # genuine loss
 
 
-def test_vacuum_concurrent_with_commit_no_torn_state(tmp_path):
+def test_vacuum_concurrent_with_commit_no_torn_state(make_store):
     """vacuum's pruned-state PUT races a commit for the same log slot:
     whoever loses recomputes. Either serialization must leave all
     retained data readable and the new commit present."""
-    store = SimulatedObjectStore(str(tmp_path / "store"))
+    store = make_store()
     t = ObjectStoreSnapshotTable(None, store)
     for i in range(4):
         t.commit(writer=_w([i]), mode="overwrite")
@@ -362,10 +381,10 @@ def test_vacuum_concurrent_with_commit_no_torn_state(tmp_path):
             t.resolve_urls(v)
 
 
-def test_spark_round_trip(spark, tmp_path):
+def test_spark_round_trip(spark, make_store):
     """The Spark data plane over the same protocol: df commits, snapshot
     isolation across overwrite, mergeSchema across appends."""
-    store = LocalObjectStore(str(tmp_path / "store"))
+    store = make_store()
     t = ObjectStoreSnapshotTable(spark, store)
     t.commit(spark.range(5).toDF("n"), mode="overwrite")
     t.commit(spark.range(5, 8).toDF("n"), mode="append")

@@ -46,37 +46,41 @@ def main() -> None:
             raise SystemExit(f"{n} has no oracle SQL — nothing to co-measure")
     root = tempfile.mkdtemp(prefix="co_measure_")
     try:
-        spark = get_spark(
-            app_name="bdp-co-measure",
-            extra_conf=input_sized_conf(dir_input_bytes(SF_DIR) * max(mults)),
-        )
-        dirs = {m: build_scaled_dir(spark, m, SF_DIR, root) for m in mults}
 
         def noop(df):
             df.write.format("noop").mode("overwrite").save()
 
-        header = "| Query | " + " | ".join(
-            f"x{m} Spark / DuckDB (ratio)" for m in mults
-        ) + " |"
-        print(header)
-        print("|---|" + "---|" * len(mults))
-        for name in names:
-            entry = catalog[name]
-            # same rule as bench.py: time bench_baseline_sql when the
-            # correctness oracle deliberately runs a different algorithm,
-            # and strip the parity-only STRING->DECIMAL instrumentation
-            # (it costs DuckDB 10-100x on scan-heavy sums — timing it
-            # would inflate the crossover in Spark's favor; review r7)
-            sql = de_instrument_sql(entry.bench_baseline_sql or entry.oracle)
-            cells = []
-            for m in mults:
-                noop(entry.fn(spark, dirs[m]))  # warm: codegen + page cache
+        # ONE SESSION PER MULT, conf'd for that mult's actual input size
+        # (ADVICE r7 / VERDICT #9): the old single session took
+        # input_sized_conf for the LARGEST mult, so small-mult Spark walls
+        # carried oversized-shuffle scheduling overhead — the x1 column
+        # read ~2x worse than bench.py's same-query wall. Per-mult
+        # sessions make every column bench-protocol-identical; the extra
+        # cost is one JVM context spin-up per mult.
+        cells: dict[tuple[str, int], str] = {}
+        base_bytes = dir_input_bytes(SF_DIR)
+        for m in mults:
+            spark = get_spark(
+                app_name=f"bdp-co-measure-x{m}",
+                extra_conf=input_sized_conf(base_bytes * m),
+            )
+            d = build_scaled_dir(spark, m, SF_DIR, root)
+            for name in names:
+                entry = catalog[name]
+                # same rule as bench.py: time bench_baseline_sql when the
+                # correctness oracle deliberately runs a different
+                # algorithm, and strip the parity-only STRING->DECIMAL
+                # instrumentation (it costs DuckDB 10-100x on scan-heavy
+                # sums — timing it would inflate the crossover in Spark's
+                # favor; review r7)
+                sql = de_instrument_sql(entry.bench_baseline_sql or entry.oracle)
+                noop(entry.fn(spark, d))  # warm: codegen + page cache
                 s_best = float("inf")
                 for _ in range(3):
                     t0 = time.perf_counter()
-                    noop(entry.fn(spark, dirs[m]))
+                    noop(entry.fn(spark, d))
                     s_best = min(s_best, time.perf_counter() - t0)
-                con = duckdb_connect(dirs[m])
+                con = duckdb_connect(d)
                 try:
                     # Arrow fetch, not fetchall: full materialization
                     # without per-row Python tuple cost — the same
@@ -90,10 +94,23 @@ def main() -> None:
                         d_best = min(d_best, time.perf_counter() - t0)
                 finally:
                     con.close()
-                cells.append(
+                cells[(name, m)] = (
                     f"{s_best:.2f} / {d_best:.2f} ({s_best / d_best:.2f}x)"
                 )
-            print(f"| `{name}` | " + " | ".join(cells) + " |", flush=True)
+            spark.stop()
+
+        header = "| Query | " + " | ".join(
+            f"x{m} Spark / DuckDB (ratio)" for m in mults
+        ) + " |"
+        print(header)
+        print("|---|" + "---|" * len(mults))
+        for name in names:
+            print(
+                f"| `{name}` | "
+                + " | ".join(cells[(name, m)] for m in mults)
+                + " |",
+                flush=True,
+            )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -60,7 +60,10 @@ NULLABLE = {
     "supplier": ["s_comment"],
     "nation": ["n_comment"],
     "region": ["r_comment"],
-    "embeddings": ["label"],
+    # embedding itself went nullable in r8 (NULL-embedding contract:
+    # similarity kernels and their oracles both exclude vector-less rows;
+    # before this the sweep never exercised that contract)
+    "embeddings": ["label", "embedding"],
 }
 
 
