@@ -33,6 +33,7 @@ SELECT ({fdiv_sql(TS_US, 600_000_000)}) * 600 AS window_start_sec,
        COUNT(*) AS n,
        {dsum_sql('value')} AS total_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """,
 )
@@ -64,6 +65,7 @@ SELECT (({fdiv_sql(TS_US, 300_000_000)}) - off.o) * 300 AS window_start_sec,
        COUNT(*) AS n,
        {dsum_sql('value')} AS total_value
 FROM events, (VALUES (0), (1)) AS off(o)
+WHERE ts IS NOT NULL
 GROUP BY 1
 """,
 )
@@ -247,6 +249,7 @@ SELECT ({fdiv_sql(TS_US, 600_000_000)}) * 600 AS window_start_sec,
        event_type,
        COUNT(*) AS n
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """,
 )
@@ -583,6 +586,7 @@ WITH seq AS (
            lag({TS_US}) OVER (PARTITION BY user_id
                               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
     FROM events
+    WHERE ts IS NOT NULL
 ),
 marks AS (
     SELECT user_id, event_id, ts_us,
@@ -676,6 +680,7 @@ def streaming_session_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT (({fdiv_sql(TS_US, 300_000_000)}) - off.o) * 300 AS window_start_sec,
        COUNT(*) AS n
 FROM events, (VALUES (0), (1)) AS off(o)
+WHERE ts IS NOT NULL
 GROUP BY 1
 """,
 )
@@ -704,7 +709,7 @@ SELECT user_id,
        arg_max(value, CAST({TS_US} AS HUGEINT) * 10000000000 + event_id) AS close,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events
-WHERE value IS NOT NULL
+WHERE value IS NOT NULL AND ts IS NOT NULL
 GROUP BY user_id, window_start_sec
 """,
 )

@@ -48,18 +48,29 @@ r AS (
     -- SKIPS rows whose value is NULL, so a tie (id=100, v=5.0) vs
     -- (id=200, v=NULL) returned id 200 with value 5.0 — a row that never
     -- existed — while Spark's struct-max keeps (200, NULL). QUALIFY keeps
-    -- whole rows.
+    -- whole rows. ts IS NOT NULL (r8, NULL-ts sweep): an undated click
+    -- can never be proven at-or-before anything — and it must not reach
+    -- DuckDB's ASOF operator, whose NULL handling is engine-private.
     SELECT user_id, ts, event_id, value
-    FROM ev WHERE event_type = 'click'
+    FROM ev WHERE event_type = 'click' AND ts IS NOT NULL
     QUALIFY row_number() OVER (PARTITION BY user_id, ts
                                ORDER BY event_id DESC) = 1
 )
+-- NULL-ts purchases ride OUTSIDE the ASOF operator (r8, NULL-ts sweep):
+-- the predicate l.ts >= r.ts is never true for a NULL probe, but DuckDB's
+-- ASOF JOIN implementation sorts the NULL probe LAST and matched it to
+-- the user's LATEST click — engine-private behavior contradicting its own
+-- join predicate. The contract (shared with both Spark forms): an undated
+-- anchor matches nothing.
 SELECT l.event_id, l.user_id,
        r.event_id AS asof_event_id,
        r.value AS asof_value
-FROM (SELECT * FROM ev WHERE event_type = 'purchase') l
+FROM (SELECT * FROM ev WHERE event_type = 'purchase' AND ts IS NOT NULL) l
 ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND l.ts >= r.ts
+UNION ALL
+SELECT event_id, user_id, NULL AS asof_event_id, NULL AS asof_value
+FROM ev WHERE event_type = 'purchase' AND ts IS NULL
 """
 
 

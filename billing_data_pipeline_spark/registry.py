@@ -142,14 +142,23 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # kernel pd.notna fix; plan fingerprints can't see oracle text or
     # kernel bodies, so these ride by discipline) ---
     "embedding_lsh_neardup_pairs",  # r8: _cosine_rerank NaN-norm fix
-    "embedding_dedup_survivors",  # r8: oracle IS NOT NULL (explicit)
-    # --- staleness refresh (rotating; these rode r7 green and stay for
-    # continuity of the externally-green record; r8 evicted
-    # local_supplier_volume + lone_failed_supplier_orders for the
-    # contract-pass pins above) ---
-    "doc_repetition_stats",
-    "order_snapshot_diff",
-    "udaf_median_event_value",
+    # --- r8 NULL-event-time contract pass (streaming plans are the
+    # fingerprint blind spot — foreachBatch/memory-sink internals never
+    # reach the analyzed plan — so every member rides by discipline).
+    # The whole staleness-refresh rotation (doc_repetition_stats,
+    # order_snapshot_diff, udaf_median_event_value) plus
+    # embedding_dedup_survivors (oracle edit provably semantics-free:
+    # NULL-vec rows never pair, and its pair subquery rides via the
+    # pinned embedding_neardup_pairs) were evicted for these. Not
+    # pinned: purchase_last_click_asof_cogroup (Spark side unchanged;
+    # its oracle IS the shared _ASOF_ORACLE riding via the pinned
+    # purchase_last_click_asof) and streaming_sliding_catchup /
+    # tumbling_event_counts (same one-line ts-IS-NOT-NULL oracle edit as
+    # the three sliding/tumbling representatives that DO ride). ---
+    "streaming_dedup_catchup",  # r8: NULL-ts rows excluded BY CONTRACT
+    "session_window_stats",  # r8: oracle ts IS NOT NULL (phantom sessions)
+    "sliding_window_volume",  # r8: oracle ts IS NOT NULL (NULL bucket)
+    "streaming_ohlc_catchup",  # r8: oracle ts IS NOT NULL (NULL bars)
     "array_function_matrix",
 )
 

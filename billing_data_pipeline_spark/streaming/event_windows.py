@@ -146,8 +146,20 @@ def streaming_dedup(
 ) -> DataFrame:
     """Streaming exact dedup within the watermark horizon — re-delivered
     events (at-least-once sources) collapse to one row as long as the dupe
-    arrives inside the watermark; state stays bounded."""
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    arrives inside the watermark; state stays bounded.
+
+    NULL event times are excluded BY CONTRACT (r8, NULL-ts sweep): a row
+    with no timestamp has no watermark horizon — Spark happened to admit
+    such rows into dedup state, but when that state can be EVICTED is
+    engine-private (nothing ever proves the row out-of-horizon), so at
+    scale NULL-ts keys are an unbounded-state leak. The explicit filter
+    makes the operator's bounded-state claim unconditional; route undated
+    rows through the batch dedup (operators/dedup.py) instead."""
+    return (
+        events.filter(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
 
 
 def interval_join_stream(

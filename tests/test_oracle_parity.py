@@ -154,6 +154,42 @@ def test_session_oracle_holds_under_duplicate_timestamps(spark, tmp_path):
     assert_matches_oracle(spec.fn(spark, sf), spec.oracle, sf)
 
 
+def test_null_event_time_contract_asof_and_windows(spark, tmp_path):
+    """r8 (NULL-ts sweep): a row with no event timestamp has no time
+    semantics — it cannot anchor or answer an as-of probe, and it has no
+    tumbling/sliding/session window. DuckDB's ASOF JOIN violated its own
+    `l.ts >= r.ts` predicate by matching a NULL-ts anchor to the user's
+    LATEST click (the NULL probe sorts last inside its sort-based
+    implementation), so the oracle now routes NULL-ts anchors around the
+    ASOF operator; the window oracles carry ts IS NOT NULL to mirror
+    Spark's native drop. NULL-ts purchase, click, and plain rows below
+    exercise every branch."""
+    t0 = 1_700_000_000_000_000
+    rows = {
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "ts": [t0, None, t0 + 60_000_000, None, t0 + 120_000_000, None],
+        "user_id": [7, 7, 7, 7, 8, 8],
+        "event_type": ["click", "click", "purchase", "purchase", "view", "view"],
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+        "props": [None] * 6,
+    }
+    sf = _write_events(tmp_path, rows)
+    for name in (
+        "purchase_last_click_asof",
+        "purchase_last_click_asof_cogroup",
+        "tumbling_event_counts",
+        "sliding_window_volume",
+        "session_window_stats",
+    ):
+        spec = CATALOG[name]
+        assert_matches_oracle(spec.fn(spark, sf), spec.oracle, sf)
+    # the NULL-ts purchase (id 4) must emit with NULL asof columns
+    spec = CATALOG["purchase_last_click_asof"]
+    got = {r["event_id"]: r["asof_event_id"] for r in spec.fn(spark, sf).collect()}
+    assert got[4] is None
+    assert got[3] == 1  # the dated purchase still matches the dated click
+
+
 def test_entity_window_null_ts_matches_oracle(spark, tmp_path):
     """A NULL event timestamp must sort the SAME on both engines: Spark's
     ascending default is NULLS FIRST, DuckDB's is NULLS LAST —

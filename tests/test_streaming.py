@@ -138,6 +138,38 @@ def test_streaming_dedup_collapses_redelivery(spark, tmp_path):
     assert got.count() == n_unique
 
 
+def test_streaming_dedup_excludes_null_event_times_by_contract(spark, tmp_path):
+    """r8 (NULL-ts sweep): rows with no event timestamp are excluded from
+    watermark dedup BY CONTRACT — Spark happened to admit them into dedup
+    state, but nothing ever proves such a row out-of-horizon, so at scale
+    NULL-ts keys are an unbounded-state leak with engine-private eviction.
+    Two deliveries, one row NULL-ts: output = the dated rows once each,
+    the undated row absent."""
+    from datetime import datetime
+
+    src = tmp_path / "nullts_events"
+    src.mkdir()
+    rows = [
+        (1, datetime(2025, 4, 23, 10, 0, 0), 1, "click", 1.0, "{}"),
+        (2, None, 1, "click", 2.0, "{}"),
+        (3, datetime(2025, 4, 23, 10, 5, 0), 2, "view", 3.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src / "b"))
+
+    stream = read_event_stream(spark, str(src) + "/*")
+    got = run_to_memory(
+        streaming_dedup(stream, ["event_id"], watermark="2 days"),
+        "t_dedup_nullts",
+    )
+    assert sorted(r["event_id"] for r in got.collect()) == [1, 3]
+
+
 def test_stream_ingest_idempotent_and_incremental(spark, tmp_path):
     """Checkpointed CSV ingest: catch-up run loads what exists; re-running
     with no new files adds nothing; a new file adds only its novel rows

@@ -7,6 +7,7 @@ Usage:
     python tools/null_fixture.py --empty [src_dir] [dst_dir]   # zero-row tables
     python tools/null_fixture.py --extreme [src_dir] [dst_dir] # extreme values
     python tools/null_fixture.py --timewarp [src_dir] [dst_dir] # epoch-edge ts
+    python tools/null_fixture.py --nullts [src_dir] [dst_dir]  # NULL event times
     python tests/driver_sim.py <dst_dir>                       # the sweep
 
 --extreme injects domain-edge values a 100 TB corpus WILL contain:
@@ -170,6 +171,39 @@ EXTREME_PROPS = [
     '{"k": 7, "q": "a\\"b"}',
     '{"k": 2147483647}',
 ]
+
+
+def build_nullts(src: str, dst: str) -> str:
+    """~10% of events lose their TIMESTAMP entirely (r8) — the one edge
+    the base NULL sweep deliberately avoids (ts is an ordering/join
+    column). Contract exercised: a row with no event time has no time
+    bucket, no session, no watermark horizon, and can neither anchor nor
+    answer an as-of probe — Spark's window()/session_window()/watermark
+    operators drop such rows natively; every time-windowed oracle states
+    it with ts IS NOT NULL; DuckDB's ASOF JOIN is bypassed for NULL
+    probes (its NULL handling is engine-private — it matched a NULL
+    anchor to the LATEST row). First run found 9 divergences in 4
+    classes, all fixed in-round."""
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "events":
+            con.execute(
+                f"""COPY (
+                  SELECT event_id,
+                         CASE WHEN hash(event_id || 'nts') % 10 = 0
+                              THEN NULL ELSE ts END AS ts,
+                         user_id, event_type, value, props
+                  FROM '{src}/events.parquet'
+                ) TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    return dst
 
 
 def build_timewarp(src: str, dst: str) -> str:
@@ -421,6 +455,7 @@ if __name__ == "__main__":
     empty = "--empty" in sys.argv[1:]
     extreme = "--extreme" in sys.argv[1:]
     timewarp = "--timewarp" in sys.argv[1:]
+    nullts = "--nullts" in sys.argv[1:]
     skew = "--skew" in sys.argv[1:]
     src = args[0] if args else "/root/testdata/sf0.001"
     default_dst = (
@@ -428,6 +463,7 @@ if __name__ == "__main__":
         "/tmp/emptytest_sf" if empty else
         "/tmp/extremetest_sf" if extreme else
         "/tmp/timewarptest_sf" if timewarp else
+        "/tmp/nulltstest_sf" if nullts else
         "/tmp/skewtest_sf" if skew else "/tmp/nulltest_sf"
     )
     dst = args[1] if len(args) > 1 else default_dst
@@ -435,6 +471,7 @@ if __name__ == "__main__":
         build_dups if dups else build_empty if empty else
         build_extreme if extreme else
         build_timewarp if timewarp else
+        build_nullts if nullts else
         build_skew if skew else build
     )
     print("wrote", builder(src, dst))
