@@ -703,10 +703,12 @@ def streaming_sliding_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT user_id,
        ({fdiv_sql(TS_US, 86_400_000_000)}) * 86400 AS window_start_sec,
-       arg_min(value, CAST({TS_US} AS HUGEINT) * 10000000000 + event_id) AS open,
+       -- COALESCE(-1): NULL tiebreak ids order FIRST on both engines —
+       -- the batch twin's contract (timeseries.daily_value_ohlc, r8)
+       arg_min(value, CAST({TS_US} AS HUGEINT) * 10000000000 + COALESCE(event_id, -1)) AS open,
        MAX(value) AS high,
        MIN(value) AS low,
-       arg_max(value, CAST({TS_US} AS HUGEINT) * 10000000000 + event_id) AS close,
+       arg_max(value, CAST({TS_US} AS HUGEINT) * 10000000000 + COALESCE(event_id, -1)) AS close,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events
 WHERE value IS NOT NULL AND ts IS NOT NULL

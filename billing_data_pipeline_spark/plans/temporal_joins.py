@@ -206,10 +206,13 @@ def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ev AS (
     SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
 )
+-- l is a plain filter, NOT a self-join USING (event_id) (r8, NULL-key
+-- sweep): the old id-rejoin silently DROPPED error rows whose event_id
+-- is NULL (NULL = NULL never matches) while Spark's filter kept them —
+-- both engines now aggregate the NULL-id errors into one NULL group.
 SELECT l.event_id, COUNT(*) AS n_recent
-FROM (SELECT e.event_id, e.user_id, e.ts FROM ev e
-      JOIN (SELECT event_id FROM events WHERE event_type = 'error') x
-      USING (event_id)) l
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'error') l
 JOIN ev r
   ON r.user_id = l.user_id
  AND r.ts <= l.ts

@@ -295,10 +295,18 @@ def rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT user_id,
        CAST({fdiv_sql('epoch_us(CAST(ts AS TIMESTAMP))', 86_400_000_000)} AS BIGINT) AS day,
-       arg_min(value, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT) * 10000000000 + event_id) AS open,
+       -- COALESCE(event_id, -1) (r8, NULL-key sweep): a NULL tiebreak id
+       -- NULLed the whole arithmetic key, so arg_min SKIPPED the row
+       -- entirely while Spark's struct key (non-NULL with a NULL field)
+       -- still ranked it — the engines disagreed on which value opens
+       -- the bar. Both sides now order NULL ids FIRST (-1 < every real
+       -- id); two NULL-id rows at the same instant remain genuinely
+       -- ambiguous (equal keys), the same irreducible class as
+       -- duplicate (ts, id) pairs.
+       arg_min(value, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT) * 10000000000 + COALESCE(event_id, -1)) AS open,
        MAX(value) AS high,
        MIN(value) AS low,
-       arg_max(value, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT) * 10000000000 + event_id) AS close,
+       arg_max(value, CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS HUGEINT) * 10000000000 + COALESCE(event_id, -1)) AS close,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        {dsum_sql('value')} AS volume
 FROM events
@@ -327,7 +335,11 @@ def daily_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").isNotNull() & F.col("ts").isNotNull()
     )
     us = F.unix_micros(F.col("ts"))
-    order = F.struct(us.alias("us"), F.col("event_id"))
+    # COALESCE(-1): NULL tiebreak ids order FIRST on both engines — see
+    # the oracle comment (r8, NULL-key sweep)
+    order = F.struct(
+        us.alias("us"), F.coalesce(F.col("event_id"), F.lit(-1)).alias("eid")
+    )
     return ev.groupBy(
         "user_id",
         floor_bucket_us(US_PER_DAY).alias("day"),

@@ -126,14 +126,19 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "incremental_rollup_merge",  # rows-only (sketch merge)
     "usage_percentiles_approx",  # rows-only (approx_percentile)
     "ml_minhash_neardup_pairs",  # rows-only; r6 persist-barrier rework
-    # --- standing re-pins for load-bearing reworked tiers ---
+    # --- standing re-pins for load-bearing reworked tiers (r8 evicted
+    # heavy_hitter_terms, user_state_scd2, embedding_kmeans_fit2 — each
+    # rode r6/r7 green and is unchanged this round; kmeans_step stays as
+    # the family representative — for the NULL-key contract pins below) ---
     "usage_percentiles",  # r5 interpolation; r7 sketch-bracket tier + dispatch
-    "doc_top_terms_tfidf",  # r6 perf rework; r7 single-tokenize packed cache
+    "doc_top_terms_tfidf",  # r6/r7 reworks; r8 int32-slot chunked packing
     "decontaminate_ngram",  # r6 perf rework; r8 A/B target (VERDICT #2)
-    "heavy_hitter_terms",  # r6: Arrow MG rework (probe-caught scaling fix)
-    "user_state_scd2",  # r7: null-safe change test + first-row marker
     "embedding_kmeans_step",  # r7: NULL/short-vector exclusion both engines
-    "embedding_kmeans_fit2",  # r7: same (chained rounds)
+    # --- r8 NULL-KEY contract pass (NULL user_id / event_id in events;
+    # streaming + oracle-text changes are fingerprint-blind, discipline) ---
+    "streaming_stateful_totals",  # r8: nullable group key (stream crashed)
+    "daily_value_ohlc",  # r8: COALESCE(-1) tiebreak both engines
+    "error_burst_range_join",  # r8: oracle USING-join dropped NULL-id errors
     "embedding_cosine_topk",  # r5: zero-norm try_divide semantics
     "embedding_neardup_pairs",  # r5 zero-norm + r6 eager-contract rework
     "embedding_pq_topk",  # r7 NULL-vec guards; r8 documented ADC exception

@@ -154,11 +154,40 @@ def streaming_dedup(
     engine-private (nothing ever proves the row out-of-horizon), so at
     scale NULL-ts keys are an unbounded-state leak. The explicit filter
     makes the operator's bounded-state claim unconditional; route undated
-    rows through the batch dedup (operators/dedup.py) instead."""
+    rows through the batch dedup (operators/dedup.py) instead.
+
+    NULL KEY values dedup on a FULL-ROW hash (r8, NULL-key sweep) — the
+    same contract as the batch ingest's replay_safe_append: a row with a
+    NULL key has no key identity, and dropDuplicatesWithinWatermark's
+    NULL = NULL equality silently collapsed EVERY such row into one
+    (data loss — the exact class the r7 ingest fix removed batch-side).
+    Under the hash key, replays of the same row still collapse while
+    distinct NULL-key rows survive; genuinely identical NULL-key rows
+    also collapse (the documented batch-twin divergence). Timestamps
+    hash via unix_micros — TZ-independent across restarts (the r6
+    ingest lesson)."""
+    from functools import reduce
+    from operator import or_
+
+    from pyspark.sql import types as T
+
+    def _stable(c: str):
+        col = F.col(c)
+        if isinstance(events.schema[c].dataType, T.TimestampType):
+            return F.unix_micros(col).alias(c)
+        return col.alias(c)
+
+    has_null_key = reduce(or_, (F.col(k).isNull() for k in keys))
+    row_hash = F.md5(F.to_json(F.struct(*[_stable(c) for c in events.columns])))
+    key_json = F.to_json(F.struct(*[F.col(k) for k in keys]))
     return (
         events.filter(F.col("ts").isNotNull())
+        .withColumn(
+            "_dedup_key", F.when(has_null_key, row_hash).otherwise(key_json)
+        )
         .withWatermark("ts", watermark)
-        .dropDuplicatesWithinWatermark(keys)
+        .dropDuplicatesWithinWatermark(["_dedup_key"])
+        .drop("_dedup_key")
     )
 
 
@@ -285,7 +314,13 @@ def ohlc_stream(
     a watermark. Each bar's state is one running tuple per group, merged
     as micro-batches arrive; no sort, no per-window buffering of events."""
     us = F.unix_micros(F.col("ts"))
-    order = F.struct(us.alias("us"), F.col("event_id"))
+    # COALESCE(-1): NULL tiebreak ids order FIRST on both engines — the
+    # batch twin's contract (plans/timeseries.daily_value_ohlc, r8
+    # NULL-key sweep; a NULL id otherwise NULLed the oracle's arithmetic
+    # key and arg_min skipped the row while min_by ranked it)
+    order = F.struct(
+        us.alias("us"), F.coalesce(F.col("event_id"), F.lit(-1)).alias("eid")
+    )
     return (
         events.filter(F.col("value").isNotNull())
         .withWatermark("ts", watermark)

@@ -26,7 +26,13 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 USER_TOTALS_SCHEMA = T.StructType(
     [
-        T.StructField("user_id", T.LongType(), False),
+        # user_id is NULLABLE (r8, NULL-key sweep): SQL GROUP BY keeps a
+        # NULL group, and applyInPandasWithState happily keys state on a
+        # None group key — but with the old non-null field the emit of
+        # that group failed row DECODING (EXPRESSION_DECODING_FAILED) and
+        # killed the whole stream: one undated-identity row was fatal
+        # rather than aggregated.
+        T.StructField("user_id", T.LongType(), True),
         T.StructField("n_events", T.LongType(), False),
         T.StructField("total_value", T.DoubleType(), False),
     ]

@@ -190,6 +190,36 @@ def test_null_event_time_contract_asof_and_windows(spark, tmp_path):
     assert got[3] == 1  # the dated purchase still matches the dated click
 
 
+def test_null_key_contract_ohlc_and_range_join(spark, tmp_path):
+    """r8 (NULL-key sweep): a NULL event_id must not desynchronize the
+    OHLC open/close tiebreak — DuckDB's arithmetic arg_min key NULLed and
+    SKIPPED the row while Spark's struct key ranked it; both now order
+    NULL ids first via COALESCE(-1). The range-join oracle's USING
+    self-join silently dropped NULL-id error rows a plain filter keeps."""
+    t0 = 1_700_000_000_000_000
+    rows = {
+        # user 7: NULL-id row is the EARLIEST of its day -> it must be
+        # the bar's open on both engines; user 8: NULL-id error anchors
+        # the range join
+        "event_id": [None, 2, 3, None, 5],
+        "ts": [t0, t0 + 60_000_000, t0 + 120_000_000, t0 + 60_000_000, t0],
+        "user_id": [7, 7, 7, 8, 8],
+        "event_type": ["click", "click", "click", "error", "view"],
+        "value": [10.0, 20.0, 30.0, 1.0, 2.0],
+        "props": [None] * 5,
+    }
+    sf = _write_events(tmp_path, rows)
+    spec = CATALOG["daily_value_ohlc"]
+    assert_matches_oracle(spec.fn(spark, sf), spec.oracle, sf)
+    bars = {r["user_id"]: r for r in spec.fn(spark, sf).collect()}
+    assert bars[7]["open"] == 10.0  # the NULL-id earliest row opens the bar
+    spec = CATALOG["error_burst_range_join"]
+    assert_matches_oracle(spec.fn(spark, sf), spec.oracle, sf)
+    got = spec.fn(spark, sf).collect()
+    # the NULL-id error row must still anchor a group (2 events in window)
+    assert [(r["event_id"], r["n_recent"]) for r in got] == [(None, 2)]
+
+
 def test_entity_window_null_ts_matches_oracle(spark, tmp_path):
     """A NULL event timestamp must sort the SAME on both engines: Spark's
     ascending default is NULLS FIRST, DuckDB's is NULLS LAST —

@@ -170,6 +170,57 @@ def test_streaming_dedup_excludes_null_event_times_by_contract(spark, tmp_path):
     assert sorted(r["event_id"] for r in got.collect()) == [1, 3]
 
 
+def test_streaming_dedup_null_keys_hash_identity_and_stateful_null_group(
+    spark, tmp_path
+):
+    """r8 (NULL-key sweep), two contracts in one stream pass:
+    (a) NULL dedup keys get FULL-ROW-HASH identity — dropDuplicates'
+    NULL = NULL equality previously collapsed every NULL-key row into one
+    (data loss); now distinct NULL-key rows survive while a re-delivered
+    copy still collapses. (b) applyInPandasWithState must EMIT a NULL
+    group key, not kill the stream decoding it through a non-nullable
+    output field."""
+    from datetime import datetime
+
+    from billing_data_pipeline_spark.streaming.stateful import (
+        stateful_user_totals,
+    )
+
+    src = tmp_path / "nullkey_events"
+    src.mkdir()
+    t0 = datetime(2025, 4, 23, 10, 0, 0)
+    rows = [
+        (None, t0, 1, "click", 1.0, "{}"),   # NULL key, distinct row A
+        (None, t0, 1, "click", 2.0, "{}"),   # NULL key, distinct row B
+        (7, t0, None, "view", 3.0, "{}"),    # NULL user (stateful group)
+        (8, t0, 2, "view", 4.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    ev.coalesce(1).write.mode("overwrite").parquet(str(src / "b"))  # replay
+
+    stream = read_event_stream(spark, str(src) + "/*")
+    got = run_to_memory(
+        streaming_dedup(stream, ["event_id"], watermark="2 days"),
+        "t_dedup_nullkey",
+    )
+    vals = sorted(r["value"] for r in got.collect())
+    # both distinct NULL-key rows survive exactly once; replay collapsed
+    assert vals == [1.0, 2.0, 3.0, 4.0]
+
+    stream2 = read_event_stream(spark, str(src / "a"))
+    totals = run_to_memory(
+        stateful_user_totals(stream2), "t_state_nullkey", "update"
+    )
+    by_user = {r["user_id"]: r["n_events"] for r in totals.collect()}
+    assert by_user[None] == 1  # the NULL-user group emits, stream survives
+    assert by_user[1] == 2
+
+
 def test_stream_ingest_idempotent_and_incremental(spark, tmp_path):
     """Checkpointed CSV ingest: catch-up run loads what exists; re-running
     with no new files adds nothing; a new file adds only its novel rows

@@ -8,6 +8,7 @@ Usage:
     python tools/null_fixture.py --extreme [src_dir] [dst_dir] # extreme values
     python tools/null_fixture.py --timewarp [src_dir] [dst_dir] # epoch-edge ts
     python tools/null_fixture.py --nullts [src_dir] [dst_dir]  # NULL event times
+    python tools/null_fixture.py --nullkeys [src_dir] [dst_dir] # NULL id/entity keys
     python tests/driver_sim.py <dst_dir>                       # the sweep
 
 --extreme injects domain-edge values a 100 TB corpus WILL contain:
@@ -195,6 +196,43 @@ def build_nullts(src: str, dst: str) -> str:
                          CASE WHEN hash(event_id || 'nts') % 10 = 0
                               THEN NULL ELSE ts END AS ts,
                          user_id, event_type, value, props
+                  FROM '{src}/events.parquet'
+                ) TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    return dst
+
+
+def build_nullkeys(src: str, dst: str) -> str:
+    """NULL identity/entity keys in events (r8): ~8% of user_id (the
+    entity key — windows, sessions, joins, stateful streaming) and a
+    DISJOINT-ish ~5% of event_id (the tiebreak/dedup identity) go NULL.
+    First run found 5 divergences in 4 classes, all fixed in-round:
+    applyInPandasWithState KILLED the stream emitting a NULL group key
+    through a non-nullable output field; dropDuplicatesWithinWatermark's
+    NULL = NULL equality collapsed every NULL-key row into one (now:
+    full-row-hash identity, the batch ingest's contract); a NULL
+    tiebreak id NULLed the OHLC oracles' arithmetic arg_min key (row
+    skipped) while Spark's struct key ranked it (now: COALESCE(-1) both
+    sides); and a USING(event_id) oracle self-join silently dropped
+    NULL-id error rows a plain filter keeps."""
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "events":
+            con.execute(
+                f"""COPY (
+                  SELECT CASE WHEN hash(event_id || 'nid') % 20 = 0
+                              THEN NULL ELSE event_id END AS event_id,
+                         ts,
+                         CASE WHEN hash(event_id || 'nuk') % 12 = 0
+                              THEN NULL ELSE user_id END AS user_id,
+                         event_type, value, props
                   FROM '{src}/events.parquet'
                 ) TO '{dst}/events.parquet' (FORMAT PARQUET)"""
             )
@@ -456,6 +494,7 @@ if __name__ == "__main__":
     extreme = "--extreme" in sys.argv[1:]
     timewarp = "--timewarp" in sys.argv[1:]
     nullts = "--nullts" in sys.argv[1:]
+    nullkeys = "--nullkeys" in sys.argv[1:]
     skew = "--skew" in sys.argv[1:]
     src = args[0] if args else "/root/testdata/sf0.001"
     default_dst = (
@@ -464,6 +503,7 @@ if __name__ == "__main__":
         "/tmp/extremetest_sf" if extreme else
         "/tmp/timewarptest_sf" if timewarp else
         "/tmp/nulltstest_sf" if nullts else
+        "/tmp/nullkeystest_sf" if nullkeys else
         "/tmp/skewtest_sf" if skew else "/tmp/nulltest_sf"
     )
     dst = args[1] if len(args) > 1 else default_dst
@@ -472,6 +512,7 @@ if __name__ == "__main__":
         build_extreme if extreme else
         build_timewarp if timewarp else
         build_nullts if nullts else
+        build_nullkeys if nullkeys else
         build_skew if skew else build
     )
     print("wrote", builder(src, dst))
