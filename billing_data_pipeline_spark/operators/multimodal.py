@@ -31,16 +31,26 @@ from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
     [
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("kind", T.StringType(), False),  # image|audio|video
-        T.StructField("content", T.BinaryType(), False),
+        # all nullable (review r8): lake reality — failed downloads leave
+        # NULL blobs, joins leave NULL ids — and the decode kernels
+        # contain both (valid=false / NULL-id manifest row) rather than
+        # reject them at the schema door. Parquet scans surface nullable
+        # columns anyway; the old non-null declaration only ever bound
+        # createDataFrame test fixtures.
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("kind", T.StringType(), True),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
     ]
 )
 
 DECODED_SCHEMA = T.StructType(
     [
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("kind", T.StringType(), False),
+        # media_id/kind nullable (review r8, NULL-key probe): a record
+        # with an unknown id must decode to a NULL-id manifest row — a
+        # non-nullable field turns it into EXPRESSION_DECODING_FAILED
+        # and kills the job (the applyInPandasWithState crash's twin)
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("kind", T.StringType(), True),
         T.StructField("n_bytes", T.LongType(), False),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
@@ -68,7 +78,11 @@ def _decode_fake(batch: pd.DataFrame) -> pd.DataFrame:
     for mid, kind, raw in zip(
         batch["media_id"], batch["kind"], batch["content"]
     ):
-        content = bytes(raw)
+        # NULL blob -> empty -> valid=false (review r8, NULL-key probe):
+        # bytes(None) raised and killed the whole job, violating this
+        # module's own containment contract ("malformed blobs yield
+        # valid=false, never a job failure")
+        content = bytes(raw) if raw is not None else b""
         ok = len(content) >= HEADER_LEN and content[:4] == MAGIC
         if ok:
             w, h, nf = struct.unpack(">III", content[4:HEADER_LEN])
@@ -181,7 +195,9 @@ def _decode_real(batch: pd.DataFrame) -> pd.DataFrame:
     for mid, kind, raw in zip(
         batch["media_id"], batch["kind"], batch["content"]
     ):
-        content = bytes(raw)
+        # NULL blob -> empty -> valid=false, not a job failure (review
+        # r8; same guard as _decode_fake)
+        content = bytes(raw) if raw is not None else b""
         parsed = _parse_bmp(content) or _parse_png(content) or _parse_wav(content)
         rows.append(
             {

@@ -46,7 +46,12 @@ def billing_insights(
     passed user/region_aggs for exactly this reason). The one remaining
     raw scan is the exact-decimal global total, which double-summing
     per-region totals cannot reproduce bit-for-bit."""
+    # None-guard (review r8; the r4 fix covered region totals only): an
+    # empty or all-NULL-measure raw table makes SUM NULL, and
+    # None.__format__ crashed the whole report at the f-string below.
     total = global_sum(raw, "credit_usage", "total").first()["total"]
+    if total is None:
+        total = 0.0
 
     top_users = top_k(
         user_aggs.select("user_id", "transaction_count"),
@@ -117,7 +122,17 @@ def billing_insights(
         "",
         "| service_tier | success rate |",
         "|---|---|",
-        *[f"| {r['service_tier']} | {r['success_rate']:.2%} |" for r in rates],
+        # a tier whose total_count is 0 (or whose successes are all
+        # NULL) has NULL success_rate — render n/a, not None.__format__
+        # (review r8, the global-total guard's sibling)
+        *[
+            (
+                f"| {r['service_tier']} | {r['success_rate']:.2%} |"
+                if r["success_rate"] is not None
+                else f"| {r['service_tier']} | n/a |"
+            )
+            for r in rates
+        ],
     ]
     metrics = {
         "total_credit_usage": total,

@@ -40,6 +40,25 @@ def test_corrupt_payload_contained_not_fatal(spark, media):
     assert bad["width"] is None
 
 
+def test_null_blob_and_null_id_contained_not_fatal(spark):
+    """r8 (NULL-key probe): a NULL content blob must decode to
+    valid=false — bytes(None) previously raised and killed the job,
+    violating the module's own containment contract — and a NULL
+    media_id must emit a NULL-id manifest row, not die in row decoding
+    through a non-nullable schema field (both real and fake kernels)."""
+    rows = [
+        encode_fake_media(1, "image", 640, 480, 1),
+        (2, "image", None),       # NULL blob
+        (None, "image", b"BMx"),  # NULL id, junk blob
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    for fake in (True, False):
+        out = {r["media_id"]: r for r in decode_media(df, fake=fake).collect()}
+        assert out[2]["valid"] is False and out[2]["n_bytes"] == 0
+        assert out[None]["valid"] is False  # NULL id emitted, job alive
+    assert decode_media(df, fake=True).filter("media_id = 1").first()["valid"]
+
+
 def test_sample_frames_every_n(spark, media):
     frames = sample_frames(media, every_n=30).collect()
     assert [r["frame_idx"] for r in frames] == [0, 30, 60]

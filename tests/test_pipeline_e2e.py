@@ -167,3 +167,34 @@ def test_aggregates_publish_atomically_via_snapshots(spark, tmp_path):
         os.path.join(legacy.table_path("daily_aggs"), "_latest")
     )
     assert legacy.read("daily_aggs").count() == 2
+
+
+def test_billing_insights_renders_on_empty_and_all_null_input(spark):
+    """Review r8: an empty lake (or an all-NULL measure column) makes the
+    global SUM — and a zero-count tier's success rate — NULL; the report
+    must render 0.00 / n/a instead of crashing on None.__format__ (the r4
+    fix covered only the per-region totals)."""
+    from billing_data_pipeline_spark.operators.reports import billing_insights
+
+    raw = spark.createDataFrame(
+        [],
+        "user_id string, credit_usage double, region string,"
+        " service_tier string, operation_type string, success boolean",
+    )
+    user_aggs = spark.createDataFrame([], "user_id string, transaction_count long")
+    region_aggs = spark.createDataFrame([], "region string, total_usage double")
+    md, metrics = billing_insights(raw, user_aggs, region_aggs)
+    assert "**Total credit usage:** 0.00" in md
+    assert metrics["total_credit_usage"] == 0.0
+
+    # the service_aggs fold path: a tier whose success_count is NULL
+    # (all successes unknown) has NULL success_rate -> n/a, not a crash
+    service_aggs = spark.createDataFrame(
+        [("free", "gpu", "inference", 3, None)],
+        "service_tier string, resource_type string, operation_type string,"
+        " transaction_count long, success_count long",
+    )
+    md2, _ = billing_insights(
+        raw, user_aggs, region_aggs, service_aggs=service_aggs
+    )
+    assert "| free | n/a |" in md2  # NULL success rate renders, not crashes
