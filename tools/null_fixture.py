@@ -55,8 +55,18 @@ from billing_data_pipeline_spark.sources.tables import TABLES  # noqa: E402
 NULLABLE = {
     "events": ["value", "props", "event_type"],
     "documents": ["text", "lang", "source"],
-    "lineitem": ["l_shipdate", "l_comment"],
-    "orders": ["o_comment", "o_clerk"],
+    # measures went nullable in r8: a first probe run was 165/165 green —
+    # the dsum_sql/exact-decimal discipline and COUNT(col) divisors
+    # already NULL-align — so the class is locked in at zero cost
+    "lineitem": [
+        "l_shipdate",
+        "l_comment",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    ],
+    "orders": ["o_comment", "o_clerk", "o_totalprice"],
     "customer": ["c_mktsegment", "c_comment"],
     "part": ["p_comment"],
     "supplier": ["s_comment"],
