@@ -115,6 +115,7 @@ def main() -> None:
     baseline: dict[str, float] = {}
     baseline_errors: list[str] = []
     baseline_fatal: str | None = None
+    duckdb_cal: float | None = None
     if not os.environ.get("SPARK_GRAFT_NO_BASELINE"):
         con = None
         try:
@@ -160,6 +161,25 @@ def main() -> None:
                     # surfaced in the artifact: a dropped query must not
                     # silently shrink the baseline the totals compare against
                     baseline_errors.append(name)
+            # DuckDB half of the fixed calibration pair (VERDICT r8
+            # item 2): one canonical scan-agg, identical every round, so
+            # cross-round ratio drift on this box (±15-25% Spark-wall
+            # swings while cache-resident DuckDB barely moves) can be
+            # normalized mechanically instead of re-litigated in prose.
+            try:
+                cal_sql = (
+                    "SELECT l_returnflag, count(*) AS n, "
+                    "sum(l_quantity) AS s FROM lineitem GROUP BY l_returnflag"
+                )
+                con.execute(cal_sql).fetch_arrow_table()  # warm
+                best = float("inf")
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    con.execute(cal_sql).fetch_arrow_table()
+                    best = min(best, time.perf_counter() - t0)
+                duckdb_cal = round(best, 5)
+            except Exception:
+                duckdb_cal = None
         except Exception as exc:
             # loop-level failure: keep whatever was measured, record why
             # the rest is missing (a silently-partial baseline would skew
@@ -181,12 +201,14 @@ def main() -> None:
     # flat-growth evidence. At harness scale this floor is overhead; at
     # real scale the same probe grows with the data and nothing sub-ratio
     # gets flagged — exactly the intended semantics.
+    # The same probe doubles as the Spark half of the calibration pair
+    # (min-of-5 to match the DuckDB half above).
     floor = float("inf")
     try:
         floor_df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
             "l_orderkey"
         )
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             floor_df.write.format("noop").mode("overwrite").save()
             floor = min(floor, time.perf_counter() - t0)
@@ -246,6 +268,25 @@ def main() -> None:
         out["baseline_errors"] = baseline_errors
     if baseline_fatal:
         out["baseline_fatal"] = baseline_fatal
+    # Fixed calibration pair (VERDICT r8 item 2): raw seconds of the two
+    # canonical probes ride the FINAL compact line (~120 bytes — survives
+    # the driver's tail window), so any round's ratios can be
+    # drift-normalized against any other round's mechanically:
+    # normalized_ratio = (spark_total / spark_cal) / (duckdb_total /
+    # duckdb_cal) — each engine's wall in units of its own fixed probe.
+    cal: dict[str, float] = {}
+    if floor != float("inf"):
+        cal["spark_scan_sec"] = round(floor, 5)
+    if duckdb_cal:
+        cal["duckdb_scanagg_sec"] = duckdb_cal
+    if cal:
+        if baseline and floor != float("inf") and duckdb_cal:
+            bt = sum(baseline.values())
+            if bt > 0 and total > 0:
+                cal["normalized_ratio"] = round(
+                    (total / floor) / (bt / duckdb_cal), 3
+                )
+        out["calibration"] = cal
     # The driver parses the LAST ~2000 chars of stdout; the ratio_table
     # (~4.5 kB at 37 queries) pushed the headline metric out of that
     # window in r6 (BENCH_r06.json parsed:null — ADVICE r6). Emit the
@@ -263,6 +304,24 @@ def main() -> None:
     for key in detail_keys:
         if key in out:
             detail[key] = out.pop(key)
+    # Persist the FULL diagnostics next to the repo (VERDICT r8 item 3):
+    # the driver's stdout tail truncated the ratio/floor table out of
+    # BENCH_r08.json, making the floor-bound classification
+    # unrecoverable from the artifact alone. The file round-trips
+    # everything; round-end copies it to BENCH_rN_detail.json.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_DETAIL_PATH",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "bench_detail_latest.json",
+        ),
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump({**out, **detail}, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"# detail file not written: {exc}", file=sys.stderr)
     if len(detail) > 1:
         print(json.dumps(detail))
     print(json.dumps(out))

@@ -263,8 +263,11 @@ def sample_frames(df: DataFrame, every_n: int, fake: bool = True) -> DataFrame:
 
 RESIZED_SCHEMA = T.StructType(
     [
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("kind", T.StringType(), False),
+        # nullable ids/kinds: a NULL-id source row must flow through as a
+        # contained valid=false record, not an EXPRESSION_DECODING_FAILED
+        # crash (review r8 — same contract DECODED_SCHEMA already carries)
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("kind", T.StringType(), True),
         T.StructField("content", T.BinaryType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
@@ -338,7 +341,10 @@ def resize_media(df: DataFrame, max_w: int, max_h: int, fake: bool = True) -> Da
         return max(1, int(w * scale)), max(1, int(h * scale))
 
     def real_record(r) -> dict:
-        content = bytes(r["content"])
+        # NULL blob -> empty -> valid=false, never a TypeError job kill
+        # (review r8; same guard as _decode_real/_decode_fake)
+        raw = r["content"]
+        content = bytes(raw) if raw is not None else b""
         base = {"media_id": r["media_id"], "kind": r["kind"]}
         pix = _bmp_pixels(content)
         if pix is not None:
@@ -382,7 +388,9 @@ def resize_media(df: DataFrame, max_w: int, max_h: int, fake: bool = True) -> Da
                 "valid": False}
 
     def fake_record(r) -> dict:
-        content = bytes(r["content"])
+        # same NULL-blob containment as real_record (review r8)
+        raw = r["content"]
+        content = bytes(raw) if raw is not None else b""
         base = {"media_id": r["media_id"], "kind": r["kind"]}
         ok = len(content) >= HEADER_LEN and content[:4] == MAGIC
         if not ok:
@@ -422,8 +430,10 @@ FEATURE_DIM = 64
 
 FEATURES_SCHEMA = T.StructType(
     [
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("kind", T.StringType(), False),
+        # nullable ids/kinds: same NULL-row containment contract as
+        # DECODED_SCHEMA / RESIZED_SCHEMA (review r8)
+        T.StructField("media_id", T.LongType(), True),
+        T.StructField("kind", T.StringType(), True),
         T.StructField("embedding", T.ArrayType(T.FloatType()), True),
         T.StructField("valid", T.BooleanType(), False),
     ]
@@ -469,7 +479,9 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
             for mid, kind, raw in zip(
                 batch["media_id"], batch["kind"], batch["content"]
             ):
-                payload = payload_of(bytes(raw))
+                # NULL blob -> empty -> valid=false (review r8; same
+                # guard as _decode_real)
+                payload = payload_of(bytes(raw) if raw is not None else b"")
                 if payload is None:
                     out.append(
                         {

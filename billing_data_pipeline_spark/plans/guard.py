@@ -12,7 +12,8 @@ legitimate when the build side is *structurally bounded*:
   ``region``: 5 rows), or literal/local data, or
 - a bounding operator sits between the hint and every unbounded leaf —
   a scalar aggregate (``groupBy()`` with no keys -> exactly one row) or a
-  ``LIMIT`` (GlobalLimit caps output rows at a plan-time constant).
+  ``LIMIT`` (GlobalLimit caps output rows at a plan-time constant; a bare
+  LocalLimit does NOT count — it caps rows per partition only).
 
 A grouped aggregate is NOT bounding (its row count is the key
 cardinality, which grows with SF), so e.g. ``F.broadcast(lineitem
@@ -65,9 +66,15 @@ def _is_bounding(node) -> bool:
     if cls == "Aggregate":
         # Scalar aggregate: no grouping keys -> exactly one output row.
         return node.groupingExpressions().isEmpty()
-    if cls in ("GlobalLimit", "LocalLimit"):
-        # LIMIT n (Spark plans it GlobalLimit over LocalLimit; either
-        # alone caps per-partition output, together the total).
+    if cls == "GlobalLimit":
+        # LIMIT n: Spark plans `.limit(n)` as GlobalLimit over LocalLimit;
+        # the GlobalLimit caps TOTAL output rows at a plan-time constant.
+        # A bare LocalLimit is NOT bounding (r8 VERDICT item 4): it caps
+        # rows *per partition*, so total = n_partitions x n, which grows
+        # with the data. Today's API always pairs them, but a future
+        # limit-pushdown shape could surface a LocalLimit alone — only
+        # the GlobalLimit counts (any LocalLimit beneath one is never
+        # reached because traversal stops at the GlobalLimit).
         return True
     return False
 

@@ -65,22 +65,12 @@ def _route_to_partitions(df: DataFrame, partition_cols: list[str]) -> DataFrame:
     ``optimizeSkewsInRebalancePartitions`` split oversized partitions
     into maxPartitionBytes-sized tasks/files.
 
-    Version-gated fallback (review r8): ``DataFrame.hint`` never raises
-    on an unknown hint name — the analyzer silently DROPS unresolved
-    hints with a log warning — so the old try/except could never fire
-    and a pre-3.2 build would have written with no clustering at all
-    (tasks × partitions small files, the exact failure this function
-    prevents). The REBALANCE hint ships since Spark 3.2; older builds
-    get an explicit hash repartition (no skew-split, but the small-files
-    contract holds)."""
-    parts = df.sparkSession.version.split(".")
-    try:
-        version = (int(parts[0]), int(parts[1]))
-    except (ValueError, IndexError):  # snapshot/vendor version strings
-        version = (3, 2)
-    if version >= (3, 2):
-        return df.hint("rebalance", *partition_cols)
-    return df.repartition(*partition_cols)
+    No version gate (review r9): the r8 gate meant to serve pre-3.2
+    builds, but its own probe (``df.sparkSession``) is only public from
+    3.3 — the fallback could never execute on the builds it targeted —
+    and pyproject declares ``pyspark>=4.0``, where the REBALANCE hint
+    (3.2+) is always available. Dead branch dropped."""
+    return df.hint("rebalance", *partition_cols)
 
 
 def read_hive_partitioned(spark: SparkSession, path: str) -> DataFrame:

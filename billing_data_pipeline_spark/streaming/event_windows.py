@@ -179,7 +179,11 @@ def streaming_dedup(
 
     has_null_key = reduce(or_, (F.col(k).isNull() for k in keys))
     row_hash = F.md5(F.to_json(F.struct(*[_stable(c) for c in events.columns])))
-    key_json = F.to_json(F.struct(*[F.col(k) for k in keys]))
+    # _stable() on the key path too (review r9): to_json serializes
+    # timestamp keys through spark.sql.session.timeZone, so a restart
+    # under a different session TZ would change the state key and stop
+    # replayed duplicates from collapsing — unix_micros is TZ-free.
+    key_json = F.to_json(F.struct(*[_stable(k) for k in keys]))
     return (
         events.filter(F.col("ts").isNotNull())
         .withColumn(

@@ -80,3 +80,27 @@ def test_guard_catches_a_forced_fact_broadcast(spark):
     assert forced_broadcast_violations(
         li.join(grouped, li.l_orderkey == F.col("o_custkey"))
     ), "a grouped aggregate is SF-proportional and must be flagged"
+
+
+def test_bare_local_limit_is_not_bounding(spark):
+    """r8 VERDICT item 4 (the guard's LocalLimit hole): a LocalLimit
+    alone caps rows PER PARTITION — total = n_partitions x n, which
+    grows with the data — so only the GlobalLimit may count as bounding.
+    `.limit(n)` always plans GlobalLimit over LocalLimit, so assert on
+    the nodes directly: the walker stops at the GlobalLimit, but a bare
+    LocalLimit subtree must still expose its unbounded scan."""
+    from billing_data_pipeline_spark.plans.guard import (
+        _is_bounding,
+        _iter_nodes,
+        _unbounded_leaves,
+    )
+    from billing_data_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders").limit(10)
+    nodes = {
+        n.getClass().getSimpleName(): n
+        for n in _iter_nodes(o._jdf.queryExecution().analyzed())
+    }
+    assert _is_bounding(nodes["GlobalLimit"])
+    assert not _is_bounding(nodes["LocalLimit"])
+    assert _unbounded_leaves(nodes["LocalLimit"]) == ["orders"]

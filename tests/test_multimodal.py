@@ -59,6 +59,32 @@ def test_null_blob_and_null_id_contained_not_fatal(spark):
     assert decode_media(df, fake=True).filter("media_id = 1").first()["valid"]
 
 
+def test_null_blob_and_null_id_contained_in_resize_and_features(spark):
+    """r9 (ADVICE): the r8 NULL containment landed only in decode_media —
+    resize_media and extract_features still called bytes(None) (TypeError,
+    job dead) and declared media_id/kind non-nullable (a NULL-id row hit
+    EXPRESSION_DECODING_FAILED). Same contract, all three kernels."""
+    from billing_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+        resize_media,
+    )
+
+    rows = [
+        encode_fake_media(1, "image", 640, 480, 1),
+        (2, "image", None),       # NULL blob
+        (None, "image", b"BMx"),  # NULL id, junk blob
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    for fake in (True, False):
+        out = {r["media_id"]: r for r in resize_media(df, 320, 240, fake=fake).collect()}
+        assert out[2]["valid"] is False and out[2]["content"] is None
+        assert out[None]["valid"] is False  # NULL id emitted, job alive
+        feats = {r["media_id"]: r for r in extract_features(df, fake=fake).collect()}
+        assert feats[2]["valid"] is False and feats[2]["embedding"] is None
+        assert feats[None]["valid"] is False
+    assert resize_media(df, 320, 240, fake=True).filter("media_id = 1").first()["valid"]
+
+
 def test_sample_frames_every_n(spark, media):
     frames = sample_frames(media, every_n=30).collect()
     assert [r["frame_idx"] for r in frames] == [0, 30, 60]
