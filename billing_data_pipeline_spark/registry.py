@@ -160,11 +160,14 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # purchase_last_click_asof) and streaming_sliding_catchup /
     # tumbling_event_counts (same one-line ts-IS-NOT-NULL oracle edit as
     # the three sliding/tumbling representatives that DO ride). ---
-    "streaming_dedup_catchup",  # r8: NULL-ts rows excluded BY CONTRACT
+    "streaming_dedup_catchup",  # r9: TZ-stable key_json (kernel changed)
     "session_window_stats",  # r8: oracle ts IS NOT NULL (phantom sessions)
     "sliding_window_volume",  # r8: oracle ts IS NOT NULL (NULL bucket)
     "streaming_ohlc_catchup",  # r8: oracle ts IS NOT NULL (NULL bars)
-    "array_function_matrix",
+    # --- r9: new query (bench-flag carrier for the token-runs family;
+    # evicts array_function_matrix, which rode r8 green and is
+    # unchanged this round) ---
+    "token_runs_builtin",
 )
 
 #: The only rows-only (no-oracle) names allowed in the driver sample — the

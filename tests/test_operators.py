@@ -841,6 +841,44 @@ def test_token_runs_drops_scratch_view_and_still_computes(spark):
     assert (1, 1, "a", 2) in {tuple(r) for r in out1.collect()}
 
 
+def test_token_runs_builtin_equals_udtf_tier(spark):
+    """r9 (VERDICT item 5): token_runs_builtin carries the family's bench
+    flag, the UDTF keeps the UDF-surface demonstration — the two tiers
+    must stay result-identical (same tokenization contract, same run
+    accounting), including NULL/empty/non-ASCII documents."""
+    from billing_data_pipeline_spark.operators.udf_surface import (
+        token_runs,
+        token_runs_builtin,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b"),
+            (2, "x y y y x"),
+            (3, None),
+            (4, "  "),
+            (5, "Déjà vu DÉJÀ 42 vu vu"),
+        ],
+        "doc_id long, text string",
+    )
+    udtf_rows = sorted(tuple(r) for r in token_runs(spark, docs).collect())
+    builtin_rows = sorted(
+        tuple(r) for r in token_runs_builtin(docs).collect()
+    )
+    assert builtin_rows == udtf_rows
+    assert (2, 1, "x", 1) in set(builtin_rows)
+    assert (2, 2, "y", 3) in set(builtin_rows)
+    # one exchange total: the run groupBy reuses the window's hash
+    # partitioning on the doc key
+    plan = (
+        token_runs_builtin(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_heavy_hitters_mg_truncation_path_exact(spark):
     """r6: the batch-level Misra-Gries truncation (value_counts fold +
     subtract-(k+1)th-largest) must preserve the superset guarantee when
