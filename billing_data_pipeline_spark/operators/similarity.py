@@ -30,6 +30,36 @@ def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
 
+#: Declared dimension of the testdata ``embeddings`` table; the catalog
+#: passes this to every similarity operator's ``dim``.
+EMBED_DIM = 64
+
+
+def geometry_ok(vec_col: str, dim: int | None) -> Column:
+    """The geometry contract (r9, ragged-dimension sweep): a row whose
+    vector is NULL — or, when the caller declares ``dim``, whose length
+    differs from it — carries no geometry and is excluded from every
+    similarity operator on BOTH engines. This is the r8 NULL-embedding
+    contract's missing half: a 100 TB lake WILL carry truncated /
+    mixed-model-version / empty vectors, and one ragged row turned every
+    np.array batch stack into a job-killing ValueError (10 catalog
+    queries crashed on the first --ragged sweep). The filter is a plan-
+    side JVM expression, so it prunes before any shuffle, broadcast, or
+    Python boundary. ``dim=None`` keeps the r8 NULL-only behavior for
+    callers with schema-guaranteed homogeneous vectors."""
+    ok = F.col(vec_col).isNotNull()
+    if dim is not None:
+        ok = ok & (F.size(F.col(vec_col)) == F.lit(dim))
+    return ok
+
+
+def geometry_pred_sql(vec_col: str, dim: int | None) -> str:
+    """DuckDB twin of :func:`geometry_ok` for the oracle builders."""
+    if dim is None:
+        return f"{vec_col} IS NOT NULL"
+    return f"{vec_col} IS NOT NULL AND len({vec_col}) = {dim}"
+
+
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Left-to-right fold of elementwise products — same association as the
     oracle's list_reduce, so bit-identical.
@@ -166,27 +196,30 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     dim: int | None = None,
+    unroll_dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: for each query vector, the k nearest corpus
     vectors (excluding itself), deterministic tiebreak on candidate id.
 
-    NULL-embedding contract (r8, shared by every similarity tier and the
-    oracle builders' IS NOT NULL clauses): rows without a vector are
-    excluded from BOTH sides — they can neither query nor be candidates.
-    This keeps the HOF twin bit-identical to the vectorized kernel, whose
-    Arrow path drops NULL rows as a crash guard (r7)."""
+    Geometry contract (r8 NULL half + r9 dim half, shared by every
+    similarity tier and the oracle builders via geometry_pred_sql): rows
+    whose vector is NULL or, with ``dim`` declared, of the wrong length
+    are excluded from BOTH sides — they can neither query nor be
+    candidates. This keeps the HOF twin bit-identical to the vectorized
+    kernel, whose Arrow path would otherwise die stacking a ragged batch.
+    ``unroll_dim`` is the static-fold measurement record (see dot())."""
     from pyspark.sql import Window
 
-    queries = queries.filter(F.col(vec_col).isNotNull())
-    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(geometry_ok(vec_col, dim))
+    corpus = corpus.filter(geometry_ok(vec_col, dim))
     # Norms are per-row, so compute them once per side before the join —
     # the per-pair work drops from three HOF folds to one.
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", norm(F.col("qv"), dim))
+    ).withColumn("qn", norm(F.col("qv"), unroll_dim))
     c = corpus.select(
         F.col(id_col).alias("candidate_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", norm(F.col("cv"), dim))
+    ).withColumn("cn", norm(F.col("cv"), unroll_dim))
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("candidate_id") != F.col("query_id")
     )
@@ -198,7 +231,7 @@ def cosine_topk(
         # DuckDB's x/0 NULL ranks LAST (review r5); try_divide returns
         # NULL, and desc's default NULLS LAST matches the oracle
         F.try_divide(
-            dot(F.col("qv"), F.col("cv"), dim), F.col("qn") * F.col("cn")
+            dot(F.col("qv"), F.col("cv"), unroll_dim), F.col("qn") * F.col("cn")
         ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -212,7 +245,12 @@ def cosine_topk(
 
 
 def cosine_topk_oracle_sql(
-    table: str, id_col: str, vec_col: str, k: int, query_pred: str
+    table: str,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    query_pred: str,
+    dim: int | None = None,
 ) -> str:
     """DuckDB oracle for cosine_topk: identical double fold via
     list_reduce(list_transform(list_zip(...)))."""
@@ -226,13 +264,14 @@ def cosine_topk_oracle_sql(
     d_qc = dot.format(a="q.v", b="c.v")
     d_qq = dot.format(a="q.v", b="q.v")
     d_cc = dot.format(a="c.v", b="c.v")
-    # NULL-embedding contract (r8): both sides exclude NULL vectors,
-    # mirroring the kernels' Arrow-side skip and the plan-side filters.
+    # Geometry contract (r8 NULL + r9 dim): both sides exclude NULL and
+    # wrong-length vectors, mirroring the plan-side geometry_ok filters.
+    vec_ok = geometry_pred_sql(vec_col, dim)
     return f"""
 WITH q AS (SELECT {id_col} AS query_id, {vec_col} AS v FROM {table}
-           WHERE ({query_pred}) AND {vec_col} IS NOT NULL),
+           WHERE ({query_pred}) AND {vec_ok}),
 c AS (SELECT {id_col} AS candidate_id, {vec_col} AS v FROM {table}
-      WHERE {vec_col} IS NOT NULL),
+      WHERE {vec_ok}),
 scored AS (
     SELECT q.query_id, c.candidate_id,
            {d_qc} / (sqrt({d_qq}) * sqrt({d_cc})) AS cosine_sim
@@ -256,9 +295,12 @@ def cosine_topk_exact_vectorized(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k, vectorized — BIT-IDENTICAL to ``cosine_topk``
-    (and hence to the DuckDB oracle) at ~2x the speed.
+    (and hence to the DuckDB oracle) at ~2x the speed. ``dim`` declares
+    the geometry contract (see geometry_ok): without it one ragged
+    vector kills the whole batch stack.
 
     The trick: the oracle's left-to-right fold is *sequential over
     dimensions* but has no ordering constraint *across pairs*, so the
@@ -285,14 +327,14 @@ def cosine_topk_exact_vectorized(
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
+    # geometry contract (r9): prune NULL/ragged vectors plan-side on
+    # both sides before any collect or Arrow batch reaches numpy
+    queries = queries.filter(geometry_ok(vec_col, dim))
+    corpus = corpus.filter(geometry_ok(vec_col, dim))
     # Query side is the broadcast-sized side BY CONTRACT (it rides every
     # task's closure): brute-force top-k is the small-query/rerank tier;
     # corpus-sized query sets belong on the bucketed LSH/IVF tiers.
-    q_rows = (
-        queries.select(id_col, vec_col)
-        .filter(F.col(vec_col).isNotNull())  # crash guard (r7)
-        .collect()
-    )
+    q_rows = queries.select(id_col, vec_col).collect()
     if not q_rows:
         return _empty_topk(corpus)
     out_schema = T.StructType(
@@ -304,7 +346,7 @@ def cosine_topk_exact_vectorized(
     )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([[float(x) for x in r[1]] for r in q_rows], dtype=np.float64)
-    dim = Q.shape[1]
+    n_dims = Q.shape[1]
 
     def seq_norm(M: "np.ndarray") -> "np.ndarray":
         # acc += m_i * m_i, dim by dim: the fold's exact addition order.
@@ -328,7 +370,7 @@ def cosine_topk_exact_vectorized(
             C = np.array(list(pdf[vec_col]), dtype=np.float64)
             Cn = seq_norm(C)
             S = np.zeros((len(cids), len(q_ids)))
-            for i in range(dim):  # exact left fold, vectorized over pairs
+            for i in range(n_dims):  # exact left fold, vectorized over pairs
                 S += C[:, i][:, None] * Q[None, :, i]
             S = S / (Qn[None, :] * Cn[:, None])
             # Zero-norm pairs are 0/0 = NaN here, NULL in both SQL tiers
@@ -370,6 +412,7 @@ def cosine_topk_matmul(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Brute-force cosine top-k on the Arrow/numpy fast path: the query
     matrix (small side) is collected and closed over; each corpus partition
@@ -392,12 +435,11 @@ def cosine_topk_matmul(
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
+    # geometry contract (r9): NULL/ragged vectors pruned plan-side
+    queries = queries.filter(geometry_ok(vec_col, dim))
+    corpus = corpus.filter(geometry_ok(vec_col, dim))
     # query side broadcast-sized by contract (see cosine_topk_exact_vectorized)
-    q_rows = (
-        queries.select(id_col, vec_col)
-        .filter(F.col(vec_col).isNotNull())  # crash guard (r7)
-        .collect()
-    )
+    q_rows = queries.select(id_col, vec_col).collect()
     if not q_rows:
         return _empty_topk(corpus)
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
@@ -494,6 +536,7 @@ def semantic_decontaminate(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-space decontamination: flag every corpus vector whose max
     cosine similarity to ANY eval-set vector reaches ``threshold`` — the
@@ -514,12 +557,10 @@ def semantic_decontaminate(
 
     from pyspark.sql import types as T
 
-    e_rows = (
-        eval_set.select(id_col, vec_col)
-        .filter(F.col(vec_col).isNotNull())  # crash guard (r7)
-        .orderBy(id_col)
-        .collect()
-    )
+    # geometry contract (r8 NULL + r9 dim): both sides pruned plan-side
+    eval_set = eval_set.filter(geometry_ok(vec_col, dim))
+    corpus = corpus.filter(geometry_ok(vec_col, dim))
+    e_rows = eval_set.select(id_col, vec_col).orderBy(id_col).collect()
     schema = T.StructType(
         [
             T.StructField(id_col, corpus.schema[id_col].dataType),
@@ -571,6 +612,7 @@ def semantic_decontaminate_oracle_sql(
     vec_col: str,
     eval_pred: str,
     threshold: str,
+    dim: int | None = None,
 ) -> str:
     """DuckDB twin: cross join corpus × eval, dim-sequential cosine fold,
     MAX per corpus id. ``threshold`` must be passed as a string literal to
@@ -587,11 +629,12 @@ def semantic_decontaminate_oracle_sql(
     # kernel drops NULL corpus rows entirely (the oracle's MAX over their
     # all-NULL sims would instead KEEP the row with NULL verdicts), and an
     # all-NULL eval side must mean "no eval vectors" on both engines.
+    vec_ok = geometry_pred_sql(vec_col, dim)
     return f"""
 WITH ev AS (SELECT {vec_col} AS v FROM {table}
-            WHERE ({eval_pred}) AND {vec_col} IS NOT NULL),
+            WHERE ({eval_pred}) AND {vec_ok}),
 tr AS (SELECT {id_col}, {vec_col} AS v FROM {table}
-       WHERE NOT ({eval_pred}) AND {vec_col} IS NOT NULL)
+       WHERE NOT ({eval_pred}) AND {vec_ok})
 SELECT tr.{id_col},
        MAX({d_tc} / (sqrt({d_tt}) * sqrt({d_cc}))) AS max_eval_sim,
        MAX({d_tc} / (sqrt({d_tt}) * sqrt({d_cc}))) >= CAST('{threshold}' AS DOUBLE)
@@ -609,6 +652,7 @@ def ivf_topk(
     k: int = 5,
     n_lists: int = 16,
     n_probe: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the corpus is partitioned into
     ``n_lists`` Voronoi cells around deterministic centroids (every
@@ -635,13 +679,13 @@ def ivf_topk(
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
-    # NULL-embedding contract (r8): excluded PLAN-SIDE, not just in the
-    # kernels — a NULL row reaching stride_seed_rows becomes a NULL seed
-    # centroid (np.array coercion crash), and the stride itself must be
-    # computed over the vector-bearing rows to match the oracle's
-    # IS-NOT-NULL ids CTE.
-    corpus = corpus.filter(F.col(vec_col).isNotNull())
-    queries = queries.filter(F.col(vec_col).isNotNull())
+    # Geometry contract (r8 NULL + r9 dim): excluded PLAN-SIDE, not just
+    # in the kernels — a NULL/ragged row reaching stride_seed_rows
+    # becomes a bad seed centroid (np.array coercion crash), and the
+    # stride itself must be computed over the geometry-bearing rows to
+    # match the oracle's ids CTE.
+    corpus = corpus.filter(geometry_ok(vec_col, dim))
+    queries = queries.filter(geometry_ok(vec_col, dim))
     # deterministic centroids: every stride-th corpus vector by sorted id,
     # picked distributed (ids-only rank + broadcast semi-join — no O(N)
     # driver materialization; see stride_seed_rows)
@@ -782,23 +826,25 @@ def ivf_topk_oracle_sql(
     n_lists: int = 16,
     n_probe: int = 4,
     query_pred: str = "TRUE",
+    dim: int | None = None,
 ) -> str:
     """DuckDB twin of ivf_topk: stride-selected centroids, rank-1 cell
     assignment, rank<=n_probe probes, exact cosine rerank — every double
     from the same fold, every tie broken (sim desc, idx asc)."""
+    vec_ok = geometry_pred_sql(vec_col, dim)
     d_vc = _dot_sql("v.vec", "c.cv")
     d_vv = _dot_sql("v.vec", "v.vec")
     d_cc = _dot_sql("c.cv", "c.cv")
     d_qa = _dot_sql("q.vec", "a.vec")
     d_qq = _dot_sql("q.vec", "q.vec")
     d_aa = _dot_sql("a.vec", "a.vec")
-    # NULL-embedding contract (r8): the ids CTE (and hence the stride and
-    # the seed centroids) and the scored vector set all exclude NULL
-    # vectors, mirroring the plan-side filters in ivf_topk.
+    # Geometry contract (r8 NULL + r9 dim): the ids CTE (and hence the
+    # stride and the seed centroids) and the scored vector set all
+    # exclude NULL/ragged vectors, mirroring ivf_topk's plan-side filters.
     return f"""
 WITH ids AS (
     SELECT {id_col} AS id, row_number() OVER (ORDER BY {id_col}) - 1 AS rn
-    FROM {table} WHERE {vec_col} IS NOT NULL
+    FROM {table} WHERE {vec_ok}
 ),
 params AS (SELECT greatest(1, COUNT(*) // {n_lists}) AS stride FROM ids),
 cents AS (
@@ -808,7 +854,7 @@ cents AS (
     WHERE i.rn % p.stride = 0 AND i.rn // p.stride < {n_lists}
 ),
 vecs AS (SELECT {id_col} AS id, {vec_col} AS vec FROM {table}
-         WHERE {vec_col} IS NOT NULL),
+         WHERE {vec_ok}),
 sims AS (
     SELECT v.id, c.cidx,
            {d_vc} / (sqrt({d_vv}) * sqrt({d_cc})) AS sim
@@ -850,6 +896,7 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    dim: int | None = None,
 ) -> DataFrame:
     """[EXT] Embedding-cosine near-duplicate detection, exact tier: every
     unordered pair (id_a < id_b) whose cosine similarity reaches the
@@ -901,6 +948,8 @@ def cosine_neardup_pairs(
             T.StructField("cosine_sim", T.DoubleType()),
         ]
     )
+    # geometry contract (r9): ragged vectors never pair, same as NULLs
+    df = df.filter(geometry_ok(vec_col, dim))
     rows = df.select(id_col, vec_col).collect()
     ids = [r[0] for r in rows if r[1] is not None]
     if not ids:
@@ -943,18 +992,26 @@ def cosine_neardup_pairs(
     return df.select(id_col, vec_col).mapInPandas(kernel, schema)
 
 
-def neardup_pairs_oracle_sql(table: str, id_col: str, vec_col: str, threshold: float) -> str:
+def neardup_pairs_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int | None = None,
+) -> str:
     """DuckDB oracle for cosine_neardup_pairs (identical IEEE fold).
 
     The IS NOT NULL is semantics-preserving (a NULL-vec pair's cosine is
-    NULL and NULL >= t never passes) but makes the shared NULL-embedding
-    contract explicit and prunes the pair scan (r8)."""
+    NULL and NULL >= t never passes) but makes the shared contract
+    explicit and prunes the pair scan (r8); the len() half (r9) is
+    load-bearing — a ragged pair's DuckDB fold stops at the shorter
+    length and could still clear the threshold."""
     d_ab = _dot_sql("a.v", "b.v")
     d_aa = _dot_sql("a.v", "a.v")
     d_bb = _dot_sql("b.v", "b.v")
     return f"""
 WITH v AS (SELECT {id_col}, {vec_col} AS v FROM {table}
-           WHERE {vec_col} IS NOT NULL),
+           WHERE {geometry_pred_sql(vec_col, dim)}),
 scored AS (
     SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
            {d_ab} / (sqrt({d_aa}) * sqrt({d_bb})) AS cosine_sim
@@ -970,31 +1027,39 @@ def cosine_dedup_survivors(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     keep_cols: tuple[str, ...] = ("label",),
+    dim: int | None = None,
 ) -> DataFrame:
     """Greedy keep-first dedup over the near-dup pairs: drop every vector
     that has a near-duplicate with a smaller id (deterministic, one rule —
     not transitive-closure clustering, so it is exactly expressible in SQL
     for the oracle). Survivors = ids never appearing as the larger member,
     via a left_anti join against the distinct dropped-id set — column-pruned
-    to the id before the shuffle."""
-    pairs = cosine_neardup_pairs(df, id_col, vec_col, threshold)
+    to the id before the shuffle. NULL/ragged-vector rows never pair, so
+    they always SURVIVE (the outer scan stays unfiltered, both engines)."""
+    pairs = cosine_neardup_pairs(df, id_col, vec_col, threshold, dim)
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti").select(id_col, *keep_cols)
 
 
 def neardup_survivors_oracle_sql(
-    table: str, id_col: str, vec_col: str, threshold: float, keep_cols: tuple[str, ...]
+    table: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    keep_cols: tuple[str, ...],
+    dim: int | None = None,
 ) -> str:
     d_ab = _dot_sql("a.v", "b.v")
     d_aa = _dot_sql("a.v", "a.v")
     d_bb = _dot_sql("b.v", "b.v")
     keep = ", ".join(f"e.{c}" for c in keep_cols)
-    # v's IS NOT NULL is semantics-preserving (see neardup_pairs_oracle_sql);
-    # the outer scan stays UNfiltered — NULL-vec rows never pair, so they
-    # always survive, on both engines (r8).
+    # v's geometry predicate is semantics-preserving for NULLs and
+    # load-bearing for ragged lengths (see neardup_pairs_oracle_sql);
+    # the outer scan stays UNfiltered — geometry-less rows never pair,
+    # so they always survive, on both engines (r8/r9).
     return f"""
 WITH v AS (SELECT {id_col}, {vec_col} AS v FROM {table}
-           WHERE {vec_col} IS NOT NULL),
+           WHERE {geometry_pred_sql(vec_col, dim)}),
 dropped AS (
     SELECT DISTINCT b.{id_col} AS id
     FROM v a JOIN v b ON a.{id_col} < b.{id_col}
@@ -1054,9 +1119,17 @@ def lsh_neardup_pairs_oracle_sql(
     rerank is the exact cosine — so the approximate LSH pipeline is
     oracle-checked end-to-end, not rows-only."""
     planes = _lsh_tables_planes(n_tables, n_bits, dim, seed)
+    # Geometry contract (r9): the signature CTE excludes NULL/ragged
+    # vectors, mirroring the plan-side filter in lsh_neardup_pairs. For
+    # NULLs this is output-identical to the r8 form (bucket-0 collisions
+    # always reranked to NULL cosine and fell to the threshold); for
+    # ragged lengths it is load-bearing — a truncated vector's zip fold
+    # silently scores on the shorter prefix.
+    vec_ok = geometry_pred_sql(vec_col, dim)
     sigs = "\nUNION ALL\n".join(
         f"SELECT {id_col} AS id, {vec_col} AS v, {t} AS tbl, "
-        f"{_signature_sql(vec_col, planes[t])} AS bucket FROM {table}"
+        f"{_signature_sql(vec_col, planes[t])} AS bucket FROM {table} "
+        f"WHERE {vec_ok}"
         for t in range(n_tables)
     )
     d_ab = _dot_sql("va.v", "vb.v")
@@ -1071,19 +1144,18 @@ cand AS (
     FROM s a JOIN s b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
 ),
 scored AS (
-    -- the vector re-fetch excludes NULL vectors (r8): semantics-preserving
-    -- (a NULL-side pair's cosine is NULL on both engines and NULL >= t
-    -- never passes) and required for DuckDB — list_zip(NULL, NULL) is an
-    -- EMPTY list and list_reduce errors on empty input, so two NULL-vec
-    -- rows colliding in bucket 0 crashed the fold (first NULL-embedding
-    -- sweep)
+    -- the vector re-fetch carries the same geometry predicate (r8/r9):
+    -- semantics-preserving for the candidate set (s is already
+    -- filtered) and required for DuckDB — list_zip(NULL, NULL) is an
+    -- EMPTY list and list_reduce errors on empty input (first
+    -- NULL-embedding sweep)
     SELECT c.id_a, c.id_b,
            {d_ab} / (sqrt({d_aa}) * sqrt({d_bb})) AS cosine_sim
     FROM cand c
     JOIN (SELECT {id_col} AS id, {vec_col} AS v FROM {table}
-          WHERE {vec_col} IS NOT NULL) va ON va.id = c.id_a
+          WHERE {vec_ok}) va ON va.id = c.id_a
     JOIN (SELECT {id_col} AS id, {vec_col} AS v FROM {table}
-          WHERE {vec_col} IS NOT NULL) vb ON vb.id = c.id_b
+          WHERE {vec_ok}) vb ON vb.id = c.id_b
 )
 SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= {threshold}
 """
@@ -1111,9 +1183,15 @@ def lsh_bucketed_topk_oracle_sql(
     d_qc = _dot_sql("qs.v", "cs.v")
     d_qq = _dot_sql("qs.v", "qs.v")
     d_cc = _dot_sql("cs.v", "cs.v")
+    # Geometry contract (r9): the base CTE excludes NULL/ragged vectors,
+    # retiring the r8 NULL-keep semantics (NULL candidates used to fill
+    # short top-k slots with NULL sims) — exclusion is the contract every
+    # other similarity tier already had, and the Spark side now filters
+    # plan-side to match.
     return f"""
 WITH s AS (
     SELECT {id_col} AS id, {vec_col} AS v FROM {table}
+    WHERE {geometry_pred_sql(vec_col, dim)}
 ),
 e AS (
 {buckets}
@@ -1124,15 +1202,11 @@ cand AS (
     FROM e c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.id <> q.id
 ),
 scored AS (
-    -- CASE, not a filter (r8): Spark KEEPS NULL-vec rows here (bucket 0,
-    -- NULL cosine ranked last — they fill the top-k when a bucket runs
-    -- short), so the oracle must emit NULL sims too; but the fold itself
-    -- cannot run on them — DuckDB's list_zip(NULL, NULL) is an EMPTY list
-    -- and list_reduce errors on empty input (first NULL-embedding sweep).
-    -- CASE's lazy ELSE keeps the crash path unreachable.
+    -- s is geometry-filtered, so the fold can run directly: DuckDB's
+    -- list_zip(NULL, NULL) is an EMPTY list and list_reduce errors on
+    -- empty input (first NULL-embedding sweep) — unreachable here
     SELECT cand.query_id, cand.candidate_id,
-           CASE WHEN qs.v IS NULL OR cs.v IS NULL THEN NULL
-                ELSE {d_qc} / (sqrt({d_qq}) * sqrt({d_cc})) END AS cosine_sim
+           {d_qc} / (sqrt({d_qq}) * sqrt({d_cc})) AS cosine_sim
     FROM cand
     JOIN s qs ON qs.id = cand.query_id
     JOIN s cs ON cs.id = cand.candidate_id
@@ -1347,6 +1421,14 @@ def lsh_neardup_pairs(
     (deterministic) lineage — correct, just slower.
     """
     all_planes = _lsh_tables_planes(n_tables, n_bits, dim, seed)
+    # Geometry contract (r9): NULL/ragged vectors are excluded plan-side
+    # — this tier's planes declare `dim`, so the check is always on. The
+    # old NULL path (bucket 0 + NULL-cosine rerank, dropped by the
+    # threshold) produced the identical pair set at the cost of a
+    # bucket-0 collision flood; ragged vectors CRASHED the signature
+    # kernel's batch stack. Output unchanged for NULLs, crash closed
+    # for ragged, one contract across every similarity tier.
+    df = df.filter(geometry_ok(vec_col, dim))
     id_type = df.schema[id_col].dataType
 
     # Persist: the signature frame feeds three consumers (candidate
@@ -1424,6 +1506,14 @@ def lsh_bucketed_topk(
     from pyspark.sql import Window
 
     all_planes = _lsh_tables_planes(n_tables, n_bits, dim, seed)
+    # Geometry contract (r9): NULL/ragged vectors excluded on both sides
+    # plan-side (dim is always declared by this tier's planes). This
+    # retires the r8 NULL-keep path (NULL candidates used to fill top-k
+    # slots with NULL sims via bucket 0) — exclusion is the contract
+    # every other similarity tier already had, and ragged rows CRASHED
+    # the signature kernel's batch stack before this filter.
+    corpus = corpus.filter(geometry_ok(vec_col, dim))
+    queries = queries.filter(geometry_ok(vec_col, dim))
     id_type = corpus.schema[id_col].dataType
 
     sig_c = swept_persist(
@@ -1474,7 +1564,14 @@ def lsh_bucketed_topk(
 # ---------------------------------------------------------------------------
 
 
-def _pq_codebook(corpus: DataFrame, id_col: str, vec_col: str, m: int, k_codes: int):
+def _pq_codebook(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int,
+    k_codes: int,
+    dim: int | None = None,
+):
     """Deterministic, training-free PQ codebook: the ``k_codes``
     stride-selected corpus vectors (every (|corpus|/k_codes)-th by sorted
     id — the same data-seeded sampling as ivf_topk's centroids, picked
@@ -1483,10 +1580,11 @@ def _pq_codebook(corpus: DataFrame, id_col: str, vec_col: str, m: int, k_codes: 
     Returns (norm_samples ndarray [k_codes, dim], sub_dim)."""
     import numpy as np
 
-    # NULL-embedding contract (r8): a NULL row reaching the stride pick
-    # becomes a NULL codebook sample (np.array coercion crash), and the
-    # stride must count only vector-bearing rows to match the oracle.
-    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    # Geometry contract (r8 NULL + r9 dim): a NULL/ragged row reaching
+    # the stride pick becomes a bad codebook sample (np.array coercion
+    # crash), and the stride must count only geometry-bearing rows to
+    # match the oracle.
+    corpus = corpus.filter(geometry_ok(vec_col, dim))
     rows = stride_seed_rows(corpus, id_col, vec_col, k_codes)
     if not rows:
         return None, 0  # empty corpus — pq_topk returns empty
@@ -1506,6 +1604,7 @@ def pq_topk(
     k: int = 5,
     m: int = 16,
     k_codes: int = 128,
+    dim: int | None = None,
 ) -> DataFrame:
     """Product-quantization top-k (asymmetric distance computation).
 
@@ -1537,7 +1636,11 @@ def pq_topk(
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
-    S, sub = _pq_codebook(corpus, id_col, vec_col, m, k_codes)
+    # geometry contract (r9): NULL/ragged vectors excluded plan-side on
+    # both sides (a ragged row crashed the encode kernel's batch stack)
+    corpus = corpus.filter(geometry_ok(vec_col, dim))
+    queries = queries.filter(geometry_ok(vec_col, dim))
+    S, sub = _pq_codebook(corpus, id_col, vec_col, m, k_codes, dim)
     if S is None:  # empty corpus
         return _empty_topk(corpus, "adc_score")
     k_codes = S.shape[0]  # tiny corpora yield fewer samples than requested
@@ -1659,6 +1762,7 @@ def pq_topk_oracle_sql(
     k_codes: int = 128,
     sub: int = 4,
     query_pred: str = "TRUE",
+    dim: int | None = None,
 ) -> str:
     """DuckDB twin of pq_topk: stride-sampled normalized codebook, per-
     subspace sequential-fold L2 argmin codes, ADC = fold over the m lookup
@@ -1667,14 +1771,14 @@ def pq_topk_oracle_sql(
     sq = (
         "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])"
     )
-    # NULL-embedding contract (r8): vecs (and hence ids/stride/codebook)
-    # excludes NULL vectors, mirroring _pq_codebook's plan-side filter and
-    # the encode/build_tables kernels' Arrow-side skip.
+    # Geometry contract (r8 NULL + r9 dim): vecs (and hence ids/stride/
+    # codebook) excludes NULL/ragged vectors, mirroring _pq_codebook's
+    # plan-side filter and pq_topk's entry filters.
     return f"""
 WITH vecs AS (
     SELECT {id_col} AS id,
            list_transform(e.{vec_col}, x -> CAST(x AS DOUBLE) / sqrt({d_vv})) AS vec
-    FROM {table} e WHERE e.{vec_col} IS NOT NULL
+    FROM {table} e WHERE {geometry_pred_sql(f"e.{vec_col}", dim)}
 ),
 ids AS (SELECT id, row_number() OVER (ORDER BY id) - 1 AS rn FROM vecs),
 params AS (SELECT greatest(1, COUNT(*) // {k_codes}) AS stride FROM ids),

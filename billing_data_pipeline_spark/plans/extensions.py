@@ -228,7 +228,8 @@ def simhash_neardup_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFram
     tags=("ext", "curation", "dedup", "similarity"),
     bench=True,
     oracle=S.semantic_decontaminate_oracle_sql(
-        "embeddings", "vec_id", "embedding", "vec_id % 20 = 0", "0.4"
+        "embeddings", "vec_id", "embedding", "vec_id % 20 = 0", "0.4",
+        dim=S.EMBED_DIM,
     ),
 )
 def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,20 +241,25 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     ev = emb.filter(F.col("vec_id") % 20 == 0)
     tr = emb.filter(F.col("vec_id") % 20 != 0)
-    return S.semantic_decontaminate(tr, ev, "vec_id", "embedding", 0.4)
+    return S.semantic_decontaminate(
+        tr, ev, "vec_id", "embedding", 0.4, dim=S.EMBED_DIM
+    )
 
 
 @register(
     "embedding_neardup_pairs",
     tags=("ext", "dedup", "similarity"),
-    oracle=S.neardup_pairs_oracle_sql("embeddings", "vec_id", "embedding", 0.4),
+    oracle=S.neardup_pairs_oracle_sql(
+        "embeddings", "vec_id", "embedding", 0.4, dim=S.EMBED_DIM
+    ),
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact tier): all id_a < id_b pairs
     with cosine >= 0.4; fold order bit-identical to the DuckDB oracle so the
     threshold cut agrees. Scale path: embedding_lsh_neardup_pairs."""
     return S.cosine_neardup_pairs(
-        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.4
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.4,
+        dim=S.EMBED_DIM,
     )
 
 
@@ -261,14 +267,15 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_dedup_survivors",
     tags=("ext", "dedup"),
     oracle=S.neardup_survivors_oracle_sql(
-        "embeddings", "vec_id", "embedding", 0.4, ("label",)
+        "embeddings", "vec_id", "embedding", 0.4, ("label",), dim=S.EMBED_DIM
     ),
 )
 def embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy keep-first embedding dedup: drop every vector with a near-dup
     at a smaller id (left_anti against the distinct dropped-id set)."""
     return S.cosine_dedup_survivors(
-        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.4, ("label",)
+        t(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.4, ("label",),
+        dim=S.EMBED_DIM,
     )
 
 
@@ -297,7 +304,9 @@ def embedding_lsh_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # wraps pairs_sql as 'SELECT id_a, id_b FROM (...) p' (review r5:
         # a string .replace here silently no-ops if the pair oracle's
         # final SELECT is ever reworded)
-        S.neardup_pairs_oracle_sql("embeddings", "vec_id", "embedding", 0.4),
+        S.neardup_pairs_oracle_sql(
+            "embeddings", "vec_id", "embedding", 0.4, dim=S.EMBED_DIM
+        ),
         "vec_id",
     ),
 )
@@ -308,7 +317,9 @@ def embedding_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     one iterative-fixpoint operator of the dedup stack — and still
     oracle-checked, against a DuckDB recursive-CTE reachability closure."""
     emb = t(spark, sf_dir, "embeddings")
-    edges = S.cosine_neardup_pairs(emb, "vec_id", "embedding", 0.4).select(
+    edges = S.cosine_neardup_pairs(
+        emb, "vec_id", "embedding", 0.4, dim=S.EMBED_DIM
+    ).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     return CC.connected_components(
@@ -326,7 +337,8 @@ def embedding_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "similarity"),
     bench=True,
     oracle=S.cosine_topk_oracle_sql(
-        "embeddings", "vec_id", "embedding", k=5, query_pred="vec_id % 40 = 0"
+        "embeddings", "vec_id", "embedding", k=5, query_pred="vec_id % 40 = 0",
+        dim=S.EMBED_DIM,
     ),
 )
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,7 +349,9 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality pinned in tests/test_scale_patterns.py)."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 40 == 0)
-    return S.cosine_topk_exact_vectorized(emb, queries, "vec_id", "embedding", k=5)
+    return S.cosine_topk_exact_vectorized(
+        emb, queries, "vec_id", "embedding", k=5, dim=S.EMBED_DIM
+    )
 
 
 @register(
@@ -354,14 +368,17 @@ def embedding_matmul_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     live in PLANS.md's matmul-vs-fold table."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 40 == 0)
-    return S.cosine_topk_matmul(emb, queries, "vec_id", "embedding", k=5)
+    return S.cosine_topk_matmul(
+        emb, queries, "vec_id", "embedding", k=5, dim=S.EMBED_DIM
+    )
 
 
 @register(
     "embedding_ivf_topk",
     tags=("ext", "similarity", "approx", "ivf"),
     oracle=S.ivf_topk_oracle_sql(
-        "embeddings", "vec_id", "embedding", k=5, query_pred="id % 40 = 0"
+        "embeddings", "vec_id", "embedding", k=5, query_pred="id % 40 = 0",
+        dim=S.EMBED_DIM,
     ),
 )
 def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,7 +389,7 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB reproduces cells, candidates, and ranks exactly."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 40 == 0)
-    return S.ivf_topk(emb, queries, "vec_id", "embedding", k=5)
+    return S.ivf_topk(emb, queries, "vec_id", "embedding", k=5, dim=S.EMBED_DIM)
 
 
 @register(
@@ -380,7 +397,8 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "similarity", "approx", "pq"),
     bench=True,  # r4: the quantized-ANN tier joins the headline set
     oracle=S.pq_topk_oracle_sql(
-        "embeddings", "vec_id", "embedding", k=5, query_pred="q.id % 40 = 0"
+        "embeddings", "vec_id", "embedding", k=5, query_pred="q.id % 40 = 0",
+        dim=S.EMBED_DIM,
     ),
 )
 def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,7 +411,7 @@ def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_scale_patterns.py."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 40 == 0)
-    return S.pq_topk(emb, queries, "vec_id", "embedding", k=5)
+    return S.pq_topk(emb, queries, "vec_id", "embedding", k=5, dim=S.EMBED_DIM)
 
 
 @register(

@@ -42,7 +42,7 @@ from ..registry import register
 from ._util import t
 
 K_LISTS = 8
-DIM = 64
+DIM = S.EMBED_DIM  # single source for the geometry contract (r9)
 Q_SCALE = 1 << 20  # fixed-point scale for the centroid-update sums
 
 _SEED_CTES = f"""

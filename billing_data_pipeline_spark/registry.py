@@ -110,9 +110,17 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "late_shipment_priority",  # r8: quarter-orders broadcast unhinted
     "small_quantity_part_revenue",  # r8: brand-part broadcast unhinted
     "promo_revenue_share",  # r8: part broadcast unhinted
-    "disjunctive_part_revenue",  # r8: part broadcast unhinted
     "part_supplier_variety",  # r8: exclusion/part broadcasts unhinted
-    "large_order_customers",  # r8: HAVING-set broadcast unhinted
+    # --- r9 geometry-contract pass (ragged-dimension sweep: every
+    # similarity tier gained a plan-side size(embedding)=dim filter and
+    # its oracle the matching len() clause — 10 queries changed; the
+    # seven embedding_* flagships/standing pins below already ride.
+    # disjunctive_part_revenue + large_order_customers evicted (rode r8
+    # green, unchanged r9). embedding_matmul_topk also changed but is
+    # rows-only and not sample-allowed; its bit-exact twin
+    # embedding_cosine_topk rides, same style as the r8 asof note. ---
+    "embedding_dedup_survivors",  # r9: geometry filter + oracle len()
+    "embedding_dedup_components",  # r9: same, via cosine_neardup_pairs
     "dominant_part_suppliers",  # r8: LIKE-part broadcast unhinted
     "embedding_lsh_topk",  # r8: query-side broadcasts unhinted (AQE)
     # (embedding_ivf_topk rides as a flagship; its probe join was

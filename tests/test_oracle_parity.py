@@ -443,9 +443,11 @@ def test_cosine_topk_zero_norm_query_and_candidate(spark, tmp_path):
 
     rnd = random.Random(7)
     ids = list(range(0, 120, 10))  # 0, 40, 80 are the %40 queries
-    vecs = [[rnd.uniform(-1, 1) for _ in range(8)] for _ in ids]
-    vecs[ids.index(40)] = [0.0] * 8  # zero-norm query
-    vecs[ids.index(30)] = [0.0] * 8  # zero-norm candidate
+    # 64-dim: the geometry contract (r9) excludes vectors that violate
+    # the catalog's declared EMBED_DIM, so the fixture must honor it
+    vecs = [[rnd.uniform(-1, 1) for _ in range(64)] for _ in ids]
+    vecs[ids.index(40)] = [0.0] * 64  # zero-norm query
+    vecs[ids.index(30)] = [0.0] * 64  # zero-norm candidate
     d = tmp_path / "sf"
     d.mkdir(exist_ok=True)
     pq.write_table(
@@ -505,12 +507,11 @@ def test_null_embedding_contract_across_similarity_tiers(spark, tmp_path):
         "decontaminate_embedding",
         "embedding_neardup_pairs",
         "embedding_dedup_survivors",
-        # LSH tiers KEEP NULL-vec rows (bucket 0, NULL sims) — but multiple
-        # NULL vectors colliding in bucket 0 made the oracle's rerank fold
-        # run list_reduce over list_zip(NULL, NULL) = [] (a DuckDB error),
-        # and Spark's rerank kernel treated the NaN-densified NULL norm as
-        # valid (np.array crash). Three NULL candidates above guarantee the
-        # both-NULL collision.
+        # LSH tiers: r8 kept NULL-vec rows (bucket 0, NULL sims); r9's
+        # geometry contract unified them with every other tier — NULL
+        # rows are excluded plan-side and in the oracles' base CTEs
+        # (output-identical for the pairs tier, deliberate change for
+        # the top-k filler rows; see lsh_bucketed_topk).
         "embedding_lsh_neardup_pairs",
         "embedding_lsh_topk",
     ):
@@ -521,6 +522,65 @@ def test_null_embedding_contract_across_similarity_tiers(spark, tmp_path):
             got = {r["query_id"] for r in df.collect()}
             assert 40 not in got and 60 not in got  # NULL queries excluded
             assert 0 in got  # real queries still present
+
+
+def test_ragged_embedding_geometry_contract(spark, tmp_path):
+    """r9 (--ragged sweep, 10 job-killing crashes on first run): vectors
+    whose length differs from the declared EMBED_DIM — truncated,
+    padded, or empty — are excluded from every similarity tier on BOTH
+    engines, exactly like NULLs (geometry_ok / geometry_pred_sql).
+    Before the contract, one ragged row turned np.array batch stacking
+    into a ValueError that killed the whole job; the oracles meanwhile
+    would have happily folded a truncated pair on the shorter prefix.
+    Ragged rows land on query positions (%40, %20) AND low candidate/
+    seed ids so stride arithmetic is exercised; survivors semantics:
+    geometry-less rows never pair, so they always SURVIVE dedup."""
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rnd = random.Random(13)
+    ids = list(range(0, 480, 10))
+    vecs: list = [[rnd.uniform(-1, 1) for _ in range(64)] for _ in ids]
+    vecs[ids.index(40)] = vecs[ids.index(40)][:48]  # truncated query
+    vecs[ids.index(60)] = vecs[ids.index(60)] + [0.25] * 4  # padded query
+    vecs[ids.index(10)] = []  # empty candidate
+    vecs[ids.index(30)] = vecs[ids.index(30)][:16]  # truncated seed-range id
+    vecs[ids.index(250)] = None  # NULL still composes with ragged
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array(["x"] * len(ids)),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    for name in (
+        "embedding_cosine_topk",
+        "embedding_ivf_topk",
+        "embedding_pq_topk",
+        "decontaminate_embedding",
+        "embedding_neardup_pairs",
+        "embedding_dedup_survivors",
+        "embedding_lsh_neardup_pairs",
+        "embedding_lsh_topk",
+        "embedding_dedup_components",
+    ):
+        spec = CATALOG[name]
+        df = spec.fn(spark, str(d))
+        assert_matches_oracle(df, spec.oracle, str(d))
+        if name == "embedding_cosine_topk":
+            got = {r["query_id"] for r in df.collect()}
+            assert 40 not in got and 60 not in got  # ragged queries out
+            assert 0 in got
+        if name == "embedding_dedup_survivors":
+            kept = {r["vec_id"] for r in df.collect()}
+            assert {40, 60, 10, 30, 250} <= kept  # geometry-less survive
 
 
 def test_quality_kept_and_transcripts_edge_rows(spark, tmp_path):

@@ -9,6 +9,8 @@ Usage:
     python tools/null_fixture.py --timewarp [src_dir] [dst_dir] # epoch-edge ts
     python tools/null_fixture.py --nullts [src_dir] [dst_dir]  # NULL event times
     python tools/null_fixture.py --nullkeys [src_dir] [dst_dir] # NULL id/entity keys
+    python tools/null_fixture.py --uniws [src_dir] [dst_dir]   # unicode ws/invisibles
+    python tools/null_fixture.py --ragged [src_dir] [dst_dir]  # ragged embedding dims
     python tests/driver_sim.py <dst_dir>                       # the sweep
 
 --extreme injects domain-edge values a 100 TB corpus WILL contain:
@@ -182,6 +184,125 @@ EXTREME_PROPS = [
     '{"k": 7, "q": "a\\"b"}',
     '{"k": 2147483647}',
 ]
+
+
+# --- r9: unicode whitespace & invisible characters -----------------------
+# The r4 extreme corpus probes case traps and \x0B; this class probes the
+# OTHER unicode text hazard: separators and invisibles where the three
+# engines' notions of "whitespace" and "character" can part ways.
+# Contract under test: \s means the JAVA ASCII set [ \t\n\x0B\f\r] on all
+# three engines (JAVA_WS_SPLIT_SQL in oracles, re.ASCII in Python
+# kernels), so NBSP/ideographic-space/NEL/LS/PS do NOT split tokens;
+# invisibles (ZWSP/ZWJ/soft-hyphen/word-joiner/BOM) ride INSIDE tokens;
+# lengths count codepoints (never UTF-16 units or graphemes) — astral
+# letters count 1.
+UNIWS_TEXTS = [
+    # NBSP / narrow-NBSP / thin-space separated words: NOT \\s on any
+    # engine under the Java-ASCII contract -> they ride INSIDE tokens
+    "alpha\u00a0beta\u202fgamma\u2009delta plain end",
+    # ideographic space + em space between CJK and latin runs
+    "\u6570\u636e\u3000\u7ba1\u9053\u2003pipeline quality token",
+    # NEL / line-separator / paragraph-separator as would-be newlines
+    "first\u0085second\u2028third\u2029fourth real\nnewline",
+    # zero-width space / ZWJ / word-joiner / soft hyphen INSIDE words
+    "zero\u200bwidth zw\u200dj word\u2060joiner soft\u00adhyphen",
+    # BOM at start and mid-text
+    "\ufeffbom lead and mid\ufeffbom tail",
+    # astral-plane letters: length must count codepoints (1 each)
+    "math \U0001d524\U0001d52f\U0001d52a letters \U00010330\U00010344 end",
+    # NFD combining sequences (precomposed twins live in EXTREME_TEXTS)
+    "de\u0301ja\u0300 vu a\u030angstro\u0308m cafe\u0301",
+    # document of ONLY non-ASCII whitespace: one un-split 'token', and
+    # ASCII trim()/\\s+ must not erase it
+    "\u00a0\u3000\u2007\u205f",
+    # mixed CRLF + unicode newline soup around tokens
+    "win\r\ndows\rmac\nunix\u0085mixed",
+    # RTL with explicit directional marks riding inside tokens
+    "\u200f\u0645\u0631\u062d\u0628\u0627\u200e ltr\u200e rtl\u200f end",
+]
+
+
+def build_uniws(src: str, dst: str) -> str:
+    """Unicode-whitespace / invisible-character injection (~12% of docs,
+    ~8% of event props), keys intact. See UNIWS_TEXTS for the classes;
+    n_chars is kept consistent (codepoint length of the new text)."""
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    con = duckdb.connect()
+    texts = "[" + ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in UNIWS_TEXTS
+    ) + "]"
+    n = len(UNIWS_TEXTS)
+    for t in TABLES:
+        if t == "documents":
+            con.execute(
+                f"""COPY (
+                  SELECT doc_id,
+                         CASE WHEN hash(doc_id || 'uw') % 8 = 0 THEN
+                           {texts}[CAST(1 + hash(doc_id || 'upick') % {n} AS BIGINT)]
+                         ELSE text END AS text,
+                         lang, source,
+                         CASE WHEN hash(doc_id || 'uw') % 8 = 0 THEN
+                           length({texts}[CAST(1 + hash(doc_id || 'upick') % {n} AS BIGINT)])
+                         ELSE n_chars END AS n_chars
+                  FROM '{src}/documents.parquet'
+                ) TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "events":
+            # JSON string values carrying NBSP / ZWSP / astral chars —
+            # the get_json_object / to_json parse paths
+            con.execute(
+                f"""COPY (
+                  SELECT event_id, ts, user_id, event_type, value,
+                         CASE WHEN hash(event_id || 'uwp') % 12 = 0 THEN
+                           '{{"k": 1, "s": "nb sp z​w \U0001d524"}}'
+                         ELSE props END AS props
+                  FROM '{src}/events.parquet'
+                ) TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    return dst
+
+
+def build_ragged(src: str, dst: str) -> str:
+    """Ragged embedding DIMENSIONS (r9) — a 100 TB lake WILL carry a few
+    wrong-length vectors (truncated downloads, mixed model versions,
+    empty arrays). ~15% of embeddings mutate: 1/20 truncated to 48 dims,
+    1/20 extended to 68 (exact-binary 0.25 padding), 1/20 emptied.
+    Contract under test: a vector whose length differs from the
+    operator's declared dimension carries no geometry — excluded on
+    BOTH engines exactly like a NULL vector (the r8 NULL-embedding
+    contract's missing half; plans/ml.py's k-means paths already
+    enforced len = DIM, the similarity operators did not)."""
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    con = duckdb.connect()
+    pad = ", ".join(["CAST(0.25 AS FLOAT)"] * 4)
+    for t in TABLES:
+        if t == "embeddings":
+            con.execute(
+                f"""COPY (
+                  SELECT vec_id,
+                         CASE hash(vec_id || 'rg') % 20
+                           WHEN 0 THEN embedding[1:48]
+                           WHEN 1 THEN list_concat(embedding, [{pad}])
+                           WHEN 2 THEN CAST([] AS FLOAT[])
+                           ELSE embedding
+                         END AS embedding,
+                         label
+                  FROM '{src}/embeddings.parquet'
+                ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    return dst
 
 
 def build_nullts(src: str, dst: str) -> str:
@@ -506,6 +627,8 @@ if __name__ == "__main__":
     nullts = "--nullts" in sys.argv[1:]
     nullkeys = "--nullkeys" in sys.argv[1:]
     skew = "--skew" in sys.argv[1:]
+    uniws = "--uniws" in sys.argv[1:]
+    ragged = "--ragged" in sys.argv[1:]
     src = args[0] if args else "/root/testdata/sf0.001"
     default_dst = (
         "/tmp/duptest_sf" if dups else
@@ -514,7 +637,9 @@ if __name__ == "__main__":
         "/tmp/timewarptest_sf" if timewarp else
         "/tmp/nulltstest_sf" if nullts else
         "/tmp/nullkeystest_sf" if nullkeys else
-        "/tmp/skewtest_sf" if skew else "/tmp/nulltest_sf"
+        "/tmp/skewtest_sf" if skew else
+        "/tmp/uniwstest_sf" if uniws else
+        "/tmp/raggedtest_sf" if ragged else "/tmp/nulltest_sf"
     )
     dst = args[1] if len(args) > 1 else default_dst
     builder = (
@@ -523,6 +648,8 @@ if __name__ == "__main__":
         build_timewarp if timewarp else
         build_nullts if nullts else
         build_nullkeys if nullkeys else
-        build_skew if skew else build
+        build_skew if skew else
+        build_uniws if uniws else
+        build_ragged if ragged else build
     )
     print("wrote", builder(src, dst))
