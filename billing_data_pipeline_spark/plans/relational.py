@@ -256,9 +256,26 @@ def multi_action_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ONE oracle constant for the three JSON tiers (string-path, VARIANT,
 # from_json-typed) — the "provably value-identical" claim their
 # docstrings make is structural only when the oracle is literally shared
-# (review r7: it was three f-string copies that could silently drift)
+# (review r7: it was three f-string copies that could silently drift).
+#
+# Containment (r9, --badjson sweep): TRY_CAST(props AS JSON) — DuckDB's
+# json_extract_string ERRORS the whole query on malformed JSON (truncated
+# object, empty string) where every Spark tier yields NULL — and TRY_CAST
+# to INTEGER for the value (CAST('abc' AS INTEGER) errors likewise).
+# Contract: unparseable props / missing / non-integer k => NULL k_val.
+#
+# PRECONDITION for tier identity (documented by-nature divergence, same
+# family as ROUND()): $.k must be an int32-ranged JSON INTEGER, JSON
+# null, or absent. Beyond that the four extraction APIs disagree four
+# ways BY DESIGN (measured r9, matrix in PLANS.md): k=1.5 -> from_json
+# NULL / variant_get 1 (truncates) / string-path NULL (try_cast '1.5')
+# / DuckDB 2 (rounds via DOUBLE); k="7" -> from_json NULL (no string
+# coercion) vs 7 everywhere else; k=true -> variant 1, others NULL;
+# duplicate keys -> Jackson last-wins vs yyjson first-wins. The badjson
+# fixture injects only precondition-respecting garbage; data beyond the
+# precondition needs ONE declared tier, not cross-engine equality.
 _JSON_ROLLUP_ORACLE = f"""
-SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+SELECT TRY_CAST(json_extract_string(TRY_CAST(props AS JSON), '$.k') AS INTEGER) AS k_val,
        COUNT(*) AS n,
        {dsum_sql('value')} AS total_value
 FROM events
@@ -277,7 +294,10 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     return (
         ev.withColumn(
-            "k_val", F.get_json_object("props", "$.k").cast("int")
+            # try_cast (r9, --badjson sweep): ANSI CAST raises
+            # CAST_INVALID_INPUT on a non-numeric k (k="abc") and killed
+            # the job; NULL k_val is the contract for junk
+            "k_val", F.get_json_object("props", "$.k").try_cast("int")
         )
         .groupBy("k_val")
         .agg(
@@ -1470,8 +1490,12 @@ def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational oracle as the string-JSON twin."""
     ev = t(spark, sf_dir, "events")
     return (
-        ev.select(F.parse_json("props").alias("v"), "value")
-        .select(F.variant_get("v", "$.k", "int").alias("k_val"), "value")
+        # try_* forms (r9, --badjson sweep): parse_json raises
+        # MALFORMED_RECORD_IN_PARSING on truncated JSON and variant_get
+        # raises INVALID_VARIANT_CAST on a non-numeric k — both killed
+        # the job; NULL is the contract for junk on every tier
+        ev.select(F.try_parse_json("props").alias("v"), "value")
+        .select(F.try_variant_get("v", "$.k", "int").alias("k_val"), "value")
         .groupBy("k_val")
         .agg(
             F.count(F.lit(1)).alias("n"),

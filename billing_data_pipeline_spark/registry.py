@@ -104,10 +104,15 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # round). The r8 unhint pass (VERDICT r7 #1) touched every broadcast
     # site below; the r7 pins they evict all rode r7 green. ---
     "top_regions_by_usage",  # r8: supplier broadcast unhinted
-    "nation_market_share",  # r8: dim-chain broadcasts unhinted
-    "product_profit_by_nation",  # r8: same
-    "returned_revenue_customers",  # r8: customer broadcast unhinted
     "late_shipment_priority",  # r8: quarter-orders broadcast unhinted
+    # --- r9 badjson contract pass (all three JSON tiers changed: try_*
+    # containment Spark-side, TRY_CAST(props AS JSON) in the shared
+    # oracle — evicting nation_market_share / product_profit_by_nation /
+    # returned_revenue_customers, which rode r8 green and are unchanged
+    # this round) ---
+    "json_props_rollup",  # r9: try_cast (ANSI cast killed the job)
+    "variant_props_rollup",  # r9: try_parse_json + try_variant_get
+    "json_props_typed_rollup",  # r9: shared oracle TRY_CAST containment
     "small_quantity_part_revenue",  # r8: brand-part broadcast unhinted
     "promo_revenue_share",  # r8: part broadcast unhinted
     "part_supplier_variety",  # r8: exclusion/part broadcasts unhinted

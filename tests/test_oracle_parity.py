@@ -583,6 +583,59 @@ def test_ragged_embedding_geometry_contract(spark, tmp_path):
             assert {40, 60, 10, 30, 250} <= kept  # geometry-less survive
 
 
+def test_badjson_props_contained_all_three_tiers(spark, tmp_path):
+    """r9 (--badjson sweep): malformed/adversarial JSON props must yield
+    NULL k_val on every tier of the JSON surface, not kill the job.
+    Pre-fix, verified directly against the fixture: the string tier died
+    in ANSI CAST_INVALID_INPUT (get_json_object('{"x":1}').cast(int)),
+    the variant tier in MALFORMED_RECORD_IN_PARSING / INVALID_VARIANT_CAST,
+    and the DuckDB oracle errored outright on truncated JSON. Fixture
+    respects the tier-identity precondition ($.k integer/null/absent —
+    see _JSON_ROLLUP_ORACLE for the four-way by-nature divergence
+    beyond it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    props = [
+        '{"k": 1',          # truncated -> malformed
+        "",                 # empty -> malformed
+        "42", "null", "[1, 2]", '"bare"', "{ }",
+        '{"K": 5}', '{"k": null}', '{"k": [1]}',
+        '{"k": {"x": 1}}',  # the exact pre-fix ANSI-cast killer
+        '{"k": 7}',         # control
+        None,
+    ]
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(props)), pa.int64()),
+                "ts": pa.array(
+                    [1_700_000_000_000_000 + i for i in range(len(props))],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * len(props), pa.int64()),
+                "event_type": pa.array(["view"] * len(props)),
+                "value": pa.array([float(i) for i in range(len(props))]),
+                "props": pa.array(props, pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    for name in (
+        "json_props_rollup",
+        "variant_props_rollup",
+        "json_props_typed_rollup",
+    ):
+        spec = CATALOG[name]
+        df = spec.fn(spark, str(d))
+        assert_matches_oracle(df, spec.oracle, str(d))
+        got = {r["k_val"]: r["n"] for r in df.collect()}
+        assert got[7] == 1  # control row still parsed
+        assert got[None] == len(props) - 1  # all junk -> NULL k_val
+
+
 def test_quality_kept_and_transcripts_edge_rows(spark, tmp_path):
     """Review r5: (a) a digits-only doc (alpha-token diversity 0/0 ->
     NULL model score) must get kept=FALSE on both engines, not NULL vs

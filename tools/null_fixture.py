@@ -11,6 +11,7 @@ Usage:
     python tools/null_fixture.py --nullkeys [src_dir] [dst_dir] # NULL id/entity keys
     python tools/null_fixture.py --uniws [src_dir] [dst_dir]   # unicode ws/invisibles
     python tools/null_fixture.py --ragged [src_dir] [dst_dir]  # ragged embedding dims
+    python tools/null_fixture.py --badjson [src_dir] [dst_dir] # malformed JSON props
     python tests/driver_sim.py <dst_dir>                       # the sweep
 
 --extreme injects domain-edge values a 100 TB corpus WILL contain:
@@ -296,6 +297,62 @@ def build_ragged(src: str, dst: str) -> str:
                          label
                   FROM '{src}/embeddings.parquet'
                 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    return dst
+
+
+# --- r9: malformed / adversarial JSON props --------------------------------
+# Precondition-respecting garbage only: $.k is an int32 JSON INTEGER,
+# JSON null, or absent/unreachable. Non-integer numerics, string-numeric
+# "7", booleans, and duplicate keys are EXCLUDED by the documented tier
+# precondition (plans/relational.py _JSON_ROLLUP_ORACLE): the four
+# extraction APIs (get_json_object, variant_get, from_json, DuckDB
+# json_extract) disagree four ways on them BY DESIGN.
+BADJSON_PROPS = [
+    '{"k": 1',          # truncated object -> malformed
+    '',                 # empty string -> malformed
+    '42',               # bare scalar root: no $.k
+    'null',             # JSON null root
+    '[1, 2]',           # array root
+    '"bare"',           # string root
+    '{ }',              # empty object
+    '{"K": 5}',         # path is case-sensitive: miss
+    '{"k": null}',      # explicit null value
+    '{"k": [1]}',       # array value: not an integer
+    '{"k": {"x": 1}}',  # object value: not an integer
+    '{"k": 7}',         # control: still parsed on every tier
+]
+
+
+def build_badjson(src: str, dst: str) -> str:
+    """Malformed/adversarial JSON in ~25% of events.props (r9). First run
+    found two Spark JOB KILLS (ANSI CAST_INVALID_INPUT in the string
+    tier, MALFORMED_RECORD_IN_PARSING / INVALID_VARIANT_CAST in the
+    variant tier) and a DuckDB oracle error (json_extract on malformed
+    input); contract after the fix: unparseable props / missing /
+    non-integer k => NULL k_val, all tiers, both engines."""
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    con = duckdb.connect()
+    props = "[" + ", ".join(
+        "'" + p_.replace("'", "''") + "'" for p_ in BADJSON_PROPS
+    ) + "]"
+    n = len(BADJSON_PROPS)
+    for t in TABLES:
+        if t == "events":
+            con.execute(
+                f"""COPY (
+                  SELECT event_id, ts, user_id, event_type, value,
+                         CASE WHEN hash(event_id || 'bj') % 4 = 0 THEN
+                           {props}[CAST(1 + hash(event_id || 'bjp') % {n} AS BIGINT)]
+                         ELSE props END AS props
+                  FROM '{src}/events.parquet'
+                ) TO '{dst}/events.parquet' (FORMAT PARQUET)"""
             )
         else:
             con.execute(
@@ -629,6 +686,7 @@ if __name__ == "__main__":
     skew = "--skew" in sys.argv[1:]
     uniws = "--uniws" in sys.argv[1:]
     ragged = "--ragged" in sys.argv[1:]
+    badjson = "--badjson" in sys.argv[1:]
     src = args[0] if args else "/root/testdata/sf0.001"
     default_dst = (
         "/tmp/duptest_sf" if dups else
@@ -639,7 +697,8 @@ if __name__ == "__main__":
         "/tmp/nullkeystest_sf" if nullkeys else
         "/tmp/skewtest_sf" if skew else
         "/tmp/uniwstest_sf" if uniws else
-        "/tmp/raggedtest_sf" if ragged else "/tmp/nulltest_sf"
+        "/tmp/raggedtest_sf" if ragged else
+        "/tmp/badjsontest_sf" if badjson else "/tmp/nulltest_sf"
     )
     dst = args[1] if len(args) > 1 else default_dst
     builder = (
@@ -650,6 +709,7 @@ if __name__ == "__main__":
         build_nullkeys if nullkeys else
         build_skew if skew else
         build_uniws if uniws else
-        build_ragged if ragged else build
+        build_ragged if ragged else
+        build_badjson if badjson else build
     )
     print("wrote", builder(src, dst))
