@@ -12,6 +12,7 @@ Usage:
     python tools/null_fixture.py --uniws [src_dir] [dst_dir]   # unicode ws/invisibles
     python tools/null_fixture.py --ragged [src_dir] [dst_dir]  # ragged embedding dims
     python tools/null_fixture.py --badjson [src_dir] [dst_dir] # malformed JSON props
+    python tools/null_fixture.py --orphans [src_dir] [dst_dir] # orphan foreign keys
     python tests/driver_sim.py <dst_dir>                       # the sweep
 
 --extreme injects domain-edge values a 100 TB corpus WILL contain:
@@ -362,6 +363,76 @@ def build_badjson(src: str, dst: str) -> str:
     return dst
 
 
+def build_orphans(src: str, dst: str) -> str:
+    """Referential-integrity breaks (r9) — a lake's joins meet orphan keys
+    constantly (late dims, deleted parents, fat-fingered ids):
+
+    - events: ~10% of user_id retargeted beyond the customer key space
+      (every user-dim join sees dangling event rows);
+    - lineitem: ~5% of l_orderkey to a nonexistent order, ~5% of
+      l_partkey/l_suppkey orphaned (TPC-H join chains lose rows);
+    - orders: ~5% of o_custkey orphaned (customer rollups);
+    - customer: ~10% of c_nationkey -> 99 (no such nation: the
+      dim-chain region joins drop them).
+
+    Expectation: inner joins drop orphans IDENTICALLY on both engines
+    (shared SQL), so this probe is a mechanical check that no operator
+    assumes integrity via a driver-side lookup (dict KeyError class) or
+    an outer-join asymmetry."""
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "events":
+            con.execute(
+                f"""COPY (
+                  SELECT event_id, ts,
+                         CASE WHEN hash(event_id || 'ou') % 10 = 0
+                              THEN user_id + 10000000 ELSE user_id END AS user_id,
+                         event_type, value, props
+                  FROM '{src}/events.parquet'
+                ) TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "lineitem":
+            con.execute(
+                f"""COPY (
+                  SELECT
+                    CASE WHEN hash(l_orderkey || l_linenumber || 'oo') % 20 = 0
+                         THEN l_orderkey + 100000000 ELSE l_orderkey END AS l_orderkey,
+                    CASE WHEN hash(l_orderkey || l_linenumber || 'op') % 20 = 7
+                         THEN l_partkey + 100000000 ELSE l_partkey END AS l_partkey,
+                    CASE WHEN hash(l_orderkey || l_linenumber || 'os') % 20 = 13
+                         THEN l_suppkey + 100000000 ELSE l_suppkey END AS l_suppkey,
+                    * EXCLUDE (l_orderkey, l_partkey, l_suppkey)
+                  FROM '{src}/lineitem.parquet'
+                ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "orders":
+            con.execute(
+                f"""COPY (
+                  SELECT * REPLACE (
+                    CASE WHEN hash(o_orderkey || 'oc') % 20 = 0
+                         THEN o_custkey + 100000000 ELSE o_custkey END AS o_custkey)
+                  FROM '{src}/orders.parquet'
+                ) TO '{dst}/orders.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "customer":
+            con.execute(
+                f"""COPY (
+                  SELECT * REPLACE (
+                    CASE WHEN hash(c_custkey || 'on') % 10 = 0
+                         THEN 99 ELSE c_nationkey END AS c_nationkey)
+                  FROM '{src}/customer.parquet'
+                ) TO '{dst}/customer.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    return dst
+
+
 def build_nullts(src: str, dst: str) -> str:
     """~10% of events lose their TIMESTAMP entirely (r8) — the one edge
     the base NULL sweep deliberately avoids (ts is an ordering/join
@@ -687,6 +758,7 @@ if __name__ == "__main__":
     uniws = "--uniws" in sys.argv[1:]
     ragged = "--ragged" in sys.argv[1:]
     badjson = "--badjson" in sys.argv[1:]
+    orphans = "--orphans" in sys.argv[1:]
     src = args[0] if args else "/root/testdata/sf0.001"
     default_dst = (
         "/tmp/duptest_sf" if dups else
@@ -698,7 +770,8 @@ if __name__ == "__main__":
         "/tmp/skewtest_sf" if skew else
         "/tmp/uniwstest_sf" if uniws else
         "/tmp/raggedtest_sf" if ragged else
-        "/tmp/badjsontest_sf" if badjson else "/tmp/nulltest_sf"
+        "/tmp/badjsontest_sf" if badjson else
+        "/tmp/orphantest_sf" if orphans else "/tmp/nulltest_sf"
     )
     dst = args[1] if len(args) > 1 else default_dst
     builder = (
@@ -710,6 +783,7 @@ if __name__ == "__main__":
         build_skew if skew else
         build_uniws if uniws else
         build_ragged if ragged else
-        build_badjson if badjson else build
+        build_badjson if badjson else
+        build_orphans if orphans else build
     )
     print("wrote", builder(src, dst))
