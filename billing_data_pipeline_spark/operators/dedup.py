@@ -227,6 +227,95 @@ def ngram_jaccard_pairs(
     )
 
 
+def editdist_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 3,
+    prefix_len: int = 8,
+) -> str:
+    """DuckDB twin of ``editdist_blocked_pairs``, kept NEXT TO the Spark
+    operator (the r5/r7 anti-drift rule). Replays the identical blocking
+    (normalized prefix + length band) and the full levenshtein, which
+    equals Spark's threshold form wherever the threshold passes."""
+    nrm = normalized_text_sql(text_col)
+    return f"""
+WITH n AS (
+    SELECT {id_col} AS id, {nrm} AS nt
+    FROM {table}
+    WHERE {nrm} <> ''
+),
+b AS (
+    SELECT id, nt, substr(nt, 1, {prefix_len}) AS blk, length(nt) AS ln
+    FROM n
+)
+SELECT a.id AS id_a, c.id AS id_b,
+       CAST(levenshtein(a.nt, c.nt) AS INTEGER) AS dist
+FROM b a
+JOIN b c ON a.blk = c.blk AND a.id < c.id AND abs(a.ln - c.ln) <= {max_dist}
+WHERE levenshtein(a.nt, c.nt) <= {max_dist}
+"""
+
+
+def editdist_blocked_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 3,
+    prefix_len: int = 8,
+) -> DataFrame:
+    """[EXT] Edit-distance (Levenshtein) near-dup pairs over the
+    normalized text form, blocked for scale — the record-linkage tier
+    between normalized-hash dedup (distance 0 only) and n-gram Jaccard
+    (token-set view, blind to within-token typos).
+
+    Blocking: a candidate pair must share the first ``prefix_len`` chars
+    of ``normalized_text`` AND differ in normalized length by at most
+    ``max_dist`` (a true Levenshtein invariant — |len(a)-len(b)| lower-
+    bounds the distance). Prefix blocking is deterministic and
+    approximate BY DESIGN (an edit inside the prefix hides the pair) —
+    the standard recall/cost dial in record linkage — and the ORACLE
+    replays the identical blocking, so the approximate pipeline is
+    value-checked end-to-end, the same policy as the LSH tiers.
+
+    Distance-parity contract (measured r9): Spark's levenshtein counts
+    CODEPOINTS, DuckDB's counts BYTES — they diverge on any non-ASCII
+    text ('café'~'cafe' = 1 vs 2; astral chars 1 vs 4). normalized_text
+    is pure [a-z0-9 ] where bytes == codepoints, so the distances agree;
+    never cross-engine-check Levenshtein on un-folded text.
+
+    Scale shape: one shuffle on the block key; work is the sum over
+    blocks of posting-list^2 (the ngram_jaccard_pairs bound — a
+    frequency cap on degenerate blocks is the guard at larger scale);
+    each surviving pair costs the JVM's THRESHOLD levenshtein
+    (3-arg form, banded O(max_dist x len) instead of full O(len^2),
+    returning -1 above the threshold so long non-matches exit early).
+    """
+    n = (
+        df.select(F.col(id_col).alias("id"), normalized_text(text_col).alias("nt"))
+        .filter(F.col("nt") != "")
+        .withColumn("blk", F.substring("nt", 1, prefix_len))
+        .withColumn("ln", F.length("nt"))
+    )
+    a, c = n.alias("a"), n.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.blk") == F.col("c.blk"))
+        & (F.col("a.id") < F.col("c.id"))
+        & (F.abs(F.col("a.ln") - F.col("c.ln")) <= max_dist),
+    )
+    dist = F.levenshtein(F.col("a.nt"), F.col("c.nt"), max_dist)
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("c.id").alias("id_b"),
+            dist.cast("int").alias("dist"),
+        )
+        # threshold form returns -1 above max_dist — that's the early exit
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )
+
+
 def shingle_hashes(text_col: str, n: int = 3) -> F.Column:
     """64-bit hashes of word n-gram shingles WITHOUT building shingle
     strings: hash each token once (xxhash64), then combine n consecutive

@@ -139,6 +139,26 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "editdist_neardup_pairs",
+    tags=("ext", "dedup", "editdist", "blocked"),
+    oracle=D.editdist_oracle_sql("documents", "doc_id", "text", 10, 8),
+)
+def editdist_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup pairs (dist <= 10) over normalized text,
+    prefix+length blocked — the record-linkage tier between normalized
+    dedup and n-gram Jaccard. Approximate-by-blocking yet fully
+    oracle-checked (the oracle replays the identical blocking; distances
+    agree because normalized text is pure ASCII — see
+    operators/dedup.editdist_blocked_pairs for the measured
+    bytes-vs-codepoints trap). max_dist=10 matches the testdata's
+    near-dup template distances (24 pairs at distance 4 at sf0.01; a
+    dist<=3 cut is empty there, which would gate nothing)."""
+    return D.editdist_blocked_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", max_dist=10, prefix_len=8
+    )
+
+
 @register("minhash_neardup_pairs", tags=("ext", "dedup", "approx"))
 def minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH near-dup candidates (seeded; approximate => rows-only).

@@ -116,6 +116,9 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "small_quantity_part_revenue",  # r8: brand-part broadcast unhinted
     "promo_revenue_share",  # r8: part broadcast unhinted
     "part_supplier_variety",  # r8: exclusion/part broadcasts unhinted
+    # --- r9: new operator (Levenshtein record-linkage tier; evicts
+    # dominant_part_suppliers, which rode r8 green and is unchanged) ---
+    "editdist_neardup_pairs",
     # --- r9 geometry-contract pass (ragged-dimension sweep: every
     # similarity tier gained a plan-side size(embedding)=dim filter and
     # its oracle the matching len() clause — 10 queries changed; the
@@ -126,7 +129,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # embedding_cosine_topk rides, same style as the r8 asof note. ---
     "embedding_dedup_survivors",  # r9: geometry filter + oracle len()
     "embedding_dedup_components",  # r9: same, via cosine_neardup_pairs
-    "dominant_part_suppliers",  # r8: LIKE-part broadcast unhinted
     "embedding_lsh_topk",  # r8: query-side broadcasts unhinted (AQE)
     # (embedding_ivf_topk rides as a flagship; its probe join was
     #  unhinted in the same pass)

@@ -879,6 +879,39 @@ def test_token_runs_builtin_equals_udtf_tier(spark):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_editdist_blocked_pairs_semantics(spark):
+    """r9: the Levenshtein record-linkage tier — threshold distances on
+    normalized ASCII text, prefix+length blocking with its documented
+    recall loss (an edit inside the prefix hides the pair), and the
+    early-exit -1 of the 3-arg levenshtein filtered out."""
+    from billing_data_pipeline_spark.operators.dedup import (
+        editdist_blocked_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox jumped"),   # dist 2 (s -> ed)
+            (3, "the quick BROWN-fox ...jumps"), # normalizes to == doc 1
+            (4, "xhe quick brown fox jumps"),    # edit INSIDE prefix: hidden
+            (5, "the quick brown cat naps now"), # same block, far: cut by k
+            (6, "completely different text"),    # different block
+            (7, None),
+            (8, "!!!"),                          # normalizes to '' -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in editdist_blocked_pairs(docs, "doc_id", "text", 3, 8).collect()
+    }
+    assert got[(1, 3)] == 0  # normalization twin
+    assert got[(1, 2)] == 2 and got[(2, 3)] == 2
+    assert not any(4 in p for p in got)  # prefix-blocked (documented loss)
+    assert not any(5 in p for p in got)  # above max_dist: -1 filtered
+    assert not any(p for p in got if 6 in p or 7 in p or 8 in p)
+
+
 def test_heavy_hitters_mg_truncation_path_exact(spark):
     """r6: the batch-level Misra-Gries truncation (value_counts fold +
     subtract-(k+1)th-largest) must preserve the superset guarantee when
