@@ -277,14 +277,24 @@ def main() -> None:
     cal: dict[str, float] = {}
     if floor != float("inf"):
         cal["spark_scan_sec"] = round(floor, 5)
-    if duckdb_cal:
+    # `is not None`, not truthiness (review r9): a warmed min-of-5 that
+    # rounds to 0.0 is a measurement, not a failed probe
+    if duckdb_cal is not None:
         cal["duckdb_scanagg_sec"] = duckdb_cal
     if cal:
         if baseline and floor != float("inf") and duckdb_cal:
+            # SAME query set on both sides (review r9): queries whose
+            # oracle errored contribute spark seconds but no duckdb
+            # seconds — summing `total` against a shrunken baseline
+            # would re-introduce the cross-round incomparability this
+            # normalizer exists to remove
+            spark_matched = sum(
+                timings[q] for q in baseline if q in timings
+            )
             bt = sum(baseline.values())
-            if bt > 0 and total > 0:
+            if bt > 0 and spark_matched > 0:
                 cal["normalized_ratio"] = round(
-                    (total / floor) / (bt / duckdb_cal), 3
+                    (spark_matched / floor) / (bt / duckdb_cal), 3
                 )
         out["calibration"] = cal
     # The driver parses the LAST ~2000 chars of stdout; the ratio_table
@@ -318,7 +328,10 @@ def main() -> None:
     )
     try:
         with open(detail_path, "w") as fh:
-            json.dump({**out, **detail}, fh, indent=1)
+            # detail first, out last: out's metric="bench_total_sec" must
+            # win the key collision (review r9 — the first artifact
+            # shipped mislabeled as metric="bench_detail")
+            json.dump({**detail, **out}, fh, indent=1)
             fh.write("\n")
     except OSError as exc:
         print(f"# detail file not written: {exc}", file=sys.stderr)

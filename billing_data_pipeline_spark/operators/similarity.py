@@ -948,27 +948,25 @@ def cosine_neardup_pairs(
             T.StructField("cosine_sim", T.DoubleType()),
         ]
     )
-    # geometry contract (r9): ragged vectors never pair, same as NULLs
+    # geometry contract (r9): NULL/ragged vectors never pair — ONE
+    # plan-side filter is the single contract point (the old per-site
+    # `is not None` guards below it were made unreachable and removed,
+    # review r9)
     df = df.filter(geometry_ok(vec_col, dim))
     rows = df.select(id_col, vec_col).collect()
-    ids = [r[0] for r in rows if r[1] is not None]
-    if not ids:
+    if not rows:
         return spark.createDataFrame([], schema)
-    B = np.array(
-        [[float(x) for x in r[1]] for r in rows if r[1] is not None],
-        dtype=np.float64,
-    )
+    ids = [r[0] for r in rows]
+    B = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
     bc = spark.sparkContext.broadcast((np.array(ids), B, _seq_norms(B)))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         b_ids, Bm, Bn = bc.value
         for pdf in batches:
-            vecs = list(pdf[vec_col])
-            valid = [v is not None for v in vecs]
-            if not any(valid):
+            if not len(pdf):
                 continue
-            a_ids = pdf[id_col].to_numpy()[valid]
-            V = np.array([v for v in vecs if v is not None], dtype=np.float64)
+            a_ids = pdf[id_col].to_numpy()
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
             S = _seq_cosine_matrix(V, _seq_norms(V), Bm, Bn)
             # id_a < id_b upper triangle. A zero-norm vector's cosine is
             # 0/0: NaN here, but NULL in BOTH SQL engines (x/0 is NULL in
@@ -1237,8 +1235,14 @@ def _lsh_sig_frame(
     norm, computed in ONE Arrow pass (shared by lsh_neardup_pairs and
     lsh_bucketed_topk — both previously recomputed 24-48 interpreted HOF
     dots per row). Sign tests use the dim-sequential fold, bit-identical
-    to the oracle's list_reduce; NULL vectors get bucket 0 per table
-    (every sign CASE falls to ELSE 0 on both engines) and NULL norm."""
+    to the oracle's list_reduce.
+
+    PRECONDITION (r9 geometry contract): input is geometry-filtered —
+    both callers apply geometry_ok(vec_col, dim) before building
+    signatures, so every vector is non-NULL and plane-length. The old
+    NULL path (bucket 0 + NULL norm) was retired with the callers'
+    NULL-keep semantics; a ragged batch would crash np.array, which the
+    filter makes unreachable."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -1261,42 +1265,33 @@ def _lsh_sig_frame(
         for pdf in batches:
             if not len(pdf):
                 continue
-            vecs = list(pdf[vec_col])
-            valid = np.array([v is not None for v in vecs])
-            n_out = [None] * len(vecs)
-            b_out = [[0] * n_tables] * len(vecs)
-            if valid.any():
-                V = np.array(
-                    [v for v, ok in zip(vecs, valid) if ok], dtype=np.float64
-                )
-                # dim-sequential fold against every plane at once: one
-                # rank-1 update per dim == the oracle's left-to-right sum
-                S = np.zeros((V.shape[0], PF.shape[0]))
-                for i in range(V.shape[1]):
-                    S += V[:, i][:, None] * PF[None, :, i]
-                bits = S >= 0
-                Vn = _seq_norms(V)
-                j = 0
-                for row, ok in enumerate(valid):
-                    if not ok:
-                        continue
-                    n_out[row] = float(Vn[j])
-                    b_out[row] = [
-                        int(
-                            sum(
-                                1 << i
-                                for i in range(n_bits)
-                                if bits[j, t * n_bits + i]
-                            )
+            # geometry-filtered input (precondition above): stack directly
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            # dim-sequential fold against every plane at once: one
+            # rank-1 update per dim == the oracle's left-to-right sum
+            S = np.zeros((V.shape[0], PF.shape[0]))
+            for i in range(V.shape[1]):
+                S += V[:, i][:, None] * PF[None, :, i]
+            bits = S >= 0
+            Vn = _seq_norms(V)
+            b_out = [
+                [
+                    int(
+                        sum(
+                            1 << i
+                            for i in range(n_bits)
+                            if bits[j, t * n_bits + i]
                         )
-                        for t in range(n_tables)
-                    ]
-                    j += 1
+                    )
+                    for t in range(n_tables)
+                ]
+                for j in range(len(V))
+            ]
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col],
                     "v": pdf[vec_col],
-                    "n": pd.Series(n_out, dtype=object),
+                    "n": Vn.astype(float),
                     "buckets": pd.Series(b_out, dtype=object),
                 }
             )
@@ -1580,11 +1575,12 @@ def _pq_codebook(
     Returns (norm_samples ndarray [k_codes, dim], sub_dim)."""
     import numpy as np
 
-    # Geometry contract (r8 NULL + r9 dim): a NULL/ragged row reaching
-    # the stride pick becomes a bad codebook sample (np.array coercion
-    # crash), and the stride must count only geometry-bearing rows to
-    # match the oracle.
-    corpus = corpus.filter(geometry_ok(vec_col, dim))
+    # PRECONDITION (review r9): `corpus` is already geometry-filtered by
+    # pq_topk (the only caller) — a second identical Filter node here
+    # just stacked on the plan. A NULL/ragged row reaching the stride
+    # pick would become a bad codebook sample AND desync the stride from
+    # the oracle's geometry-filtered ids CTE, so direct callers must
+    # filter with geometry_ok(vec_col, dim) first.
     rows = stride_seed_rows(corpus, id_col, vec_col, k_codes)
     if not rows:
         return None, 0  # empty corpus — pq_topk returns empty
