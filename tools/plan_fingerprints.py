@@ -44,10 +44,14 @@ _PLAN_ID = re.compile(r"plan_id=\d+")
 #: ML stage uids (`inputCol_974fa916c41b`), run/checkpoint hex tokens,
 #: and per-run temp paths — none describe the operator tree.
 #: require at least one a-f so long DECIMAL literals (e.g. a 1e9+7
-#: modulus) keep their value in the fingerprint; an all-digit hex uid is
-#: a ~1e-14 event whose failure mode is one spurious, clearly-messaged
-#: test failure.
+#: modulus) keep their value in the fingerprint. That lookahead left a
+#: REAL flake for the 8-char uuid slices in memory-sink names
+#: (`catchup_<8 hex>`): an all-digit slice is a (10/16)^8 ≈ 2.3% event
+#: per call — observed once on streaming_session_catchup (r9). The
+#: suffix rule below normalizes `word_<8 hex>` regardless of letters
+#: (decimal literals never follow a `word_` prefix in plan text).
 _HEX_UID = re.compile(r"(?=[0-9]*[a-f])[0-9a-f]{8,}")
+_UID_SUFFIX = re.compile(r"\b([A-Za-z]+)_[0-9a-f]{8}\b")
 _TMP_PATH = re.compile(r"(?:file:)?/tmp/\S+")
 #: lambda variables carry a session-global counter (`lambda x_1#`).
 _LAMBDA_VAR = re.compile(r"\blambda ([a-z]+)_\d+")
@@ -57,6 +61,7 @@ def plan_fingerprint(df) -> str:
     text = df._jdf.queryExecution().analyzed().toString()
     text = _EXPR_ID.sub("#", text)
     text = _PLAN_ID.sub("plan_id=", text)
+    text = _UID_SUFFIX.sub(r"\1_<uid>", text)
     text = _HEX_UID.sub("<uid>", text)
     text = _TMP_PATH.sub("<tmp>", text)
     text = _LAMBDA_VAR.sub(r"lambda \1_", text)
