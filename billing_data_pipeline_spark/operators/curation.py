@@ -478,16 +478,28 @@ def _ws_re():
 
 
 def ngrams_sql(src: str, id_col: str, text_col: str, n: int) -> str:
-    """DuckDB twin of _ngrams (1-based inclusive slices; range() excludes
-    its stop, so stop = len - n + 2 and docs shorter than n yield none)."""
+    """DuckDB twin of _ngrams. Docs shorter than n yield none
+    (generate_series with a negative stop is empty).
+
+    Element accesses, never a list slice (r9, giant-doc probe): DuckDB's
+    ``tk[i : i+k]`` inside a per-position context costs O(len(tk)) per
+    call — the old lateral+slice form went quadratic on a single
+    700k-token document (88 GB RSS, >90 s; it was one of four such
+    oracles). ``tk[i]`` is O(1) — the same construction the
+    n-gram-Jaccard and portable-MinHash oracles always used — so the
+    gram is an n-term ``||`` chain, intra-row."""
+    gram = " || ' ' || ".join(
+        f"tk[i + {j}]" if j else "tk[i]" for j in range(n)
+    )
     return f"""
 SELECT DISTINCT {id_col},
-       array_to_string(tk[i : i + {n - 1}], ' ') AS ngram
+       unnest(list_transform(generate_series(1, len(tk) - {n - 1}),
+                             i -> {gram})) AS ngram
 FROM (
     SELECT {id_col},
            list_filter(regexp_split_to_array({text_col}, '{WS}'), x -> x <> '') AS tk
     FROM {src}
-) s, unnest(range(1, greatest(len(tk) - {n - 1}, 0) + 1)) AS u(i)
+) s
 """
 
 

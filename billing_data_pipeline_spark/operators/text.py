@@ -858,29 +858,35 @@ def chunk_tokens_oracle_sql(
     table: str, id_col: str, text_col: str, chunk: int, stride: int
 ) -> str:
     """DuckDB twin of chunk_tokens. range() excludes its stop where Spark's
-    sequence includes it, hence greatest(len,1) vs greatest(len-1,0); list
-    slicing tk[s+1 : s+chunk] is 1-based inclusive = slice(tk, s+1, chunk)."""
+    sequence includes it, hence greatest(len,1) vs greatest(len-1,0).
+
+    NO LIST SLICES (r9, giant-doc probe): DuckDB evaluates ``tk[a : b]``
+    inside a per-position lambda/lateral in O(len(tk)) per call, turning
+    any slice-per-position oracle QUADRATIC — one 700k-token document
+    drove the old form past 90 s (the giant-doc sweep found four such
+    oracles at 88 GB RSS). Element access ``tk[p]`` is O(1) (the idiom
+    the portable-MinHash and n-gram-Jaccard oracles always used), so the
+    chunk text is a constant-width concat_ws chain of element accesses
+    (concat_ws skips the NULLs that out-of-range positions return,
+    exactly like the old slice's tail), built intra-row and unnested as
+    structs — 0.5 s on the same document, value-identical at sf0.01."""
+    cw = ", ".join(f"tk[s + {p}]" for p in range(1, chunk + 1))
     return f"""
-WITH toks AS (
+SELECT {id_col}, u.ci AS chunk_idx, u.n AS n_chunk_tokens,
+       u.t AS chunk_text
+FROM (
+  SELECT {id_col},
+         unnest(list_transform(range(0, greatest(len(tk), 1), {stride}),
+            s -> {{'ci': CAST(s / {stride} AS INT),
+                   'n': CAST(least({chunk}, len(tk) - s) AS INT),
+                   't': concat_ws(' ', {cw})}})) AS u
+  FROM (
     SELECT {id_col},
            list_filter(regexp_split_to_array({text_col}, '{WS}'), x -> x <> '') AS tk
     FROM {table}
-),
-st AS (
-    SELECT {id_col}, tk,
-           unnest(range(0, greatest(len(tk), 1), {stride})) AS start
-    FROM toks
-),
-ck AS (
-    SELECT {id_col},
-           CAST(start / {stride} AS INTEGER) AS chunk_idx,
-           tk[start + 1 : start + {chunk}] AS ck
-    FROM st
-)
-SELECT {id_col}, chunk_idx,
-       CAST(len(ck) AS INTEGER) AS n_chunk_tokens,
-       array_to_string(ck, ' ') AS chunk_text
-FROM ck WHERE len(ck) > 0
+  ) toks
+) q
+WHERE u.n > 0
 """
 
 
@@ -1087,22 +1093,25 @@ def pack_chunks_oracle_sql(
     table: str, id_col: str, text_col: str, chunk: int, capacity: int
 ) -> str:
     """Recursive-CTE twin of non-overlapping chunking (stride == chunk)
-    followed by greedy packing."""
+    followed by greedy packing. No list slices (r9 — see
+    chunk_tokens_oracle_sql): chunk lengths come from arithmetic on the
+    token count, intra-row, so a single giant document stays linear."""
     return f"""
 WITH RECURSIVE toks AS (
     SELECT {id_col},
            list_filter(regexp_split_to_array({text_col}, '{WS}'), x -> x <> '') AS tk
     FROM {table}
 ),
-st AS (
-    SELECT {id_col}, tk, unnest(range(0, greatest(len(tk), 1), {chunk})) AS start
-    FROM toks
-),
 chunks AS (
-    SELECT {id_col},
-           CAST(start / {chunk} AS INTEGER) AS chunk_idx,
-           CAST(len(tk[start + 1 : start + {chunk}]) AS INTEGER) AS n_chunk_tokens
-    FROM st WHERE len(tk[start + 1 : start + {chunk}]) > 0
+    SELECT {id_col}, u.ci AS chunk_idx, u.n AS n_chunk_tokens
+    FROM (
+      SELECT {id_col},
+             unnest(list_transform(range(0, greatest(len(tk), 1), {chunk}),
+                s -> {{'ci': CAST(s / {chunk} AS INT),
+                       'n': CAST(least({chunk}, len(tk) - s) AS INT)}})) AS u
+      FROM toks
+    ) q
+    WHERE u.n > 0
 ),
 packed AS (
     SELECT {id_col}, chunk_idx, n_chunk_tokens,

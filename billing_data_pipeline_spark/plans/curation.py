@@ -133,7 +133,7 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "doc_id",
         X.token_count_sql("text"),
-        "(CAST(substr(source, 4) AS BIGINT) % 3) + 1",
+        "(COALESCE(TRY_CAST(substr(source, 4) AS BIGINT) % 3, 0)) + 1",
         n_shards=8,
     ),
 )
@@ -149,7 +149,14 @@ def epoch_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "doc_id",
         X.token_count(F.col("text")),
-        (F.expr("CAST(substring(source, 4) AS BIGINT)") % 3) + 1,
+        # try_cast + default weight 1 (r9, --giantdoc sweep): the srcNN
+        # parse is testdata-shaped, but a lake WILL carry other labels —
+        # source='giant' made ANSI CAST (and DuckDB's strict CAST) kill
+        # BOTH engines. Contract: unparseable source id => epoch weight 1.
+        (F.coalesce(
+            F.expr("TRY_CAST(substring(source, 4) AS BIGINT)") % 3,
+            F.lit(0),
+        )) + 1,
         n_shards=8,
     )
 
@@ -308,7 +315,7 @@ def streaming_curation_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "doc_id",
         X.token_count_sql("text"),
-        "(CAST(substr(source, 4) AS BIGINT) % 3) + 1",
+        "(COALESCE(TRY_CAST(substr(source, 4) AS BIGINT) % 3, 0)) + 1",
     ),
 )
 def corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,7 +328,14 @@ def corpus_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "doc_id",
         X.token_count(F.col("text")),
-        (F.expr("CAST(substring(source, 4) AS BIGINT)") % 3) + 1,
+        # try_cast + default weight 1 (r9, --giantdoc sweep): the srcNN
+        # parse is testdata-shaped, but a lake WILL carry other labels —
+        # source='giant' made ANSI CAST (and DuckDB's strict CAST) kill
+        # BOTH engines. Contract: unparseable source id => epoch weight 1.
+        (F.coalesce(
+            F.expr("TRY_CAST(substring(source, 4) AS BIGINT)") % 3,
+            F.lit(0),
+        )) + 1,
     )
 
 

@@ -636,22 +636,26 @@ toks AS (
            list_filter(regexp_split_to_array(text, '{WS}'), x -> x <> '') AS tk
     FROM kept
 ),
-st AS (
-    SELECT doc_id, tk, unnest(range(0, greatest(len(tk), 1), 24)) AS start
-    FROM toks
-),
 chunks AS (
-    SELECT doc_id,
-           CAST(start / 24 AS INTEGER) AS chunk_idx,
-           tk[start + 1 : start + 32] AS ck
-    FROM st
+    -- intra-row struct transform, element accesses only (r9: a list
+    -- slice per start position is O(len) per call in DuckDB — see
+    -- operators/text.chunk_tokens_oracle_sql)
+    SELECT doc_id, u.ci AS chunk_idx, u.n AS n_chunk_tokens, u.t AS ck_text
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(0, greatest(len(tk), 1), 24),
+                s -> {{'ci': CAST(s / 24 AS INT),
+                       'n': CAST(least(32, len(tk) - s) AS INT),
+                       't': concat_ws(' ', {", ".join(f"tk[s + {p}]" for p in range(1, 33))})}})) AS u
+      FROM toks
+    ) q
+    WHERE u.n > 0
 ),
 keyed AS (
-    SELECT doc_id, chunk_idx,
-           CAST(len(ck) AS INTEGER) AS n_chunk_tokens,
+    SELECT doc_id, chunk_idx, n_chunk_tokens,
            doc_id * 100000 + chunk_idx AS chunk_key,
-           md5(array_to_string(ck, ' ')) AS chunk_hash
-    FROM chunks WHERE len(ck) > 0
+           md5(ck_text) AS chunk_hash
+    FROM chunks
 ),
 canon AS (SELECT chunk_hash, MIN(chunk_key) AS keep_key FROM keyed GROUP BY chunk_hash)
 SELECT k.doc_id, k.chunk_idx, k.n_chunk_tokens, k.chunk_hash

@@ -103,8 +103,22 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # call graph changed in the round rides the external sample that
     # round). The r8 unhint pass (VERDICT r7 #1) touched every broadcast
     # site below; the r7 pins they evict all rode r7 green. ---
-    "top_regions_by_usage",  # r8: supplier broadcast unhinted
-    "late_shipment_priority",  # r8: quarter-orders broadcast unhinted
+    # --- r9 giant-doc contract pass (oracle rewrites: list slices ->
+    # element accesses in every chunk/ngram oracle, plus the
+    # unparseable-source-id containment — 7 pins below; they evict the
+    # remaining r8 unhint pins (top_regions_by_usage,
+    # late_shipment_priority, small_quantity_part_revenue,
+    # promo_revenue_share, part_supplier_variety), date_spine_coverage,
+    # and daily_value_ohlc — every one rode r8 green and is unchanged
+    # this round. chunk_documents / decontaminate_ngram also changed and
+    # were already pinned. ---
+    "packed_chunk_bins",  # r9: slice-free pack oracle chunks CTE
+    "repeated_ngram_stats",  # r9: slice-free ngrams_sql
+    "segment_dedup_docs",  # r9: via chunk_tokens_oracle_sql
+    "boilerplate_strip_docs",  # r9: via chunk_tokens_oracle_sql
+    "training_corpus_pipeline",  # r9: inline chunks CTE rewritten
+    "corpus_mix_budget",  # r9: TRY_CAST source-id weight containment
+    "epoch_shard_manifest",  # r9: same containment, both engines
     # --- r9 badjson contract pass (all three JSON tiers changed: try_*
     # containment Spark-side, TRY_CAST(props AS JSON) in the shared
     # oracle — evicting nation_market_share / product_profit_by_nation /
@@ -113,9 +127,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "json_props_rollup",  # r9: try_cast (ANSI cast killed the job)
     "variant_props_rollup",  # r9: try_parse_json + try_variant_get
     "json_props_typed_rollup",  # r9: shared oracle TRY_CAST containment
-    "small_quantity_part_revenue",  # r8: brand-part broadcast unhinted
-    "promo_revenue_share",  # r8: part broadcast unhinted
-    "part_supplier_variety",  # r8: exclusion/part broadcasts unhinted
     # --- r9: new operator (Levenshtein record-linkage tier; evicts
     # dominant_part_suppliers, which rode r8 green and is unchanged) ---
     "editdist_neardup_pairs",
@@ -134,7 +145,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     #  unhinted in the same pass)
     # --- r7->r8 pin-policy close-out (ADVICE r7: changed in 5c9962f but
     # missed the r7 sample) ---
-    "date_spine_coverage",  # 5c9962f: step_days guard, empty-spine plan
     "chunk_documents",  # 5c9962f: ws_tokens consolidation
     # --- rows-only entries (documented in CATALOG.md) ---
     "event_value_deciles_scalable",  # rows-only (approx cutpoints)
@@ -152,7 +162,6 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # --- r8 NULL-KEY contract pass (NULL user_id / event_id in events;
     # streaming + oracle-text changes are fingerprint-blind, discipline) ---
     "streaming_stateful_totals",  # r8: nullable group key (stream crashed)
-    "daily_value_ohlc",  # r8: COALESCE(-1) tiebreak both engines
     "error_burst_range_join",  # r8: oracle USING-join dropped NULL-id errors
     "embedding_cosine_topk",  # r5: zero-norm try_divide semantics
     "embedding_neardup_pairs",  # r5 zero-norm + r6 eager-contract rework

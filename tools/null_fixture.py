@@ -13,6 +13,7 @@ Usage:
     python tools/null_fixture.py --ragged [src_dir] [dst_dir]  # ragged embedding dims
     python tools/null_fixture.py --badjson [src_dir] [dst_dir] # malformed JSON props
     python tools/null_fixture.py --orphans [src_dir] [dst_dir] # orphan foreign keys
+    python tools/null_fixture.py --giantdoc [src_dir] [dst_dir] # degenerate doc sizes
     python tests/driver_sim.py <dst_dir>                       # the sweep
 
 --extreme injects domain-edge values a 100 TB corpus WILL contain:
@@ -433,6 +434,42 @@ def build_orphans(src: str, dst: str) -> str:
     return dst
 
 
+def build_giantdoc(src: str, dst: str) -> str:
+    """Degenerate document SIZES (r9): one ~200 KB highly-repetitive
+    document (~35k tokens of one repeated sentence) and one 100 KB
+    single-token document join the corpus. The 4 MB probe version of this
+    fixture found DuckDB's list-slice-in-lambda going QUADRATIC (88 GB
+    RSS) in four oracles — all rewritten to O(1) element accesses — and
+    proved every Spark kernel linear (PLANS.md r9). The standing fixture
+    stays at ~35k tokens because packed_chunk_bins' RECURSIVE pack oracle
+    is quadratic in chunks-per-doc by construction (~1.1k chunks ≈ 10 s;
+    the 22k chunks of a 4 MB doc exceed any sweep budget — the OPERATOR
+    is linear, measured 10.4 s on the 4 MB doc)."""
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    con = duckdb.connect()
+    big = ("the quick brown fox jumps over the lazy dog and keeps going "
+           * 3500)[:200_000]
+    one_token = "x" * 100_000
+    for t in TABLES:
+        if t == "documents":
+            con.execute(
+                f"""COPY (
+                  SELECT doc_id, text, lang, source, n_chars
+                  FROM '{src}/documents.parquet'
+                  UNION ALL SELECT 900001, ?, 'en', 'giant', length(?)
+                  UNION ALL SELECT 900002, ?, 'en', 'giant', length(?)
+                ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""",
+                [big, big, one_token, one_token],
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    return dst
+
+
 def build_nullts(src: str, dst: str) -> str:
     """~10% of events lose their TIMESTAMP entirely (r8) — the one edge
     the base NULL sweep deliberately avoids (ts is an ordering/join
@@ -759,6 +796,7 @@ if __name__ == "__main__":
     ragged = "--ragged" in sys.argv[1:]
     badjson = "--badjson" in sys.argv[1:]
     orphans = "--orphans" in sys.argv[1:]
+    giantdoc = "--giantdoc" in sys.argv[1:]
     src = args[0] if args else "/root/testdata/sf0.001"
     default_dst = (
         "/tmp/duptest_sf" if dups else
@@ -771,7 +809,8 @@ if __name__ == "__main__":
         "/tmp/uniwstest_sf" if uniws else
         "/tmp/raggedtest_sf" if ragged else
         "/tmp/badjsontest_sf" if badjson else
-        "/tmp/orphantest_sf" if orphans else "/tmp/nulltest_sf"
+        "/tmp/orphantest_sf" if orphans else
+        "/tmp/gianttest_sf" if giantdoc else "/tmp/nulltest_sf"
     )
     dst = args[1] if len(args) > 1 else default_dst
     builder = (
@@ -784,6 +823,7 @@ if __name__ == "__main__":
         build_uniws if uniws else
         build_ragged if ragged else
         build_badjson if badjson else
-        build_orphans if orphans else build
+        build_orphans if orphans else
+        build_giantdoc if giantdoc else build
     )
     print("wrote", builder(src, dst))
