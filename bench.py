@@ -27,9 +27,78 @@ from billing_data_pipeline_spark.registry import load_catalog
 from billing_data_pipeline_spark.session import dir_input_bytes, get_spark, input_sized_conf
 
 
+def _trailing_floor_median(sf) -> float | None:
+    """Median spark_scan_sec across prior rounds' BENCH_r*.json artifacts
+    AT THE SAME SF — the trailing baseline the load gate compares this
+    run's calibration probe against (VERDICT r9 item 3: a probe >25% over
+    its own history means the box is loaded and the artifact would fail
+    the gate on noise). Same-sf only: the probe scans the fact table, so
+    an sf0.001 dev run against sf0.1 history would always 'pass'."""
+    import glob
+    import statistics
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    vals: list[float] = []
+    for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
+        try:
+            with open(path) as fh:
+                doc = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        parsed = doc.get("parsed") if isinstance(doc, dict) else None
+        if not isinstance(parsed, dict) or parsed.get("sf") != sf:
+            continue
+        cal = parsed.get("calibration")
+        if isinstance(cal, dict):
+            v = cal.get("spark_scan_sec")
+            if isinstance(v, (int, float)) and v > 0:
+                vals.append(float(v))
+    return statistics.median(vals) if vals else None
+
+
+def _next_round() -> int | None:
+    """1 + the highest existing BENCH_r*.json round — the round number the
+    driver will stamp on THIS run's artifact, so bench.py can persist
+    BENCH_r{N}_detail.json itself (VERDICT r9 item 5: the latest-only detail
+    file loses per-round ratio history outside git)."""
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for path in glob.glob(os.path.join(root, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(path))
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1 if rounds else None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # Box-load gate (VERDICT r9 item 3): the r9 loaded-box sample (2.40x,
+    # 1-min load 1.9) showed an artifact captured under load fails the 2x
+    # gate on noise alone. Wait for the 1-min loadavg to drop below the
+    # threshold before measuring anything; give up after the budget and
+    # record that the artifact is load-contaminated rather than blocking
+    # the driver forever.
+    load_max = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "0.5"))
+    load_wait_budget = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_SEC", "300"))
+    load_waited = 0.0
+    try:
+        load_1m = os.getloadavg()[0]
+        while load_1m > load_max and load_waited < load_wait_budget:
+            print(
+                f"# load gate: 1-min loadavg {load_1m:.2f} > {load_max}, "
+                f"waiting 30s ({load_waited:.0f}s/{load_wait_budget:.0f}s)",
+                file=sys.stderr,
+            )
+            time.sleep(30)
+            load_waited += 30
+            load_1m = os.getloadavg()[0]
+    except OSError:
+        load_1m = None
     catalog = load_catalog()
     bench_specs = {n: s for n, s in sorted(catalog.items()) if s.bench}
 
@@ -204,6 +273,7 @@ def main() -> None:
     # The same probe doubles as the Spark half of the calibration pair
     # (min-of-5 to match the DuckDB half above).
     floor = float("inf")
+    trailing: float | None = None
     try:
         floor_df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
             "l_orderkey"
@@ -212,6 +282,24 @@ def main() -> None:
             t0 = time.perf_counter()
             floor_df.write.format("noop").mode("overwrite").save()
             floor = min(floor, time.perf_counter() - t0)
+        # second half of the load gate (VERDICT r9 item 3): a probe >25%
+        # over its trailing cross-round median means the box is loaded
+        # RIGHT NOW even if loadavg looked fine at start — retry once
+        # after a settle pause, keep the min, warn if still above.
+        trailing = _trailing_floor_median(
+            float(sf) if sf.replace(".", "").isdigit() else sf
+        )
+        if trailing is not None and floor > 1.25 * trailing:
+            print(
+                f"# load gate: spark probe {floor:.4f}s > 1.25x trailing "
+                f"median {trailing:.4f}s — settling 15s and re-probing",
+                file=sys.stderr,
+            )
+            time.sleep(15)
+            for _ in range(5):
+                t0 = time.perf_counter()
+                floor_df.write.format("noop").mode("overwrite").save()
+                floor = min(floor, time.perf_counter() - t0)
     except Exception:
         # a dataset without the fact table must not destroy the artifact
         # AFTER every query already ran — the probe (and the ratio table
@@ -282,7 +370,16 @@ def main() -> None:
     if duckdb_cal is not None:
         cal["duckdb_scanagg_sec"] = duckdb_cal
     if cal:
-        if baseline and floor != float("inf") and duckdb_cal:
+        # explicit missing-probe AND divide-by-zero guards (ADVICE r9:
+        # the gate below used truthiness on duckdb_cal and no zero guard
+        # on floor, contradicting the is-not-None rule just stated)
+        if (
+            baseline
+            and floor != float("inf")
+            and floor > 0
+            and duckdb_cal is not None
+            and duckdb_cal > 0
+        ):
             # SAME query set on both sides (review r9): queries whose
             # oracle errored contribute spark seconds but no duckdb
             # seconds — summing `total` against a shrunken baseline
@@ -296,6 +393,22 @@ def main() -> None:
                 cal["normalized_ratio"] = round(
                     (spark_matched / floor) / (bt / duckdb_cal), 3
                 )
+        # load-gate evidence rides the compact final line (VERDICT r9
+        # item 3: "BENCH_r10.json records loadavg and the artifact was
+        # captured under the threshold")
+        # the value at gate exit, BEFORE the session spun up — bench's own
+        # 32 threads drive the end-of-run loadavg to 5-15 by construction,
+        # so a fresh reading here would always read "contaminated"
+        if load_1m is not None:
+            cal["loadavg_1m"] = round(load_1m, 2)
+        if load_waited:
+            cal["load_gate_waited_sec"] = round(load_waited, 0)
+        if (
+            trailing is not None
+            and floor != float("inf")
+            and floor > 1.25 * trailing
+        ):
+            cal["spark_scan_warn"] = True
         out["calibration"] = cal
     # The driver parses the LAST ~2000 chars of stdout; the ratio_table
     # (~4.5 kB at 37 queries) pushed the headline metric out of that
@@ -326,15 +439,29 @@ def main() -> None:
             "bench_detail_latest.json",
         ),
     )
-    try:
-        with open(detail_path, "w") as fh:
-            # detail first, out last: out's metric="bench_total_sec" must
-            # win the key collision (review r9 — the first artifact
-            # shipped mislabeled as metric="bench_detail")
-            json.dump({**detail, **out}, fh, indent=1)
-            fh.write("\n")
-    except OSError as exc:
-        print(f"# detail file not written: {exc}", file=sys.stderr)
+    # Also stamp the per-ROUND copy (VERDICT r9 item 5): the driver writes
+    # BENCH_r{N}.json after this process exits, so at run time the next
+    # round number is 1 + the highest existing artifact; mid-round re-runs
+    # overwrite the same file and the driver's round-end run wins.
+    detail_paths = [detail_path]
+    rnd = _next_round()
+    if rnd is not None:
+        detail_paths.append(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                f"BENCH_r{rnd:02d}_detail.json",
+            )
+        )
+    for path in detail_paths:
+        try:
+            with open(path, "w") as fh:
+                # detail first, out last: out's metric="bench_total_sec" must
+                # win the key collision (review r9 — the first artifact
+                # shipped mislabeled as metric="bench_detail")
+                json.dump({**detail, **out}, fh, indent=1)
+                fh.write("\n")
+        except OSError as exc:
+            print(f"# detail file not written ({path}): {exc}", file=sys.stderr)
     if len(detail) > 1:
         print(json.dumps(detail))
     print(json.dumps(out))

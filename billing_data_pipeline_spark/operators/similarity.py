@@ -207,7 +207,13 @@ def cosine_topk(
     are excluded from BOTH sides — they can neither query nor be
     candidates. This keeps the HOF twin bit-identical to the vectorized
     kernel, whose Arrow path would otherwise die stacking a ragged batch.
-    ``unroll_dim`` is the static-fold measurement record (see dot())."""
+    ``unroll_dim`` is the static-fold measurement record (see dot()).
+
+    API changelog (r9, noted per ADVICE r9): ``dim`` used to be the
+    fold-unroll hint and is now the row-filtering geometry predicate; the
+    old meaning moved to ``unroll_dim``. Out-of-tree callers passing
+    ``dim=`` for unrolling must switch to ``unroll_dim=`` — with ragged
+    data the old call now silently drops wrong-length rows."""
     from pyspark.sql import Window
 
     queries = queries.filter(geometry_ok(vec_col, dim))

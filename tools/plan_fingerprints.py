@@ -48,10 +48,20 @@ _PLAN_ID = re.compile(r"plan_id=\d+")
 #: REAL flake for the 8-char uuid slices in memory-sink names
 #: (`catchup_<8 hex>`): an all-digit slice is a (10/16)^8 ≈ 2.3% event
 #: per call — observed once on streaming_session_catchup (r9). The
-#: suffix rule below normalizes `word_<8 hex>` regardless of letters
-#: (decimal literals never follow a `word_` prefix in plan text).
+#: suffix rule below normalizes the uuid slice regardless of letters.
+#: Anchored to the EXACT sink/view prefixes this codebase generates
+#: (ADVICE r9: a bare `word_<8 hex>` rule also collapsed 8-digit dates /
+#: hex-ish suffixes inside genuine literals like `run_20240101`, so two
+#: semantically different plans could share a fingerprint). Longer
+#: alternatives first so `sess_catchup` wins over `catchup`. The 12-hex
+#: `docs_for_runs` view (operators/udf_surface.py:76) is included too —
+#: its all-digit slice was a residual (10/16)^12 ≈ 0.4% flake under the
+#: lookahead rule.
 _HEX_UID = re.compile(r"(?=[0-9]*[a-f])[0-9a-f]{8,}")
-_UID_SUFFIX = re.compile(r"\b([A-Za-z]+)_[0-9a-f]{8}\b")
+_UID_SUFFIX = re.compile(
+    r"\b(_?(?:sess_catchup|slide_catchup|docs_for_runs|catchup|sdedup"
+    r"|ssjoin|ssloj|enrich|stateful|ohlc|cur))_[0-9a-f]{8,16}\b"
+)
 _TMP_PATH = re.compile(r"(?:file:)?/tmp/\S+")
 #: lambda variables carry a session-global counter (`lambda x_1#`).
 _LAMBDA_VAR = re.compile(r"\blambda ([a-z]+)_\d+")
