@@ -117,6 +117,36 @@ def best_survivor_dedup(
     )
 
 
+#: Default degenerate-block frequency cap for the catalog's blocked
+#: near-dup tiers (VERDICT r9 item 2). Work inside a block/posting-list/
+#: bucket is |block|^2, so ONE hot key (shared boilerplate, templated
+#: prefixes) makes the whole job quadratic at 100 TB; blocks above the
+#: cap are DROPPED from pair generation — deterministically, replicated
+#: in the oracle SQL — and surfaced by the *_overflow companions (no
+#: silent truncation). 64 is far above anything the clean testdata
+#: produces (measured max: 10-member editdist block, 25-doc posting list
+#: at sf0.1) and far below degeneracy; the adversarial skew/boilerplate
+#: fixtures drive it for real.
+DEFAULT_BLOCK_CAP = 64
+
+
+def _cap_blocks(df: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
+    """Drop rows whose block key occurs more than ``cap`` times — the
+    degenerate-block guard shared by every blocked near-dup tier. A
+    window count over the block key costs one shuffle on that key, which
+    the downstream self-join needs anyway (same hash partitioning, so
+    Catalyst reuses the exchange — the guard adds no extra shuffle)."""
+    if cap is None:
+        return df
+    from pyspark.sql import Window
+
+    return (
+        df.withColumn("_bc", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+        .filter(F.col("_bc") <= cap)
+        .drop("_bc")
+    )
+
+
 def word_shingles(text_col: str, n: int = 3) -> F.Column:
     """Distinct word n-gram shingles of a text column (built-in higher-order
     functions; no UDF).
@@ -137,25 +167,13 @@ def word_shingles(text_col: str, n: int = 3) -> F.Column:
     return F.array_distinct(grams)
 
 
-def ngram_jaccard_oracle_sql(
-    table: str,
-    id_col: str,
-    text_col: str,
-    n: int = 3,
-    threshold: float = 0.5,
-) -> str:
-    """DuckDB twin of ``word_shingles`` + ``ngram_jaccard_pairs``, kept
-    NEXT TO the Spark expressions (review r7: the oracle lived as 26
-    hand-written lines in plans/extensions.py, so a tokenizer or
-    min-length change here would silently desync it — the same drift
-    class the r5 normalized_text_sql move closed)."""
+def _shingles_sql(table: str, id_col: str, text_col: str, n: int) -> str:
+    """Shared CTE body (tokenize -> distinct word n-gram shingles) for the
+    Jaccard pair oracle and its overflow companion — one definition so the
+    tokenizer can never drift between them."""
     from .text import JAVA_WS_SPLIT_SQL as ws
 
     gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(n))
-    jac = (
-        "CAST(i.n_common AS DOUBLE) "
-        "/ (sa.n_shingles + sb.n_shingles - i.n_common)"
-    )
     return f"""
 WITH toks AS (
     SELECT {id_col}, regexp_split_to_array(trim({text_col}), '{ws}') AS w
@@ -167,11 +185,43 @@ sh AS (
            unnest(list_transform(generate_series(1, len(w) - {n - 1}),
                                  i -> {gram})) AS shingle
     FROM toks
-),
-sizes AS (SELECT {id_col}, COUNT(*) AS n_shingles FROM sh GROUP BY {id_col}),
+)"""
+
+
+def ngram_jaccard_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    shingle_cap: int | None = None,
+) -> str:
+    """DuckDB twin of ``word_shingles`` + ``ngram_jaccard_pairs``, kept
+    NEXT TO the Spark expressions (review r7: the oracle lived as 26
+    hand-written lines in plans/extensions.py, so a tokenizer or
+    min-length change here would silently desync it — the same drift
+    class the r5 normalized_text_sql move closed). With ``shingle_cap``
+    the oracle replays the identical capped-vocabulary semantics: hot
+    shingles leave the REPRESENTATION (both intersections and sizes)."""
+    src = "sh"
+    cap_cte = ""
+    if shingle_cap is not None:
+        cap_cte = f""",
+kept AS (
+    SELECT {id_col}, shingle
+    FROM (SELECT sh.*, count(*) OVER (PARTITION BY shingle) AS pc FROM sh)
+    WHERE pc <= {shingle_cap}
+)"""
+        src = "kept"
+    jac = (
+        "CAST(i.n_common AS DOUBLE) "
+        "/ (sa.n_shingles + sb.n_shingles - i.n_common)"
+    )
+    return f"""{_shingles_sql(table, id_col, text_col, n)}{cap_cte},
+sizes AS (SELECT {id_col}, COUNT(*) AS n_shingles FROM {src} GROUP BY {id_col}),
 inter AS (
     SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, COUNT(*) AS n_common
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.{id_col} < b.{id_col}
+    FROM {src} a JOIN {src} b ON a.shingle = b.shingle AND a.{id_col} < b.{id_col}
     GROUP BY 1, 2
 )
 SELECT i.doc_a, i.doc_b, i.n_common,
@@ -184,26 +234,72 @@ WHERE {jac} >= {threshold}
 """
 
 
+def shingle_overflow_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    shingle_cap: int = DEFAULT_BLOCK_CAP,
+) -> str:
+    """DuckDB twin of ``shingle_overflow_postings``."""
+    return f"""{_shingles_sql(table, id_col, text_col, n)}
+SELECT shingle, CAST(count(*) AS BIGINT) AS n_docs
+FROM sh
+GROUP BY shingle
+HAVING count(*) > {shingle_cap}
+"""
+
+
+def shingle_overflow_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    shingle_cap: int = DEFAULT_BLOCK_CAP,
+) -> DataFrame:
+    """The shingles ``ngram_jaccard_pairs(shingle_cap=...)`` DROPS from
+    the representation — one row per over-cap shingle with its posting-
+    list size (no silent truncation; see editdist_overflow_blocks)."""
+    docs = df.filter(F.size(F.split(F.trim(F.col(text_col)), "\\s+")) >= n)
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > shingle_cap)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    shingle_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
 
     explode shingles -> self-join on shingle -> |A∩B| per pair -> Jaccard
     with per-doc shingle counts. The self-join key is the shingle, so work
-    is sum over shingles of (docs-per-shingle)^2 — bounded by vocabulary
-    locality, not corpus size; a frequency cap on pathological shingles is
-    the standard guard at larger scale.
+    is sum over shingles of (docs-per-shingle)^2 — and ``shingle_cap``
+    (r10, VERDICT r9 item 2) bounds it: shingles whose posting list
+    exceeds the cap leave the REPRESENTATION entirely (both the
+    intersection join and the per-doc sizes — capped-vocabulary Jaccard,
+    the stopword-removal view), so one boilerplate sentence shared by
+    half the corpus can't make the self-join quadratic. Deterministic,
+    replayed identically by the oracle, surfaced by
+    ``shingle_overflow_postings``. The cap's window count shares the
+    self-join's shingle hash partitioning (exchange reused).
     """
     docs = df.filter(F.size(F.split(F.trim(F.col(text_col)), "\\s+")) >= n)
     sh = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(word_shingles(text_col, n)).alias("shingle"),
     )
+    sh = _cap_blocks(sh, ["shingle"], shingle_cap)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -227,17 +323,12 @@ def ngram_jaccard_pairs(
     )
 
 
-def editdist_oracle_sql(
-    table: str,
-    id_col: str,
-    text_col: str,
-    max_dist: int = 3,
-    prefix_len: int = 8,
+def _editdist_blocks_sql(
+    table: str, id_col: str, text_col: str, prefix_len: int
 ) -> str:
-    """DuckDB twin of ``editdist_blocked_pairs``, kept NEXT TO the Spark
-    operator (the r5/r7 anti-drift rule). Replays the identical blocking
-    (normalized prefix + length band) and the full levenshtein, which
-    equals Spark's threshold form wherever the threshold passes."""
+    """Shared CTE body (normalize -> prefix block) for the editdist pair
+    oracle and its overflow companion — one definition so the blocking
+    can never drift between them."""
     nrm = normalized_text_sql(text_col)
     return f"""
 WITH n AS (
@@ -248,13 +339,79 @@ WITH n AS (
 b AS (
     SELECT id, nt, substr(nt, 1, {prefix_len}) AS blk, length(nt) AS ln
     FROM n
-)
+)"""
+
+
+def editdist_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 3,
+    prefix_len: int = 8,
+    block_cap: int | None = None,
+) -> str:
+    """DuckDB twin of ``editdist_blocked_pairs``, kept NEXT TO the Spark
+    operator (the r5/r7 anti-drift rule). Replays the identical blocking
+    (normalized prefix + length band + degenerate-block cap) and the full
+    levenshtein, which equals Spark's threshold form wherever the
+    threshold passes."""
+    src = "b"
+    cap_cte = ""
+    if block_cap is not None:
+        cap_cte = f""",
+kept AS (
+    SELECT id, nt, blk, ln
+    FROM (SELECT b.*, count(*) OVER (PARTITION BY blk) AS bc FROM b)
+    WHERE bc <= {block_cap}
+)"""
+        src = "kept"
+    return f"""{_editdist_blocks_sql(table, id_col, text_col, prefix_len)}{cap_cte}
 SELECT a.id AS id_a, c.id AS id_b,
        CAST(levenshtein(a.nt, c.nt) AS INTEGER) AS dist
-FROM b a
-JOIN b c ON a.blk = c.blk AND a.id < c.id AND abs(a.ln - c.ln) <= {max_dist}
+FROM {src} a
+JOIN {src} c ON a.blk = c.blk AND a.id < c.id AND abs(a.ln - c.ln) <= {max_dist}
 WHERE levenshtein(a.nt, c.nt) <= {max_dist}
 """
+
+
+def editdist_overflow_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    prefix_len: int = 8,
+    block_cap: int = DEFAULT_BLOCK_CAP,
+) -> str:
+    """DuckDB twin of ``editdist_overflow_blocks``."""
+    return f"""{_editdist_blocks_sql(table, id_col, text_col, prefix_len)}
+SELECT blk, CAST(count(*) AS BIGINT) AS n_members
+FROM b
+GROUP BY blk
+HAVING count(*) > {block_cap}
+"""
+
+
+def editdist_overflow_blocks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefix_len: int = 8,
+    block_cap: int = DEFAULT_BLOCK_CAP,
+) -> DataFrame:
+    """The blocks ``editdist_blocked_pairs(block_cap=...)`` DROPS — one
+    row per over-cap prefix block with its member count, so a capped run
+    is never a silent truncation: pipelines report/alert on this frame
+    next to the pair output. Same normalize+block lineage as the pair
+    operator; one groupBy on the block key."""
+    n = (
+        df.select(F.col(id_col).alias("id"), normalized_text(text_col).alias("nt"))
+        .filter(F.col("nt") != "")
+        .withColumn("blk", F.substring("nt", 1, prefix_len))
+    )
+    return (
+        n.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > block_cap)
+    )
 
 
 def editdist_blocked_pairs(
@@ -263,6 +420,7 @@ def editdist_blocked_pairs(
     text_col: str,
     max_dist: int = 3,
     prefix_len: int = 8,
+    block_cap: int | None = None,
 ) -> DataFrame:
     """[EXT] Edit-distance (Levenshtein) near-dup pairs over the
     normalized text form, blocked for scale — the record-linkage tier
@@ -285,9 +443,15 @@ def editdist_blocked_pairs(
     never cross-engine-check Levenshtein on un-folded text.
 
     Scale shape: one shuffle on the block key; work is the sum over
-    blocks of posting-list^2 (the ngram_jaccard_pairs bound — a
-    frequency cap on degenerate blocks is the guard at larger scale);
-    each surviving pair costs the JVM's THRESHOLD levenshtein
+    blocks of |block|^2, and ``block_cap`` (r10, VERDICT r9 item 2)
+    bounds it: blocks with more than ``block_cap`` members are DROPPED
+    from pair generation — a hot prefix (templated/boilerplate corpora,
+    exactly what dedup targets at 100 TB) would otherwise make one block
+    quadratic. The drop is deterministic, replayed identically by the
+    oracle, and surfaced by ``editdist_overflow_blocks`` (no silent
+    truncation). The cap's window count rides the same hash partitioning
+    the self-join shuffles on (exchange reused — no extra shuffle).
+    Each surviving pair costs the JVM's THRESHOLD levenshtein
     (3-arg form, banded O(max_dist x len) instead of full O(len^2),
     returning -1 above the threshold so long non-matches exit early).
     """
@@ -297,6 +461,7 @@ def editdist_blocked_pairs(
         .withColumn("blk", F.substring("nt", 1, prefix_len))
         .withColumn("ln", F.length("nt"))
     )
+    n = _cap_blocks(n, ["blk"], block_cap)
     a, c = n.alias("a"), n.alias("c")
     dist = F.levenshtein(F.col("a.nt"), F.col("c.nt"), max_dist)
     # ONE join condition with the levenshtein conjunct LAST (r9 plan
@@ -383,6 +548,7 @@ def minhash_neardup_pairs(
     k: int = 16,
     band_size: int = 2,
     min_jaccard: float = 0.4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Approximate near-duplicate pairs via MinHash + banded LSH:
     shingle -> k-component signature -> k/band_size band keys -> self-join
@@ -390,10 +556,19 @@ def minhash_neardup_pairs(
 
     The classic shingle->minhash->band->bucket-join pipeline expressed
     entirely in DataFrame built-ins. Candidate generation is linear in
-    corpus size + bucket collisions — no cross join at any scale; at 100 TB
-    add a bucket-frequency cap to guard degenerate keys (boilerplate text).
+    corpus size + bucket collisions — no cross join at any scale.
+    ``bucket_cap`` (r10, VERDICT r9 item 2) is the degenerate-bucket
+    guard: a (band, key) bucket with more than ``bucket_cap`` members —
+    one boilerplate cluster hashing half the corpus into one band key —
+    is dropped from candidate generation before the self-join, bounding
+    per-bucket work at cap^2. Recall note: a TRUE near-dup cluster larger
+    than the cap keeps its pairs only through its other n_bands-1 band
+    keys (dropped only if ALL its buckets overflow — at that point it is
+    the boilerplate case the cap exists for, and the drop is visible in
+    the bucket histogram). Deterministic; the cap's window count shares
+    the self-join's (band, key) hash partitioning (exchange reused).
     Seeded xxhash64 => deterministic; approximate => rows-only check.
-    
+
 
     Cache contract (advice r4): the internal persist is swept by the NEXT
     operator call that routes through ``swept_persist`` — materialize the
@@ -451,6 +626,7 @@ def minhash_neardup_pairs(
             )
         ).alias("bk"),
     ).select("doc", "bk.band", "bk.key")
+    bands = _cap_blocks(bands, ["band", "key"], bucket_cap)
 
     # Candidate ids only through join + distinct; rejoin sigs once per
     # DISTINCT pair for the agreement estimate. The portable sibling's

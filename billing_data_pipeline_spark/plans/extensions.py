@@ -128,21 +128,51 @@ def best_survivor_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_pairs",
     tags=("ext", "dedup"),
     oracle=D.ngram_jaccard_oracle_sql(
-        "documents", "doc_id", "text", n=3, threshold=0.5
+        "documents",
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+        shingle_cap=D.DEFAULT_BLOCK_CAP,
     ),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (>= 0.5): shingle explode +
-    bucketed self-join — quadratic only within a shingle's posting list."""
+    bucketed self-join — quadratic only within a shingle's posting list,
+    bounded by the degenerate-shingle cap (r10: postings > 64 docs leave
+    the representation; oracle replays the cap; overflow surfaced by
+    shingle_posting_overflow)."""
     return D.ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+        shingle_cap=D.DEFAULT_BLOCK_CAP,
+    )
+
+
+@register(
+    "shingle_posting_overflow",
+    tags=("ext", "dedup", "guard"),
+    oracle=D.shingle_overflow_oracle_sql("documents", "doc_id", "text", n=3),
+)
+def shingle_posting_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shingles the capped Jaccard tier DROPS (posting list > 64):
+    the no-silent-truncation companion — report/alert surface for capped
+    dedup runs. Empty on clean corpora; the boilerplate skew fixtures
+    light it up."""
+    return D.shingle_overflow_postings(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=3
     )
 
 
 @register(
     "editdist_neardup_pairs",
     tags=("ext", "dedup", "editdist", "blocked"),
-    oracle=D.editdist_oracle_sql("documents", "doc_id", "text", 10, 16),
+    oracle=D.editdist_oracle_sql(
+        "documents", "doc_id", "text", 10, 16, block_cap=D.DEFAULT_BLOCK_CAP
+    ),
 )
 def editdist_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein near-dup pairs (dist <= 10) over normalized text,
@@ -155,9 +185,33 @@ def editdist_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup template distances (24 pairs at distance 4 at sf0.01; a
     dist<=3 cut is empty there, which would gate nothing). prefix_len=16:
     measured identical pair sets to prefix 8 at every SF with 40x fewer
-    block collisions (30k -> 739 raw pairs at sf0.1)."""
+    block collisions (30k -> 739 raw pairs at sf0.1). r10: degenerate
+    blocks (> 64 members) are dropped from pair generation — the cap the
+    r9 docstring promised — with the oracle replaying the cap and
+    editdist_block_overflow surfacing what was dropped."""
     return D.editdist_blocked_pairs(
-        t(spark, sf_dir, "documents"), "doc_id", "text", max_dist=10, prefix_len=16
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        max_dist=10,
+        prefix_len=16,
+        block_cap=D.DEFAULT_BLOCK_CAP,
+    )
+
+
+@register(
+    "editdist_block_overflow",
+    tags=("ext", "dedup", "editdist", "guard"),
+    oracle=D.editdist_overflow_oracle_sql(
+        "documents", "doc_id", "text", prefix_len=16
+    ),
+)
+def editdist_block_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The prefix blocks the capped editdist tier DROPS (> 64 members):
+    the no-silent-truncation companion to editdist_neardup_pairs. Empty
+    on clean corpora; identical-prefix degenerate fixtures light it up."""
+    return D.editdist_overflow_blocks(
+        t(spark, sf_dir, "documents"), "doc_id", "text", prefix_len=16
     )
 
 
@@ -167,8 +221,18 @@ def minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 100 TB path: banded hash buckets generate candidates linearly.
     Bench slot moved to the portable twin (r4): the xxhash64 tier has no
     DuckDB twin to co-measure, and every bench row should carry a
-    baseline; the portable pipeline is the same banded plan shape."""
-    return D.minhash_neardup_pairs(t(spark, sf_dir, "documents"), "doc_id", "text")
+    baseline; the portable pipeline is the same banded plan shape. r10:
+    degenerate (band, key) buckets (> 64 members) are dropped from
+    candidate generation (rows-only tier — its plan change is excused
+    from the r10 sample by the matmul precedent: rows-only entries are
+    not sample-allowed; the capped ORACLE-checked siblings
+    editdist_neardup_pairs / ngram_jaccard_pairs ride instead)."""
+    return D.minhash_neardup_pairs(
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        bucket_cap=D.DEFAULT_BLOCK_CAP,
+    )
 
 
 @register("ml_minhash_neardup_pairs", tags=("ext", "dedup", "approx", "mllib"))

@@ -118,18 +118,27 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "boilerplate_strip_docs",  # r9: via chunk_tokens_oracle_sql
     "training_corpus_pipeline",  # r9: inline chunks CTE rewritten
     "corpus_mix_budget",  # r9: TRY_CAST source-id weight containment
-    "epoch_shard_manifest",  # r9: same containment, both engines
     # --- r9 badjson contract pass (all three JSON tiers changed: try_*
     # containment Spark-side, TRY_CAST(props AS JSON) in the shared
     # oracle — evicting nation_market_share / product_profit_by_nation /
     # returned_revenue_customers, which rode r8 green and are unchanged
     # this round) ---
     "json_props_rollup",  # r9: try_cast (ANSI cast killed the job)
-    "variant_props_rollup",  # r9: try_parse_json + try_variant_get
-    "json_props_typed_rollup",  # r9: shared oracle TRY_CAST containment
+    # --- r10 degenerate-block cap pass (VERDICT r9 item 2: the three
+    # blocked near-dup tiers gained frequency caps, oracle-replayed;
+    # editdist_neardup_pairs was already pinned; the two new overflow
+    # companions are new-since-manifest so they must ride; evicting
+    # variant_props_rollup / json_props_typed_rollup /
+    # epoch_shard_manifest — each rode r9 green and is unchanged r10.
+    # minhash_neardup_pairs also changed but is rows-only and not
+    # sample-allowed (the r9 matmul precedent); its capped oracle-checked
+    # siblings ride. ---
+    "ngram_jaccard_pairs",  # r10: shingle_cap in plan + oracle
+    "editdist_block_overflow",  # r10: new no-silent-truncation surface
+    "shingle_posting_overflow",  # r10: new no-silent-truncation surface
     # --- r9: new operator (Levenshtein record-linkage tier; evicts
     # dominant_part_suppliers, which rode r8 green and is unchanged) ---
-    "editdist_neardup_pairs",
+    "editdist_neardup_pairs",  # r10: block_cap in plan + oracle
     # --- r9 geometry-contract pass (ragged-dimension sweep: every
     # similarity tier gained a plan-side size(embedding)=dim filter and
     # its oracle the matching len() clause — 10 queries changed; the

@@ -743,3 +743,89 @@ def test_text_neardup_recall_floors(spark):
     ):
         recall = len(truth & pairset(name)) / len(truth)
         assert recall >= floor, f"{name} recall {recall:.2f} < {floor}"
+
+
+def test_aqe_skew_join_engages(spark):
+    """r10 (VERDICT r9 item 7, plan-shape half): AQE's skew-join split
+    must ACTUALLY ENGAGE on a hot-key sort-merge join — not just produce
+    the right answer. One key owns ~90% of the big side with
+    incompressible (md5) payloads (AQE thresholds act on COMPRESSED
+    shuffle bytes), thresholds lowered to fixture scale; the finalized
+    adaptive plan must carry the skew=true marker on the join."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16384",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 40_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(1))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(
+                *[
+                    F.md5((F.col("id") + F.lit(i * 1_000_003)).cast("string"))
+                    for i in range(4)
+                ]
+            ).alias("payload"),
+        )
+        small = spark.range(0, 200).select(
+            F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("v")
+        )
+        joined = big.join(small, "k")
+        # execute JOINED's own QueryExecution (count() builds a new one
+        # whose adaptive plan finalizes separately — reading joined's
+        # plan after count() still shows isFinalPlan=false)
+        rows = joined.collect()
+        assert len(rows) == 36_000 + len(
+            [i for i in range(40_000) if i % 10 >= 9 and i < 200]
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:500]
+        assert "skew=true" in plan, (
+            "AQE skew-join split did not engage:\n" + plan[:3000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """r10 (VERDICT r9 item 7): the manual salting tier's plan must
+    shuffle on (key, _salt) — the hot key's rows spread across n_salts
+    buckets — and the result must equal the plain join."""
+    from billing_data_pipeline_spark.operators.skew import salted_join
+
+    big = spark.range(0, 5_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("val"),
+    )
+    small = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("v")
+    )
+    # force the shuffle join the salting tier exists for (with broadcast
+    # on, the small side broadcasts and there is no partitioning to read)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = salted_join(big, small, ["k"], n_salts=8)
+        assert joined.count() == big.join(small, "k").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "_salt" in plan and "hashpartitioning" in plan
+        # the exchange key set includes the salt (spread), not the bare key
+        import re
+
+        parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        assert any("_salt" in p and "k#" in p for p in parts), parts
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

@@ -783,6 +783,95 @@ def build_skew(src: str, dst: str) -> str:
     return dst
 
 
+def build_skewhot(src: str, dst: str) -> str:
+    """EXTREME single-key skew (r10, VERDICT r9 item 7) — one key owning
+    half-or-more of its table through the join / window / streaming
+    tiers, plus a DEGENERATE identical-prefix document block that drives
+    the r10 block-frequency caps for real:
+
+    - events: ~80% of rows retargeted to ONE hot user_id — every
+      per-user window, session, asof, streaming-stateful and
+      streaming-dedup tier funnels through a single group/state key;
+    - lineitem: ~50% of rows retargeted to ONE existing l_orderkey
+      (ONLY the orderkey — unlike --skew's triple retarget, this isolates
+      the orders join: one SMJ key owning half the fact table, the AQE
+      skew-split shape);
+    - orders: ~50% of orders retargeted to ONE existing o_custkey (the
+      customer-side join + per-customer windows see one hot key);
+    - documents: ~30% of docs get a shared 40-char PREFIX — one
+      white-hot editdist prefix block (>> the 64 cap => dropped + the
+      overflow companions go non-empty under the hash gate) and
+      white-hot leading shingles (>> the shingle cap);
+    - embeddings and the dimension tables pass through unchanged.
+
+    Every oracle recomputes on the same skewed parquet: correctness
+    under extreme skew is the hash gate; boundedness is the scale check;
+    the plan-shape half (AQE skew=true split + salted-join partitioning)
+    lives in tests/test_scale_patterns.py::test_aqe_skew_join_engages /
+    test_salted_join_spreads_hot_key."""
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    con = duckdb.connect()
+    hot_user = con.execute(
+        f"SELECT min(user_id) FROM '{src}/events.parquet'"
+    ).fetchone()[0]
+    hot_order = con.execute(
+        f"SELECT min(l_orderkey) FROM '{src}/lineitem.parquet'"
+    ).fetchone()[0]
+    hot_cust = con.execute(
+        f"SELECT min(o_custkey) FROM '{src}/orders.parquet'"
+    ).fetchone()[0]
+    prefix = "all rights reserved subscribe today "  # 37 chars, tokenizes
+    for t in TABLES:
+        if t == "events":
+            con.execute(
+                f"""COPY (
+                  SELECT event_id, ts,
+                         CASE WHEN event_id % 5 < 4 THEN {hot_user}
+                              ELSE user_id END AS user_id,
+                         event_type, value, props
+                  FROM '{src}/events.parquet'
+                ) TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "lineitem":
+            con.execute(
+                f"""COPY (
+                  SELECT * REPLACE (
+                    CASE WHEN l_linenumber % 2 = 0 THEN {hot_order}
+                         ELSE l_orderkey END AS l_orderkey)
+                  FROM '{src}/lineitem.parquet'
+                ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "orders":
+            con.execute(
+                f"""COPY (
+                  SELECT * REPLACE (
+                    CASE WHEN o_orderkey % 2 = 0 THEN {hot_cust}
+                         ELSE o_custkey END AS o_custkey)
+                  FROM '{src}/orders.parquet'
+                ) TO '{dst}/orders.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "documents":
+            con.execute(
+                f"""COPY (
+                  SELECT doc_id,
+                         CASE WHEN doc_id % 10 < 3 THEN '{prefix}' || text
+                              ELSE text END AS text,
+                         lang, source,
+                         CASE WHEN doc_id % 10 < 3
+                              THEN n_chars + length('{prefix}')
+                              ELSE n_chars END AS n_chars
+                  FROM '{src}/documents.parquet'
+                ) TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    return dst
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     dups = "--dups" in sys.argv[1:]
@@ -792,6 +881,7 @@ if __name__ == "__main__":
     nullts = "--nullts" in sys.argv[1:]
     nullkeys = "--nullkeys" in sys.argv[1:]
     skew = "--skew" in sys.argv[1:]
+    skewhot = "--skewhot" in sys.argv[1:]
     uniws = "--uniws" in sys.argv[1:]
     ragged = "--ragged" in sys.argv[1:]
     badjson = "--badjson" in sys.argv[1:]
@@ -806,6 +896,7 @@ if __name__ == "__main__":
         "/tmp/nulltstest_sf" if nullts else
         "/tmp/nullkeystest_sf" if nullkeys else
         "/tmp/skewtest_sf" if skew else
+        "/tmp/skewhottest_sf" if skewhot else
         "/tmp/uniwstest_sf" if uniws else
         "/tmp/raggedtest_sf" if ragged else
         "/tmp/badjsontest_sf" if badjson else
@@ -820,6 +911,7 @@ if __name__ == "__main__":
         build_nullts if nullts else
         build_nullkeys if nullkeys else
         build_skew if skew else
+        build_skewhot if skewhot else
         build_uniws if uniws else
         build_ragged if ragged else
         build_badjson if badjson else
