@@ -761,13 +761,29 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_neardup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= max_hamming.
 
     Banding: two signatures within Hamming 3 of 64 bits agree exactly on at
     least one of 4 16-bit bands (pigeonhole), so the self-join runs on band
-    keys — linear candidate generation, no cross join.
+    keys — linear candidate generation, no cross join. ``bucket_cap``
+    (r10) is the same degenerate-bucket guard as the MinHash tier: a
+    (band, key) bucket with more members is dropped from candidate
+    generation (boilerplate corpora collapse a 16-bit band onto one
+    value for a large doc fraction). Capping a band WEAKENS the
+    pigeonhole guarantee for pairs whose only agreeing band overflowed —
+    the documented recall/cost dial, same as prefix blocking. Caller
+    beware (measured r10): 16-bit band keys concentrate mass on CLEAN
+    data too (17% of the testdata corpus in one bucket at sf0.1), so
+    size the cap to YOUR corpus or prefer wider band keys; the catalog
+    query runs uncapped for exactly this reason. The portable tiers
+    stay uncapped on purpose: they are the oracle-checked
+    proof-of-semantics path, not the throughput path.
     """
     sigs = simhash_signatures(df, id_col, text_col)
     bands = sigs.select(
@@ -787,6 +803,7 @@ def simhash_neardup_pairs(
             )
         ).alias("bk"),
     ).select("doc", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bands = _cap_blocks(bands, ["band", "key"], bucket_cap)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

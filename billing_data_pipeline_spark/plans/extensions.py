@@ -291,7 +291,15 @@ def incremental_neardup_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame
 @register("simhash_neardup_pairs", tags=("ext", "dedup", "approx"))
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (64-bit, Arrow-vectorized) near-dup pairs at Hamming<=3 via
-    16-bit band self-join (pigeonhole guarantees recall; rows-only)."""
+    16-bit band self-join (pigeonhole guarantees recall; rows-only).
+    Deliberately UNCAPPED in the catalog (r10): a 16-bit band key
+    concentrates mass by construction — the CLEAN testdata corpus puts
+    17% of docs in one bucket (measured sf0.1: top bucket 830/5000), so
+    an absolute cap either drops real pairs on clean data or bounds
+    nothing. The operator takes bucket_cap= for corpora where it fits;
+    the structural scale fix for band flooding is wider band keys (more
+    bits/bands), and the capped MinHash/editdist/Jaccard tiers are the
+    load-bearing degenerate-block guards."""
     return D.simhash_neardup_pairs(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 

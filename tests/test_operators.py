@@ -1050,6 +1050,27 @@ def test_block_cap_oracle_parity(spark, tmp_path):
     assert (10, 11) in jac_pairs and (12, 13) in jac_pairs
 
 
+def test_simhash_bucket_cap_drops_hot_band(spark):
+    """r10: the SimHash tier's bucket_cap parameter (NOT wired into the
+    catalog — 16-bit band keys concentrate clean data too, measured 17%
+    of corpus in one bucket at sf0.1) still works as a guard: identical
+    docs flood every band bucket, so a cap below the clone count drops
+    all their candidate pairs while distinct near-dups elsewhere are
+    unaffected only if their buckets stay under the cap."""
+    from billing_data_pipeline_spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    clones = [(i, "identical boilerplate text block") for i in range(12)]
+    docs = spark.createDataFrame(clones, "doc_id long, text string")
+    uncapped = simhash_neardup_pairs(docs, "doc_id", "text").count()
+    assert uncapped == 12 * 11 / 2
+    capped = simhash_neardup_pairs(
+        docs, "doc_id", "text", bucket_cap=8
+    ).count()
+    assert capped == 0
+
+
 def test_block_cap_adds_no_extra_shuffle(spark):
     """r10: the cap's window count must ride the hash partitioning the
     self-join needs anyway — capped and uncapped editdist plans carry the
