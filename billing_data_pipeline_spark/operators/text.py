@@ -869,7 +869,18 @@ def chunk_tokens_oracle_sql(
     chunk text is a constant-width concat_ws chain of element accesses
     (concat_ws skips the NULLs that out-of-range positions return,
     exactly like the old slice's tail), built intra-row and unnested as
-    structs — 0.5 s on the same document, value-identical at sf0.01."""
+    structs — 0.5 s on the same document, value-identical at sf0.01.
+
+    ``tk IS NOT NULL`` is load-bearing (r10, found by the skewhot∘null
+    composed probe): DuckDB's least()/greatest() IGNORE NULL arguments
+    (they are MAX/MIN-style, not SQL-standard scalar), so a NULL text —
+    NULL token list — slipped past the ``u.n > 0`` guard as
+    least({chunk}, NULL - s) = {chunk} and emitted ONE phantom
+    empty-string chunk per NULL document, where Spark's chunk_tokens
+    (and this oracle's own r8 slice form, whose greatest(len-1, 0)
+    produced an empty range) emit none. The r9 slice-free rewrite
+    changed that arithmetic shape and silently broke the NULL-text
+    contract."""
     cw = ", ".join(f"tk[s + {p}]" for p in range(1, chunk + 1))
     return f"""
 SELECT {id_col}, u.ci AS chunk_idx, u.n AS n_chunk_tokens,
@@ -885,6 +896,7 @@ FROM (
            list_filter(regexp_split_to_array({text_col}, '{WS}'), x -> x <> '') AS tk
     FROM {table}
   ) toks
+  WHERE tk IS NOT NULL
 ) q
 WHERE u.n > 0
 """
@@ -1095,12 +1107,16 @@ def pack_chunks_oracle_sql(
     """Recursive-CTE twin of non-overlapping chunking (stride == chunk)
     followed by greedy packing. No list slices (r9 — see
     chunk_tokens_oracle_sql): chunk lengths come from arithmetic on the
-    token count, intra-row, so a single giant document stays linear."""
+    token count, intra-row, so a single giant document stays linear.
+    ``tk IS NOT NULL`` is load-bearing (r10): DuckDB least() ignores
+    NULLs, so NULL text otherwise emits one phantom chunk — see
+    chunk_tokens_oracle_sql."""
     return f"""
 WITH RECURSIVE toks AS (
     SELECT {id_col},
            list_filter(regexp_split_to_array({text_col}, '{WS}'), x -> x <> '') AS tk
     FROM {table}
+    WHERE {text_col} IS NOT NULL
 ),
 chunks AS (
     SELECT {id_col}, u.ci AS chunk_idx, u.n AS n_chunk_tokens

@@ -396,3 +396,70 @@ def test_per_group_sample_rejects_reserved_column(spark):
     df = spark.createDataFrame([(1, "a", 9)], "k long, g string, sample_rank int")
     with pytest.raises(ValueError, match="sample_rank"):
         per_group_sample(df, "k", "g", 1)
+
+
+def test_null_text_docs_emit_zero_chunks_both_engines(spark, tmp_path):
+    """r10 regression (found by the skewhot∘null composed probe): DuckDB's
+    least()/greatest() IGNORE NULL arguments, so the r9 slice-free chunk
+    oracle emitted ONE phantom empty chunk per NULL-text document —
+    least(chunk, NULL - s) = chunk rode past the n > 0 guard — while
+    Spark's chunk_tokens emits none. Pins the NULL/empty/whitespace
+    zero-segment contract across chunk_tokens_oracle_sql,
+    segment_dedup_sql, boilerplate_strip_sql, and pack_chunks_oracle_sql
+    on a fixture where every class is present."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from billing_data_pipeline_spark.operators.text import (
+        chunk_tokens,
+        chunk_tokens_oracle_sql,
+        pack_chunks,
+        pack_chunks_oracle_sql,
+    )
+    from .oracle import assert_matches_oracle
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "one two three four five six seven eight nine ten eleven"),
+        (5, "shared words here"),
+        (6, "shared words here"),
+    ]
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+                {"doc_id": "int64"}
+            )
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+
+    chunks = chunk_tokens(docs, "doc_id", "text", 10, 10)
+    got_ids = {r["doc_id"] for r in chunks.collect()}
+    assert got_ids == {4, 5, 6}  # NULL/empty/whitespace: zero chunks
+    assert_matches_oracle(
+        chunks,
+        chunk_tokens_oracle_sql("documents", "doc_id", "text", 10, 10),
+        str(tmp_path),
+    )
+    assert_matches_oracle(
+        C.segment_dedup(docs, "doc_id", "text", seg=10),
+        C.segment_dedup_sql("documents", "doc_id", "text", 10),
+        str(tmp_path),
+    )
+    assert_matches_oracle(
+        C.boilerplate_strip(docs, "doc_id", "text", seg=10, max_df=1),
+        C.boilerplate_strip_sql("documents", "doc_id", "text", 10, 1),
+        str(tmp_path),
+    )
+    assert_matches_oracle(
+        pack_chunks(
+            chunk_tokens(docs, "doc_id", "text", 10, 10).drop("chunk_text"),
+            capacity=16,
+        ),
+        pack_chunks_oracle_sql("documents", "doc_id", "text", 10, 16),
+        str(tmp_path),
+    )
