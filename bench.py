@@ -35,11 +35,17 @@ def _trailing_floor_median(sf) -> float | None:
     the gate on noise). Same-sf only: the probe scans the fact table, so
     an sf0.001 dev run against sf0.1 history would always 'pass'."""
     import glob
+    import re
     import statistics
 
     root = os.path.dirname(os.path.abspath(__file__))
     vals: list[float] = []
     for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
+        # driver artifacts only — bench's own BENCH_r{N}_detail.json also
+        # matches the glob and must not feed the median it is gated by
+        # (review r10: they were excluded only by lacking a 'parsed' key)
+        if not re.search(r"BENCH_r(\d+)\.json$", os.path.basename(path)):
+            continue
         try:
             with open(path) as fh:
                 doc = json.load(fh)
@@ -444,8 +450,14 @@ def main() -> None:
     # round number is 1 + the highest existing artifact; mid-round re-runs
     # overwrite the same file and the driver's round-end run wins.
     detail_paths = [detail_path]
+    # only the CANONICAL SF stamps the round file (review r10: a dev
+    # probe at another SF ran _next_round() too and silently replaced
+    # the committed round detail with sf0.001 numbers; the driver's
+    # per-round run is at the default sf0.1 whether or not it spells
+    # the env var out)
+    canonical = sf_dir.rstrip("/") == "/root/testdata/sf0.1"
     rnd = _next_round()
-    if rnd is not None:
+    if rnd is not None and canonical:
         detail_paths.append(
             os.path.join(
                 os.path.dirname(os.path.abspath(__file__)),

@@ -260,15 +260,26 @@ def shingle_overflow_postings(
     """The shingles ``ngram_jaccard_pairs(shingle_cap=...)`` DROPS from
     the representation — one row per over-cap shingle with its posting-
     list size (no silent truncation; see editdist_overflow_blocks)."""
-    docs = df.filter(F.size(F.split(F.trim(F.col(text_col)), "\\s+")) >= n)
-    sh = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
-    )
     return (
-        sh.groupBy("shingle")
+        _shingle_rows(df, id_col, text_col, n)
+        .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > shingle_cap)
+    )
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, shingle) rows — the ONE Spark-side lineage behind both
+    ngram_jaccard_pairs and shingle_overflow_postings (review r10: the
+    pair op and its overflow companion had copy-pasted shingling, the
+    exact drift class the shared _shingles_sql CTE builder exists to
+    prevent on the oracle side — a tokenizer tweak applied to one would
+    make the overflow report describe different blocks than the ones
+    actually dropped)."""
+    docs = df.filter(F.size(F.split(F.trim(F.col(text_col)), "\\s+")) >= n)
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(text_col, n)).alias("shingle"),
     )
 
 
@@ -294,12 +305,9 @@ def ngram_jaccard_pairs(
     ``shingle_overflow_postings``. The cap's window count shares the
     self-join's shingle hash partitioning (exchange reused).
     """
-    docs = df.filter(F.size(F.split(F.trim(F.col(text_col)), "\\s+")) >= n)
-    sh = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    sh = _cap_blocks(
+        _shingle_rows(df, id_col, text_col, n), ["shingle"], shingle_cap
     )
-    sh = _cap_blocks(sh, ["shingle"], shingle_cap)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -401,16 +409,29 @@ def editdist_overflow_blocks(
     row per over-cap prefix block with its member count, so a capped run
     is never a silent truncation: pipelines report/alert on this frame
     next to the pair output. Same normalize+block lineage as the pair
-    operator; one groupBy on the block key."""
-    n = (
+    operator (shared helper — review r10); one groupBy on the block key."""
+    return (
+        _editdist_blocks(df, id_col, text_col, prefix_len)
+        .groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > block_cap)
+    )
+
+
+def _editdist_blocks(
+    df: DataFrame, id_col: str, text_col: str, prefix_len: int
+) -> DataFrame:
+    """(id, nt, blk, ln) rows — the ONE Spark-side lineage behind both
+    editdist_blocked_pairs and editdist_overflow_blocks, mirroring the
+    shared _editdist_blocks_sql CTE builder (review r10: the duplicated
+    normalize+prefix projection was the drift class the SQL-side sharing
+    exists to prevent). The overflow companion ignores ``ln``; Catalyst
+    prunes it there."""
+    return (
         df.select(F.col(id_col).alias("id"), normalized_text(text_col).alias("nt"))
         .filter(F.col("nt") != "")
         .withColumn("blk", F.substring("nt", 1, prefix_len))
-    )
-    return (
-        n.groupBy("blk")
-        .agg(F.count(F.lit(1)).alias("n_members"))
-        .filter(F.col("n_members") > block_cap)
+        .withColumn("ln", F.length("nt"))
     )
 
 
@@ -455,13 +476,9 @@ def editdist_blocked_pairs(
     (3-arg form, banded O(max_dist x len) instead of full O(len^2),
     returning -1 above the threshold so long non-matches exit early).
     """
-    n = (
-        df.select(F.col(id_col).alias("id"), normalized_text(text_col).alias("nt"))
-        .filter(F.col("nt") != "")
-        .withColumn("blk", F.substring("nt", 1, prefix_len))
-        .withColumn("ln", F.length("nt"))
+    n = _cap_blocks(
+        _editdist_blocks(df, id_col, text_col, prefix_len), ["blk"], block_cap
     )
-    n = _cap_blocks(n, ["blk"], block_cap)
     a, c = n.alias("a"), n.alias("c")
     dist = F.levenshtein(F.col("a.nt"), F.col("c.nt"), max_dist)
     # ONE join condition with the levenshtein conjunct LAST (r9 plan

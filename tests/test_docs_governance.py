@@ -38,3 +38,14 @@ def test_checker_detects_missing_status():
         "- **high** baz.py:3 — bad\n  **Status (r10): fixed abc1234.**\n"
     )
     assert unresolved(text) == ["medium foo.py:1"]
+
+
+def test_checker_chunk_ends_at_heading():
+    """review r10: a trailing section containing the literal **Status
+    (a legend, appended docs) must not mark the LAST open finding
+    resolved — the chunk ends at the next heading."""
+    text = (
+        "- **high** baz.py:3 — bad, still open\n  _fix it_\n"
+        "\n## Status legend\n\nFindings gain **Status** lines when closed.\n"
+    )
+    assert unresolved(text) == ["high baz.py:3"]

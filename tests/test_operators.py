@@ -1050,6 +1050,20 @@ def test_block_cap_oracle_parity(spark, tmp_path):
     assert (10, 11) in jac_pairs and (12, 13) in jac_pairs
 
 
+def test_block_cap_never_fires_on_clean_gate_data(spark):
+    """review r10: the catalog cap (64) is claimed to never fire on clean
+    testdata — make that CHECKED at the gate SF rather than asserted in
+    a docstring. If the driver regenerates testdata with denser
+    boilerplate, this fails loudly and the cap (or this expectation)
+    gets re-measured instead of silently changing pair semantics."""
+    from billing_data_pipeline_spark.registry import load_catalog
+
+    cat = load_catalog()
+    sf = "/root/testdata/sf0.01"
+    assert cat["editdist_block_overflow"].fn(spark, sf).count() == 0
+    assert cat["shingle_posting_overflow"].fn(spark, sf).count() == 0
+
+
 def test_simhash_bucket_cap_drops_hot_band(spark):
     """r10: the SimHash tier's bucket_cap parameter (NOT wired into the
     catalog — 16-bit band keys concentrate clean data too, measured 17%

@@ -91,17 +91,34 @@ def run_side(tree: str, sf_dir: str, queries: list[str]) -> dict:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # accept both `--rounds 3` and `--rounds=3` (review r10: the usage
+    # string documented the space form but only `=` parsed — IndexError)
+    rounds = 3
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    args: list[str] = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--rounds") or a.startswith("--sf"):
+            if "=" in a:
+                key, val = a.split("=", 1)
+            else:
+                key = a
+                i += 1
+                if i >= len(argv):
+                    raise SystemExit(f"{key} needs a value")
+                val = argv[i]
+            if key == "--rounds":
+                rounds = int(val)
+            else:
+                sf_dir = val
+        else:
+            args.append(a)
+        i += 1
     if len(args) < 2:
         raise SystemExit(__doc__)
     old_commit, queries = args[0], args[1].split(",")
-    rounds = 3
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    for a in sys.argv[1:]:
-        if a.startswith("--rounds"):
-            rounds = int(a.split("=", 1)[1])
-        elif a.startswith("--sf"):
-            sf_dir = a.split("=", 1)[1]
 
     load = os.getloadavg()[0]
     print(f"# 1-min loadavg at start: {load:.2f}"

@@ -27,14 +27,25 @@ _STATUS = re.compile(r"\*\*Status", re.I)
 
 
 def unresolved(text: str) -> list[str]:
-    """Findings of severity medium+ whose chunk has no Status marker."""
+    """Findings of severity medium+ whose chunk has no Status marker.
+
+    A finding's chunk ends at the NEXT finding bullet OR the next
+    markdown heading, whichever comes first (review r10: extending the
+    last finding to end-of-file let any trailing section containing the
+    literal ``**Status`` — a legend, an appended doc block — mark an
+    open finding resolved)."""
     matches = list(_FINDING.finditer(text))
+    headings = [m.start() for m in re.finditer(r"^#{1,6} ", text, re.M)]
     bad: list[str] = []
     for i, m in enumerate(matches):
         severity, where = m.group(1), m.group(2)
         if severity == "low":
             continue
         end = matches[i + 1].start() if i + 1 < len(matches) else len(text)
+        for h in headings:
+            if m.start() < h < end:
+                end = h
+                break
         chunk = text[m.start() : end]
         if not _STATUS.search(chunk):
             bad.append(f"{severity} {where}")
