@@ -464,6 +464,117 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    bits_per_gram: int = 16,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-prefilter decontamination — the 100 TB path when the eval
+    set is too large for ``decontaminate``'s broadcast Python SET of
+    gram strings (a set of 100M grams is ~10 GB of Python objects per
+    executor; the Bloom filter is n_grams * bits_per_gram BITS — 200 MB
+    for the same 100M at the default 16, with a ~0.24% false-positive
+    rate at k=4). Results are EXACT, not approximate: the Bloom only
+    PREFILTERS candidate (doc, gram) rows, and an exact string join
+    against the eval grams removes its false positives (Bloom filters
+    have no false negatives, so nothing is lost) — hence this tier rides
+    the SAME value-hash oracle as the exact tier.
+
+    Plan shape: eval grams hash JVM-side (xxhash64) and COLLECT as
+    int64s (8 B/gram — the bounded eval-side contract, cheaper than the
+    exact tier's string set); the bit array builds driver-side in numpy
+    and ships once per executor via sparkContext.broadcast. The train
+    side is scan -> in-row distinct grams (explode, map-side) ->
+    xxhash64 -> one exchange-free mapInPandas probe that emits ONLY
+    surviving rows (contaminated docs' hits + FPs, typically a vanishing
+    fraction), then the tiny survivor set joins the eval grams exactly
+    and regroups per doc. The corpus text never shuffles; the only
+    exchanges carry survivors.
+
+    Double hashing (Kirsch-Mitzenstein): position_i = h + i*h2 mod m,
+    h2 an odd affine mix of h — all uint64 wraparound, vectorized numpy.
+    m is rounded up to a power of two so the modulo is a mask.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    ev_hashes = np.array(
+        [
+            r[0]
+            for r in _ngrams(eval_set, id_col, text_col, n)
+            .select(F.xxhash64("ngram"))
+            .distinct()
+            .collect()
+        ],
+        dtype=np.int64,
+    ).astype(np.uint64)
+
+    m = 1 << max(10, int(len(ev_hashes) * bits_per_gram - 1).bit_length())
+    mask = np.uint64(m - 1)
+    words = np.zeros(m >> 6, dtype=np.uint64)
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        h2 = ev_hashes * GOLD | np.uint64(1)  # odd => full-period stride
+        for i in range(n_hashes):
+            pos = (ev_hashes + np.uint64(i) * h2) & mask
+            np.bitwise_or.at(
+                words, (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+    bc = train.sparkSession.sparkContext.broadcast(words)
+
+    grams = _ngrams(train, id_col, text_col, n).withColumn(
+        "_h", F.xxhash64("ngram")
+    )
+    schema = T.StructType(
+        [
+            T.StructField(id_col, train.schema[id_col].dataType),
+            T.StructField("ngram", T.StringType()),
+        ]
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = bc.value
+        for pdf in batches:
+            h = pdf["_h"].to_numpy(np.int64).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                hh2 = h * GOLD | np.uint64(1)
+                ok = np.ones(len(h), dtype=bool)
+                for i in range(n_hashes):
+                    pos = (h + np.uint64(i) * hh2) & mask
+                    bits = (
+                        w[(pos >> np.uint64(6)).astype(np.int64)]
+                        >> (pos & np.uint64(63))
+                    ) & np.uint64(1)
+                    ok &= bits.astype(bool)
+            yield pdf.loc[ok, [id_col, "ngram"]]
+
+    survivors = grams.mapInPandas(probe, schema)
+    # exact confirm: a plain equi-join (NOT hash equality — an xxhash64
+    # collision would otherwise flag a clean doc; string equality keeps
+    # this tier bit-identical to the exact tier and its oracle). Both
+    # sides are small — survivors by construction, eval by contract.
+    evg = _ngrams(eval_set, id_col, text_col, n).select("ngram").distinct()
+    hits = (
+        survivors.join(evg, "ngram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit_ngrams"))
+    )
+    return train.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce("n_hit_ngrams", F.lit(0)).cast("bigint").alias("n_hit_ngrams"),
+        (F.coalesce("n_hit_ngrams", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 def _ws_re():
     """ASCII-only whitespace splitter: Python's ``\\s`` is Unicode-aware
     (NBSP, U+2000–U+200A, ...) while BOTH engines this must mirror are

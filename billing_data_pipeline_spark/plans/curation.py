@@ -125,6 +125,46 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.decontaminate(tr, ev, "doc_id", "text", n=_DECON_N)
 
 
+# the bloom tier is EXACT (prefilter + string-join confirm), so it rides
+# the identical oracle as the set tier above
+_DECON_ORACLE = f"""
+WITH ev AS (SELECT * FROM documents WHERE doc_id % 20 = 0),
+tr AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+evg AS (SELECT DISTINCT ngram
+        FROM ({C.ngrams_sql('ev', 'doc_id', 'text', _DECON_N)})),
+trg AS ({C.ngrams_sql('tr', 'doc_id', 'text', _DECON_N)}),
+hits AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM trg JOIN evg USING (ngram)
+    GROUP BY doc_id
+)
+SELECT tr.doc_id,
+       COALESCE(n, 0) AS n_hit_ngrams,
+       COALESCE(n, 0) > 0 AS contaminated
+FROM tr LEFT JOIN hits USING (doc_id)
+"""
+
+
+@register(
+    "decontaminate_ngram_bloom",
+    tags=("ext", "curation", "dedup", "bloom"),
+    oracle=_DECON_ORACLE,
+)
+def decontaminate_ngram_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter decontamination (r10) — same flags as
+    decontaminate_ngram through the giant-eval-set scale path: eval
+    grams collect as xxhash64 int64s (8 B/gram vs the set tier's Python
+    strings), a numpy Bloom bit array ships per executor, one
+    exchange-free corpus probe emits only surviving rows, and an exact
+    string join removes Bloom false positives — EXACT output (no false
+    negatives exist), so this tier is value-hash checked against the
+    identical oracle as the set tier."""
+    docs = t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    tr = docs.filter(F.col("doc_id") % 20 != 0)
+    return C.decontaminate_bloom(tr, ev, "doc_id", "text", n=_DECON_N)
+
+
 @register(
     "epoch_shard_manifest",
     tags=("ext", "curation", "sampling", "layout"),

@@ -149,7 +149,10 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # embedding_cosine_topk rides, same style as the r8 asof note. ---
     "embedding_dedup_survivors",  # r9: geometry filter + oracle len()
     "embedding_dedup_components",  # r9: same, via cosine_neardup_pairs
-    "embedding_lsh_topk",  # r8: query-side broadcasts unhinted (AQE)
+    # (embedding_lsh_topk evicted r10 — rode r9 green, unchanged — for
+    #  the new bloom decontamination tier, which must ride as a new
+    #  oracle-backed query)
+    "decontaminate_ngram_bloom",  # r10: NEW exact bloom-prefilter tier
     # (embedding_ivf_topk rides as a flagship; its probe join was
     #  unhinted in the same pass)
     # --- r7->r8 pin-policy close-out (ADVICE r7: changed in 5c9962f but

@@ -463,3 +463,40 @@ def test_null_text_docs_emit_zero_chunks_both_engines(spark, tmp_path):
         pack_chunks_oracle_sql("documents", "doc_id", "text", 10, 16),
         str(tmp_path),
     )
+
+
+def test_decontaminate_bloom_equals_exact_tier(spark):
+    """r10: the bloom tier is exact by construction (prefilter + string
+    confirm; no false negatives) — pin bit-equality with the set tier on
+    real data, plus the empty-eval and NULL-text edges."""
+    from .conftest import SF_SMOKE
+    from billing_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    tr = docs.filter(F.col("doc_id") % 20 != 0)
+    exact = {
+        tuple(r)
+        for r in C.decontaminate(tr, ev, "doc_id", "text", n=5).collect()
+    }
+    bloom = {
+        tuple(r)
+        for r in C.decontaminate_bloom(tr, ev, "doc_id", "text", n=5).collect()
+    }
+    assert bloom == exact
+    assert any(r[2] for r in bloom)  # the fixture genuinely contaminates
+
+    empty_ev = ev.filter(F.lit(False))
+    out = C.decontaminate_bloom(tr, empty_ev, "doc_id", "text", n=5).collect()
+    assert len(out) == tr.count() and not any(r["contaminated"] for r in out)
+
+    nulls = spark.createDataFrame(
+        [(1, None), (2, "a b c d e f g")], "doc_id long, text string"
+    )
+    out2 = {
+        r["doc_id"]: r["contaminated"]
+        for r in C.decontaminate_bloom(
+            nulls, nulls.filter("doc_id = 2"), "doc_id", "text", n=5
+        ).collect()
+    }
+    assert out2 == {1: False, 2: True}
