@@ -75,6 +75,7 @@ def minhash_portable_pairs(
     k: int = 12,
     band_size: int = 2,
     min_jaccard: float = 0.4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, every step engine-portable:
 
@@ -87,8 +88,12 @@ def minhash_portable_pairs(
     Same scale shape as the xxhash64 tier (candidate generation is linear
     in corpus + bucket collisions; one shuffle per band join); ~5x hash
     cost from md5 — run the fast tier in production, this tier is the
-    oracle-checked proof of the pipeline's semantics.
-    
+    oracle-checked proof of the pipeline's semantics. ``bucket_cap``
+    (r10) is the same degenerate-bucket guard as the fast tier, and HERE
+    the capped candidate generation itself is value-checked: the oracle
+    replays the identical (band, key) window-count drop, so buckets,
+    survivors, and estimates all hash-match with the cap active.
+
 
     Cache contract (advice r4): the internal persist is swept by the NEXT
     operator call that routes through ``swept_persist`` — materialize the
@@ -117,7 +122,13 @@ def minhash_portable_pairs(
     # payloads through an LSH band join is the documented anti-pattern for
     # KB-sized vectors — embedding_lsh_neardup_pairs re-fetches those — but
     # 12 longs is smaller than the band-key string it rides beside.)
-    bands = _band_keys(sigs.select("doc", "sig"), k, band_size)
+    from .dedup import _cap_blocks
+
+    bands = _cap_blocks(
+        _band_keys(sigs.select("doc", "sig"), k, band_size),
+        ["band", "key"],
+        bucket_cap,
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     est = minhash_agreement_est(k)
@@ -370,9 +381,11 @@ def minhash_portable_oracle_sql(
     k: int = 12,
     band_size: int = 2,
     min_jaccard: float = 0.4,
+    bucket_cap: int | None = None,
 ) -> str:
     """DuckDB twin of minhash_portable_pairs — identical md5/modular math,
-    so buckets, candidates, and the estimate all agree exactly."""
+    so buckets, candidates, and the estimate all agree exactly; with
+    ``bucket_cap`` the identical (band, key) window-count drop too."""
     n_bands = k // band_size
     params = ", ".join(
         f"({i}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
@@ -403,9 +416,14 @@ bands AS (
            array_to_string(sig[{band_size}*b.b + 1 : {band_size}*b.b + {band_size}], '-') AS key
     FROM sigs CROSS JOIN (SELECT unnest(range({n_bands})) AS b) b
 ),
+kept AS (
+    SELECT doc, band, key
+    FROM (SELECT bands.*, count(*) OVER (PARTITION BY band, key) AS bc FROM bands)
+    {"WHERE bc <= " + str(bucket_cap) if bucket_cap is not None else ""}
+),
 cand AS (
     SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-    FROM bands a JOIN bands b
+    FROM kept a JOIN kept b
       ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
 ),
 est AS (

@@ -250,17 +250,24 @@ def ml_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_neardup_pairs_portable",
     tags=("ext", "dedup", "portable"),
     bench=True,  # r4: the co-measurable MinHash tier carries the bench slot
-    oracle=PD.minhash_portable_oracle_sql("documents", "doc_id", "text"),
+    oracle=PD.minhash_portable_oracle_sql(
+        "documents", "doc_id", "text", bucket_cap=D.DEFAULT_BLOCK_CAP
+    ),
 )
 def minhash_neardup_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs on the PORTABLE hash tier (md5-derived
     60-bit shingle hashes + 31-bit affine-modular components): the full
     shingle->signature->band->bucket-join->estimate pipeline is exact
     integer math both engines share, so this approximate ALGORITHM is
-    oracle-CHECKED end-to-end — buckets, candidates, and estimates all
-    hash-match DuckDB. The xxhash64 tier above stays the throughput path."""
+    oracle-CHECKED end-to-end — buckets, candidates, estimates, AND the
+    r10 degenerate-bucket cap (> 64 members out of candidate generation,
+    window-count replayed in the oracle) all hash-match DuckDB. The
+    xxhash64 tier above stays the throughput path."""
     return PD.minhash_portable_pairs(
-        t(spark, sf_dir, "documents"), "doc_id", "text"
+        t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        bucket_cap=D.DEFAULT_BLOCK_CAP,
     )
 
 
