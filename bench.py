@@ -62,6 +62,38 @@ def _trailing_floor_median(sf) -> float | None:
     return statistics.median(vals) if vals else None
 
 
+def _scan_probe(spark, sf_dir: str, runs: int = 5) -> float | None:
+    """min-of-N trivial single-column fact scan to the noop sink — the
+    Spark half of the fixed calibration pair. Factored out (VERDICT r10
+    item 2) so the SAME probe can run at start/middle/end of the query
+    loop: the r10 driver artifact was captured after a 150 s load-gate
+    wait with a clean start probe, yet every wall came out ~1.47x the
+    builder's quiet capture — contention arrived MID-run and a
+    start-only sample could not prove it. Three samples make a
+    contaminated capture self-evident from the artifact alone."""
+    try:
+        probe_df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey"
+        )
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            probe_df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+    except Exception:
+        # a dataset without the fact table must not destroy the artifact —
+        # the probe (and the ratio table that depends on it) is diagnostic
+        return None
+
+
+def _loadavg_1m() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:
+        return None
+
+
 def _next_round() -> int | None:
     """1 + the highest existing BENCH_r*.json round — the round number the
     driver will stamp on THIS run's artifact, so bench.py can persist
@@ -124,6 +156,18 @@ def main() -> None:
 
     cache_dimension_tables(spark, sf_dir)
 
+    # Start-of-run calibration probe (VERDICT r10 item 2): first of the
+    # three start/middle/end samples. The min across all three is the
+    # session's job floor; their SPREAD is the contamination detector.
+    probe_samples: dict[str, float] = {}
+    load_samples: dict[str, float] = {}
+    p = _scan_probe(spark, sf_dir)
+    if p is not None:
+        probe_samples["start"] = round(p, 5)
+    l = _loadavg_1m()
+    if l is not None:
+        load_samples["start"] = l
+
     # Per-query warm-up IMMEDIATELY before its timed run: whole-stage
     # codegen compilation + JIT cost ~1-2 s per novel plan shape, and
     # Spark's compiled-class cache is bounded (~100 entries), so warming all
@@ -141,8 +185,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     job_counts: dict[str, int] = {}
     query_errors: dict[str, str] = {}
+    query_loads: dict[str, float] = {}
     total = 0.0
-    for name, spec in bench_specs.items():
+    mid_index = len(bench_specs) // 2
+    for q_index, (name, spec) in enumerate(bench_specs.items()):
+        if q_index == mid_index and q_index > 0:
+            # mid-run calibration sample (VERDICT r10 item 2) — ~0.3 s of
+            # probe cost buys mid-run contention visibility
+            p = _scan_probe(spark, sf_dir, runs=3)
+            if p is not None:
+                probe_samples["mid"] = round(p, 5)
+            l = _loadavg_1m()
+            if l is not None:
+                load_samples["mid"] = l
         if warm:
             try:
                 # warm with the SAME terminal operator as the timed loop so
@@ -181,6 +236,14 @@ def main() -> None:
             continue
         timings[name] = round(best, 4)
         total += best
+        # per-row 1-min loadavg at query completion (VERDICT r10 item 2).
+        # Bench's own 32 threads contribute, so the absolute value runs
+        # 3-15 by construction mid-run; the signal is RELATIVE — a row
+        # whose load reads far above its neighbors' band marks where
+        # external contention arrived.
+        l = _loadavg_1m()
+        if l is not None:
+            query_loads[name] = l
         print(f"# {name}: {best:.3f}s ({rows} rows)", file=sys.stderr)
 
     # DuckDB co-measure (same parquet, same warm-session footing): per-query
@@ -278,16 +341,18 @@ def main() -> None:
     # gets flagged — exactly the intended semantics.
     # The same probe doubles as the Spark half of the calibration pair
     # (min-of-5 to match the DuckDB half above).
-    floor = float("inf")
     trailing: float | None = None
-    try:
-        floor_df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-            "l_orderkey"
-        )
-        for _ in range(5):
-            t0 = time.perf_counter()
-            floor_df.write.format("noop").mode("overwrite").save()
-            floor = min(floor, time.perf_counter() - t0)
+    p = _scan_probe(spark, sf_dir)
+    if p is not None:
+        probe_samples["end"] = round(p, 5)
+    l = _loadavg_1m()
+    if l is not None:
+        load_samples["end"] = l
+    # the floor is the session's BEST observed trivial job — min across
+    # the start/mid/end samples (a loaded end probe must not inflate the
+    # floor-bound classification of queries measured earlier)
+    floor = min(probe_samples.values()) if probe_samples else float("inf")
+    if floor != float("inf"):
         # second half of the load gate (VERDICT r9 item 3): a probe >25%
         # over its trailing cross-round median means the box is loaded
         # RIGHT NOW even if loadavg looked fine at start — retry once
@@ -302,15 +367,10 @@ def main() -> None:
                 file=sys.stderr,
             )
             time.sleep(15)
-            for _ in range(5):
-                t0 = time.perf_counter()
-                floor_df.write.format("noop").mode("overwrite").save()
-                floor = min(floor, time.perf_counter() - t0)
-    except Exception:
-        # a dataset without the fact table must not destroy the artifact
-        # AFTER every query already ran — the probe (and the ratio table
-        # that depends on it) is diagnostic, the timings are the product
-        floor = float("inf")
+            p = _scan_probe(spark, sf_dir)
+            if p is not None:
+                probe_samples["settle"] = round(p, 5)
+                floor = min(floor, p)
 
     out = {
         "metric": "bench_total_sec",
@@ -339,6 +399,8 @@ def main() -> None:
                 "duckdb_sec": baseline[name],
                 "ratio": round(timings[name] / baseline[name], 2),
             }
+            if name in query_loads:
+                row["load_1m"] = query_loads[name]
             if is_stream:
                 # StreamExecution overrides the thread-local job group, so
                 # job counting is blind to micro-batch jobs — n_jobs /
@@ -409,6 +471,19 @@ def main() -> None:
             cal["loadavg_1m"] = round(load_1m, 2)
         if load_waited:
             cal["load_gate_waited_sec"] = round(load_waited, 0)
+        # mechanical mid-run-contention verdict (VERDICT r10 item 2): a
+        # mid/end trivial-scan probe >25% over the start probe means
+        # contention arrived DURING the run — exactly the BENCH_r10.json
+        # failure mode (clean start probe, walls 1.47x a quiet capture of
+        # the same commit). The raw start/mid/end samples plus per-query
+        # load_1m rows ride the detail artifact (below) to localize when
+        # it arrived; only the boolean rides the compact final line.
+        base_probe = probe_samples.get("start")
+        if base_probe:
+            cal["capture_contaminated"] = any(
+                probe_samples.get(k, 0.0) > 1.25 * base_probe
+                for k in ("mid", "end")
+            )
         if (
             trailing is not None
             and floor != float("inf")
@@ -430,6 +505,12 @@ def main() -> None:
         "baseline_fatal",
     )
     detail = {"metric": "bench_detail"}
+    # raw start/mid/end calibration samples (VERDICT r10 item 2): bulky,
+    # diagnostic-only — detail artifact, not the compact final line
+    if probe_samples:
+        detail["spark_scan_samples"] = probe_samples
+    if load_samples:
+        detail["loadavg_samples"] = load_samples
     for key in detail_keys:
         if key in out:
             detail[key] = out.pop(key)
@@ -454,8 +535,12 @@ def main() -> None:
     # probe at another SF ran _next_round() too and silently replaced
     # the committed round detail with sf0.001 numbers; the driver's
     # per-round run is at the default sf0.1 whether or not it spells
-    # the env var out)
-    canonical = sf_dir.rstrip("/") == "/root/testdata/sf0.1"
+    # the env var out). realpath-compare, not literal string compare
+    # (ADVICE r10): a symlinked or trailing-slash spelling of the same
+    # canonical dataset must still stamp the round artifact.
+    canonical = os.path.realpath(sf_dir) == os.path.realpath(
+        "/root/testdata/sf0.1"
+    )
     rnd = _next_round()
     if rnd is not None and canonical:
         detail_paths.append(

@@ -506,16 +506,20 @@ def decontaminate_bloom(
 
     from pyspark.sql import types as T
 
-    ev_hashes = np.array(
-        [
-            r[0]
-            for r in _ngrams(eval_set, id_col, text_col, n)
-            .select(F.xxhash64("ngram"))
-            .distinct()
-            .collect()
-        ],
-        dtype=np.int64,
-    ).astype(np.uint64)
+    # Arrow collect, not .collect() (ADVICE r10): Row objects materialize
+    # ~100 B/gram of Python boxes on the driver — at the 100M-gram scale
+    # this tier advertises that is ~10 GB of driver heap, the exact blowup
+    # the Bloom tier exists to avoid. toArrow() lands the distinct hashes
+    # in one contiguous int64 buffer at the contract's 8 B/gram.
+    ev_hashes = (
+        _ngrams(eval_set, id_col, text_col, n)
+        .select(F.xxhash64("ngram").alias("h"))
+        .distinct()
+        .toArrow()
+        .column("h")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.uint64)
+    )
 
     m = 1 << max(10, int(len(ev_hashes) * bits_per_gram - 1).bit_length())
     mask = np.uint64(m - 1)

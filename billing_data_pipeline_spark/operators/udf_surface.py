@@ -71,9 +71,9 @@ def token_runs(spark, docs, id_col: str = "doc_id", text_col: str = "text"):
     # this call's registration and its spark.sql analysis — silently
     # computing runs over the other frame; salted hash() also varied the
     # leaked view name per process)
-    import uuid
+    from .._names import uid_name
 
-    view = f"_docs_for_runs_{uuid.uuid4().hex[:12]}"
+    view = f"_{uid_name('docs_for_runs', width=12)}"
     docs.createOrReplaceTempView(view)
     try:
         # spark.sql ANALYZES eagerly: the returned DataFrame holds the

@@ -317,7 +317,7 @@ def streaming_curation_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     transformations, so append mode needs no watermark and no state store.
     Drained with AvailableNow and hash-checked against the batch SQL: the
     batch/stream unification claim, proven on the curation surface."""
-    import uuid
+    from .._names import uid_name
 
     from ..streaming.event_windows import run_to_memory
     from .streaming_queries import _deliver, _stream_scratch_dir
@@ -344,7 +344,7 @@ def streaming_curation_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_phones",
         X.token_count(F.col("clean_text")).cast("int").alias("n_tokens"),
     )
-    return run_to_memory(out, f"cur_{uuid.uuid4().hex[:8]}", "append")
+    return run_to_memory(out, uid_name("cur"), "append")
 
 
 @register(

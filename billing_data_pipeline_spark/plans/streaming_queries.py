@@ -259,12 +259,12 @@ def streaming_tumbling_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory sink (complete mode == batch result on finite input). The
     streaming module's full test surface is tests/test_streaming.py; this
     entry keeps one real streaming path under the driver's oracle gate."""
-    import uuid
+    from .._names import uid_name
 
     from ..streaming.event_windows import run_to_memory, tumbling_counts_stream
 
     sdf = tumbling_counts_stream(_stream_events(spark, sf_dir))
-    return run_to_memory(sdf, f"catchup_{uuid.uuid4().hex[:8]}", "complete")
+    return run_to_memory(sdf, uid_name("catchup"), "complete")
 
 
 @register(
@@ -290,7 +290,7 @@ def streaming_dedup_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts == 0 drops, the boundary is strict) — the oracle states that
     contract with its ts > epoch filter (timewarp sweep, r4)."""
     import time as _time
-    import uuid
+    from .._names import uid_name
 
     from ..streaming.event_windows import run_to_memory, streaming_dedup
 
@@ -311,7 +311,7 @@ def streaming_dedup_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = streaming_dedup(raw, ["event_id"], watermark="2 days").select(
         "event_id", "user_id", "event_type"
     )
-    return run_to_memory(deduped, f"sdedup_{uuid.uuid4().hex[:8]}", "append")
+    return run_to_memory(deduped, uid_name("sdedup"), "append")
 
 
 @register(
@@ -342,12 +342,12 @@ def streaming_interval_join_catchup(spark: SparkSession, sf_dir: str) -> DataFra
     watermark (epoch 0) are dropped as late on arrival (measured:
     ts == 0 drops, the boundary is strict) — the oracle states that
     contract with its ts > epoch filter (timewarp sweep, r4)."""
-    import uuid
+    from .._names import uid_name
 
     from ..streaming.event_windows import interval_join_stream, run_to_memory
 
     sdf = interval_join_stream(_stream_events(spark, sf_dir))
-    return run_to_memory(sdf, f"ssjoin_{uuid.uuid4().hex[:8]}", "append")
+    return run_to_memory(sdf, uid_name("ssjoin"), "append")
 
 
 def _stream_events_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -480,7 +480,7 @@ def streaming_left_outer_join_catchup(spark: SparkSession, sf_dir: str) -> DataF
     watermark (epoch 0) are dropped as late on arrival (measured:
     ts == 0 drops, the boundary is strict) — the oracle states that
     contract with its ts > epoch filter (timewarp sweep, r4)."""
-    import uuid
+    from .._names import uid_name
 
     from ..streaming.event_windows import interval_join_stream, run_to_memory
 
@@ -489,7 +489,7 @@ def streaming_left_outer_join_catchup(spark: SparkSession, sf_dir: str) -> DataF
     # streaming plan would push through the join into the click-branch file
     # scan, where parquet min/max stats prune the sentinel FILES themselves
     # — and with them the watermark advance they exist to provide.
-    out = run_to_memory(sdf, f"ssloj_{uuid.uuid4().hex[:8]}", "append")
+    out = run_to_memory(sdf, uid_name("ssloj"), "append")
     # NULL-user clicks are legitimate unmatched outer rows the oracle's
     # LEFT JOIN keeps — a bare >= 0 evaluates NULL and dropped them
     # (review r5); sentinels are always user_id = -1, never NULL
@@ -515,13 +515,13 @@ def streaming_enrich_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with AvailableNow in complete mode. The streaming twin of the batch
     star-join rule: the fact stream never shuffles for the join at any
     scale. Hash-checked against the plain SQL join+group."""
-    import uuid
+    from .._names import uid_name
 
     from ..streaming.event_windows import enriched_segment_stream, run_to_memory
 
     cust = t(spark, sf_dir, "customer")
     sdf = enriched_segment_stream(_stream_events(spark, sf_dir), cust)
-    return run_to_memory(sdf, f"enrich_{uuid.uuid4().hex[:8]}", "complete")
+    return run_to_memory(sdf, uid_name("enrich"), "complete")
 
 
 @register(
@@ -540,13 +540,13 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked against a plain per-user COUNT(*); the float
     total_value column stays out of the output because in-batch row order
     makes it engine-private."""
-    import uuid
+    from .._names import uid_name
 
     from ..streaming.event_windows import run_to_memory
     from ..streaming.stateful import stateful_user_totals
 
     sdf = stateful_user_totals(_stream_events(spark, sf_dir))
-    sink = run_to_memory(sdf, f"stateful_{uuid.uuid4().hex[:8]}", "update")
+    sink = run_to_memory(sdf, uid_name("stateful"), "update")
     return sink.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
@@ -665,12 +665,12 @@ def streaming_session_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (its 30-min session end is past the epoch) while pre-(epoch - gap)
     rows drop; the oracle states that contract with its
     ts > -gap filter (timewarp sweep, r4)."""
-    import uuid
+    from .._names import uid_name
 
     from ..streaming.event_windows import run_to_memory, session_stats_stream
 
     sdf = session_stats_stream(_stream_events(spark, sf_dir))
-    return run_to_memory(sdf, f"sess_catchup_{uuid.uuid4().hex[:8]}", "complete")
+    return run_to_memory(sdf, uid_name("sess_catchup"), "complete")
 
 
 @register(
@@ -689,12 +689,12 @@ def streaming_sliding_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     AvailableNow into a memory sink — completes the true-stream trio
     (tumbling / session / sliding), each hash-checked against the same
     oracle as its batch twin."""
-    import uuid
+    from .._names import uid_name
 
     from ..streaming.event_windows import run_to_memory, sliding_volume_stream
 
     sdf = sliding_volume_stream(_stream_events(spark, sf_dir))
-    return run_to_memory(sdf, f"slide_catchup_{uuid.uuid4().hex[:8]}", "complete")
+    return run_to_memory(sdf, uid_name("slide_catchup"), "complete")
 
 
 @register(
@@ -723,9 +723,9 @@ def streaming_ohlc_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
     first/last-by-event-time per bar WITHOUT buffering the bar's events —
     and the (epoch-µs, event_id) order key keeps the merge total-ordered,
     so the drained table hash-matches the batch oracle exactly."""
-    import uuid
+    from .._names import uid_name
 
     from ..streaming.event_windows import ohlc_stream, run_to_memory
 
     sdf = ohlc_stream(_stream_events(spark, sf_dir))
-    return run_to_memory(sdf, f"ohlc_{uuid.uuid4().hex[:8]}", "complete")
+    return run_to_memory(sdf, uid_name("ohlc"), "complete")

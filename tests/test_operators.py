@@ -1058,10 +1058,15 @@ def test_block_cap_never_fires_on_clean_gate_data(spark):
     gets re-measured instead of silently changing pair semantics."""
     from billing_data_pipeline_spark.registry import load_catalog
 
+    from .conftest import SF_CORRECTNESS
+
     cat = load_catalog()
-    sf = "/root/testdata/sf0.01"
-    assert cat["editdist_block_overflow"].fn(spark, sf).count() == 0
-    assert cat["shingle_posting_overflow"].fn(spark, sf).count() == 0
+    assert (
+        cat["editdist_block_overflow"].fn(spark, SF_CORRECTNESS).count() == 0
+    )
+    assert (
+        cat["shingle_posting_overflow"].fn(spark, SF_CORRECTNESS).count() == 0
+    )
 
 
 def test_simhash_bucket_cap_drops_hot_band(spark):

@@ -52,15 +52,26 @@ _PLAN_ID = re.compile(r"plan_id=\d+")
 #: Anchored to the EXACT sink/view prefixes this codebase generates
 #: (ADVICE r9: a bare `word_<8 hex>` rule also collapsed 8-digit dates /
 #: hex-ish suffixes inside genuine literals like `run_20240101`, so two
-#: semantically different plans could share a fingerprint). Longer
-#: alternatives first so `sess_catchup` wins over `catchup`. The 12-hex
-#: `docs_for_runs` view (operators/udf_surface.py:76) is included too —
-#: its all-digit slice was a residual (10/16)^12 ≈ 0.4% flake under the
-#: lookahead rule.
+#: semantically different plans could share a fingerprint). The
+#: alternation is DERIVED from the shared mint-site constant (ADVICE
+#: r10: a hand-maintained whitelist silently drifts when a new sink or
+#: view prefix lands, reviving the all-digit-uuid flake for that
+#: operator; now _names.uid_name refuses unregistered prefixes and this
+#: regex picks new ones up automatically). Longer alternatives first so
+#: `sess_catchup` wins over `catchup`.
 _HEX_UID = re.compile(r"(?=[0-9]*[a-f])[0-9a-f]{8,}")
+import sys as _sys
+
+_sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from billing_data_pipeline_spark._names import PLAN_UID_PREFIXES
+
 _UID_SUFFIX = re.compile(
-    r"\b(_?(?:sess_catchup|slide_catchup|docs_for_runs|catchup|sdedup"
-    r"|ssjoin|ssloj|enrich|stateful|ohlc|cur))_[0-9a-f]{8,16}\b"
+    r"\b(_?(?:"
+    + "|".join(
+        re.escape(p)
+        for p in sorted(PLAN_UID_PREFIXES, key=len, reverse=True)
+    )
+    + r"))_[0-9a-f]{8,16}\b"
 )
 _TMP_PATH = re.compile(r"(?:file:)?/tmp/\S+")
 #: lambda variables carry a session-global counter (`lambda x_1#`).
