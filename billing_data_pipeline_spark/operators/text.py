@@ -1147,6 +1147,254 @@ SELECT {id_col}, chunk_idx, n_chunk_tokens, bin FROM packed
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE tokenizer tier (r11) — byte-pair-encoding token COUNTS from a literal
+# merge table, pure built-in string expressions on BOTH engines.
+#
+# The algorithm is the public BPE of Sennrich et al. 2016 (and the GPT-2
+# reference tokenizer): start from the character sequence of each
+# whitespace word and repeatedly merge the present pair with the lowest
+# merge-table rank until none applies. For a WELL-FORMED merge table
+# (every pair's elements are base characters or outputs of strictly
+# earlier merges, all outputs distinct — asserted by
+# tests/test_operators.py::test_bpe_merge_table_well_formed) the greedy
+# min-rank loop is equivalent to applying the merges once each in rank
+# order: a merged pair can never reappear (merging only concatenates, so
+# adjacency between surviving tokens is never newly created) and a later
+# merge's output can never equal an earlier pair's constituent.
+#
+# That rank-order form makes BPE expressible WITHOUT recursion as a chain
+# of literal string replaces over a boundary-encoded symbol string:
+#   encode  "word" -> \x1f w \x1f\x1f o \x1f\x1f r \x1f\x1f d \x1f
+#   (every symbol flanked by its own separators: a pair (x, y) occurs
+#   exactly where the substring \x1f x \x1f\x1f y \x1f occurs, and cannot
+#   match mid-symbol)
+#   merge (x, y):  replace(s, sep+x+sep+sep+y+sep, sep+x+y+sep)
+#   (leftmost non-overlapping global replace IS the BPE merge-all fold —
+#   including the x == y run case: "\x1fa\x1f\x1fa\x1f\x1fa\x1f" merges
+#   its first two a's and leaves the third, exactly like the loop)
+#   count = len(split(s, sep+sep))
+# One replace per merge rule, O(len) each: linear, whole-stage-codegen
+# JVM expressions on Spark, plain replace() calls in the DuckDB oracle —
+# no Python in the hot path, no recursion, giant-doc safe. Verified
+# equal to the greedy-min reference loop on ASCII/unicode/emoji/run
+# edge cases (tests/test_operators.py::test_bpe_chain_matches_greedy).
+#
+# U+001F (unit separator) is reserved as the symbol boundary; it is
+# stripped from tokens before encoding on both engines (a real corpus
+# control char cannot corrupt the symbol structure — it just doesn't
+# count as a character).
+
+BPE_SEP = "\x1f"
+_SS = BPE_SEP + BPE_SEP
+
+# Literal merge table, rank order. A small English+digit table (a model
+# artifact like UNIGRAM_LOGP's lexicon — the repo ships a fixed vocab so
+# both engines replay the identical table; a production vocab is a
+# drop-in constant).
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"), ("o", "n"),
+    ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"), ("t", "i"), ("an", "d"),
+    ("in", "g"), ("ti", "on"), ("e", "s"), ("o", "u"), ("a", "r"), ("s", "t"),
+    ("l", "e"), ("c", "h"), ("o", "m"), ("d", "e"), ("a", "l"), ("u", "s"),
+    ("m", "a"), ("s", "e"), ("l", "l"), ("e", "e"), ("1", "9"), ("2", "0"),
+    ("0", "0"),
+)
+
+
+def bpe_word_token_count(word: Column) -> Column:
+    """BPE token count of ONE whitespace word (int; 0 for an empty or
+    all-separator word). Encoding via regexp_replace('(.)' ->
+    sep$1sep): each code point flanked by separators concatenates to
+    exactly the double-separator symbol string ('.' never matches the
+    \\n-class chars, which cannot occur inside a whitespace token)."""
+    clean = F.replace(word, F.lit(BPE_SEP), F.lit(""))
+    s = F.regexp_replace(clean, "(.)", BPE_SEP + "$1" + BPE_SEP)
+    for x, y in BPE_MERGES:
+        s = F.replace(
+            s,
+            F.lit(BPE_SEP + x + _SS + y + BPE_SEP),
+            F.lit(BPE_SEP + x + y + BPE_SEP),
+        )
+    return (
+        F.when(F.length(clean) == 0, F.lit(0))
+        .otherwise(F.size(F.split(s, _SS)))
+        .cast("int")
+    )
+
+
+def bpe_token_counts(tokens: Column) -> Column:
+    """array<string> whitespace tokens -> array<int> BPE counts (in-row
+    transform; NULL array passes through as NULL)."""
+    return F.transform(tokens, bpe_word_token_count)
+
+
+def bpe_word_token_count_sql(expr: str) -> str:
+    """DuckDB twin of bpe_word_token_count — the identical replace chain
+    over the identical literal table (chr(31) spelled as a call so the
+    SQL text stays printable)."""
+    clean = f"replace({expr}, chr(31), '')"
+    enc = (
+        f"(chr(31) || array_to_string(regexp_split_to_array({clean}, ''),"
+        " chr(31) || chr(31)) || chr(31))"
+    )
+    s = enc
+    for x, y in BPE_MERGES:
+        s = (
+            f"replace({s}, chr(31)||'{x}'||chr(31)||chr(31)||'{y}'||chr(31),"
+            f" chr(31)||'{x}{y}'||chr(31))"
+        )
+    return (
+        f"CASE WHEN length({clean}) = 0 THEN 0"
+        f" ELSE len(string_split({s}, chr(31)||chr(31))) END"
+    )
+
+
+def bpe_token_counts_sql(list_expr: str) -> str:
+    """DuckDB twin of bpe_token_counts over a token-list expression."""
+    return f"list_transform({list_expr}, w -> {bpe_word_token_count_sql('w')})"
+
+
+def chunk_tokens_bpe(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk: int = 32,
+    stride: int = 24,
+):
+    """chunk_tokens with the production token accounting: the same
+    whitespace-word windows, each chunk additionally carrying its BPE
+    token count (``n_chunk_bpe_tokens`` — what a context-window budget
+    actually meters). The per-word counts are computed ONCE per document
+    (one in-row transform) and sliced alongside the words, so the merge
+    chain runs n_words times, not n_words x n_chunks. Still shuffle-free:
+    scan task in, chunk rows out, zero exchanges at any scale."""
+    if stride <= 0 or chunk <= 0:
+        raise ValueError("chunk and stride must be positive")
+    toks = ws_tokens(text_col)
+    return (
+        df.select(id_col, toks.alias("_toks"))
+        .select(
+            id_col, "_toks", bpe_token_counts(F.col("_toks")).alias("_tkc")
+        )
+        .select(
+            id_col,
+            "_toks",
+            "_tkc",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size("_toks") - 1, F.lit(0)),
+                    F.lit(stride),
+                )
+            ).alias("_start"),
+        )
+        .select(
+            id_col,
+            (F.col("_start") / stride).cast("int").alias("chunk_idx"),
+            F.slice(F.col("_toks"), F.col("_start") + 1, chunk).alias("_ck"),
+            F.slice(F.col("_tkc"), F.col("_start") + 1, chunk).alias("_ckc"),
+        )
+        .filter(F.size("_ck") > 0)
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size("_ck").alias("n_chunk_tokens"),
+            F.aggregate(
+                F.col("_ckc"), F.lit(0), lambda a, x: a + x
+            ).cast("int").alias("n_chunk_bpe_tokens"),
+            F.array_join(F.col("_ck"), " ").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_tokens_bpe_oracle_sql(
+    table: str, id_col: str, text_col: str, chunk: int, stride: int
+) -> str:
+    """DuckDB twin of chunk_tokens_bpe — chunk_tokens_oracle_sql's
+    element-access form (NO list slices; see that docstring for the r9
+    giant-doc lesson and the r10 ``tk IS NOT NULL`` lesson) plus a
+    constant-width COALESCE sum over the per-word BPE counts, computed
+    once per document in the toks scan exactly like the Spark plan."""
+    cw = ", ".join(f"tk[s + {p}]" for p in range(1, chunk + 1))
+    nb = " + ".join(f"COALESCE(tkc[s + {p}], 0)" for p in range(1, chunk + 1))
+    return f"""
+SELECT {id_col}, u.ci AS chunk_idx, u.n AS n_chunk_tokens,
+       u.nb AS n_chunk_bpe_tokens, u.t AS chunk_text
+FROM (
+  SELECT {id_col},
+         unnest(list_transform(range(0, greatest(len(tk), 1), {stride}),
+            s -> {{'ci': CAST(s / {stride} AS INT),
+                   'n': CAST(least({chunk}, len(tk) - s) AS INT),
+                   'nb': CAST({nb} AS INT),
+                   't': concat_ws(' ', {cw})}})) AS u
+  FROM (
+    SELECT {id_col},
+           tk,
+           {bpe_token_counts_sql('tk')} AS tkc
+    FROM (
+      SELECT {id_col},
+             list_filter(regexp_split_to_array({text_col}, '{WS}'), x -> x <> '') AS tk
+      FROM {table}
+    ) raw
+  ) toks
+  WHERE tk IS NOT NULL
+) q
+WHERE u.n > 0
+"""
+
+
+def pack_chunks_bpe_oracle_sql(
+    table: str, id_col: str, text_col: str, chunk: int, capacity: int
+) -> str:
+    """Recursive-CTE twin of non-overlapping chunking followed by greedy
+    packing where the bin budget meters BPE tokens (pack_chunks over
+    size_col='n_chunk_bpe_tokens'). Same shape as pack_chunks_oracle_sql
+    — recursion steps = chunks per document, not words — with the chunk
+    sizes swapped for the constant-width BPE sums."""
+    nb = " + ".join(f"COALESCE(tkc[s + {p}], 0)" for p in range(1, chunk + 1))
+    return f"""
+WITH RECURSIVE toks AS (
+    SELECT {id_col},
+           tk,
+           {bpe_token_counts_sql('tk')} AS tkc
+    FROM (
+      SELECT {id_col},
+             list_filter(regexp_split_to_array({text_col}, '{WS}'), x -> x <> '') AS tk
+      FROM {table}
+      WHERE {text_col} IS NOT NULL
+    ) raw
+),
+chunks AS (
+    SELECT {id_col}, u.ci AS chunk_idx, u.nb AS n_chunk_bpe_tokens
+    FROM (
+      SELECT {id_col},
+             unnest(list_transform(range(0, greatest(len(tk), 1), {chunk}),
+                s -> {{'ci': CAST(s / {chunk} AS INT),
+                       'n': CAST(least({chunk}, len(tk) - s) AS INT),
+                       'nb': CAST({nb} AS INT)}})) AS u
+      FROM toks
+    ) q
+    WHERE u.n > 0
+),
+packed AS (
+    SELECT {id_col}, chunk_idx, n_chunk_bpe_tokens,
+           0 AS bin, n_chunk_bpe_tokens AS fill
+    FROM chunks WHERE chunk_idx = 0
+    UNION ALL
+    SELECT c.{id_col}, c.chunk_idx, c.n_chunk_bpe_tokens,
+           CASE WHEN p.fill + c.n_chunk_bpe_tokens > {capacity}
+                THEN p.bin + 1 ELSE p.bin END,
+           CASE WHEN p.fill + c.n_chunk_bpe_tokens > {capacity}
+                THEN c.n_chunk_bpe_tokens ELSE p.fill + c.n_chunk_bpe_tokens END
+    FROM packed p
+    JOIN chunks c
+      ON c.{id_col} = p.{id_col} AND c.chunk_idx = p.chunk_idx + 1
+)
+SELECT {id_col}, chunk_idx, n_chunk_bpe_tokens, bin FROM packed
+"""
+
+
 # Literal unigram language model (log-probabilities precomputed in Python,
 # so NO libm call happens at query time on either engine — the lambda only
 # looks up shared double literals). The lexicon is a fixed model artifact,

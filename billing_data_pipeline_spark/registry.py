@@ -197,9 +197,15 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # tumbling_event_counts (same one-line ts-IS-NOT-NULL oracle edit as
     # the three sliding/tumbling representatives that DO ride). ---
     "streaming_dedup_catchup",  # r9: TZ-stable key_json (kernel changed)
-    "session_window_stats",  # r8: oracle ts IS NOT NULL (phantom sessions)
-    "sliding_window_volume",  # r8: oracle ts IS NOT NULL (NULL bucket)
-    "streaming_ohlc_catchup",  # r8: oracle ts IS NOT NULL (NULL bars)
+    # --- r11: new BPE tokenizer tier (VERDICT r10 item 4) — three new
+    # oracle-backed queries must ride; evicting session_window_stats /
+    # sliding_window_volume / streaming_ohlc_catchup (r8 discipline pins
+    # — each rode r10 green and is unchanged this round; the streaming
+    # family keeps streaming_tumbling_catchup, streaming_stateful_totals
+    # and streaming_dedup_catchup as riders). ---
+    "chunk_documents_bpe",  # r11: NEW literal-merge-table BPE chunking
+    "packed_chunk_bins_bpe",  # r11: NEW BPE-budget greedy packing
+    "doc_bpe_token_stats",  # r11: NEW per-doc real-tokenizer counts
     # --- r9: new query (bench-flag carrier for the token-runs family;
     # evicts array_function_matrix, which rode r8 green and is
     # unchanged this round) ---

@@ -1155,3 +1155,162 @@ def test_heavy_hitters_mg_truncation_path_exact(spark):
         if r["count"] * 1_000_000 > total * 50_000
     }
     assert got == truth and ("hot", 2000) in got
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer tier (r11)
+# ---------------------------------------------------------------------------
+
+
+def _ref_greedy_bpe(word: str) -> int:
+    """Reference implementation: the public greedy min-rank BPE loop
+    (Sennrich et al. 2016 / the GPT-2 reference tokenizer) — the
+    semantics the replace-chain formulation must reproduce exactly."""
+    from billing_data_pipeline_spark.operators.text import BPE_MERGES, BPE_SEP
+
+    rank = {p: i for i, p in enumerate(BPE_MERGES)}
+    syms = list(word.replace(BPE_SEP, ""))
+    if not syms:
+        return 0
+    while len(syms) > 1:
+        pairs = {(syms[i], syms[i + 1]) for i in range(len(syms) - 1)}
+        best = min(pairs, key=lambda p: rank.get(p, len(BPE_MERGES)))
+        if best not in rank:
+            break
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def test_bpe_merge_table_well_formed():
+    """The rank-order replace chain equals the greedy min-rank loop ONLY
+    for a well-formed table: (a) every multi-char constituent is the
+    output of a strictly earlier merge, (b) outputs are distinct, and
+    (c) no merge's output equals a constituent of an EARLIER merge (else
+    applying the later merge could create an earlier pair the chain has
+    already passed). Guard the invariants so a future vocab edit cannot
+    silently break exactness."""
+    from billing_data_pipeline_spark.operators.text import BPE_MERGES
+
+    outputs: list[str] = []
+    earlier_constituents: set[str] = set()
+    for x, y in BPE_MERGES:
+        for part in (x, y):
+            assert len(part) == 1 or part in outputs, (
+                f"constituent {part!r} is neither a base char nor an"
+                " earlier merge output"
+            )
+        out = x + y
+        assert out not in outputs, f"duplicate output {out!r}"
+        assert out not in earlier_constituents, (
+            f"output {out!r} equals an earlier merge's constituent —"
+            " rank-order application would diverge from greedy BPE"
+        )
+        outputs.append(out)
+        earlier_constituents.update((x, y))
+
+
+def test_bpe_chain_matches_greedy(spark, tmp_path):
+    """The Spark replace-chain column AND the DuckDB SQL twin equal the
+    reference greedy loop on adversarial words: merge cascades, x==x
+    runs, unicode (combining chars count as code points), emoji,
+    separator-char corruption, digits."""
+    import duckdb
+
+    from billing_data_pipeline_spark.operators import text as X
+
+    words = [
+        "the", "theater", "and", "standing", "nation", "attention",
+        "antidisestablishmentarianism", "mississippi", "cheese", "seesaw",
+        "aaaa", "lllll", "eeee", "x", "zz", "thethethe", "ananan",
+        "héllo", "你好", "naïve", "\U0001f600ab",
+        "1900", "2000", "000", "190019", "usual", "usage", "deed", "lee",
+        "a\x1fb", "\x1f", "\x1f\x1f",
+    ]
+    expected = {w: _ref_greedy_bpe(w) for w in words}
+
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {
+        r["word"]: r["n"]
+        for r in df.select(
+            "word", X.bpe_word_token_count(F.col("word")).alias("n")
+        ).collect()
+    }
+    assert got == expected
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE w(word VARCHAR)")
+    con.executemany("INSERT INTO w VALUES (?)", [(w,) for w in words])
+    duck = dict(
+        con.execute(
+            f"SELECT word, {X.bpe_word_token_count_sql('word')} FROM w"
+        ).fetchall()
+    )
+    assert duck == expected
+
+
+def test_bpe_chunk_edges_null_empty_unicode(spark, tmp_path):
+    """VERDICT r10 item 4's edge contract: NULL text emits no chunks (the
+    r10 phantom-chunk lesson), empty and whitespace-only text emit no
+    chunks, unicode/emoji words count per code point, and both BPE chunk
+    oracles replay the engine exactly on such a corpus."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from billing_data_pipeline_spark.operators import text as X
+    from .oracle import assert_matches_oracle
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   \t\n "),
+        (4, "the"),
+        (5, "the theater attention standing " * 20),  # multi-chunk doc
+        (6, "héllo 你好 \U0001f600ab naïve"),
+        (7, "a\x1fb \x1f lone"),  # separator corruption
+        (8, "1900 2000 000 190019"),
+    ]
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(rows, columns=["doc_id", "text"]).astype(
+                {"doc_id": "int64"}
+            )
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+
+    chunks = X.chunk_tokens_bpe(docs, "doc_id", "text", 8, 6)
+    out = {(r.doc_id, r.chunk_idx): r for r in chunks.collect()}
+    assert not any(d in (1, 2, 3) for d, _ in out)  # no phantom chunks
+    assert out[(4, 0)].n_chunk_bpe_tokens == 1  # "the" is one merge-table token
+    # unicode: h-é-ll-o=4, 你-好=2, emoji-a-b=3 (no ascii merges apply), na-ï-v-e
+    assert out[(6, 0)].n_chunk_tokens == 4
+    assert out[(6, 0)].n_chunk_bpe_tokens == sum(
+        _ref_greedy_bpe(w) for w in ["héllo", "你好", "\U0001f600ab", "naïve"]
+    )
+
+    assert_matches_oracle(
+        X.chunk_tokens_bpe(docs, "doc_id", "text", 8, 6),
+        X.chunk_tokens_bpe_oracle_sql("documents", "doc_id", "text", 8, 6),
+        str(tmp_path),
+    )
+    assert_matches_oracle(
+        X.pack_chunks(
+            X.chunk_tokens_bpe(docs, "doc_id", "text", 8, 8).drop(
+                "chunk_text", "n_chunk_tokens"
+            ),
+            capacity=10,
+            size_col="n_chunk_bpe_tokens",
+        ),
+        X.pack_chunks_bpe_oracle_sql("documents", "doc_id", "text", 8, 10),
+        str(tmp_path),
+    )

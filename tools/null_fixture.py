@@ -14,6 +14,7 @@ Usage:
     python tools/null_fixture.py --badjson [src_dir] [dst_dir] # malformed JSON props
     python tools/null_fixture.py --orphans [src_dir] [dst_dir] # orphan foreign keys
     python tools/null_fixture.py --giantdoc [src_dir] [dst_dir] # degenerate doc sizes
+    python tools/null_fixture.py --tieflood [src_dir] [dst_dir] # ordering-column tie floods
     python tests/driver_sim.py <dst_dir>                       # the sweep
 
 --extreme injects domain-edge values a 100 TB corpus WILL contain:
@@ -872,6 +873,149 @@ def build_skewhot(src: str, dst: str) -> str:
     return dst
 
 
+def build_tieflood(src: str, dst: str) -> str:
+    """Tie-flood (r11, VERDICT r10 item 5) — duplicate values across every
+    ORDERING column so ranking, top-k, argmin/argmax, window order keys,
+    quantile cutpoints and similarity distances all hit massive ties, and
+    only a deterministic tie-break keeps the two engines hash-equal:
+
+    - events: value collapsed to THREE distinct values (keyed on
+      event_id so it stays deterministic and NULL-composable), ts
+      truncated to the hour — top-k by value, percentiles/deciles,
+      OHLC arg_min/arg_max, and every ORDER BY ts window sees floods
+      of exact ties at identical instants;
+    - lineitem: l_extendedprice collapsed to four values keyed on
+      l_partkey, l_shipdate truncated to month — revenue top-k and
+      date-ordered windows tie;
+    - orders: o_totalprice collapsed to three values, o_orderdate
+      truncated to month;
+    - part: p_retailprice collapsed to three values (argmin/argmax
+      part-price ties);
+    - customer/supplier: acctbal collapsed to three values;
+    - documents: every 7th doc's text replaced by one of THREE fixed
+      sentences — identical token counts, quality scores, fingerprints,
+      minhash signatures and TF-IDF vectors across large groups (dedup
+      canonical selection and top-terms must break ties on ids);
+    - embeddings: every 5th vector replaced by ONE shared existing
+      vector — identical cosine/LSH/PQ distances flood every top-k
+      rerank (the ANN tie-break gate).
+
+    All transforms preserve NULLs (CASE ... IS NULL), so the class
+    composes with the NULL/skew fixtures per the r8 composition policy.
+    """
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    con = duckdb.connect()
+    texts = (
+        "the quick brown fox jumps over the lazy dog again and again",
+        "all work and no play makes data a dull corpus to train on",
+        "pack my box with five dozen liquor jugs for the evaluation",
+    )
+    t0, t1, t2 = texts
+    for t in TABLES:
+        if t == "events":
+            con.execute(
+                f"""COPY (
+                  SELECT event_id,
+                         date_trunc('hour', ts) AS ts,
+                         user_id, event_type,
+                         CASE WHEN value IS NULL THEN NULL
+                              ELSE (COALESCE(event_id, 0) % 3) * CAST(100 AS DOUBLE) + 50
+                         END AS value,
+                         props
+                  FROM '{src}/events.parquet'
+                ) TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "lineitem":
+            con.execute(
+                f"""COPY (
+                  SELECT * REPLACE (
+                    CASE WHEN l_extendedprice IS NULL THEN NULL
+                         ELSE (l_partkey % 4) * CAST(1000 AS DOUBLE) + 100
+                    END AS l_extendedprice,
+                    date_trunc('month', l_shipdate) AS l_shipdate)
+                  FROM '{src}/lineitem.parquet'
+                ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "orders":
+            con.execute(
+                f"""COPY (
+                  SELECT * REPLACE (
+                    CASE WHEN o_totalprice IS NULL THEN NULL
+                         ELSE (o_orderkey % 3) * CAST(1000 AS DOUBLE) + 500
+                    END AS o_totalprice,
+                    date_trunc('month', o_orderdate) AS o_orderdate)
+                  FROM '{src}/orders.parquet'
+                ) TO '{dst}/orders.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "part":
+            con.execute(
+                f"""COPY (
+                  SELECT * REPLACE (
+                    (p_partkey % 3) * CAST(10 AS DOUBLE) + 1 AS p_retailprice)
+                  FROM '{src}/part.parquet'
+                ) TO '{dst}/part.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "customer":
+            con.execute(
+                f"""COPY (
+                  SELECT * REPLACE (
+                    (c_custkey % 3) * CAST(500 AS DOUBLE) AS c_acctbal)
+                  FROM '{src}/customer.parquet'
+                ) TO '{dst}/customer.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "supplier":
+            con.execute(
+                f"""COPY (
+                  SELECT * REPLACE (
+                    (s_suppkey % 3) * CAST(500 AS DOUBLE) AS s_acctbal)
+                  FROM '{src}/supplier.parquet'
+                ) TO '{dst}/supplier.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "documents":
+            con.execute(
+                f"""COPY (
+                  SELECT doc_id,
+                         CASE WHEN text IS NULL THEN NULL
+                              WHEN doc_id % 7 = 0 THEN
+                                CASE doc_id % 3 WHEN 0 THEN '{t0}'
+                                                WHEN 1 THEN '{t1}'
+                                                ELSE '{t2}' END
+                              ELSE text END AS text,
+                         lang, source,
+                         CASE WHEN text IS NULL THEN n_chars
+                              WHEN doc_id % 7 = 0 THEN
+                                length(CASE doc_id % 3 WHEN 0 THEN '{t0}'
+                                                       WHEN 1 THEN '{t1}'
+                                                       ELSE '{t2}' END)
+                              ELSE n_chars END AS n_chars
+                  FROM '{src}/documents.parquet'
+                ) TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+            )
+        elif t == "embeddings":
+            con.execute(
+                f"""COPY (
+                  WITH shared AS (
+                    SELECT embedding AS sv FROM '{src}/embeddings.parquet'
+                    WHERE embedding IS NOT NULL AND len(embedding) = 64
+                    ORDER BY vec_id LIMIT 1
+                  )
+                  SELECT vec_id,
+                         CASE WHEN embedding IS NULL THEN NULL
+                              WHEN vec_id % 5 = 0 THEN (SELECT sv FROM shared)
+                              ELSE embedding END AS embedding,
+                         label
+                  FROM '{src}/embeddings.parquet'
+                ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"""
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+                f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    return dst
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     dups = "--dups" in sys.argv[1:]
@@ -887,6 +1031,7 @@ if __name__ == "__main__":
     badjson = "--badjson" in sys.argv[1:]
     orphans = "--orphans" in sys.argv[1:]
     giantdoc = "--giantdoc" in sys.argv[1:]
+    tieflood = "--tieflood" in sys.argv[1:]
     src = args[0] if args else "/root/testdata/sf0.001"
     default_dst = (
         "/tmp/duptest_sf" if dups else
@@ -901,7 +1046,8 @@ if __name__ == "__main__":
         "/tmp/raggedtest_sf" if ragged else
         "/tmp/badjsontest_sf" if badjson else
         "/tmp/orphantest_sf" if orphans else
-        "/tmp/gianttest_sf" if giantdoc else "/tmp/nulltest_sf"
+        "/tmp/gianttest_sf" if giantdoc else
+        "/tmp/tieflood_sf" if tieflood else "/tmp/nulltest_sf"
     )
     dst = args[1] if len(args) > 1 else default_dst
     builder = (
@@ -916,6 +1062,7 @@ if __name__ == "__main__":
         build_ragged if ragged else
         build_badjson if badjson else
         build_orphans if orphans else
-        build_giantdoc if giantdoc else build
+        build_giantdoc if giantdoc else
+        build_tieflood if tieflood else build
     )
     print("wrote", builder(src, dst))
