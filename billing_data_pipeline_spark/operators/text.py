@@ -1204,12 +1204,18 @@ BPE_MERGES: tuple[tuple[str, str], ...] = (
 
 def bpe_word_token_count(word: Column) -> Column:
     """BPE token count of ONE whitespace word (int; 0 for an empty or
-    all-separator word). Encoding via regexp_replace('(.)' ->
+    all-separator word). Encoding via regexp_replace('(?s)(.)' ->
     sep$1sep): each code point flanked by separators concatenates to
-    exactly the double-separator symbol string ('.' never matches the
-    \\n-class chars, which cannot occur inside a whitespace token)."""
+    exactly the double-separator symbol string. (?s) is load-bearing
+    (r11, found by the --uniws sweep): Java's default '.' skips ALL
+    line terminators — \\n \\r \\u0085 \\u2028 \\u2029 — and while \\n/\\r
+    cannot survive the ASCII whitespace split, NEL/LS/PS are NOT in the
+    JAVA_WS_SPLIT_SQL contract and ride INSIDE tokens, where an
+    unmatched code point glues its neighbors' separators together and
+    undercounts; DuckDB's empty-pattern char split sees every code
+    point. DOTALL makes both engines per-code-point unconditionally."""
     clean = F.replace(word, F.lit(BPE_SEP), F.lit(""))
-    s = F.regexp_replace(clean, "(.)", BPE_SEP + "$1" + BPE_SEP)
+    s = F.regexp_replace(clean, "(?s)(.)", BPE_SEP + "$1" + BPE_SEP)
     for x, y in BPE_MERGES:
         s = F.replace(
             s,
