@@ -1235,6 +1235,14 @@ def bpe_token_counts(tokens: Column) -> Column:
     return F.transform(tokens, bpe_word_token_count)
 
 
+def _sq(s: str) -> str:
+    """SQL-string-literal-escape a merge constituent (single quotes
+    doubled; DuckDB standard strings don't process backslashes). A real
+    production vocab contains entries like (\"'\", 's') — without this
+    the generated oracle would stop parsing (review r11)."""
+    return s.replace("'", "''")
+
+
 def bpe_word_token_count_sql(expr: str) -> str:
     """DuckDB twin of bpe_word_token_count — the identical replace chain
     over the identical literal table (chr(31) spelled as a call so the
@@ -1247,8 +1255,8 @@ def bpe_word_token_count_sql(expr: str) -> str:
     s = enc
     for x, y in BPE_MERGES:
         s = (
-            f"replace({s}, chr(31)||'{x}'||chr(31)||chr(31)||'{y}'||chr(31),"
-            f" chr(31)||'{x}{y}'||chr(31))"
+            f"replace({s}, chr(31)||'{_sq(x)}'||chr(31)||chr(31)||'{_sq(y)}'||chr(31),"
+            f" chr(31)||'{_sq(x)}{_sq(y)}'||chr(31))"
         )
     return (
         f"CASE WHEN length({clean}) = 0 THEN 0"

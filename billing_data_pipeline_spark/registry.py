@@ -195,7 +195,12 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # its oracle IS the shared _ASOF_ORACLE riding via the pinned
     # purchase_last_click_asof) and streaming_sliding_catchup /
     # tumbling_event_counts (same one-line ts-IS-NOT-NULL oracle edit as
-    # the three sliding/tumbling representatives that DO ride). ---
+    # the three sliding/tumbling representatives that rode r8–r10;
+    # NOTE r11: those three representatives — session_window_stats,
+    # sliding_window_volume, streaming_ohlc_catchup — were evicted for
+    # the BPE pins after riding r10 green; any future change to the
+    # sliding/tumbling oracle family must re-pin members itself, the
+    # family no longer has a standing rider). ---
     "streaming_dedup_catchup",  # r9: TZ-stable key_json (kernel changed)
     # --- r11: new BPE tokenizer tier (VERDICT r10 item 4) — three new
     # oracle-backed queries must ride; evicting session_window_stats /

@@ -1195,10 +1195,16 @@ def test_bpe_merge_table_well_formed():
     output of a strictly earlier merge, (b) outputs are distinct, and
     (c) no merge's output equals a constituent of an EARLIER merge (else
     applying the later merge could create an earlier pair the chain has
-    already passed). Guard the invariants so a future vocab edit cannot
-    silently break exactness."""
-    from billing_data_pipeline_spark.operators.text import BPE_MERGES
+    already passed). Plus (d) no constituent may contain the U+001F
+    symbol separator (it would corrupt the boundary encoding; quotes are
+    fine — the SQL builder escapes them). Guard the invariants so a
+    future vocab edit cannot silently break exactness."""
+    from billing_data_pipeline_spark.operators.text import BPE_MERGES, BPE_SEP
 
+    for x, y in BPE_MERGES:
+        assert BPE_SEP not in x and BPE_SEP not in y, (
+            "merge constituents must not contain the symbol separator"
+        )
     outputs: list[str] = []
     earlier_constituents: set[str] = set()
     for x, y in BPE_MERGES:

@@ -952,7 +952,9 @@ def build_tieflood(src: str, dst: str) -> str:
             con.execute(
                 f"""COPY (
                   SELECT * REPLACE (
-                    (p_partkey % 3) * CAST(10 AS DOUBLE) + 1 AS p_retailprice)
+                    CASE WHEN p_retailprice IS NULL THEN NULL
+                         ELSE (p_partkey % 3) * CAST(10 AS DOUBLE) + 1
+                    END AS p_retailprice)
                   FROM '{src}/part.parquet'
                 ) TO '{dst}/part.parquet' (FORMAT PARQUET)"""
             )
@@ -960,7 +962,9 @@ def build_tieflood(src: str, dst: str) -> str:
             con.execute(
                 f"""COPY (
                   SELECT * REPLACE (
-                    (c_custkey % 3) * CAST(500 AS DOUBLE) AS c_acctbal)
+                    CASE WHEN c_acctbal IS NULL THEN NULL
+                         ELSE (c_custkey % 3) * CAST(500 AS DOUBLE)
+                    END AS c_acctbal)
                   FROM '{src}/customer.parquet'
                 ) TO '{dst}/customer.parquet' (FORMAT PARQUET)"""
             )
@@ -968,7 +972,9 @@ def build_tieflood(src: str, dst: str) -> str:
             con.execute(
                 f"""COPY (
                   SELECT * REPLACE (
-                    (s_suppkey % 3) * CAST(500 AS DOUBLE) AS s_acctbal)
+                    CASE WHEN s_acctbal IS NULL THEN NULL
+                         ELSE (s_suppkey % 3) * CAST(500 AS DOUBLE)
+                    END AS s_acctbal)
                   FROM '{src}/supplier.parquet'
                 ) TO '{dst}/supplier.parquet' (FORMAT PARQUET)"""
             )
@@ -996,8 +1002,15 @@ def build_tieflood(src: str, dst: str) -> str:
             con.execute(
                 f"""COPY (
                   WITH shared AS (
+                    -- modal-length pick, not a hardcoded dim (review
+                    -- r11): a dim change or composed ragged source must
+                    -- still yield a shared TIE vector, not silent NULLs
                     SELECT embedding AS sv FROM '{src}/embeddings.parquet'
-                    WHERE embedding IS NOT NULL AND len(embedding) = 64
+                    WHERE embedding IS NOT NULL
+                      AND len(embedding) = (
+                        SELECT mode(len(embedding))
+                        FROM '{src}/embeddings.parquet'
+                        WHERE embedding IS NOT NULL)
                     ORDER BY vec_id LIMIT 1
                   )
                   SELECT vec_id,
@@ -1013,6 +1026,20 @@ def build_tieflood(src: str, dst: str) -> str:
                 f"COPY (SELECT * FROM '{src}/{t}.parquet') "
                 f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
             )
+    # the shared-vector flood must actually have happened (review r11:
+    # an empty 'shared' CTE would silently turn the ANN tie-break class
+    # into NULL injection and still sweep green)
+    n_src, n_shared = con.execute(
+        f"""SELECT
+              (SELECT count(*) FROM '{src}/embeddings.parquet'
+               WHERE embedding IS NOT NULL AND vec_id % 5 = 0),
+              (SELECT count(DISTINCT embedding::VARCHAR)
+               FROM '{dst}/embeddings.parquet'
+               WHERE embedding IS NOT NULL AND vec_id % 5 = 0)"""
+    ).fetchone()
+    assert n_src == 0 or n_shared == 1, (
+        f"tieflood shared-embedding flood failed: {n_shared} distinct"
+    )
     return dst
 
 
