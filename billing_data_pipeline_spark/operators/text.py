@@ -822,14 +822,45 @@ def chunk_tokens(
     (per-row generate), so at 100 TB it streams: scan task in, chunk rows
     out, no exchange. Deterministic — no RNG, no timestamps.
     """
+    return _chunk_windows(df, id_col, text_col, chunk, stride, with_bpe=False)
+
+
+def _chunk_windows(df, id_col, text_col, chunk, stride, with_bpe):
+    """ONE implementation behind chunk_tokens and chunk_tokens_bpe
+    (review r11: a second hand copy of the window scaffolding re-opens
+    the drift hazard the ws_tokens docstring warns about). with_bpe adds
+    a per-word BPE-count array computed ONCE per document and sliced
+    alongside the words; with_bpe=False reproduces the r8 chunk_tokens
+    plan node-for-node (no extra projections)."""
     if stride <= 0 or chunk <= 0:
         raise ValueError("chunk and stride must be positive")
     toks = ws_tokens(text_col)
-    out = (
-        df.select(id_col, toks.alias("_toks"))
-        .select(
-            id_col,
-            "_toks",
+    base = df.select(id_col, toks.alias("_toks"))
+    mid = [id_col, "_toks"]
+    if with_bpe:
+        base = base.select(
+            id_col, "_toks", bpe_token_counts(F.col("_toks")).alias("_tkc")
+        )
+        mid.append("_tkc")
+    sliced = [
+        F.slice(F.col("_toks"), F.col("_start") + 1, chunk).alias("_ck"),
+    ]
+    if with_bpe:
+        sliced.append(
+            F.slice(F.col("_tkc"), F.col("_start") + 1, chunk).alias("_ckc")
+        )
+    final = [
+        F.size("_ck").alias("n_chunk_tokens"),
+    ]
+    if with_bpe:
+        final.append(
+            F.aggregate(F.col("_ckc"), F.lit(0), lambda a, x: a + x)
+            .cast("int")
+            .alias("n_chunk_bpe_tokens")
+        )
+    return (
+        base.select(
+            *mid,
             F.explode(
                 F.sequence(
                     F.lit(0),
@@ -841,17 +872,16 @@ def chunk_tokens(
         .select(
             id_col,
             (F.col("_start") / stride).cast("int").alias("chunk_idx"),
-            F.slice(F.col("_toks"), F.col("_start") + 1, chunk).alias("_ck"),
+            *sliced,
         )
         .filter(F.size("_ck") > 0)
         .select(
             id_col,
             "chunk_idx",
-            F.size("_ck").alias("n_chunk_tokens"),
+            *final,
             F.array_join(F.col("_ck"), " ").alias("chunk_text"),
         )
     )
-    return out
 
 
 def chunk_tokens_oracle_sql(
@@ -881,21 +911,57 @@ def chunk_tokens_oracle_sql(
     produced an empty range) emit none. The r9 slice-free rewrite
     changed that arithmetic shape and silently broke the NULL-text
     contract."""
-    cw = ", ".join(f"tk[s + {p}]" for p in range(1, chunk + 1))
+    return _chunk_oracle_sql(table, id_col, text_col, chunk, stride, False)
+
+
+def _toks_cte_sql(table, id_col, text_col, with_bpe, null_text_filter=""):
+    """The shared token-list scan for every chunk/pack oracle — with_bpe
+    wraps it to add the per-word BPE-count list, computed once per doc
+    exactly like the Spark plan (review r11: ONE copy of the scan, not
+    one per oracle)."""
+    inner = f"""
+    SELECT {id_col},
+           list_filter(regexp_split_to_array({text_col}, '{WS}'), x -> x <> '') AS tk
+    FROM {table}{null_text_filter}
+  """
+    if not with_bpe:
+        return inner
     return f"""
-SELECT {id_col}, u.ci AS chunk_idx, u.n AS n_chunk_tokens,
+    SELECT {id_col},
+           tk,
+           {bpe_token_counts_sql('tk')} AS tkc
+    FROM ({inner}) raw
+  """
+
+
+def _chunk_oracle_sql(table, id_col, text_col, chunk, stride, with_bpe):
+    """ONE builder behind chunk_tokens_oracle_sql and
+    chunk_tokens_bpe_oracle_sql, so the r9 slice-free and r10
+    tk-IS-NOT-NULL invariants live in exactly one place (review r11).
+    The BPE branch adds a constant-width COALESCE sum over the per-word
+    counts (element accesses only — same giant-doc-linearity rule as
+    the chunk text)."""
+    cw = ", ".join(f"tk[s + {p}]" for p in range(1, chunk + 1))
+    nb_field = ""
+    nb_col = ""
+    if with_bpe:
+        nb = " + ".join(
+            f"COALESCE(tkc[s + {p}], 0)" for p in range(1, chunk + 1)
+        )
+        nb_field = f"""
+                   'nb': CAST({nb} AS INT),"""
+        nb_col = """
+       u.nb AS n_chunk_bpe_tokens,"""
+    return f"""
+SELECT {id_col}, u.ci AS chunk_idx, u.n AS n_chunk_tokens,{nb_col}
        u.t AS chunk_text
 FROM (
   SELECT {id_col},
          unnest(list_transform(range(0, greatest(len(tk), 1), {stride}),
             s -> {{'ci': CAST(s / {stride} AS INT),
-                   'n': CAST(least({chunk}, len(tk) - s) AS INT),
+                   'n': CAST(least({chunk}, len(tk) - s) AS INT),{nb_field}
                    't': concat_ws(' ', {cw})}})) AS u
-  FROM (
-    SELECT {id_col},
-           list_filter(regexp_split_to_array({text_col}, '{WS}'), x -> x <> '') AS tk
-    FROM {table}
-  ) toks
+  FROM ({_toks_cte_sql(table, id_col, text_col, with_bpe)}) toks
   WHERE tk IS NOT NULL
 ) q
 WHERE u.n > 0
@@ -1111,39 +1177,59 @@ def pack_chunks_oracle_sql(
     ``tk IS NOT NULL`` is load-bearing (r10): DuckDB least() ignores
     NULLs, so NULL text otherwise emits one phantom chunk — see
     chunk_tokens_oracle_sql."""
+    return _pack_oracle_sql(table, id_col, text_col, chunk, capacity, False)
+
+
+def _pack_oracle_sql(table, id_col, text_col, chunk, capacity, with_bpe):
+    """ONE builder behind pack_chunks_oracle_sql and
+    pack_chunks_bpe_oracle_sql (review r11). Non-overlapping chunking
+    (stride == chunk) + greedy packing as a recursive CTE whose
+    recursion counts CHUNKS per document, not words; the BPE branch
+    swaps the bin-budget size for the constant-width BPE sum."""
+    if with_bpe:
+        size = "n_chunk_bpe_tokens"
+        nb = " + ".join(
+            f"COALESCE(tkc[s + {p}], 0)" for p in range(1, chunk + 1)
+        )
+        size_field = f""",
+                       'nb': CAST({nb} AS INT)"""
+        size_sel = "u.nb"
+    else:
+        size = "n_chunk_tokens"
+        size_field = ""
+        size_sel = "u.n"
+    toks = _toks_cte_sql(
+        table, id_col, text_col, with_bpe,
+        null_text_filter=f"\n    WHERE {text_col} IS NOT NULL",
+    )
     return f"""
-WITH RECURSIVE toks AS (
-    SELECT {id_col},
-           list_filter(regexp_split_to_array({text_col}, '{WS}'), x -> x <> '') AS tk
-    FROM {table}
-    WHERE {text_col} IS NOT NULL
-),
+WITH RECURSIVE toks AS ({toks}),
 chunks AS (
-    SELECT {id_col}, u.ci AS chunk_idx, u.n AS n_chunk_tokens
+    SELECT {id_col}, u.ci AS chunk_idx, {size_sel} AS {size}
     FROM (
       SELECT {id_col},
              unnest(list_transform(range(0, greatest(len(tk), 1), {chunk}),
                 s -> {{'ci': CAST(s / {chunk} AS INT),
-                       'n': CAST(least({chunk}, len(tk) - s) AS INT)}})) AS u
+                       'n': CAST(least({chunk}, len(tk) - s) AS INT){size_field}}})) AS u
       FROM toks
     ) q
     WHERE u.n > 0
 ),
 packed AS (
-    SELECT {id_col}, chunk_idx, n_chunk_tokens,
-           0 AS bin, n_chunk_tokens AS fill
+    SELECT {id_col}, chunk_idx, {size},
+           0 AS bin, {size} AS fill
     FROM chunks WHERE chunk_idx = 0
     UNION ALL
-    SELECT c.{id_col}, c.chunk_idx, c.n_chunk_tokens,
-           CASE WHEN p.fill + c.n_chunk_tokens > {capacity}
+    SELECT c.{id_col}, c.chunk_idx, c.{size},
+           CASE WHEN p.fill + c.{size} > {capacity}
                 THEN p.bin + 1 ELSE p.bin END,
-           CASE WHEN p.fill + c.n_chunk_tokens > {capacity}
-                THEN c.n_chunk_tokens ELSE p.fill + c.n_chunk_tokens END
+           CASE WHEN p.fill + c.{size} > {capacity}
+                THEN c.{size} ELSE p.fill + c.{size} END
     FROM packed p
     JOIN chunks c
       ON c.{id_col} = p.{id_col} AND c.chunk_idx = p.chunk_idx + 1
 )
-SELECT {id_col}, chunk_idx, n_chunk_tokens, bin FROM packed
+SELECT {id_col}, chunk_idx, {size}, bin FROM packed
 """
 
 
@@ -1282,80 +1368,20 @@ def chunk_tokens_bpe(
     actually meters). The per-word counts are computed ONCE per document
     (one in-row transform) and sliced alongside the words, so the merge
     chain runs n_words times, not n_words x n_chunks. Still shuffle-free:
-    scan task in, chunk rows out, zero exchanges at any scale."""
-    if stride <= 0 or chunk <= 0:
-        raise ValueError("chunk and stride must be positive")
-    toks = ws_tokens(text_col)
-    return (
-        df.select(id_col, toks.alias("_toks"))
-        .select(
-            id_col, "_toks", bpe_token_counts(F.col("_toks")).alias("_tkc")
-        )
-        .select(
-            id_col,
-            "_toks",
-            "_tkc",
-            F.explode(
-                F.sequence(
-                    F.lit(0),
-                    F.greatest(F.size("_toks") - 1, F.lit(0)),
-                    F.lit(stride),
-                )
-            ).alias("_start"),
-        )
-        .select(
-            id_col,
-            (F.col("_start") / stride).cast("int").alias("chunk_idx"),
-            F.slice(F.col("_toks"), F.col("_start") + 1, chunk).alias("_ck"),
-            F.slice(F.col("_tkc"), F.col("_start") + 1, chunk).alias("_ckc"),
-        )
-        .filter(F.size("_ck") > 0)
-        .select(
-            id_col,
-            "chunk_idx",
-            F.size("_ck").alias("n_chunk_tokens"),
-            F.aggregate(
-                F.col("_ckc"), F.lit(0), lambda a, x: a + x
-            ).cast("int").alias("n_chunk_bpe_tokens"),
-            F.array_join(F.col("_ck"), " ").alias("chunk_text"),
-        )
-    )
+    scan task in, chunk rows out, zero exchanges at any scale. Shares the
+    window scaffolding with chunk_tokens (_chunk_windows)."""
+    return _chunk_windows(df, id_col, text_col, chunk, stride, with_bpe=True)
 
 
 def chunk_tokens_bpe_oracle_sql(
     table: str, id_col: str, text_col: str, chunk: int, stride: int
 ) -> str:
     """DuckDB twin of chunk_tokens_bpe — chunk_tokens_oracle_sql's
-    element-access form (NO list slices; see that docstring for the r9
-    giant-doc lesson and the r10 ``tk IS NOT NULL`` lesson) plus a
+    element-access form (NO list slices; see _chunk_oracle_sql for the
+    r9 giant-doc lesson and the r10 ``tk IS NOT NULL`` lesson) plus a
     constant-width COALESCE sum over the per-word BPE counts, computed
     once per document in the toks scan exactly like the Spark plan."""
-    cw = ", ".join(f"tk[s + {p}]" for p in range(1, chunk + 1))
-    nb = " + ".join(f"COALESCE(tkc[s + {p}], 0)" for p in range(1, chunk + 1))
-    return f"""
-SELECT {id_col}, u.ci AS chunk_idx, u.n AS n_chunk_tokens,
-       u.nb AS n_chunk_bpe_tokens, u.t AS chunk_text
-FROM (
-  SELECT {id_col},
-         unnest(list_transform(range(0, greatest(len(tk), 1), {stride}),
-            s -> {{'ci': CAST(s / {stride} AS INT),
-                   'n': CAST(least({chunk}, len(tk) - s) AS INT),
-                   'nb': CAST({nb} AS INT),
-                   't': concat_ws(' ', {cw})}})) AS u
-  FROM (
-    SELECT {id_col},
-           tk,
-           {bpe_token_counts_sql('tk')} AS tkc
-    FROM (
-      SELECT {id_col},
-             list_filter(regexp_split_to_array({text_col}, '{WS}'), x -> x <> '') AS tk
-      FROM {table}
-    ) raw
-  ) toks
-  WHERE tk IS NOT NULL
-) q
-WHERE u.n > 0
-"""
+    return _chunk_oracle_sql(table, id_col, text_col, chunk, stride, True)
 
 
 def pack_chunks_bpe_oracle_sql(
@@ -1365,48 +1391,9 @@ def pack_chunks_bpe_oracle_sql(
     packing where the bin budget meters BPE tokens (pack_chunks over
     size_col='n_chunk_bpe_tokens'). Same shape as pack_chunks_oracle_sql
     — recursion steps = chunks per document, not words — with the chunk
-    sizes swapped for the constant-width BPE sums."""
-    nb = " + ".join(f"COALESCE(tkc[s + {p}], 0)" for p in range(1, chunk + 1))
-    return f"""
-WITH RECURSIVE toks AS (
-    SELECT {id_col},
-           tk,
-           {bpe_token_counts_sql('tk')} AS tkc
-    FROM (
-      SELECT {id_col},
-             list_filter(regexp_split_to_array({text_col}, '{WS}'), x -> x <> '') AS tk
-      FROM {table}
-      WHERE {text_col} IS NOT NULL
-    ) raw
-),
-chunks AS (
-    SELECT {id_col}, u.ci AS chunk_idx, u.nb AS n_chunk_bpe_tokens
-    FROM (
-      SELECT {id_col},
-             unnest(list_transform(range(0, greatest(len(tk), 1), {chunk}),
-                s -> {{'ci': CAST(s / {chunk} AS INT),
-                       'n': CAST(least({chunk}, len(tk) - s) AS INT),
-                       'nb': CAST({nb} AS INT)}})) AS u
-      FROM toks
-    ) q
-    WHERE u.n > 0
-),
-packed AS (
-    SELECT {id_col}, chunk_idx, n_chunk_bpe_tokens,
-           0 AS bin, n_chunk_bpe_tokens AS fill
-    FROM chunks WHERE chunk_idx = 0
-    UNION ALL
-    SELECT c.{id_col}, c.chunk_idx, c.n_chunk_bpe_tokens,
-           CASE WHEN p.fill + c.n_chunk_bpe_tokens > {capacity}
-                THEN p.bin + 1 ELSE p.bin END,
-           CASE WHEN p.fill + c.n_chunk_bpe_tokens > {capacity}
-                THEN c.n_chunk_bpe_tokens ELSE p.fill + c.n_chunk_bpe_tokens END
-    FROM packed p
-    JOIN chunks c
-      ON c.{id_col} = p.{id_col} AND c.chunk_idx = p.chunk_idx + 1
-)
-SELECT {id_col}, chunk_idx, n_chunk_bpe_tokens, bin FROM packed
-"""
+    sizes swapped for the constant-width BPE sums (one builder,
+    _pack_oracle_sql)."""
+    return _pack_oracle_sql(table, id_col, text_col, chunk, capacity, True)
 
 
 # Literal unigram language model (log-probabilities precomputed in Python,
