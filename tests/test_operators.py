@@ -1327,3 +1327,36 @@ def test_bpe_chunk_edges_null_empty_unicode(spark, tmp_path):
         X.pack_chunks_bpe_oracle_sql("documents", "doc_id", "text", 8, 10),
         str(tmp_path),
     )
+
+
+def test_bpe_chain_equals_greedy_property():
+    """Property test of the equivalence argument itself (review r11
+    verified it by brute force once; pin it): for ANY word over an
+    alphabet dense in merge-table characters, the replace-chain
+    formulation equals the greedy min-rank loop. Pure Python — no
+    engines — so hypothesis can afford thousands of cases."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from billing_data_pipeline_spark.operators.text import BPE_MERGES, BPE_SEP
+
+    def chain(word: str) -> int:
+        clean = word.replace(BPE_SEP, "")
+        if not clean:
+            return 0
+        s = BPE_SEP + (BPE_SEP + BPE_SEP).join(clean) + BPE_SEP
+        for x, y in BPE_MERGES:
+            s = s.replace(
+                BPE_SEP + x + BPE_SEP + BPE_SEP + y + BPE_SEP,
+                BPE_SEP + x + y + BPE_SEP,
+            )
+        return len(s.split(BPE_SEP + BPE_SEP))
+
+    alphabet = "theinandorstilesoumagc1900é你\x1f"
+
+    @settings(max_examples=2000, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=24))
+    def check(word):
+        assert chain(word) == _ref_greedy_bpe(word), word
+
+    check()
