@@ -31,10 +31,22 @@ def swept_persist(df: DataFrame, eager: bool = False, sweep: bool = True) -> Dat
     ``eager`` materializes the cache with a count() — use when several
     independent downstream stages would otherwise race to fill it.
     ``sweep=False`` skips the sweep for the SECOND persist of one
-    operator call (sweeping would evict the first)."""
+    operator call (sweeping would evict the first).
+
+    A swept frame may belong to an ALREADY-STOPPED SparkContext (tools
+    that spin one session per measurement — co_measure's per-mult
+    sessions — stop the JVM between calls; r11, found when the portable
+    MinHash tier NPE'd co_measure at x8). Such frames died with their
+    JVM, so the sweep's only job is dropping the reference; swallow the
+    dead-context error instead of killing the NEW session's first call."""
     if sweep:
         while _LIVE:
-            _LIVE.pop().unpersist()
+            try:
+                _LIVE.pop().unpersist()
+            except Exception:
+                # frame belonged to a stopped SparkContext — its cache
+                # memory is already gone with the JVM
+                pass
     out = df.persist()
     if eager:
         out.count()

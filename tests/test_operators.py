@@ -1360,3 +1360,21 @@ def test_bpe_chain_equals_greedy_property():
         assert chain(word) == _ref_greedy_bpe(word), word
 
     check()
+
+
+def test_swept_persist_tolerates_dead_session_frames(spark):
+    """r11: tools that spin one session per measurement (co_measure's
+    per-mult sessions) leave _LIVE holding frames whose JVM is gone;
+    the next session's first sweep must drop them, not NPE."""
+    from billing_data_pipeline_spark.operators import _persist
+
+    class DeadFrame:
+        def unpersist(self):
+            raise RuntimeError("BlockManagerMaster.driverEndpoint() is null")
+
+    _persist._LIVE.append(DeadFrame())
+    df = spark.range(3)
+    out = _persist.swept_persist(df)
+    assert out.count() == 3
+    assert _persist._LIVE == [out]
+    _persist.swept_persist(spark.range(1))  # clean sweep of the live frame
