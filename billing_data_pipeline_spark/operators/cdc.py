@@ -241,18 +241,45 @@ def change_deltas(
     group, an insert (+1, +new_measure) to the NEW row's group, an update
     both (which also handles group-key churn — the two contributions land
     on different groups when the key column itself changed). Output:
-    (group, d_count, d_measure)."""
-    old_side = changes.filter(F.col("change").isin("delete", "update")).select(
+    (group, d_count, d_measure).
+
+    Plan shape (r11, guide §2.4): ONE pass over ``changes`` exploding a
+    per-row contribution array. The previous two-filtered-projections
+    union made the WHOLE ``changes`` subtree (for diff_snapshots input:
+    the full-outer diff join, its sorts and its filter) a branch of a
+    Union — Catalyst reuses the exchanges but re-executes the join per
+    branch, so the diff ran twice per maintenance call (observed in the
+    r11 plan capture: two FullOuter SortMergeJoins, codegen stages 8 and
+    13, over ReusedExchange inputs). The explode form evaluates the diff
+    once; downstream grouped sums are exact decimal/long, so contribution
+    ORDER cannot change results — the same associativity argument
+    maintain_rollup already relies on."""
+    # measure type comes from the old side; the new side carries the same
+    # column type by diff construction (old_/new_ projections of one
+    # schema), so the struct element types below agree.
+    old_contrib = F.struct(
         F.col(f"old_{group_col}").alias(group_col),
         F.lit(-1).cast("long").alias("d_count"),
         (-F.col(f"old_{measure_col}")).alias("d_measure"),
     )
-    new_side = changes.filter(F.col("change").isin("insert", "update")).select(
+    new_contrib = F.struct(
         F.col(f"new_{group_col}").alias(group_col),
         F.lit(1).cast("long").alias("d_count"),
         F.col(f"new_{measure_col}").alias("d_measure"),
     )
-    return old_side.unionByName(new_side)
+    contribs = (
+        F.when(F.col("change") == "delete", F.array(old_contrib))
+        .when(F.col("change") == "insert", F.array(new_contrib))
+        .when(F.col("change") == "update", F.array(old_contrib, new_contrib))
+        # any other change label contributed to NEITHER side of the old
+        # union — an empty array explodes to zero rows, preserving that
+        .otherwise(F.array())
+    )
+    return changes.select(F.explode(contribs).alias("_c")).select(
+        F.col(f"_c.{group_col}").alias(group_col),
+        F.col("_c.d_count").alias("d_count"),
+        F.col("_c.d_measure").alias("d_measure"),
+    )
 
 
 def maintain_rollup(
