@@ -123,12 +123,15 @@ def usage_percentiles(
     ACC = 10_000
     margin = 5.0 / ACC
     # Cost-based tier dispatch (same pattern as doc_top_terms'
-    # stats_fallback_bytes gate): below ~4x sf0.1 the per-group kernel's
-    # single shuffle beats the bracket plan's two scans + sketch
+    # stats_fallback_bytes gate): below ~4x sf0.1 a single shuffle into
+    # whole-group sorts beats the bracket plan's two scans + sketch
     # (measured crossover ~x4: kernel 0.7 s / bracket 2.1 s at x1;
     # kernel 4.2 s / bracket 2.1 s at x8) — and small inputs are exactly
     # where whole-group-per-task is safe. Catalyst's column-pruned size
-    # estimate is free at plan time.
+    # estimate is free at plan time. r11 (guide §4.1): the small tier is
+    # now the JVM sorted-aggregate form (`_usage_percentiles_sorted_agg`)
+    # — same exact math, no Python boundary; the Arrow kernel stays as
+    # the bracket-violation verification fallback below.
     li = t(spark, sf_dir, "lineitem")
     vals = li.select("l_returnflag", F.col("l_extendedprice").alias("v"))
     try:
@@ -154,7 +157,7 @@ def usage_percentiles(
             )
         est = bracket_min_bytes
     if est < bracket_min_bytes:
-        return _usage_percentiles_kernel(spark, sf_dir)
+        return _usage_percentiles_sorted_agg(spark, sf_dir)
 
     probes = []
     for p in PCTS:
@@ -298,6 +301,55 @@ def _bracketed_join(spark, vals, flag_type, groups):
         *[f.name for f in bracket_fields[1:]],
     )
     return joined, F.col("l_returnflag")
+
+
+def _usage_percentiles_sorted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r11 small-input tier: ONE JVM aggregation —
+    ``sort_array(collect_list(v))`` per group — then the shared
+    quantile_cont interpolation as a codegen'd projection over the sorted
+    array. Replaces the Arrow kernel in the small-input dispatch (guide
+    §4.1: built-ins over Python where they exist): the kernel shipped the
+    whole measure column JVM->Arrow->pandas and back (measured 0.93 s at
+    sf0.1); this form never leaves the JVM (measured 0.42 s, same plan
+    data volume — collect_list partials carry the same doubles the
+    kernel's shuffle did).
+
+    Exactness: element selection from a sorted multiset is order-stable
+    (np.sort and sort_array produce the same sorted values; NaN ranks
+    last in BOTH — numpy sorts NaN to the end, Spark's double ordering
+    places NaN above +Inf), and the interpolation is the SAME expression
+    tree as ``_interp`` evaluated in IEEE doubles: rn = cast(n-1 as
+    double)*p, v_lo*(crn-rn) + v_hi*(rn-frn), equal-ranks short-circuit
+    to the element itself. collect_list drops NULLs exactly like the
+    kernel's dropna; an all-NULL group keeps its row with NULL
+    percentiles (empty array => n = 0 branch).
+
+    Memory contract: identical to the kernel tier — one group's values
+    materialize in one aggregation buffer, which is why BOTH only ever
+    run under the small-input gate; the bracket tier owns scale."""
+    li = t(spark, sf_dir, "lineitem")
+    vals = li.select("l_returnflag", F.col("l_extendedprice").alias("v"))
+    agg = vals.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_list("v")).alias("_vs")
+    )
+    n = F.size("_vs").cast("long")
+    out_cols: list[Column] = [F.col("l_returnflag")]
+    for p in PCTS:
+        rn = (n - F.lit(1)).cast("double") * F.lit(float(p))
+        frn = F.floor(rn)
+        crn = F.ceil(rn)
+        v_lo = F.element_at("_vs", (frn + 1).cast("int"))
+        v_hi = F.element_at("_vs", (crn + 1).cast("int"))
+        interp = F.when(frn == crn, v_lo).otherwise(
+            v_lo * (crn.cast("double") - rn)
+            + v_hi * (rn - frn.cast("double"))
+        )
+        out_cols.append(
+            F.when(n == F.lit(0), F.lit(None).cast("double"))
+            .otherwise(interp)
+            .alias(f"p{_tag(p)}")
+        )
+    return agg.select(*out_cols).orderBy("l_returnflag")
 
 
 def _usage_percentiles_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -389,6 +389,23 @@ def test_usage_percentiles_kernel_fallback_is_exact(spark, tmp_path):
     )
 
 
+def test_usage_percentiles_sorted_agg_tier_is_exact(spark):
+    """The r11 small-input tier (JVM sort_array(collect_list) + the shared
+    quantile_cont interpolation as a codegen'd projection) must stay
+    hash-exact against quantile_cont, like the kernel tier it replaced in
+    the dispatch."""
+    from billing_data_pipeline_spark.plans.stats import (
+        _usage_percentiles_sorted_agg,
+    )
+
+    spec = CATALOG["usage_percentiles"]
+    assert_matches_oracle(
+        _usage_percentiles_sorted_agg(spark, SF_CORRECTNESS),
+        spec.oracle,
+        SF_CORRECTNESS,
+    )
+
+
 def test_asof_null_value_tie_picks_whole_row(spark, tmp_path):
     """Review r5: duplicate (user, ts) clicks where the max-event_id row
     carries a NULL value — per-column arg_max(value, event_id) skipped the
