@@ -81,6 +81,15 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
+# stride_seed_rows small-input gate: below this column-pruned Catalyst
+# estimate the (id, vec) projection is collected whole in one job instead
+# of the 3-5-job two-phase rank. 32 MB of driver copy is well inside the
+# transient footprint the post-collect caps elsewhere already accept
+# (doc_top_terms' vocabulary, the percentile window rows), and at 100 TB
+# the estimate exceeds the gate by orders of magnitude.
+_SEED_SMALL_BYTES = 32 << 20
+
+
 def norm(a: Column, dim: int | None = None) -> Column:
     return F.sqrt(dot(a, a, dim))
 
@@ -94,7 +103,11 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
 
 
 def stride_seed_rows(
-    df: DataFrame, id_col: str, vec_col: str, n_seeds: int
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_seeds: int,
+    small_collect_bytes: int | None = None,
 ) -> list:
     """Distributed stride seeding shared by the IVF / PQ / k-means tiers:
     pick every (N // n_seeds)-th row by sorted id — positions 0, stride,
@@ -122,10 +135,45 @@ def stride_seed_rows(
 
     Identical picks to the previous driver-side ``ids[::stride][:n_seeds]``
     (and to the oracle's row_number-stride CTE), so downstream results are
-    hash-stable."""
+    hash-stable.
+
+    Small-input fast path (r11, guide §1.2): the two-phase rank costs 3-5
+    Spark jobs (counts collect, range-sample, broadcast build, pruned
+    scan) — pure fixed overhead when the corpus is small. Below
+    ``_SEED_SMALL_BYTES`` (Catalyst's column-pruned estimate, the same
+    plan-time signal usage_percentiles/doc_top_terms dispatch on) the
+    (id, vec) projection is collected in ONE job and stride-picked
+    driver-side — the ORIGINAL r2 semantics, byte-identical picks (ids
+    sorted ascending, NULLS FIRST like Spark's orderBy). The distributed
+    path is unchanged and remains the ONLY path at scale (estimate
+    unavailable => distributed, same fallback polarity as the other
+    dispatch sites). ``small_collect_bytes`` overrides the gate
+    (``None`` => module default; ``0`` pins the distributed path — the
+    scale-contract test uses that)."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
+    if small_collect_bytes is None:
+        small_collect_bytes = _SEED_SMALL_BYTES
+    try:
+        est = int(
+            df.select(id_col, vec_col)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+        )
+    except Exception:
+        est = small_collect_bytes  # seam unavailable -> scale-safe tier
+    if est < small_collect_bytes:
+        rows = df.select(id_col, vec_col).collect()
+        # ascending by id, NULLS FIRST — the distributed phase-2 ordering
+        rows.sort(key=lambda r: (r[0] is not None, r[0]))
+        if not rows:
+            return []
+        stride = max(1, len(rows) // n_seeds)
+        return rows[:: stride][:n_seeds]
+
     p = spark.sparkContext.defaultParallelism
     d = (
         df.select(id_col)

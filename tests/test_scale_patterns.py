@@ -695,7 +695,13 @@ def test_stride_seeding_never_collects_the_corpus(spark, monkeypatch):
         return rows
 
     monkeypatch.setattr(df_cls, "collect", counting_collect)
-    seeds = stride_seed_rows(corpus, "vec_id", "embedding", 16)
+    # small_collect_bytes=0 pins the DISTRIBUTED path: the r11 small-input
+    # fast path legitimately collects a tiny corpus in one job (its own
+    # equivalence test is test_stride_seeding_small_path_matches); this
+    # test is the scale contract of the path that runs at 100 TB.
+    seeds = stride_seed_rows(
+        corpus, "vec_id", "embedding", 16, small_collect_bytes=0
+    )
     monkeypatch.undo()
 
     assert len(seeds) == 16
@@ -709,6 +715,36 @@ def test_stride_seeding_never_collects_the_corpus(spark, monkeypatch):
     # runs partition-parallel (VERDICT r3 #4)
     for plan in plans:
         assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_stride_seeding_small_path_matches(spark):
+    """The r11 small-input fast path (one driver collect under the size
+    gate) must pick EXACTLY the rows the distributed two-phase rank
+    picks — downstream codebooks/centroids are hash-gated on them."""
+    from billing_data_pipeline_spark.operators.similarity import (
+        stride_seed_rows,
+    )
+
+    corpus = spark.range(0, 3200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"), (F.col("id") % 11).cast("double")
+        ).alias("embedding"),
+    )
+    fast = stride_seed_rows(
+        corpus, "vec_id", "embedding", 16, small_collect_bytes=1 << 30
+    )
+    dist = stride_seed_rows(
+        corpus, "vec_id", "embedding", 16, small_collect_bytes=0
+    )
+    assert [(r["vec_id"], list(r["embedding"])) for r in fast] == [
+        (r["vec_id"], list(r["embedding"])) for r in dist
+    ]
+    # and the default gate dispatches this tiny corpus to the fast path
+    # (same picks either way — asserted above)
+    assert [r["vec_id"] for r in stride_seed_rows(
+        corpus, "vec_id", "embedding", 16
+    )] == [i * 200 for i in range(16)]
 
 
 def test_text_neardup_recall_floors(spark):
