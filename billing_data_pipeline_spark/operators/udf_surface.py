@@ -105,6 +105,16 @@ def token_runs_builtin(docs, id_col: str = "doc_id", text_col: str = "text"):
     (doc_id, run_id)) — one exchange total at any scale."""
     from pyspark.sql import Window
 
+    from ..session import fan_out
+
+    # The regex tokenize + posexplode run in the SCAN stage: a few-file
+    # local input caps them at file-count parallelism (r11 measure: the
+    # whole Generate stage on ONE task). fan_out widens CPU-heavy per-row
+    # work exactly like the minhash/tfidf kernels (gated no-op at real
+    # partition counts); measured 0.46 -> 0.37 s at sf0.1, rows identical
+    # (round-robin repartition is deterministic and the window re-keys by
+    # doc).
+    docs = fan_out(docs, divisor=2)
     toks = docs.select(
         F.col(id_col),
         F.posexplode(

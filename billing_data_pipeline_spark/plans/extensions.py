@@ -565,7 +565,13 @@ GROUP BY lang
 def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (word + BPE-ish), punctuation, and quality scoring
     rolled up per language — all JVM-side regexp expressions."""
-    docs = t(spark, sf_dir, "documents")
+    from ..session import fan_out
+
+    # Four regexp_extract_all per row evaluate in the partial-aggregate
+    # stage fused with the scan — serial on a few-file local input
+    # (r11 measure: 0.30 -> 0.26 s with the widened scan; gated no-op at
+    # real partition counts).
+    docs = fan_out(t(spark, sf_dir, "documents"), divisor=2)
     text = F.col("text")
     return docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
