@@ -123,7 +123,13 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # oracle — evicting nation_market_share / product_profit_by_nation /
     # returned_revenue_customers, which rode r8 green and are unchanged
     # this round) ---
-    "json_props_rollup",  # r9: try_cast (ANSI cast killed the job)
+    # --- r11 optimization pass re-pin (policy: plan changed this round):
+    # the Q4-shape dedup rewrite (dropDuplicates-then-count ->
+    # count(DISTINCT o_orderkey), commit bda2cb4) changed
+    # late_shipment_priority's analyzed plan; it must ride the r11
+    # external sample. Evicts json_props_rollup (r9 try_cast pin — rode
+    # r9 AND r10 green, unchanged this round). ---
+    "late_shipment_priority",  # r11: single-distinct Q4 dedup rewrite
     # --- r10 degenerate-block cap pass (VERDICT r9 item 2: the three
     # blocked near-dup tiers gained frequency caps, oracle-replayed;
     # editdist_neardup_pairs was already pinned; the two new overflow
