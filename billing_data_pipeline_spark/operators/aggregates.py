@@ -76,6 +76,7 @@ def grouped_profile(
     conditions: dict[str, Column] | None = None,
     time_col: str | None = None,
     approx: bool = False,
+    widen_scan: bool = False,
 ) -> DataFrame:
     """The generalized aggregate-table shape of the reference.
 
@@ -84,7 +85,17 @@ def grouped_profile(
     time_col:      adds MIN/MAX as first_activity/last_activity
                    (reference: aggregates.py:110-111)
     approx:        HLL approx_count_distinct for mergeable 100 TB rollups
+    widen_scan:    round-robin the scan up to the core count before the
+                   aggregate (session.fan_out). Opt in ONLY when group
+                   cardinality is known-low: the reduce side is then
+                   |groups| tasks no matter what, so map-side partial
+                   aggregation is the only parallelism there is, and a
+                   narrow scan (one file = one task) serializes it.
     """
+    if widen_scan:
+        from ..session import fan_out
+
+        df = fan_out(df)
     aggs = measure_aggs(measure)
     for alias, pred in (conditions or {}).items():
         aggs.append(conditional_count(pred, alias))
@@ -115,13 +126,19 @@ def grouped_profile(
             # 100 TB shape for a low-cardinality group over huge data
             # (service: 6 groups x all suppliers), which the k >= 2
             # collocated form below would funnel into |groups| reducers.
-            # No fan_out here (r5): widening the scan costs a full-row
-            # round-robin exchange whose single upstream write task
-            # outweighs the parallel dedup it buys — measured min-of-7
-            # interleaved at sf0.1 under full materialization:
-            # service 0.95 -> 0.67 s, user 0.51 -> 0.27 s without it.
-            # (fan_out stays right for CPU-heavy PER-ROW work — regex /
-            # Arrow kernels — where per-row cost dwarfs one exchange.)
+            # fan_out history: r5 measured it a LOSS for both service
+            # (0.95 -> 0.67 s without) and user (0.51 -> 0.27 s without)
+            # because the round-robin exchange paid a full per-partition
+            # binary sort (SPARK-23207) serialized on the single scan
+            # task. r11 turned that sort off session-wide (deterministic
+            # inputs — session.py) and RE-measured: service flips to
+            # fan_out WINNING (0.73 -> 0.54 s min-of-5 interleaved; its 6
+            # groups pin the reduce side to 6 tasks, so the map-side
+            # dedup is the only parallelism), while user stays better
+            # plain (its high-cardinality groups parallelize the reduce
+            # side for free and the exchange is pure cost). Hence the
+            # widen_scan opt-in, set per call site by known group
+            # cardinality rather than guessed here.
             alias, col = next(iter(distinct_cols.items()))
             aggs.insert(3, F.countDistinct(col).alias(alias))
         if all(isinstance(g, str) for g in group_cols):

@@ -142,6 +142,10 @@ def service_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "discounted_count": F.col("l_discount") > 0.05,
             "full_price_count": F.col("l_discount") <= 0.05,
         },
+        # 6 groups pin the reduce side to 6 tasks; widening the (single
+        # task) scan is the only way to parallelize the suppkey dedup.
+        # Measured r11 with the sort-free exchange: 0.73 -> 0.54 s.
+        widen_scan=True,
     )
 
 

@@ -130,6 +130,12 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # external sample. Evicts json_props_rollup (r9 try_cast pin — rode
     # r9 AND r10 green, unchanged this round). ---
     "late_shipment_priority",  # r11: single-distinct Q4 dedup rewrite
+    # --- r11 optimization pass re-pin #2: service_aggregates' analyzed
+    # plan gained the widen_scan fan_out (low-group-cardinality single-
+    # distinct tier, operators/aggregates.py). Evicts
+    # error_burst_range_join (r8 NULL-id oracle pin — rode r8/r9/r10
+    # green, Spark side and oracle unchanged since). ---
+    "service_aggregates",  # r11: widen_scan fan_out on the 6-group tier
     # --- r10 degenerate-block cap pass (VERDICT r9 item 2: the three
     # blocked near-dup tiers gained frequency caps, oracle-replayed;
     # editdist_neardup_pairs was already pinned; the two new overflow
@@ -180,7 +186,8 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # --- r8 NULL-KEY contract pass (NULL user_id / event_id in events;
     # streaming + oracle-text changes are fingerprint-blind, discipline) ---
     "streaming_stateful_totals",  # r8: nullable group key (stream crashed)
-    "error_burst_range_join",  # r8: oracle USING-join dropped NULL-id errors
+    # (error_burst_range_join evicted r11 — rode r8/r9/r10 green,
+    #  unchanged — for the service_aggregates widen_scan re-pin)
     "embedding_cosine_topk",  # r5: zero-norm try_divide semantics
     "embedding_neardup_pairs",  # r5 zero-norm + r6 eager-contract rework
     "embedding_pq_topk",  # r7 NULL-vec guards; r8 documented ADC exception

@@ -157,6 +157,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Round-robin repartitions default to a full per-partition binary
+        # SORT before redistributing (SPARK-23207) so a task retry over a
+        # nondeterministic input can't drop/duplicate rows. Every
+        # round-robin site in this engine (session.fan_out, the bitmap
+        # OR-fold in ingest.py, the path-list spread in ledger.py) sits on
+        # a DETERMINISTIC input (file scan / local collection) and feeds an
+        # order-insensitive consumer (aggregate / OR-fold / per-row map),
+        # so the sort buys nothing — and it serializes on the single
+        # upstream scan task fan_out exists to escape. Measured r11
+        # (sql_pricing_summary fan_out exchange, min-of-5 interleaved):
+        # 0.59 -> 0.40 s exchange wall with the sort off.
+        .config("spark.sql.execution.sortBeforeRepartition", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config(
             "spark.ui.enabled",

@@ -328,6 +328,37 @@ def test_grouped_profile_one_shuffle_and_alias_shadow(spark):
     assert out["A"]["transaction_count"] == 2
 
 
+def test_widen_scan_tier_equivalent_and_round_robin(spark):
+    """r11 widen_scan opt-in (single-distinct tier, low group
+    cardinality): (1) results are bit-identical to the plain tier — the
+    fan_out is a pure physical rewrite; (2) the widened plan actually
+    carries the round-robin exchange on a narrow scan; (3) the plain
+    tier keeps its exchange-free-scan shape (no accidental default
+    flip)."""
+    from billing_data_pipeline_spark.operators.aggregates import (
+        grouped_profile,
+    )
+    from billing_data_pipeline_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    kwargs = dict(
+        group_cols=["l_returnflag", "l_linestatus"],
+        measure="l_extendedprice",
+        distinct_cols={"unique_suppliers": "l_suppkey"},
+    )
+    plain = grouped_profile(li, **kwargs)
+    wide = grouped_profile(li, widen_scan=True, **kwargs)
+
+    assert sorted(map(tuple, plain.collect()), key=lambda t: t[:2]) == sorted(
+        map(tuple, wide.collect()), key=lambda t: t[:2]
+    )  # exact equality incl. double bits (decimal sums are associative)
+
+    wide_plan = wide._jdf.queryExecution().executedPlan().toString()
+    plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in wide_plan
+    assert "RoundRobinPartitioning" not in plain_plan
+
+
 def test_round2_plan_properties(spark):
     """Round-2 plan regressions: tf-idf must not window over the term
     partition (vocab skew trap), repetition stats must be exchange-free,
