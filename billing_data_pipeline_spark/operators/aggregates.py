@@ -183,22 +183,30 @@ def grouped_profile(
     # (k+1)x shuffle volume.
     gnames: list[str] = []  # output names
     knames: list[str] = []  # physical grouping columns in `tmp`
-    tmp = df
+    # output aliases of the expression group cols via ONE throwaway
+    # analysis pass (no job runs; r11: one pass for all of them instead
+    # of one per column — construction is bench-timed driver overhead)
+    expr_gs = [g for g in group_cols if not isinstance(g, str)]
+    expr_names = iter(df.select(*expr_gs).columns if expr_gs else ())
+    added: list[Column] = []
     for i, g in enumerate(group_cols):
         if isinstance(g, str):
             gnames.append(g)
             knames.append(g)
         else:
-            # materialize the expression under its output alias via a
-            # throwaway analysis pass (no job runs); if the alias shadows
-            # an input column (e.g. upper(seg) AS seg with measure "seg"),
-            # keep the expression under a temp name so the measure /
-            # condition expressions still see the original column
-            nm = df.select(g).columns[0]
+            # if the alias shadows an input column (e.g. upper(seg) AS
+            # seg with measure "seg"), keep the expression under a temp
+            # name so the measure / condition expressions still see the
+            # original column
+            nm = next(expr_names)
             gnames.append(nm)
             k = f"_gp_key{i}" if nm in df.columns else nm
             knames.append(k)
-            tmp = tmp.withColumn(k, g)
+            added.append(g.alias(k))
+    # k is never an existing column (either _gp_key{i} or an alias absent
+    # from df.columns), so select("*", ...) appends without collisions —
+    # one plan op instead of a withColumn per key
+    tmp = df.select("*", *added) if added else df
     # Explicit width: a bare repartition(*cols) lets AQE coalesce the
     # shuffle to ~1 partition at local data sizes (64 MB advisory), which
     # would serialize the CPU-heavy aggregation on one core. Cluster

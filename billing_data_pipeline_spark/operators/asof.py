@@ -29,7 +29,7 @@ matches at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -71,33 +71,42 @@ def asof_join_backward(
     # never matches NULL = NULL, but Window.partitionBy groups NULLs
     # together — drop NULL-entity RIGHT rows so a NULL-entity left row
     # gets NULL asof values instead of silently matching (review r4).
-    right = right.filter(
-        F.col(ts_col).isNotNull() & F.col(entity_col).isNotNull()
-    )
-    l_tagged = left.withColumn("_side", F.lit(left_tag))
+    # Projections assemble as selectExpr strings (r11 construction pass —
+    # see _names.sql_ident): identical expression trees (named_struct ==
+    # aliased F.struct, last(_rv, true) OVER == last(ignorenulls).over,
+    # ASC defaults to NULLS FIRST in both forms) at a fraction of the
+    # py4j round-trips.
+    from .._names import sql_ident as _q
+
+    qe, qt = _q(entity_col), _q(ts_col)
+    right = right.filter(f"{qt} IS NOT NULL AND {qe} IS NOT NULL")
+    l_tagged = left.selectExpr("*", f"{left_tag} AS _side")
     # ALL right value columns ride in ONE struct: the struct is non-null
     # exactly when a right ROW exists, so last(ignorenulls) tracks row
     # presence — per-column last() would skip a genuine NULL value and
     # reach back to an OLDER right row (and different columns could even
     # come from different rows). Found by the NULL-injection sweep.
-    r_tagged = right.select(
-        entity_col,
-        ts_col,
-        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("_rv"),
-    ).withColumn("_side", F.lit(right_tag))
+    fields = ", ".join(
+        f"'{c.replace(chr(39), chr(92) + chr(39))}', {_q(c)}"
+        for c in value_cols
+    )
+    r_tagged = right.selectExpr(
+        qe,
+        qt,
+        f"named_struct({fields}) AS _rv",
+        f"{right_tag} AS _side",
+    )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
-    w = (
-        Window.partitionBy(entity_col)
-        .orderBy(F.col(ts_col), F.col("_side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled = unioned.selectExpr(
+        "*",
+        f"last(_rv, true) OVER (PARTITION BY {qe} "
+        f"ORDER BY {qt} ASC, _side ASC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _asof_rv",
     )
-    filled = unioned.withColumn(
-        "_asof_rv", F.last("_rv", ignorenulls=True).over(w)
-    )
-    out = filled.filter(F.col("_side") == left_tag).select(
-        *[c for c in left.columns],
-        *[F.col("_asof_rv")[c].alias(f"asof_{c}") for c in value_cols],
+    out = filled.filter(f"_side = {left_tag}").selectExpr(
+        *[_q(c) for c in left.columns],
+        *[f"_asof_rv.{_q(c)} AS {_q(f'asof_{c}')}" for c in value_cols],
     )
     return out
 

@@ -29,8 +29,15 @@ the same key; if snapshots are written bucketed by the key
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# The builders below assemble their hot projection lists as selectExpr
+# strings (ONE py4j round-trip per select instead of 3-5 per Column op;
+# the Column forms cost the CDC bench row ~0.35 s of driver-side
+# construction per invocation), and operator callers pass arbitrary
+# column names — hence the quoting helper.
+from .._names import sql_ident as _q
 
 
 def diff_snapshots(
@@ -68,9 +75,6 @@ def diff_snapshots(
     # `is not None`, not falsy-or (review r5): an explicit [] means a
     # presence-only diff (inserts/deletes, no update detection) — the
     # falsy idiom silently substituted every non-key column
-    from functools import reduce
-    from operator import or_
-
     cols = (
         compare_cols
         if compare_cols is not None
@@ -94,15 +98,14 @@ def diff_snapshots(
     # NULL-keyed rows bypass the key join entirely (they have no identity
     # to join on — see module docstring): multiset-diff them row-wise, so
     # identical copies net out instead of churning delete+insert pairs.
-    def _null_key(df: DataFrame) -> Column:
-        return reduce(or_, (F.col(k).isNull() for k in keys))
+    any_null = " OR ".join(f"{_q(k)} IS NULL" for k in keys)
 
     if null_keys == "absent":
-        old = old.filter(~_null_key(old))
-        new = new.filter(~_null_key(new))
+        old = old.filter(f"NOT ({any_null})")
+        new = new.filter(f"NOT ({any_null})")
         return _diff_keyed(old, new, keys, cols)
-    old_nulls = old.filter(_null_key(old)).select(*keys, *cols)
-    new_nulls = new.filter(_null_key(new)).select(*keys, *cols)
+    old_nulls = old.filter(any_null).select(*keys, *cols)
+    new_nulls = new.filter(any_null).select(*keys, *cols)
     null_deletes = old_nulls.exceptAll(new_nulls).select(
         *keys,
         F.lit("delete").alias("change"),
@@ -115,8 +118,8 @@ def diff_snapshots(
         *[F.lit(None).cast(new.schema[c].dataType).alias(f"old_{c}") for c in cols],
         *[F.col(c).alias(f"new_{c}") for c in cols],
     )
-    old = old.filter(~_null_key(old))
-    new = new.filter(~_null_key(new))
+    old = old.filter(f"NOT ({any_null})")
+    new = new.filter(f"NOT ({any_null})")
     keyed = _diff_keyed(old, new, keys, cols)
     return keyed.unionByName(null_deletes).unionByName(null_inserts)
 
@@ -130,44 +133,45 @@ def _diff_keyed(
     # nullness — a literal TRUE is NULL after the full outer join exactly
     # when the side is absent (with NULL keys now split out above, this is
     # belt-and-braces rather than load-bearing).
-    o = old.select(
-        *[F.col(k).alias(f"_ok_{k}") for k in keys],
-        *[F.col(c).alias(f"old_{c}") for c in cols],
-        F.lit(True).alias("_o_present"),
+    #
+    # All projections assemble as selectExpr strings (see _q): the SQL
+    # parses to the identical expression trees the Column loops built —
+    # same null-safe <=> comparisons, same no-ELSE CASE (NULL for
+    # unchanged rows), same left-associated OR chain — at one py4j
+    # round-trip per select instead of per column.
+    o = old.selectExpr(
+        *[f"{_q(k)} AS {_q(f'_ok_{k}')}" for k in keys],
+        *[f"{_q(c)} AS {_q(f'old_{c}')}" for c in cols],
+        "true AS _o_present",
     )
-    n = new.select(
-        *[F.col(k).alias(f"_nk_{k}") for k in keys],
-        *[F.col(c).alias(f"new_{c}") for c in cols],
-        F.lit(True).alias("_n_present"),
+    n = new.selectExpr(
+        *[f"{_q(k)} AS {_q(f'_nk_{k}')}" for k in keys],
+        *[f"{_q(c)} AS {_q(f'new_{c}')}" for c in cols],
+        "true AS _n_present",
     )
-    cond = None
-    for k in keys:
-        eq = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
-        cond = eq if cond is None else cond & eq
+    cond = F.expr(
+        " AND ".join(f"{_q(f'_ok_{k}')} = {_q(f'_nk_{k}')}" for k in keys)
+    )
     joined = o.join(n, cond, "full_outer")
 
-    changed: Column = F.lit(False)
+    changed = "false"
     for c in cols:
         # null-safe inequality: engine-neutral, no hashing/formatting
-        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
-    change = (
-        F.when(F.col("_o_present").isNull(), F.lit("insert"))
-        .when(F.col("_n_present").isNull(), F.lit("delete"))
-        .when(changed, F.lit("update"))
+        changed = f"({changed} OR (NOT ({_q(f'old_{c}')} <=> {_q(f'new_{c}')})))"
+    change_sql = (
+        "CASE WHEN _o_present IS NULL THEN 'insert' "
+        "WHEN _n_present IS NULL THEN 'delete' "
+        f"WHEN {changed} THEN 'update' END"
     )
-    return (
-        joined.withColumn("change", change)
-        .filter(F.col("change").isNotNull())
-        .select(
-            *[
-                F.coalesce(f"_ok_{k}", f"_nk_{k}").alias(k)
-                for k in keys
-            ],
-            "change",
-            *[F.col(f"old_{c}") for c in cols],
-            *[F.col(f"new_{c}") for c in cols],
-        )
-    )
+    return joined.selectExpr(
+        *[
+            f"coalesce({_q(f'_ok_{k}')}, {_q(f'_nk_{k}')}) AS {_q(k)}"
+            for k in keys
+        ],
+        f"{change_sql} AS change",
+        *[_q(f"old_{c}") for c in cols],
+        *[_q(f"new_{c}") for c in cols],
+    ).filter("change IS NOT NULL")
 
 
 def diff_snapshots_oracle_sql(
@@ -256,29 +260,32 @@ def change_deltas(
     maintain_rollup already relies on."""
     # measure type comes from the old side; the new side carries the same
     # column type by diff construction (old_/new_ projections of one
-    # schema), so the struct element types below agree.
-    old_contrib = F.struct(
-        F.col(f"old_{group_col}").alias(group_col),
-        F.lit(-1).cast("long").alias("d_count"),
-        (-F.col(f"old_{measure_col}")).alias("d_measure"),
+    # schema), so the struct element types below agree. Assembled as
+    # selectExpr strings (see _q) — named_struct builds the same struct
+    # type the aliased F.struct did, field names included.
+    gname = group_col.replace("'", "\\'")
+    old_contrib = (
+        f"named_struct('{gname}', {_q(f'old_{group_col}')}, "
+        f"'d_count', CAST(-1 AS BIGINT), "
+        f"'d_measure', (- {_q(f'old_{measure_col}')}))"
     )
-    new_contrib = F.struct(
-        F.col(f"new_{group_col}").alias(group_col),
-        F.lit(1).cast("long").alias("d_count"),
-        F.col(f"new_{measure_col}").alias("d_measure"),
+    new_contrib = (
+        f"named_struct('{gname}', {_q(f'new_{group_col}')}, "
+        f"'d_count', CAST(1 AS BIGINT), "
+        f"'d_measure', {_q(f'new_{measure_col}')})"
     )
     contribs = (
-        F.when(F.col("change") == "delete", F.array(old_contrib))
-        .when(F.col("change") == "insert", F.array(new_contrib))
-        .when(F.col("change") == "update", F.array(old_contrib, new_contrib))
+        f"CASE WHEN change = 'delete' THEN array({old_contrib}) "
+        f"WHEN change = 'insert' THEN array({new_contrib}) "
+        f"WHEN change = 'update' THEN array({old_contrib}, {new_contrib}) "
         # any other change label contributed to NEITHER side of the old
         # union — an empty array explodes to zero rows, preserving that
-        .otherwise(F.array())
+        "ELSE array() END"
     )
-    return changes.select(F.explode(contribs).alias("_c")).select(
-        F.col(f"_c.{group_col}").alias(group_col),
-        F.col("_c.d_count").alias("d_count"),
-        F.col("_c.d_measure").alias("d_measure"),
+    return changes.selectExpr(f"explode({contribs}) AS _c").selectExpr(
+        f"_c.{_q(group_col)} AS {_q(group_col)}",
+        "_c.d_count AS d_count",
+        "_c.d_measure AS d_measure",
     )
 
 
@@ -331,31 +338,29 @@ def maintain_rollup(
         )
         .withColumnRenamed(group_col, "_d_group")
     )
-    base = base_rollup.select(
-        group_col,
-        F.col(count_col).cast("long").alias(count_col),
-        F.col(sum_col).cast(MEASURE_DECIMAL).alias(sum_col),
+    # selectExpr strings (see _q): identical casts/coalesces/adds to the
+    # previous Column form — decimal(30,6) zero literals, long counts,
+    # the final exact-decimal add cast to double — at a fraction of the
+    # py4j round-trips.
+    base = base_rollup.selectExpr(
+        _q(group_col),
+        f"CAST({_q(count_col)} AS BIGINT) AS {_q(count_col)}",
+        f"CAST({_q(sum_col)} AS {MEASURE_DECIMAL}) AS {_q(sum_col)}",
     )
-    zero_c = F.lit(0).cast("long")
-    zero_s = F.lit(0).cast(MEASURE_DECIMAL)
+    zero_c = "CAST(0 AS BIGINT)"
+    zero_s = f"CAST(0 AS {MEASURE_DECIMAL})"
     return (
         base.join(
             deltas,
-            F.col(group_col).eqNullSafe(F.col("_d_group")),
+            F.expr(f"{_q(group_col)} <=> _d_group"),
             "full_outer",
         )
-        .select(
-            F.coalesce(F.col(group_col), F.col("_d_group")).alias(group_col),
-            (
-                F.coalesce(F.col(count_col), zero_c)
-                + F.coalesce(F.col("_d_count"), zero_c)
-            ).alias(count_col),
-            (
-                F.coalesce(F.col(sum_col), zero_s)
-                + F.coalesce(F.col("_d_sum"), zero_s)
-            )
-            .cast("double")
-            .alias(sum_col),
+        .selectExpr(
+            f"coalesce({_q(group_col)}, _d_group) AS {_q(group_col)}",
+            f"(coalesce({_q(count_col)}, {zero_c}) "
+            f"+ coalesce(_d_count, {zero_c})) AS {_q(count_col)}",
+            f"CAST((coalesce({_q(sum_col)}, {zero_s}) "
+            f"+ coalesce(_d_sum, {zero_s})) AS DOUBLE) AS {_q(sum_col)}",
         )
-        .filter(F.col(count_col) > 0)
+        .filter(f"{_q(count_col)} > 0")
     )

@@ -143,12 +143,23 @@ def segment_dedup(
             & (F.col("chunk_idx") == F.col("_first")["chunk_idx"]),
         )
         return _reassemble(flagged, id_col)
-    w = Window.partitionBy(h)
-    first = F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).over(w)
-    kept = (F.col(id_col) == first[id_col]) & (
-        F.col("chunk_idx") == first["chunk_idx"]
+    # expr-string window (r11 construction pass — see _names.sql_ident):
+    # the same min-struct-over-hash keep-first rule, fewer py4j
+    # round-trips; _first is pruned before the shuffle (unreferenced by
+    # the reassembly aggregate)
+    from .._names import sql_ident as _q
+
+    qid = _q(id_col)
+    flagged = segs.selectExpr(
+        "*",
+        f"min(struct({qid}, chunk_idx)) "
+        "OVER (PARTITION BY md5(chunk_text)) AS _first",
+    ).selectExpr(
+        "*",
+        f"(({qid} = _first.{qid}) AND (chunk_idx = _first.chunk_idx)) "
+        "AS _kept",
     )
-    return _reassemble(segs.withColumn("_kept", kept), id_col)
+    return _reassemble(flagged, id_col)
 
 
 def boilerplate_strip(
@@ -217,26 +228,17 @@ GROUP BY {id_col}
 
 def _reassemble(flagged: DataFrame, id_col: str) -> DataFrame:
     """Per-doc rollup shared by both segment_dedup forms."""
-    return (
-        flagged.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
-            F.sum(F.col("_kept").cast("int")).cast("bigint").alias("segments_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("_kept"),
-                                F.struct(F.col("chunk_idx"), F.col("chunk_text")),
-                            )
-                        )
-                    ),
-                    lambda s: s.chunk_text,
-                ),
-                " ",
-            ).alias("clean_text"),
-        )
+    # agg expressions as expr strings (r11 construction pass): identical
+    # trees — no-ELSE CASE (NULLs dropped by collect_list), array_sort's
+    # default struct ordering, the same casts — fewer py4j round-trips
+    return flagged.groupBy(id_col).agg(
+        F.expr("CAST(count(1) AS BIGINT) AS n_segments"),
+        F.expr("CAST(sum(CAST(_kept AS INT)) AS BIGINT) AS segments_kept"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "CASE WHEN _kept THEN struct(chunk_idx, chunk_text) END)), "
+            "s -> s.chunk_text), ' ') AS clean_text"
+        ),
     )
 
 

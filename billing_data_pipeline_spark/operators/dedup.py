@@ -138,11 +138,14 @@ def _cap_blocks(df: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
     Catalyst reuses the exchange — the guard adds no extra shuffle)."""
     if cap is None:
         return df
-    from pyspark.sql import Window
+    from .._names import sql_ident
 
+    part = ", ".join(sql_ident(k) for k in keys)
+    # expr-string window (r11 construction pass): count(1) OVER the same
+    # partition spec the Window builder produced, one round-trip
     return (
-        df.withColumn("_bc", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
-        .filter(F.col("_bc") <= cap)
+        df.withColumn("_bc", F.expr(f"count(1) OVER (PARTITION BY {part})"))
+        .filter(f"_bc <= {int(cap)}")
         .drop("_bc")
     )
 
@@ -537,12 +540,12 @@ def minhash_agreement_est(k: int) -> F.Column:
     shared by the fast tier and both portable tiers (review r4: three
     identical copies invited silent drift between the throughput path and
     the oracle-checked proof-of-semantics path)."""
-    return F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda eq: eq,
-        )
-    ).cast("double") / F.lit(float(k))
+    # one F.expr round-trip (r11 construction pass): the SQL lambdas
+    # parse to the identical zip_with/filter tree the Column form built
+    return F.expr(
+        "CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), "
+        f"eq -> eq)) AS DOUBLE) / {float(k)!r}D"
+    )
 
 
 def minhash_signature(shingle_hashes: F.Column, k: int) -> F.Column:

@@ -245,22 +245,17 @@ def _band_keys(sigs: DataFrame, k: int, band_size: int) -> DataFrame:
             "components would never join any band"
         )
     n_bands = k // band_size
-    return sigs.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.array_join(
-                            F.slice("sig", b * band_size + 1, band_size), "-"
-                        ).alias("key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(*sigs.columns, "bk.band", "bk.key")
+    # one selectExpr round-trip for the whole band array (r11
+    # construction pass — see _names.sql_ident); named_struct/array_join/
+    # slice parse to the identical expression tree the Column loop built
+    parts = ", ".join(
+        f"named_struct('band', {b}, 'key', "
+        f"array_join(slice(sig, {b * band_size + 1}, {band_size}), '-'))"
+        for b in range(n_bands)
+    )
+    return sigs.selectExpr("*", f"explode(array({parts})) AS bk").select(
+        *sigs.columns, "bk.band", "bk.key"
+    )
 
 
 def minhash_portable_pairs_between(

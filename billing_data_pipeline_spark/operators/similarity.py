@@ -47,10 +47,14 @@ def geometry_ok(vec_col: str, dim: int | None) -> Column:
     side JVM expression, so it prunes before any shuffle, broadcast, or
     Python boundary. ``dim=None`` keeps the r8 NULL-only behavior for
     callers with schema-guaranteed homogeneous vectors."""
-    ok = F.col(vec_col).isNotNull()
+    from .._names import sql_ident as _q
+
+    # one F.expr round-trip (r11 construction pass); identical tree
     if dim is not None:
-        ok = ok & (F.size(F.col(vec_col)) == F.lit(dim))
-    return ok
+        return F.expr(
+            f"{_q(vec_col)} IS NOT NULL AND size({_q(vec_col)}) = {int(dim)}"
+        )
+    return F.expr(f"{_q(vec_col)} IS NOT NULL")
 
 
 def geometry_pred_sql(vec_col: str, dim: int | None) -> str:
@@ -155,10 +159,10 @@ def stride_seed_rows(
     spark = df.sparkSession
     if small_collect_bytes is None:
         small_collect_bytes = _SEED_SMALL_BYTES
+    proj = df.select(id_col, vec_col)  # one analysis, shared by est+collect
     try:
         est = int(
-            df.select(id_col, vec_col)
-            ._jdf.queryExecution()
+            proj._jdf.queryExecution()
             .optimizedPlan()
             .stats()
             .sizeInBytes()
@@ -166,7 +170,7 @@ def stride_seed_rows(
     except Exception:
         est = small_collect_bytes  # seam unavailable -> scale-safe tier
     if est < small_collect_bytes:
-        rows = df.select(id_col, vec_col).collect()
+        rows = proj.collect()
         # ascending by id, NULLS FIRST — the distributed phase-2 ordering
         rows.sort(key=lambda r: (r[0] is not None, r[0]))
         if not rows:
@@ -1768,14 +1772,18 @@ def pq_topk(
 
     qtables = queries.select(id_col, vec_col).mapInPandas(build_tables, table_schema)
 
-    # ADC score: fixed left-to-right m-term chain of table lookups (JVM-side).
-    def term(j: int) -> Column:
-        idx = F.lit(j * k_codes + 1) + F.element_at("codes", j + 1)
-        return F.element_at("tables", idx.cast("int"))
-
-    score = term(0)
-    for j in range(1, m):
-        score = score + term(j)
+    # ADC score: fixed left-to-right m-term chain of table lookups
+    # (JVM-side). Assembled as ONE F.expr string — the Column-by-Column
+    # chain cost ~130 py4j round-trips (~0.13 s) per invocation; the SQL
+    # parses to the identical left-associated add chain with the same
+    # INT index casts, so every double is bit-identical.
+    score = F.expr(
+        " + ".join(
+            f"element_at(tables, CAST(({j * k_codes + 1} "
+            f"+ element_at(codes, {j + 1})) AS INT))"
+            for j in range(m)
+        )
+    )
 
     # The broadcast here is load-bearing, not a hint-for-speed: ADC is a
     # keyless query x corpus scan, and without the hint Spark plans a

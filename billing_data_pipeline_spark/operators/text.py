@@ -852,44 +852,40 @@ def _chunk_windows(df, id_col, text_col, chunk, stride, with_bpe):
             id_col, "_toks", bpe_token_counts(F.col("_toks")).alias("_tkc")
         )
         mid.append("_tkc")
-    sliced = [
-        F.slice(F.col("_toks"), F.col("_start") + 1, chunk).alias("_ck"),
-    ]
+    # The window/slice/join pipeline assembles as selectExpr strings
+    # (r11 construction pass — see _names.sql_ident): the SQL parses to
+    # the identical sequence/explode/slice/aggregate trees the Column
+    # chain built (same int casts, same fractional `/` then CAST), at a
+    # fraction of the py4j round-trips per invocation.
+    from .._names import sql_ident as _q
+
+    qid = _q(id_col)
+    sliced = [f"slice(_toks, _start + 1, {int(chunk)}) AS _ck"]
     if with_bpe:
-        sliced.append(
-            F.slice(F.col("_tkc"), F.col("_start") + 1, chunk).alias("_ckc")
-        )
-    final = [
-        F.size("_ck").alias("n_chunk_tokens"),
-    ]
+        sliced.append(f"slice(_tkc, _start + 1, {int(chunk)}) AS _ckc")
+    final = ["size(_ck) AS n_chunk_tokens"]
     if with_bpe:
         final.append(
-            F.aggregate(F.col("_ckc"), F.lit(0), lambda a, x: a + x)
-            .cast("int")
-            .alias("n_chunk_bpe_tokens")
+            "CAST(aggregate(_ckc, 0, (a, x) -> a + x) AS INT) "
+            "AS n_chunk_bpe_tokens"
         )
     return (
-        base.select(
-            *mid,
-            F.explode(
-                F.sequence(
-                    F.lit(0),
-                    F.greatest(F.size("_toks") - 1, F.lit(0)),
-                    F.lit(stride),
-                )
-            ).alias("_start"),
+        base.selectExpr(
+            *[_q(c) if c == id_col else c for c in mid],
+            f"explode(sequence(0, greatest(size(_toks) - 1, 0), "
+            f"{int(stride)})) AS _start",
         )
-        .select(
-            id_col,
-            (F.col("_start") / stride).cast("int").alias("chunk_idx"),
+        .selectExpr(
+            qid,
+            f"CAST((_start / {int(stride)}) AS INT) AS chunk_idx",
             *sliced,
         )
-        .filter(F.size("_ck") > 0)
-        .select(
-            id_col,
+        .filter("size(_ck) > 0")
+        .selectExpr(
+            qid,
             "chunk_idx",
             *final,
-            F.array_join(F.col("_ck"), " ").alias("chunk_text"),
+            "array_join(_ck, ' ') AS chunk_text",
         )
     )
 

@@ -103,8 +103,6 @@ def token_runs_builtin(docs, id_col: str = "doc_id", text_col: str = "text"):
     once on the doc key; the run groupBy reuses that partitioning
     (HashPartitioning(doc_id) satisfies the clustered distribution on
     (doc_id, run_id)) — one exchange total at any scale."""
-    from pyspark.sql import Window
-
     from ..session import fan_out
 
     # The regex tokenize + posexplode run in the SCAN stage: a few-file
@@ -115,29 +113,25 @@ def token_runs_builtin(docs, id_col: str = "doc_id", text_col: str = "text"):
     # (round-robin repartition is deterministic and the window re-keys by
     # doc).
     docs = fan_out(docs, divisor=2)
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.filter(
-                F.split(
-                    F.lower(
-                        F.regexp_replace(F.col(text_col), "[^A-Za-z]+", " ")
-                    ),
-                    "[^a-z]+",
-                ),
-                lambda x: x != "",
-            )
-        ).alias("pos0", "term"),
-    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "term")
-    w = Window.partitionBy(id_col).orderBy("pos")
-    run_id = F.sum(
-        # IS DISTINCT FROM lag(term): first row of each doc (lag NULL)
-        # starts run 1; term itself is never NULL after the filter
-        F.when(F.lag("term").over(w).eqNullSafe(F.col("term")), F.lit(0))
-        .otherwise(F.lit(1))
-    ).over(w)
+    # selectExpr strings (r11 construction pass — see _names.sql_ident):
+    # identical tokenize/lag/cumsum trees at a fraction of the py4j
+    # round-trips; the CASE's <=> is the eqNullSafe the Column form used
+    # (first row of each doc: lag NULL starts run 1; term itself is
+    # never NULL after the filter)
+    from .._names import sql_ident as _q
+
+    over = f"OVER (PARTITION BY {_q(id_col)} ORDER BY pos)"
+    toks = docs.selectExpr(
+        _q(id_col),
+        f"posexplode(filter(split(lower(regexp_replace({_q(text_col)}, "
+        "'[^A-Za-z]+', ' ')), '[^a-z]+'), x -> x != '')) AS (pos0, term)",
+    ).selectExpr(_q(id_col), "(pos0 + 1) AS pos", "term")
     return (
-        toks.withColumn("run_id", run_id)
+        toks.selectExpr(
+            "*",
+            f"sum(CASE WHEN (lag(term) {over}) <=> term THEN 0 ELSE 1 END) "
+            f"{over} AS run_id",
+        )
         .groupBy(id_col, "run_id", "term")
         .agg(
             F.min("pos").cast("int").alias("run_start"),

@@ -117,7 +117,8 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "segment_dedup_docs",  # r9: via chunk_tokens_oracle_sql
     "boilerplate_strip_docs",  # r9: via chunk_tokens_oracle_sql
     "training_corpus_pipeline",  # r9: inline chunks CTE rewritten
-    "corpus_mix_budget",  # r9: TRY_CAST source-id weight containment
+    # (corpus_mix_budget evicted r11 — rode r9/r10 green, unchanged —
+    #  for the construction-pass re-pins below)
     # --- r9 badjson contract pass (all three JSON tiers changed: try_*
     # containment Spark-side, TRY_CAST(props AS JSON) in the shared
     # oracle — evicting nation_market_share / product_profit_by_nation /
@@ -136,6 +137,23 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # error_burst_range_join (r8 NULL-id oracle pin — rode r8/r9/r10
     # green, Spark side and oracle unchanged since). ---
     "service_aggregates",  # r11: widen_scan fan_out on the 6-group tier
+    # --- r11 construction-overhead pass re-pins (the selectExpr/expr
+    # rewrites change analyzed-plan text — lambda variable names,
+    # Project/Filter order — while computing identical results; every
+    # changed query must ride the r11 sample). Most affected queries
+    # are already pinned above or ride in catalog order; the two below
+    # were not. Evicts embedding_neardup_pairs (r5/r6 pins — rode
+    # r7-r10 green, unchanged this round; the embedding family keeps
+    # cosine/pq/lsh/dedup riders) and corpus_mix_budget (r9 TRY_CAST
+    # pin — rode r9/r10 green, unchanged this round).
+    # minhash_neardup_pairs (fast tier) also changed but is rows-only
+    # and not sample-allowed (the r9 matmul / r10 cap-pass precedent);
+    # its oracle-checked siblings minhash_neardup_pairs_portable,
+    # ngram_jaccard_pairs and incremental_neardup_vs_corpus share every
+    # changed code path (_cap_blocks, minhash_agreement_est, _band_keys)
+    # and ride. ---
+    "order_snapshot_diff",  # r11: _diff_keyed selectExpr rewrite
+    "incremental_neardup_vs_corpus",  # r11: _band_keys/_cap_blocks rewrite
     # --- r10 degenerate-block cap pass (VERDICT r9 item 2: the three
     # blocked near-dup tiers gained frequency caps, oracle-replayed;
     # editdist_neardup_pairs was already pinned; the two new overflow
@@ -189,7 +207,8 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # (error_burst_range_join evicted r11 — rode r8/r9/r10 green,
     #  unchanged — for the service_aggregates widen_scan re-pin)
     "embedding_cosine_topk",  # r5: zero-norm try_divide semantics
-    "embedding_neardup_pairs",  # r5 zero-norm + r6 eager-contract rework
+    # (embedding_neardup_pairs evicted r11 — rode r7-r10 green,
+    #  unchanged — for the construction-pass re-pins above)
     "embedding_pq_topk",  # r7 NULL-vec guards; r8 documented ADC exception
     "decontaminate_embedding",  # r7: NULL-vec crash guards
     # --- r8 NULL-embedding contract pass (oracle IS NOT NULL + rerank
