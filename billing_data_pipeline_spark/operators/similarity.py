@@ -1743,34 +1743,81 @@ def pq_topk(
         ]
     )
 
+    def _adc_tables(Q: "np.ndarray") -> "np.ndarray":
+        """ADC lookup tables for L2-normalized query rows Q — the ONE
+        arithmetic shared by the executor kernel and the small-tier
+        driver build below (identical sequential-fold dots, so the two
+        tiers are bit-identical by construction)."""
+        out = np.zeros((len(Q), m * k_codes))
+        for j in range(m):
+            Qj = Q[:, j * sub : (j + 1) * sub]
+            Cj = S[:, j * sub : (j + 1) * sub]
+            T_j = np.zeros((len(Q), k_codes))
+            for i in range(sub):  # sequential-fold dot, dim by dim
+                T_j += Qj[:, i][:, None] * Cj[None, :, i]
+            out[:, j * k_codes : (j + 1) * k_codes] = T_j
+        return out
+
+    def _null_nans(out: "np.ndarray") -> list:
+        # NaN lookup values (zero-norm query or zero-norm codebook
+        # sample) are NULL in the oracle's qtab: ship them as nulls so
+        # the JVM ADC chain NULL-propagates exactly like DuckDB's
+        # list_reduce over NULL elements.
+        nan_mask = np.isnan(out)
+        if nan_mask.any():
+            obj = out.astype(object)
+            obj[nan_mask] = None
+            return list(obj)
+        return list(out)
+
     def build_tables(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf[pdf[vec_col].notna()]  # NULL vec: skip (crash guard, r7)
             if not len(pdf):
                 continue
-            Q = _norm_rows(pdf)
-            out = np.zeros((len(Q), m * k_codes))
-            for j in range(m):
-                Qj = Q[:, j * sub : (j + 1) * sub]
-                Cj = S[:, j * sub : (j + 1) * sub]
-                T_j = np.zeros((len(Q), k_codes))
-                for i in range(sub):  # sequential-fold dot, dim by dim
-                    T_j += Qj[:, i][:, None] * Cj[None, :, i]
-                out[:, j * k_codes : (j + 1) * k_codes] = T_j
-            # NaN lookup values (zero-norm query or zero-norm codebook
-            # sample) are NULL in the oracle's qtab: ship them as Arrow
-            # nulls so the JVM ADC chain NULL-propagates exactly like
-            # DuckDB's list_reduce over NULL elements.
-            nan_mask = np.isnan(out)
-            if nan_mask.any():
-                obj = out.astype(object)
-                obj[nan_mask] = None
-                tables = list(obj)
-            else:
-                tables = list(out)
+            tables = _null_nans(_adc_tables(_norm_rows(pdf)))
             yield pd.DataFrame({"qid": pdf[id_col].to_numpy(), "tables": tables})
 
-    qtables = queries.select(id_col, vec_col).mapInPandas(build_tables, table_schema)
+    # Small-tier driver build (r11, guide §1.2 — same dispatch as
+    # stride_seed_rows): a bounded query set's lookup tables are built
+    # driver-side from one collect and enter the plan as a LOCAL
+    # relation, removing the mapInPandas broadcast-build job AND its
+    # Python-worker round-trip (embedding_pq_topk: 3 -> 2 jobs). The
+    # floats are identical: FloatType widens exactly to float64 on both
+    # the Arrow and the Row path, and _adc_tables is the shared
+    # arithmetic. The distributed kernel remains the only path at scale
+    # (estimate unavailable => distributed, same polarity as every
+    # other dispatch site); callers with an SF-scale query set were
+    # already required to batch queries (broadcast note below).
+    qproj = queries.select(id_col, vec_col)
+    try:
+        q_est = int(
+            qproj._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        q_est = _SEED_SMALL_BYTES  # seam unavailable -> scale-safe tier
+    if q_est < _SEED_SMALL_BYTES:
+        q_rows = [r for r in qproj.collect() if r[1] is not None]
+        if q_rows:
+            Q = np.array(
+                [[float(x) for x in r[1]] for r in q_rows], dtype=np.float64
+            )
+            Q = Q / _seq_norms(Q)[:, None]
+            tables = _null_nans(_adc_tables(Q))
+            local = pd.DataFrame(
+                {
+                    "qid": [r[0] for r in q_rows],
+                    "tables": [list(t) for t in tables],
+                }
+            )
+        else:
+            local = pd.DataFrame({"qid": [], "tables": []})
+        # pandas input rides the session's Arrow serializer — the
+        # row-list form shipped ~1 MB of doubles through py4j and cost
+        # MORE than the mapInPandas job it replaced
+        qtables = queries.sparkSession.createDataFrame(local, table_schema)
+    else:
+        qtables = qproj.mapInPandas(build_tables, table_schema)
 
     # ADC score: fixed left-to-right m-term chain of table lookups
     # (JVM-side). Assembled as ONE F.expr string — the Column-by-Column

@@ -778,6 +778,42 @@ def test_stride_seeding_small_path_matches(spark):
     )] == [i * 200 for i in range(16)]
 
 
+def test_pq_qtables_small_tier_matches_kernel(spark, monkeypatch):
+    """The r11 ADC-table small tier (driver-side numpy build entering
+    the plan as a local relation) must score IDENTICALLY to the
+    distributed mapInPandas kernel — both run _adc_tables on float64
+    widenings of the same float32 vectors, and the hash gate rides the
+    scores. Forcing the gate to 0 pins the distributed path (the
+    scale-contract polarity: estimate unavailable/large => kernel)."""
+    import billing_data_pipeline_spark.operators.similarity as S
+
+    corpus = spark.range(0, 400).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                ((F.col("id") * (i + 3)) % 17).cast("float") / 16.0
+                for i in range(16)
+            ]
+        ).alias("embedding"),
+    )
+    queries = corpus.filter(F.col("vec_id") % 40 == 0)
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["candidate_id"], r["rank"], r["adc_score"])
+            for r in df.collect()
+        )
+
+    small = rows(
+        S.pq_topk(corpus, queries, "vec_id", "embedding", k=3, m=4, dim=16)
+    )
+    monkeypatch.setattr(S, "_SEED_SMALL_BYTES", 0)
+    dist = rows(
+        S.pq_topk(corpus, queries, "vec_id", "embedding", k=3, m=4, dim=16)
+    )
+    assert small == dist and len(small) > 0
+
+
 def test_text_neardup_recall_floors(spark):
     """Text near-dup tiers vs the EXACT 3-gram Jaccard truth
     (ngram_jaccard_pairs, >= 0.5) at sf0.01 — the text twin of the ANN
