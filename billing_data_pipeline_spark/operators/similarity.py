@@ -1837,8 +1837,10 @@ def pq_topk(
     # CartesianProduct that RECOMPUTES the mapInPandas qtables per corpus
     # partition. Delivering per-query lookup tables to every corpus
     # partition is definitionally a broadcast (Jegou et al., TPAMI'11);
-    # callers with an SF-scale query set must batch queries — documented
-    # exception in tests/test_broadcast_guard.py::ALLOWED_UNBOUNDED_HINTS.
+    # callers with an SF-scale query set must batch queries. At bounded
+    # query-set sizes the small tier above makes qtables a LocalRelation,
+    # so the hint is bounded under the broadcast guard's rule; only the
+    # at-scale mapInPandas tier broadcasts a query-derived frame.
     scored = (
         encoded.join(F.broadcast(qtables))
         .filter(F.col("vid") != F.col("qid"))

@@ -24,15 +24,14 @@ ALLOWED_UNBOUNDED_HINTS: dict[str, str] = {
         "agg); the tie set is ~1 row at any SF — ties on exact decimal "
         "sums of real data have measure ~zero"
     ),
-    "embedding_pq_topk": (
-        "ADC scan: per-query lookup tables joined to corpus codes with "
-        "NO key — a keyless join has no shuffle for AQE to re-plan, and "
-        "unhinted Spark plans a CartesianProduct that recomputes the "
-        "mapInPandas table build per corpus partition. Delivering query "
-        "tables to every corpus partition is definitionally a broadcast; "
-        "SF-scale query sets must batch (operator docstring)"
-    ),
 }
+# embedding_pq_topk left this table in r11: its small-tier driver-side
+# qtables build enters the plan as a bounded LocalRelation, so the
+# load-bearing broadcast is no longer structurally unbounded at the
+# catalog's test scale. The at-scale mapInPandas tier still broadcasts a
+# query-derived frame by design (ADC is a keyless query x corpus scan);
+# that contract lives in the operator comment (operators/similarity.py,
+# pq_topk) and its callers must batch SF-scale query sets.
 
 
 @pytest.mark.parametrize("name", sorted(CATALOG))
