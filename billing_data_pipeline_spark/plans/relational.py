@@ -511,11 +511,15 @@ def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whenever orderkey -> priority is functional (the orders-key
     # contract), and CLOSER to the per-row EXISTS oracle if it ever
     # is not.
+    # No presentation orderBy (r11, guide §2.4): sorting the 5-row
+    # per-priority result planned a rangepartitioning Exchange plus its
+    # range-bounds sampling JOB every run (3 jobs -> 2). Relations are
+    # unordered — the driver hash-compares order-insensitively (the r5
+    # doc_repetition_stats precedent).
     return (
         hits.select("o_orderkey", "o_orderpriority")
         .groupBy("o_orderpriority")
         .agg(F.countDistinct("o_orderkey").alias("order_count"))
-        .orderBy("o_orderpriority")
     )
 
 

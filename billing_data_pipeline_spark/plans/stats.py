@@ -267,7 +267,9 @@ def usage_percentiles(
             out.append(_interp(v_lo, v_hi, rn, frn, crn))
         result.append(tuple(out))
 
-    return spark.createDataFrame(result, out_schema).orderBy("l_returnflag")
+    # unordered by contract (see _usage_percentiles_sorted_agg): the
+    # result is a driver-local groups-sized relation either way
+    return spark.createDataFrame(result, out_schema)
 
 
 def _bracketed_join(spark, vals, flag_type, groups):
@@ -357,7 +359,12 @@ def _usage_percentiles_sorted_agg(spark: SparkSession, sf_dir: str) -> DataFrame
             f"CASE WHEN {n_sql} = 0 THEN CAST(NULL AS DOUBLE) "
             f"ELSE {interp} END AS p{_tag(p)}"
         )
-    return agg.selectExpr(*exprs).orderBy("l_returnflag")
+    # No presentation orderBy (r11, guide §2.4): the final sort on a
+    # groups-sized result planned a rangepartitioning Exchange plus its
+    # sampling JOB on every run (2 jobs -> 1). Relations are unordered —
+    # the driver's oracle hash and every consumer compare order-
+    # insensitively (the r5 doc_repetition_stats precedent).
+    return agg.selectExpr(*exprs)
 
 
 def _usage_percentiles_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -406,7 +413,6 @@ def _usage_percentiles_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select("l_returnflag", F.col("l_extendedprice").alias("v"))
         .groupBy("l_returnflag")
         .applyInPandas(kernel, schema)
-        .orderBy("l_returnflag")
     )
 
 
