@@ -41,13 +41,12 @@ from billing_data_pipeline_spark.registry import load_catalog
 from billing_data_pipeline_spark.session import (
     get_spark, dir_input_bytes, input_sized_conf,
 )
-from billing_data_pipeline_spark.sources.tables import cache_dimension_tables
 
 spark = get_spark(
     app_name="bdp-ab", extra_conf=input_sized_conf(dir_input_bytes(sf_dir))
 )
 spark.range(1_000_000).selectExpr("sum(id)").collect()
-cache_dimension_tables(spark, sf_dir)
+# no dim-table cache: the r11 bench contract computes from parquet inputs
 catalog = load_catalog()
 
 floor = float("inf")

@@ -85,10 +85,7 @@ def bench_compare(sf_dir: str) -> None:
         app_name="bdp-plan-audit",
         extra_conf=input_sized_conf(dir_input_bytes(sf_dir)),
     )
-    # Same warm-warehouse posture as bench.py: dims pinned, facts stream.
-    from billing_data_pipeline_spark.sources.tables import cache_dimension_tables
-
-    cache_dimension_tables(spark, sf_dir)
+    # No dim-table cache (r11): match bench.py's compute-from-parquet contract.
     cat = load_catalog()
     con = duckdb_connect(sf_dir)  # threads = Spark's parallelism — fair ratio
     print("| Query | Spark s | DuckDB s | ratio |")

@@ -60,11 +60,7 @@ def main() -> None:
     )
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    from billing_data_pipeline_spark.sources.tables import (
-        cache_dimension_tables,
-    )
-
-    cache_dimension_tables(spark, sf_dir)
+    # No dim-table cache (r11): match bench.py's compute-from-parquet contract.
 
     results = {}
     for name, spec in specs.items():
