@@ -193,8 +193,22 @@ def _minhash_sigs(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
         import hashlib
 
         for pdf in it:
+            # Batch-vectorized form (r11, guide §4.2): the old per-doc loop
+            # paid one hashlib call + hex parse per gram PER DOC. Now (a) a
+            # batch-level memo hashes each distinct gram ONCE per batch —
+            # on boilerplate corpora the same shingles repeat across docs,
+            # and at real Arrow batch sizes (10k docs) the memo hit rate is
+            # what makes this 2x+; (b) the 60-bit parse reads the digest
+            # bytes directly (first 8 bytes big-endian >> 4 IS
+            # int(hexdigest[:15], 16) — same first 60 bits) instead of
+            # formatting hex and re-parsing; (c) the k affine mins fold in
+            # ONE (k, total_grams) numpy pass with segment mins via
+            # minimum.reduceat. Arithmetic is unchanged int64 affine-mod on
+            # the identical hash values — bit-identical by construction
+            # (pinned by test_minhash_vectorized_kernel_matches_naive).
             out_ids: list = []
-            out_sigs: list = []
+            gram_idx: list = []  # per kept doc: np.int64[...] memo indices
+            memo: dict[str, int] = {}
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
@@ -204,18 +218,57 @@ def _minhash_sigs(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
                 grams = {
                     " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
                 }
-                h = np.fromiter(
-                    (
-                        int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
-                        % MINHASH_P
-                        for g in grams
-                    ),
-                    dtype=np.int64,
-                    count=len(grams),
-                )
+                idxs = np.empty(len(grams), dtype=np.int64)
+                for j, g in enumerate(grams):
+                    v = memo.get(g)
+                    if v is None:
+                        v = memo[g] = len(memo)
+                    idxs[j] = v
                 out_ids.append(doc_id)
-                out_sigs.append(((A * h[None, :] + B) % MINHASH_P).min(axis=1))
-            yield pd.DataFrame({"doc": out_ids, "sig": out_sigs})
+                gram_idx.append(idxs)
+            if not out_ids:
+                # dtype-correct empties: a bare {"doc": [], "sig": []}
+                # infers float64 columns, which Arrow refuses to convert
+                # to list<int64> — a latent trap in the pre-r11 kernel
+                # too, exposed by the 1-row-batch fixture of
+                # test_minhash_vectorized_kernel_matches_naive
+                yield pd.DataFrame(
+                    {
+                        "doc": pd.Series([], dtype=object),
+                        "sig": pd.Series([], dtype=object),
+                    }
+                )
+                continue
+            uh = np.fromiter(
+                (
+                    (
+                        int.from_bytes(
+                            hashlib.md5(g.encode()).digest()[:8], "big"
+                        )
+                        >> 4
+                    )
+                    % MINHASH_P
+                    for g in memo
+                ),
+                dtype=np.int64,
+                count=len(memo),
+            )
+            counts = np.fromiter(
+                (len(ix) for ix in gram_idx),
+                dtype=np.int64,
+                count=len(gram_idx),
+            )
+            h = uh[np.concatenate(gram_idx)]  # (total_grams,)
+            sig_all = (A * h[None, :] + B) % MINHASH_P  # (k, total_grams)
+            offs = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offs[1:])
+            mins = np.minimum.reduceat(sig_all, offs, axis=1)  # (k, n_docs)
+            yield pd.DataFrame(
+                {
+                    "doc": out_ids,
+                    "sig": [mins[:, i] for i in range(mins.shape[1])],
+                }
+            )
 
     # The md5-shingle kernel is ~80% of signature cost; a single-file local
     # scan would run it on one core (gated no-op at real partition counts).

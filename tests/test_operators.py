@@ -336,6 +336,61 @@ def test_portable_hash60_matches_python_md5(spark):
         assert got[v] == expect, v
 
 
+def test_minhash_vectorized_kernel_matches_naive(spark):
+    """The r11 batch-vectorized signature kernel (batch-level unique-gram
+    memo, digest-byte 60-bit parse, minimum.reduceat segment mins) must be
+    bit-identical to the naive per-doc form it replaced: per doc, md5 each
+    distinct 3-gram via int(hexdigest[:15], 16) % P, then k affine-modular
+    mins. Fixture stresses the memo (shared boilerplate grams across
+    docs), NULL text, short docs (<3 tokens, dropped), unicode, and
+    metachar/whitespace edges."""
+    import hashlib
+
+    from billing_data_pipeline_spark.operators.portable_dedup import (
+        MINHASH_AB,
+        MINHASH_P,
+        _minhash_sigs,
+    )
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, boiler + " alpha beta gamma"),
+        (2, boiler + " alpha beta delta"),  # heavy gram overlap with 1
+        (3, "short doc"),  # <3 tokens -> dropped
+        (4, None),  # NULL -> dropped
+        (5, "Ünïcode ÷ test shingles here too"),
+        (6, "  leading space\tand   runs of space  "),
+        (7, boiler),  # pure boilerplate (full memo hits)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    k = 12
+    got = {
+        r["doc"]: list(r["sig"])
+        for r in _minhash_sigs(df, "doc_id", "text", k).collect()
+    }
+
+    import re as _re
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+    expect = {}
+    for doc_id, text in docs:
+        if text is None:
+            continue
+        toks = ws.split(text.strip(" "))
+        if len(toks) < 3:
+            continue
+        grams = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % MINHASH_P
+            for g in grams
+        ]
+        expect[doc_id] = [
+            min((a * h + b) % MINHASH_P for h in hs)
+            for a, b in MINHASH_AB[:k]
+        ]
+    assert got == expect
+
+
 def test_simhash_portable_band_recall_pigeonhole(spark):
     """Any pair within Hamming<=3 of 60 bits must share one of the 4
     15-bit bands (pigeonhole) — i.e. the banded candidate join loses no
