@@ -381,6 +381,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Harness-methodology version (ADVICE r11): 1 = r4-r10 (dim-table
+        # columnar cache pinned outside the timed region), 2 = r11+ (cache
+        # removed — every timed invocation computes from the parquet
+        # inputs). Machine-readable so cross-round ratio comparisons can
+        # detect the footing change without reading VERDICT prose.
+        "harness_version": 2,
     }
     if query_errors:
         out["query_errors"] = query_errors

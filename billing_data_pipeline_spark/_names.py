@@ -61,15 +61,3 @@ def sql_ident(name: str) -> str:
     0.1-0.35 s per invocation). Operators take arbitrary caller column
     names, so every interpolated identifier must be quoted."""
     return "`" + name.replace("`", "``") + "`"
-
-
-def sql_ident(name: str) -> str:
-    """Backtick-quoted SQL identifier for selectExpr/expr-string builders.
-
-    The r11 construction-overhead pass assembles hot projection lists as
-    SQL strings (one py4j round-trip per select instead of 3-5 per
-    Column op - driver-side construction is inside the bench's timed
-    region and the Column forms cost the expression-heavy operators
-    0.1-0.35 s per invocation). Operators take arbitrary caller column
-    names, so every interpolated identifier must be quoted."""
-    return "`" + name.replace("`", "``") + "`"

@@ -1643,7 +1643,8 @@ def _pq_codebook(
     if not rows:
         return None, 0  # empty corpus — pq_topk returns empty
     S = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
-    S = S / _seq_norms(S)[:, None]
+    with np.errstate(invalid="ignore"):  # zero-norm 0/0 -> NaN is intentional
+        S = S / _seq_norms(S)[:, None]
     dim = S.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -1701,7 +1702,8 @@ def pq_topk(
 
     def _norm_rows(pdf: "pd.DataFrame") -> "np.ndarray":
         V = np.array(list(pdf[vec_col]), dtype=np.float64)
-        return V / _seq_norms(V)[:, None]
+        with np.errstate(invalid="ignore"):  # zero-norm 0/0 -> NaN intentional
+            return V / _seq_norms(V)[:, None]
 
     encode_schema = T.StructType(
         [
@@ -1802,12 +1804,20 @@ def pq_topk(
             Q = np.array(
                 [[float(x) for x in r[1]] for r in q_rows], dtype=np.float64
             )
-            Q = Q / _seq_norms(Q)[:, None]
+            with np.errstate(invalid="ignore"):  # zero-norm 0/0 -> NaN is intentional (_null_nans)
+                Q = Q / _seq_norms(Q)[:, None]
             tables = _null_nans(_adc_tables(Q))
+            # Native Python floats, NOT numpy scalars: when the session's
+            # Arrow serializer is unavailable (driver harness), the
+            # createDataFrame row-path verifier rejects numpy.float64
+            # (CORRECTNESS_r11 gate-breaker).
             local = pd.DataFrame(
                 {
                     "qid": [r[0] for r in q_rows],
-                    "tables": [list(t) for t in tables],
+                    "tables": [
+                        [None if x is None else float(x) for x in t]
+                        for t in tables
+                    ],
                 }
             )
         else:

@@ -115,7 +115,10 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     "packed_chunk_bins",  # r9: slice-free pack oracle chunks CTE
     "repeated_ngram_stats",  # r9: slice-free ngrams_sql
     "segment_dedup_docs",  # r9: via chunk_tokens_oracle_sql
-    "boilerplate_strip_docs",  # r9: via chunk_tokens_oracle_sql
+    # (boilerplate_strip_docs evicted r12 — rode r9/r10/r11 green,
+    #  unchanged; the chunk_tokens oracle family keeps chunk_documents,
+    #  segment_dedup_docs, packed_chunk_bins and training_corpus_pipeline
+    #  as riders — for the sliding/tumbling standing rider below)
     "training_corpus_pipeline",  # r9: inline chunks CTE rewritten
     # (corpus_mix_budget evicted r11 — rode r9/r10 green, unchanged —
     #  for the construction-pass re-pins below)
@@ -234,6 +237,13 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # sliding/tumbling oracle family must re-pin members itself, the
     # family no longer has a standing rider). ---
     "streaming_dedup_catchup",  # r9: TZ-stable key_json (kernel changed)
+    # --- r12: standing sliding/tumbling-family rider (VERDICT r11 item 7:
+    # after the r11 rotation the family's shared ts-IS-NOT-NULL oracle
+    # text had NO sample member — any edit to it would ship unverified).
+    # sliding_window_volume represents the family (session_window_stats /
+    # streaming_ohlc_catchup / streaming_sliding_catchup /
+    # tumbling_event_counts share the oracle conventions). ---
+    "sliding_window_volume",  # r12: standing rider for the window family
     # --- r11: new BPE tokenizer tier (VERDICT r10 item 4) — three new
     # oracle-backed queries must ride; evicting session_window_stats /
     # sliding_window_volume / streaming_ohlc_catchup (r8 discipline pins
