@@ -106,6 +106,19 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     return F.try_divide(dot(a, b, dim), norm(a, dim) * norm(b, dim))
 
 
+def _stride_pick(rows: list, n_seeds: int) -> list:
+    """Driver-side stride pick over collected (id, vec) rows — the small
+    tier's arithmetic, shared by stride_seed_rows and pq_topk's folded
+    one-collect path (r12) so the pick can never drift between them:
+    ascending by id, NULLS FIRST (the distributed phase-2 ordering), every
+    (N // n_seeds)-th row, first n_seeds picks."""
+    rows = sorted(rows, key=lambda r: (r[0] is not None, r[0]))
+    if not rows:
+        return []
+    stride = max(1, len(rows) // n_seeds)
+    return rows[::stride][:n_seeds]
+
+
 def stride_seed_rows(
     df: DataFrame,
     id_col: str,
@@ -170,13 +183,7 @@ def stride_seed_rows(
     except Exception:
         est = small_collect_bytes  # seam unavailable -> scale-safe tier
     if est < small_collect_bytes:
-        rows = proj.collect()
-        # ascending by id, NULLS FIRST — the distributed phase-2 ordering
-        rows.sort(key=lambda r: (r[0] is not None, r[0]))
-        if not rows:
-            return []
-        stride = max(1, len(rows) // n_seeds)
-        return rows[:: stride][:n_seeds]
+        return _stride_pick(proj.collect(), n_seeds)
 
     p = spark.sparkContext.defaultParallelism
     d = (
@@ -1624,6 +1631,7 @@ def _pq_codebook(
     m: int,
     k_codes: int,
     dim: int | None = None,
+    seed_rows: list | None = None,
 ):
     """Deterministic, training-free PQ codebook: the ``k_codes``
     stride-selected corpus vectors (every (|corpus|/k_codes)-th by sorted
@@ -1639,7 +1647,14 @@ def _pq_codebook(
     # pick would become a bad codebook sample AND desync the stride from
     # the oracle's geometry-filtered ids CTE, so direct callers must
     # filter with geometry_ok(vec_col, dim) first.
-    rows = stride_seed_rows(corpus, id_col, vec_col, k_codes)
+    # seed_rows: pre-collected (id, vec) picks from pq_topk's folded
+    # one-collect small tier (r12) — same _stride_pick arithmetic, so
+    # passing them through is pick-identical to dispatching here.
+    rows = (
+        seed_rows
+        if seed_rows is not None
+        else stride_seed_rows(corpus, id_col, vec_col, k_codes)
+    )
     if not rows:
         return None, 0  # empty corpus — pq_topk returns empty
     S = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
@@ -1695,7 +1710,62 @@ def pq_topk(
     # both sides (a ragged row crashed the encode kernel's batch stack)
     corpus = corpus.filter(geometry_ok(vec_col, dim))
     queries = queries.filter(geometry_ok(vec_col, dim))
-    S, sub = _pq_codebook(corpus, id_col, vec_col, m, k_codes, dim)
+
+    def _proj_est(proj) -> int:
+        try:
+            return int(
+                proj._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        except Exception:
+            return _SEED_SMALL_BYTES  # seam unavailable -> scale-safe tier
+
+    # Folded small tier (r12, VERDICT r11 item 4 — guide §1.2): when BOTH
+    # the corpus seed pick and the query-table build ride the driver-side
+    # small tier, ONE tagged union collect serves both (seed rows come
+    # out of the corpus half via the shared _stride_pick; query rows out
+    # of the other half) instead of two separate collect jobs. Gated on
+    # the same per-side estimates the independent tiers use, plus
+    # type-identical (id, vec) projections so the union is cast-free —
+    # any miss falls through to the unchanged independent dispatches
+    # (estimate unavailable => distributed, same polarity as every other
+    # dispatch site).
+    cproj = corpus.select(id_col, vec_col)
+    qproj = queries.select(id_col, vec_col)
+    seed_rows = None
+    q_rows: list | None = None
+    if (
+        _proj_est(cproj) < _SEED_SMALL_BYTES
+        and _proj_est(qproj) < _SEED_SMALL_BYTES
+        and [f.dataType for f in cproj.schema.fields]
+        == [f.dataType for f in qproj.schema.fields]
+    ):
+        both = (
+            cproj.select(
+                F.lit(0).alias("_pq_side"),
+                F.col(id_col).alias("_pq_id"),
+                F.col(vec_col).alias("_pq_vec"),
+            )
+            .unionAll(
+                qproj.select(
+                    F.lit(1).alias("_pq_side"),
+                    F.col(id_col).alias("_pq_id"),
+                    F.col(vec_col).alias("_pq_vec"),
+                )
+            )
+            .collect()
+        )
+        seed_rows = _stride_pick(
+            [(r[1], r[2]) for r in both if r[0] == 0], k_codes
+        )
+        # NULL-vec query rows skipped exactly like the unfolded tier
+        q_rows = [(r[1], r[2]) for r in both if r[0] == 1 and r[2] is not None]
+
+    S, sub = _pq_codebook(
+        corpus, id_col, vec_col, m, k_codes, dim, seed_rows=seed_rows
+    )
     if S is None:  # empty corpus
         return _empty_topk(corpus, "adc_score")
     k_codes = S.shape[0]  # tiny corpora yield fewer samples than requested
@@ -1782,24 +1852,22 @@ def pq_topk(
 
     # Small-tier driver build (r11, guide §1.2 — same dispatch as
     # stride_seed_rows): a bounded query set's lookup tables are built
-    # driver-side from one collect and enter the plan as a LOCAL
-    # relation, removing the mapInPandas broadcast-build job AND its
-    # Python-worker round-trip (embedding_pq_topk: 3 -> 2 jobs). The
+    # driver-side and enter the plan as a LOCAL relation, removing the
+    # mapInPandas broadcast-build job AND its Python-worker round-trip;
+    # r12 folds the collect itself into the tagged union job above. The
     # floats are identical: FloatType widens exactly to float64 on both
     # the Arrow and the Row path, and _adc_tables is the shared
     # arithmetic. The distributed kernel remains the only path at scale
     # (estimate unavailable => distributed, same polarity as every
     # other dispatch site); callers with an SF-scale query set were
     # already required to batch queries (broadcast note below).
-    qproj = queries.select(id_col, vec_col)
-    try:
-        q_est = int(
-            qproj._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-    except Exception:
-        q_est = _SEED_SMALL_BYTES  # seam unavailable -> scale-safe tier
-    if q_est < _SEED_SMALL_BYTES:
+    # q_rows already collected by the folded one-job small tier above;
+    # when the fold was not taken, re-check the query side alone (the
+    # independent pre-r12 dispatch: corpus big / queries small still
+    # builds the tables driver-side).
+    if q_rows is None and _proj_est(qproj) < _SEED_SMALL_BYTES:
         q_rows = [r for r in qproj.collect() if r[1] is not None]
+    if q_rows is not None:
         if q_rows:
             Q = np.array(
                 [[float(x) for x in r[1]] for r in q_rows], dtype=np.float64

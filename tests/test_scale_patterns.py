@@ -778,6 +778,67 @@ def test_stride_seeding_small_path_matches(spark):
     )] == [i * 200 for i in range(16)]
 
 
+def test_pq_fold_tiers_identical(spark, monkeypatch):
+    """r12 one-collect fold (VERDICT r11 item 4): the tagged-union small
+    tier (corpus seeds + query tables from ONE collect), the mixed tier
+    (corpus distributed / query tables driver-built — threshold between
+    the two estimates), and the fully distributed kernel must all score
+    identically."""
+    import billing_data_pipeline_spark.operators.similarity as S
+
+    def vecs(rng):
+        return rng.select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    ((F.col("id") * (i + 3)) % 17).cast("float") / 16.0
+                    for i in range(16)
+                ]
+            ).alias("embedding"),
+        )
+
+    corpus = vecs(spark.range(0, 400))
+    # independent 10-row relation (NOT a filter of corpus): Catalyst's
+    # row-count-based estimate is then genuinely smaller, so a threshold
+    # between the two estimates forces the mixed tier below
+    queries = vecs(spark.range(0, 400, 40))
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["candidate_id"], r["rank"], r["adc_score"])
+            for r in df.collect()
+        )
+
+    def run():
+        return rows(
+            S.pq_topk(corpus, queries, "vec_id", "embedding", k=3, m=4, dim=16)
+        )
+
+    folded = run()  # default threshold: both sides small -> fold
+    # threshold between the two projections' estimates: corpus (400 rows)
+    # goes distributed, the 10-row query side still builds driver-side
+    c_est = int(
+        corpus.select("vec_id", "embedding")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .stats()
+        .sizeInBytes()
+    )
+    q_est = int(
+        queries.select("vec_id", "embedding")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .stats()
+        .sizeInBytes()
+    )
+    assert q_est < c_est
+    monkeypatch.setattr(S, "_SEED_SMALL_BYTES", (q_est + c_est) // 2)
+    mixed = run()
+    monkeypatch.setattr(S, "_SEED_SMALL_BYTES", 0)
+    distributed = run()
+    assert folded == mixed == distributed and len(folded) > 0
+
+
 def test_pq_qtables_small_tier_matches_kernel(spark, monkeypatch):
     """The r11 ADC-table small tier (driver-side numpy build entering
     the plan as a local relation) must score IDENTICALLY to the
