@@ -411,8 +411,6 @@ def decontaminate(
     """
     from collections.abc import Iterator
 
-    import pandas as pd
-
     from pyspark.sql import types as T
 
     from ..session import fan_out
@@ -435,33 +433,92 @@ def decontaminate(
         ]
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        s = bc.value
-        w = _ws_re()
-        for pdf in batches:
-            hits = []
-            for txt in pdf[text_col]:
-                if txt is None:
-                    hits.append(0)
-                    continue
-                tk = [t for t in w.split(txt) if t]
-                seen: set[str] = set()
-                for i in range(len(tk) - n + 1):
-                    g = " ".join(tk[i : i + n])
-                    if g in s:
-                        seen.add(g)
-                hits.append(len(seen))
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    "n_hit_ngrams": pd.array(hits, dtype="int64"),
-                    "contaminated": [h > 0 for h in hits],
-                }
+    # r12 (guide §4.2): the per-doc Python loop (regex split, n-window
+    # string joins, per-gram set probes — all interpreted, per row) is
+    # replaced by a fully vectorized Arrow kernel. Tokenization is RE2
+    # C-side on the explicit class [\t\n\x0b\f\r ]+, PROVEN equal to
+    # _ws_re's re.ASCII \s+ (both are exactly ASCII whitespace; the
+    # equivalence — including \v, NBSP, U+2000.. non-splits — is pinned
+    # by test_decontaminate_kernel_matches_naive). Gram strings build as
+    # n shifted slices of the flat token array joined in C
+    # (binary_join_element_wise), windows that straddle a doc boundary
+    # are masked via the token->doc index, and membership is ONE C-level
+    # hash probe (pc.is_in) against the broadcast eval grams instead of
+    # a Python set lookup per gram. Distinct-hit counting only ever
+    # touches the (rare) surviving hits. Window slices are processed in
+    # bounded chunks so peak memory is independent of batch gram count
+    # (the portable_dedup ADVICE pattern).
+    _WINDOW_CHUNK = 1 << 20
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ev = bc.value
+        ev_arr = pa.array(list(ev), type=pa.string())
+        for batch in batches:
+            n_rows = batch.num_rows
+            ids = batch.column(id_col)
+            hits = np.zeros(n_rows, dtype=np.int64)
+            if len(ev) and n_rows:
+                toks = pc.split_pattern_regex(
+                    batch.column(text_col), r"[\t\n\x0b\f\r ]+"
+                )
+                flat = pc.list_flatten(toks)
+                doc_of = pc.list_parent_indices(toks)
+                keep = pc.not_equal(flat, "")
+                flat = pc.filter(flat, keep)
+                doc_of = (
+                    pc.filter(doc_of, keep)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                total = len(flat)
+                n_win = total - n + 1
+                hit_docs: list[np.ndarray] = []
+                hit_grams: list = []
+                for a in range(0, max(n_win, 0), _WINDOW_CHUNK):
+                    b = min(a + _WINDOW_CHUNK, n_win)
+                    parts = [flat.slice(a + o, b - a) for o in range(n)]
+                    grams = pc.binary_join_element_wise(*parts, " ")
+                    ok = pc.is_in(grams, value_set=ev_arr).to_numpy(
+                        zero_copy_only=False
+                    )
+                    # window must start and end inside ONE document
+                    ok &= doc_of[a:b] == doc_of[a + n - 1 : b + n - 1]
+                    if ok.any():
+                        sel = pa.array(ok)
+                        hit_docs.append(doc_of[a:b][ok])
+                        hit_grams.append(grams.filter(sel))
+                if hit_docs:
+                    uniq = pd.DataFrame(
+                        {
+                            "d": np.concatenate(hit_docs),
+                            "g": pa.concat_arrays(hit_grams).to_pandas(),
+                        }
+                    ).drop_duplicates()
+                    counts = uniq.groupby("d").size()
+                    hits[counts.index.to_numpy()] = counts.to_numpy()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(hits, type=pa.int64()),
+                    pa.array(hits > 0, type=pa.bool_()),
+                ],
+                schema=pa.schema(
+                    [
+                        pa.field(id_col, ids.type),
+                        pa.field("n_hit_ngrams", pa.int64()),
+                        pa.field("contaminated", pa.bool_()),
+                    ]
+                ),
             )
 
     # CPU-bound per row: fan the scan out if it arrived in fewer
     # partitions than cores (no-op at scale; measured win locally).
-    return fan_out(train.select(id_col, text_col), divisor=2).mapInPandas(
+    return fan_out(train.select(id_col, text_col), divisor=2).mapInArrow(
         kernel, schema
     )
 

@@ -124,6 +124,65 @@ def test_decontaminate_nonascii_whitespace_matches_engines(spark):
     assert row["n_hit_ngrams"] == n_grams_duck == 1
 
 
+def test_decontaminate_vectorized_kernel_matches_naive(spark):
+    """The r12 Arrow-vectorized decontaminate kernel must reproduce the
+    per-doc Python loop it replaced, bit-for-bit, on the adversarial
+    tokenizer/window edges: ASCII whitespace the class must split on
+    (\\v, \\f, \\r, \\t), non-ASCII whitespace it must NOT split on
+    (NBSP, U+2000, ideographic space, ZWSP), NULL/empty/all-whitespace
+    docs, sub-n docs, repeated grams (distinct counting), and —
+    critical to the flattened-window formulation — grams that would
+    match only across a document boundary."""
+    import re
+
+    n = 3
+    train_rows = [
+        (1, "a b c"),  # boundary probe: "b c d" must NOT form
+        (2, "d e f"),  # across docs 1|2
+        (3, "x y x y x y"),  # repeated grams -> distinct count
+        (4, None),
+        (5, ""),
+        (6, " \t\x0b\f\r "),  # all ASCII whitespace -> no tokens
+        (7, "p\x0bq\fr\ts u"),  # \v \f \t split -> p q r s u
+        (8, "m\xa0n o p q"),  # NBSP glues m&n into one token
+        (9, "g h　i j k l"),  # U+2000/ideographic glue
+        (10, "zw​sp one two"),  # ZWSP inside a token
+        (11, "a b"),  # shorter than n
+    ]
+    eval_rows = [
+        (100, "b c d"),  # boundary gram — only via doc 1|2 concat
+        (101, "x y x"),
+        (102, "y x y"),
+        (103, "p q r"),
+        (104, "m\xa0n o p"),
+        (105, "g h　i j"),
+        (106, "zw​sp one two"),
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_hit_ngrams"], r["contaminated"])
+        for r in C.decontaminate(train, ev, "doc_id", "text", n=n).collect()
+    }
+
+    # the replaced kernel's exact semantics, reimplemented naively
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def grams(t):
+        tk = [x for x in ws.split(t) if x]
+        return {" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)}
+
+    evg = set().union(*(grams(t) for _, t in eval_rows))
+    expect = {
+        i: (len(grams(t) & evg) if t is not None else 0,
+            bool(grams(t) & evg) if t is not None else False)
+        for i, t in train_rows
+    }
+    assert got == expect
+    assert got[1] == (0, False) and got[2] == (0, False)  # boundary mask
+    assert got[3] == (2, True)  # distinct, not per-occurrence
+
+
 def test_mix_to_budget_coarse_form_identical(spark):
     # Two-level prefix sum (coarse buckets) must produce the identical
     # keep-set/summary as the row-level cumsum, across sources whose
