@@ -51,6 +51,13 @@ del _rng
 SIMHASH_PORTABLE_BITS = 60  # portable_hash60 yields 60-bit values
 SIMHASH_PORTABLE_BANDS = 4  # 15-bit bands; Hamming<=3 shares >=1 band
 
+# Peak element budget for the minhash kernel's (k, grams) affine slice
+# (r12, ADVICE r11): each numpy temporary stays ≤ ~8M int64 (~64 MB)
+# regardless of Arrow batch gram count. Module-level so tests can shrink
+# it to force the chunked/giant-doc folds; the kernel snapshots it
+# driver-side at build time.
+_GRAM_CHUNK_ELEMS = 1 << 23
+
 
 def portable_hash60(c: Column) -> Column:
     """60-bit integer hash both engines agree on: the first 15 hex chars of
@@ -188,6 +195,13 @@ def _minhash_sigs(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
     A = np.array([a for a, _ in MINHASH_AB[:k]], dtype=np.int64)[:, None]
     B = np.array([b for _, b in MINHASH_AB[:k]], dtype=np.int64)[:, None]
     ws = re.compile(r"\s+", re.ASCII)
+    # Bounded-memory affine pass (r12, ADVICE r11): the (k, grams) slice
+    # and its A*h/+B/%P temporaries are capped at ~8M elements (~64 MB
+    # each) regardless of batch gram count — giant-doc corpora at 10k-doc
+    # Arrow batches previously materialized (k, total_grams) in one shot,
+    # multi-GB peak. Snapshot driver-side so worker re-imports can't
+    # desync a monkeypatched test value (the text.py slot_cap pattern).
+    gram_chunk = max(1, _GRAM_CHUNK_ELEMS // k)
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -258,11 +272,38 @@ def _minhash_sigs(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFram
                 dtype=np.int64,
                 count=len(gram_idx),
             )
-            h = uh[np.concatenate(gram_idx)]  # (total_grams,)
-            sig_all = (A * h[None, :] + B) % MINHASH_P  # (k, total_grams)
-            offs = np.zeros(len(counts), dtype=np.int64)
-            np.cumsum(counts[:-1], out=offs[1:])
-            mins = np.minimum.reduceat(sig_all, offs, axis=1)  # (k, n_docs)
+            # Chunked (k, grams) affine-mod + segment mins: identical
+            # int64 arithmetic on identical hash values, sliced along
+            # doc boundaries so no temporary exceeds ~gram_chunk grams.
+            # A doc whose OWN gram count exceeds the chunk is folded in
+            # sub-slices with elementwise np.minimum — min is
+            # associative, so the fold equals the one-shot reduceat.
+            n_docs = len(counts)
+            mins = np.empty((A.shape[0], n_docs), dtype=np.int64)
+            d = 0
+            while d < n_docs:
+                e, tot = d, 0
+                while e < n_docs and tot + counts[e] <= gram_chunk:
+                    tot += counts[e]
+                    e += 1
+                if e == d:  # single doc larger than the chunk
+                    ix = gram_idx[d]
+                    acc = None
+                    for a0 in range(0, len(ix), gram_chunk):
+                        hh = uh[ix[a0 : a0 + gram_chunk]]
+                        part = ((A * hh[None, :] + B) % MINHASH_P).min(
+                            axis=1
+                        )
+                        acc = part if acc is None else np.minimum(acc, part)
+                    mins[:, d] = acc
+                    e = d + 1
+                else:
+                    hh = uh[np.concatenate(gram_idx[d:e])]
+                    offs = np.zeros(e - d, dtype=np.int64)
+                    np.cumsum(counts[d : e - 1], out=offs[1:])
+                    sig = (A * hh[None, :] + B) % MINHASH_P
+                    mins[:, d:e] = np.minimum.reduceat(sig, offs, axis=1)
+                d = e
             yield pd.DataFrame(
                 {
                     "doc": out_ids,

@@ -391,6 +391,37 @@ def test_minhash_vectorized_kernel_matches_naive(spark):
     assert got == expect
 
 
+def test_minhash_kernel_chunked_pass_identical(spark, monkeypatch):
+    """The r12 bounded-memory affine pass (ADVICE r11: (k, grams) sliced
+    along doc boundaries, giant docs folded in sub-slices with
+    elementwise minimum) must be bit-identical to the one-shot reduceat.
+    A tiny chunk budget forces BOTH chunk shapes on a small fixture:
+    multi-doc runs that split mid-batch, and a single doc whose gram
+    count alone exceeds the chunk."""
+    import billing_data_pipeline_spark.operators.portable_dedup as PD
+
+    docs = [
+        (1, " ".join(f"w{i % 7}" for i in range(40))),  # 38 grams > chunk
+        (2, "a b c d e"),
+        (3, "f g h i j"),
+        (4, "k l m n o p q r s t"),
+        (5, " ".join(f"x{i}" for i in range(60))),  # 58 distinct grams
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    k = 8
+
+    def run():
+        return {
+            r["doc"]: list(r["sig"])
+            for r in PD._minhash_sigs(df, "doc_id", "text", k).collect()
+        }
+
+    baseline = run()  # production chunk: one-shot reduceat per batch
+    monkeypatch.setattr(PD, "_GRAM_CHUNK_ELEMS", k * 7)  # 7-gram chunks
+    chunked = run()
+    assert chunked == baseline and len(baseline) == 5
+
+
 def test_simhash_portable_band_recall_pigeonhole(spark):
     """Any pair within Hamming<=3 of 60 bits must share one of the 4
     15-bit bands (pigeonhole) — i.e. the banded candidate join loses no
