@@ -203,6 +203,26 @@ def grouped_profile(
             k = f"_gp_key{i}" if nm in df.columns else nm
             knames.append(k)
             added.append(g.alias(k))
+    # Shuffle narrow precomputed values, not raw inputs (r12, guide
+    # §2.2): the measure expression and each condition's CASE evaluate
+    # map-side into one double / one int per row, so column pruning
+    # drops their raw input columns (price, discount, flag strings) from
+    # the exchange. The per-row values are identical — the decimal SUM
+    # is associative, COUNT counts the same non-nulls, and the int sums
+    # are the same integers — so every aggregate is bit-equal; only
+    # WHERE the row-local expressions run moves (scan side, where the
+    # guide wants per-row work, instead of post-shuffle).
+    m = F.col(measure) if isinstance(measure, str) else measure
+    added.append(m.alias("_gp_m"))
+    aggs = measure_aggs("_gp_m")
+    for i, (alias, _pred) in enumerate((conditions or {}).items()):
+        added.append(
+            F.when(_pred, 1).otherwise(0).alias(f"_gp_c{i}")
+        )
+        aggs.append(F.sum(f"_gp_c{i}").alias(alias))
+    if time_col:
+        aggs.append(F.min(time_col).alias("first_activity"))
+        aggs.append(F.max(time_col).alias("last_activity"))
     # k is never an existing column (either _gp_key{i} or an alias absent
     # from df.columns), so select("*", ...) appends without collisions —
     # one plan op instead of a withColumn per key

@@ -181,7 +181,23 @@ DRIVER_SAMPLE_PRIORITY: tuple[str, ...] = (
     # rows-only and not sample-allowed; its bit-exact twin
     # embedding_cosine_topk rides, same style as the r8 asof note. ---
     "embedding_dedup_survivors",  # r9: geometry filter + oracle len()
-    "embedding_dedup_components",  # r9: same, via cosine_neardup_pairs
+    # (embedding_dedup_components evicted r12 — rode r9/r10/r11 green,
+    #  unchanged this round, and its changed-path coverage
+    #  (cosine_neardup_pairs) is duplicated by the still-riding
+    #  embedding_dedup_survivors — for the region_aggregates re-pin
+    #  below) ---
+    # --- r12 optimization pass re-pin (policy: plan changed this round):
+    # the grouped_profile k>=2 tier now evaluates the measure and the
+    # condition CASEs map-side as narrow projected columns before the
+    # group-key exchange (operators/aggregates.py), which changes the
+    # analyzed plans of every k>=2 caller: daily_aggregates (rides
+    # above, also regrouped by raw l_shipdate with the calendar split
+    # post-aggregate) and region_aggregates (pinned here).
+    # daily_aggregates_hll also changed (same date-key regroup) but is
+    # rows-only and not sample-allowed (the r9 matmul / r10 cap-pass
+    # precedent); its oracle-checked sibling daily_aggregates shares
+    # both changed code paths and rides. ---
+    "region_aggregates",  # r12: k>=2 narrow-shuffle + broadcast-join dims
     # (embedding_lsh_topk evicted r10 — rode r9 green, unchanged — for
     #  the new bloom decontamination tier, which must ride as a new
     #  oracle-backed query)
