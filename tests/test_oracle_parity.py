@@ -358,6 +358,50 @@ def test_usage_percentiles_wide_group_domain_join_path(spark, tmp_path):
     )
 
 
+def test_usage_percentiles_bracket_tier_jvm_selection_on_ties(spark, tmp_path):
+    """r12: the bracket tier selects order statistics JVM-side (element_at
+    over the sorted window at rank − below − eq_lo) instead of shipping
+    the window arrays to the driver. The hardest inputs for that index
+    arithmetic are massed duplicates AT the bracket endpoints: a 3-value
+    group collapses every bracket to lo == hi (empty window, eq_hi
+    re-count guard), a two-distinct-value group puts every rank on an
+    endpoint, an all-NULL-measure group must keep its row with NULL
+    percentiles, and one normal group checks the in-window element path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from billing_data_pipeline_spark.plans.stats import usage_percentiles
+
+    flags, prices = [], []
+    # 3 distinct values, heavily duplicated -> degenerate lo == hi brackets
+    flags += ["T"] * 90
+    prices += [10.0] * 30 + [20.0] * 30 + [30.0] * 30
+    # two distinct values -> every target rank sits on a bracket endpoint
+    flags += ["U"] * 40
+    prices += [1.5] * 20 + [2.5] * 20
+    # all-NULL measures -> row kept, NULL percentiles
+    flags += ["V"] * 4
+    prices += [None] * 4
+    # irregular full-mantissa values -> in-window element selection
+    flags += ["W"] * 13
+    prices += [float(i) * 1.0000000000001 + 0.1 for i in range(13)]
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    li = pa.table(
+        {
+            "l_returnflag": pa.array(flags),
+            "l_extendedprice": pa.array(prices, pa.float64()),
+        }
+    )
+    pq.write_table(li, str(d / "lineitem.parquet"))
+    spec = CATALOG["usage_percentiles"]
+    assert_matches_oracle(
+        usage_percentiles(spark, str(d), bracket_min_bytes=0),
+        spec.oracle,
+        str(d),
+    )
+
+
 def test_usage_percentiles_bracket_tier_exact_at_sf001(spark):
     """The bracket tier forced onto sf0.01 (which the size dispatch would
     route to the kernel) must stay hash-exact — the dispatch may only

@@ -465,11 +465,12 @@ def test_curation_plan_properties(spark):
     assert "Exchange hashpartitioning" not in p
 
     p = plan_of("decontaminate_ngram")
-    # r4 Arrow-kernel form: the eval gram set rides a sparkContext
-    # broadcast into ONE corpus-linear mapInPandas pass — no joins and no
-    # hash exchange anywhere in the plan (the strongest possible shape;
-    # the r3 broadcast-join + groupBy form carried two exchanges)
-    assert "MapInPandas" in p
+    # Arrow-kernel form (r4; r12 vectorized it as raw-Arrow mapInArrow):
+    # the eval gram set rides a sparkContext broadcast into ONE
+    # corpus-linear kernel pass — no joins and no hash exchange anywhere
+    # in the plan (the strongest possible shape; the r3 broadcast-join +
+    # groupBy form carried two exchanges)
+    assert "MapInArrow" in p
     assert "Join" not in p
     assert "Exchange hashpartitioning" not in p
 
